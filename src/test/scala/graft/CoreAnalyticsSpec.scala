@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.CoreAnalytics
+import org.apache.spark.sql.functions._
+
+class CoreAnalyticsSpec extends SparkTestBase {
+
+  test("every core query returns rows and declared columns") {
+    CoreAnalytics.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q1 groups are the distinct flag/status pairs") {
+    val df = CoreAnalytics.q1PricingSummary(spark, sfDir)
+    val pairs = df.select("l_returnflag", "l_linestatus").collect().toSet
+    assert(pairs.size == df.count())
+    assert(df.columns.toSet.contains("sum_disc_price"))
+  }
+
+  test("top parts per brand never exceeds 3 per brand") {
+    val df = CoreAnalytics.topPartsPerBrand(spark, sfDir)
+    val maxPerBrand = df.groupBy("p_brand").count().agg(max("count")).head().getLong(0)
+    assert(maxPerBrand <= 3)
+    assert(df.filter(col("rank_in_brand") > 3).count() == 0)
+  }
+
+  test("rollup includes the grand-total row") {
+    val df = CoreAnalytics.rollupSummary(spark, sfDir)
+    val total = df.filter(col("l_returnflag").isNull && col("l_linestatus").isNull)
+    assert(total.count() == 1)
+    val n = total.head().getAs[Long]("n_rows")
+    assert(n == Tables.lineitem(spark, sfDir).count())
+  }
+
+  test("orders_enriched priority class is exhaustive") {
+    val df = CoreAnalytics.ordersEnriched(spark, sfDir)
+    val classes = df.select("priority_class").distinct().collect().map(_.getString(0)).toSet
+    assert(classes.subsetOf(Set("urgent", "normal")))
+  }
+}
