@@ -16,12 +16,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CoreAnalytics.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
+  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (CoreAnalytics.queries, CoreAnalytics.oracles),
+      (EtlCleaning.queries, EtlCleaning.oracles),
+      (EtlMatching.queries, EtlMatching.oracles),
+      (EtlEnrichment.queries, EtlEnrichment.oracles),
+      (EtlTemplates.queries, EtlTemplates.oracles))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreAnalytics.queries
+    modules.map(_._1).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreAnalytics.oracles
+    modules.map(_._2).reduce(_ ++ _)
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cleaning / normalization operators from the reference's extract +
+  * batch-splitting layer, re-expressed as declarative Spark plans.
+  *
+  * The reference works on menu / grocery-article rows; here `part`
+  * plays the product-catalog role. Missing values are synthesized with
+  * deterministic modular predicates so the cleaning branches are
+  * actually exercised (the driver's tables have no nulls).
+  *
+  * Reference: repository/ops/extraction.py:93-95 (fillna),
+  * repository/ops/restaurant_menu_pdf_v1/extract_menu_with_gemini_op.py:154-180
+  * (validate_and_clean_items), repository/ops/data2batches.py:41-77
+  * (column mapping + batching).
+  */
+object EtlCleaning {
+
+  /** `QteMain` NaN→0 fill (extraction.py:93-95). Nulls synthesized on a
+    * modular predicate, then coalesced — the fill itself is the operator.
+    */
+  def fillnaZero(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") > 40, lit(null)).otherwise(col("l_quantity")).as("quantity_raw"))
+      .withColumn("quantity", coalesce(col("quantity_raw"), lit(0.0)))
+      .drop("quantity_raw")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Menu-item validation + defaulting + price parse
+    * (extract_menu_with_gemini_op.py:154-180): non-null name, default
+    * subcategory 'General', default description 'Delicious {name}',
+    * price → strip non-[0-9.] → double.
+    */
+  def menuClean(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    p.select(
+        col("p_partkey"),
+        col("p_name").as("name"),
+        col("p_type").as("category"),
+        when(col("p_size") % 7 === 0, lit(null)).otherwise(col("p_brand")).as("subcategory_raw"),
+        when(col("p_size") % 5 === 0, lit(null))
+          .otherwise(concat(lit("Tasty "), col("p_name"))).as("description_raw"),
+        // price arrives as display text ("$1234.56 USD") — parse it
+        concat(lit("$"), col("p_retailprice").cast("string"), lit(" USD")).as("price_text"))
+      .filter(col("name").isNotNull)
+      .select(
+        col("p_partkey"),
+        col("name"),
+        col("category"),
+        coalesce(col("subcategory_raw"), lit("General")).as("subcategory"),
+        coalesce(col("description_raw"), concat(lit("Delicious "), col("name"))).as("description"),
+        regexp_replace(col("price_text"), "[^0-9.]", "").cast("double").as("price"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Industry-specific column mapping + null/empty-name filter
+    * (data2batches.py:41-68, restaurant branch).
+    */
+  def columnMapRestaurant(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        when(col("p_size") % 11 === 0, lit("")).otherwise(col("p_name")).as("product_name"),
+        concat(lit("Tasty "), col("p_name")).as("description"),
+        col("p_type").as("category_name"),
+        col("p_brand").as("subcategory_name"),
+        col("p_retailprice").as("price"))
+      .filter(col("product_name").isNotNull && col("product_name") =!= "")
+      .orderBy(col("p_partkey"))
+
+  /** drop_duplicates(subset=[name, price], keep='first')
+    * (extract_menu_with_gemini_op.py:115). "First" = lowest source key;
+    * expressed as a window so it stays a single shuffle on the dedup key.
+    */
+  def dedupFirst(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_name"), col("p_retailprice")).orderBy(col("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Deterministic fixed-size batch assignment (data2batches.py:74-77).
+    *
+    * Scale note: a global row_number forces a single-partition sort, so
+    * this exact-order variant is for bounded inputs (a menu, a catalog
+    * slice). At 100 TB batch per partition instead:
+    * (spark_partition_id, monotonically_increasing_id) — same downstream
+    * contract, no global order.
+    */
+  def batchAssign(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("p_partkey"))
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"))
+      .withColumn("rn", row_number().over(w))
+      .select(
+        col("p_partkey"), col("p_name"),
+        floor((col("rn") - 1) / 10.0).cast("long").as("batch_id"),
+        ((col("rn") - 1) % 10).cast("long").as("pos_in_batch"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_fillna_zero"            -> (fillnaZero _),
+    "etl_menu_clean"             -> (menuClean _),
+    "etl_column_map_restaurant"  -> (columnMapRestaurant _),
+    "etl_dedup_first"            -> (dedupFirst _),
+    "etl_batch_assign"           -> (batchAssign _))
+
+  val oracles: Map[String, String] = Map(
+    "etl_fillna_zero" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(CASE WHEN l_quantity > 40 THEN NULL ELSE l_quantity END, 0.0) AS quantity
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "etl_menu_clean" ->
+      """SELECT p_partkey, p_name AS name, p_type AS category,
+        |  coalesce(CASE WHEN p_size % 7 = 0 THEN NULL ELSE p_brand END, 'General') AS subcategory,
+        |  coalesce(CASE WHEN p_size % 5 = 0 THEN NULL ELSE 'Tasty ' || p_name END,
+        |           'Delicious ' || p_name) AS description,
+        |  CAST(regexp_replace('$' || CAST(p_retailprice AS VARCHAR) || ' USD', '[^0-9.]', '', 'g') AS DOUBLE) AS price
+        |FROM part WHERE p_name IS NOT NULL ORDER BY p_partkey""".stripMargin,
+    "etl_column_map_restaurant" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_size % 11 = 0 THEN '' ELSE p_name END AS product_name,
+        |  'Tasty ' || p_name AS description,
+        |  p_type AS category_name, p_brand AS subcategory_name,
+        |  p_retailprice AS price
+        |FROM part
+        |WHERE (CASE WHEN p_size % 11 = 0 THEN '' ELSE p_name END) IS NOT NULL
+        |  AND (CASE WHEN p_size % 11 = 0 THEN '' ELSE p_name END) <> ''
+        |ORDER BY p_partkey""".stripMargin,
+    "etl_dedup_first" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY p_name, p_retailprice
+        |    ORDER BY p_partkey) AS rn FROM part) t
+        |WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+    "etl_batch_assign" ->
+      """SELECT p_partkey, p_name,
+        |  CAST(floor((rn - 1) / 10.0) AS BIGINT) AS batch_id,
+        |  CAST((rn - 1) % 10 AS BIGINT) AS pos_in_batch
+        |FROM (SELECT p_partkey, p_name,
+        |        row_number() OVER (ORDER BY p_partkey) AS rn FROM part) t
+        |ORDER BY p_partkey""".stripMargin)
+}

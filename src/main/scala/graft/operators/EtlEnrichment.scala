@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Enrichment stages of the reference pipeline: stage 3 content
+  * defaulting + embeddings, tax-slab mapping, industry resolution,
+  * stage 5 master-product construction, stage 5a/6a ES document
+  * construction, and the update-field projection.
+  *
+  * Reference: repository/ops/services/batch_processor.py:559-1015,
+  * 1213-1269; business_account_service.py:119-137;
+  * extraction.py:160-206.
+  */
+object EtlEnrichment {
+
+  // Synthesized gaps (the driver tables are fully populated; the
+  // reference's inputs are not):
+  private def brandRaw: Column =
+    when(col("p_size") % 4 === 0, lit(null)).otherwise(col("p_brand"))
+  private def categoryRaw: Column =
+    when(col("p_size") % 6 === 0, lit(null)).otherwise(col("p_type"))
+  private def subcategoryRaw: Column =
+    when(col("p_size") % 7 === 0, lit(null)).otherwise(col("p_brand"))
+  private def descriptionRaw: Column =
+    when(col("p_size") % 5 === 0, lit(null)).otherwise(concat(lit("Tasty "), col("p_name")))
+
+  private val brandRawSql = "CASE WHEN p_size % 4 = 0 THEN NULL ELSE p_brand END"
+  private val categoryRawSql = "CASE WHEN p_size % 6 = 0 THEN NULL ELSE p_type END"
+  private val subcategoryRawSql = "CASE WHEN p_size % 7 = 0 THEN NULL ELSE p_brand END"
+  private val descriptionRawSql = "CASE WHEN p_size % 5 = 0 THEN NULL ELSE 'Tasty ' || p_name END"
+
+  /** Stage 3 complete/incomplete split + deterministic fallbacks
+    * (batch_processor.py:572-726): brand→Generic / House Special,
+    * category→Others, subcategory→miscellaneous items, description→name;
+    * match_type records whether content had to be generated.
+    */
+  def contentDefaults(spark: SparkSession, dir: String): DataFrame = {
+    val isRestaurant = col("p_size") % 2 === 0
+    val isComplete = brandRaw.isNotNull && categoryRaw.isNotNull &&
+      subcategoryRaw.isNotNull && descriptionRaw.isNotNull
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        col("p_name").as("product_name"),
+        isRestaurant.as("is_restaurant"),
+        isComplete.as("is_complete"),
+        coalesce(brandRaw, when(isRestaurant, lit("House Special")).otherwise(lit("Generic"))).as("brand_name"),
+        coalesce(categoryRaw, lit("Others")).as("category_name"),
+        coalesce(subcategoryRaw, lit("miscellaneous items")).as("subcategory_name"),
+        coalesce(descriptionRaw, col("p_name")).as("description"),
+        when(isComplete, lit("mapped")).otherwise(lit("generated")).as("match_type"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** is_tax → tax-slab mapping (batch_processor.py:651). */
+  def taxSlab(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_tax") > 0.04).as("is_tax"),
+        when(col("l_tax") > 0.04, lit("TAX_SLAB_TRUE"))
+          .otherwise(lit("TAX_SLAB_FALSE")).as("tax_slab"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Industry-type dim lookup with 'unknown' fallback
+    * (business_account_service.py:119-137). The dim is tiny → literal
+    * broadcast table; facts flow through unshuffled.
+    */
+  def industryResolve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Seq(
+      ("ASIA", "restaurant"), ("AMERICA", "restaurant"),
+      ("EUROPE", "grocery"), ("AFRICA", "grocery"))
+      .toDF("r_name_dim", "industry_type")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir)
+    cust
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(dim), col("r_name") === col("r_name_dim"), "left")
+      .select(
+        col("c_custkey"), col("n_name"), col("r_name"),
+        coalesce(col("industry_type"), lit("unknown")).as("industry"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Stage 3 batch embeddings (batch_processor.py:728-754), with the
+    * LLM swapped for a deterministic md5-derived 8-dim vector over the
+    * same name+description+brand+category text. Pure per-row expression
+    * work — no shuffle, stays in whole-stage codegen.
+    */
+  def embedProducts(spark: SparkSession, dir: String): DataFrame = {
+    val text = concat_ws(" ", col("product_name"), col("description"),
+      col("brand_name"), col("category_name"))
+    val dims = (0 until 8).map { i =>
+      round(
+        conv(substring(md5(concat(text, lit(":" + i))), 1, 8), 16, 10).cast("bigint") /
+          lit(4294967296.0), 6).as(s"e$i")
+    }
+    contentDefaults(spark, dir)
+      .select(col("p_partkey") +: col("product_name") +: dims: _*)
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Stage 5 master-product record construction (batch_processor.py:
+    * 964-997): taxonomy names, null image, UPC only for valid grocery
+    * barcodes.
+    */
+  def masterProducts(spark: SparkSession, dir: String): DataFrame = {
+    val base = contentDefaults(spark, dir)
+    val upcs = EtlMatching.upcValidate(spark, dir).select(col("p_partkey").as("uk"), col("upc"))
+    base.join(upcs, col("p_partkey") === col("uk"))
+      .select(
+        col("p_partkey"),
+        col("product_name").as("name"),
+        col("description"),
+        col("brand_name"),
+        col("category_name"),
+        col("subcategory_name"),
+        lit(null).cast("string").as("image_url"),
+        when(!col("is_restaurant"), col("upc")).as("upc"),
+        col("match_type"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Stage 5a/6a ES document construction (batch_processor.py:1213-1269):
+    * doc id = master product id if present else retailer id; the six
+    * required fields + is_active.
+    */
+  def esDocs(spark: SparkSession, dir: String): DataFrame = {
+    val masterId = when(col("p_size") % 3 =!= 0, concat(lit("m-"), col("p_partkey")))
+    contentDefaults(spark, dir)
+      .join(Tables.part(spark, dir).select("p_partkey", "p_size").withColumnRenamed("p_partkey", "pk"),
+        col("p_partkey") === col("pk"))
+      .select(
+        coalesce(masterId, concat(lit("r-"), col("p_partkey"))).as("doc_id"),
+        concat(lit("r-"), col("p_partkey")).as("retailer_id"),
+        col("product_name"),
+        col("brand_name"),
+        col("category_name").as("category"),
+        col("subcategory_name").as("subcategory"),
+        lit(true).as("is_active"))
+      .orderBy(col("retailer_id"))
+  }
+
+  /** Update-field projection (extraction.py:160-206): keep only rows
+    * with both id and price.
+    */
+  def updateFields(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        concat(lit("e-"), col("event_id")).as("_id"),
+        when(col("value") >= 10, col("value")).as("price"))
+      .filter(col("_id").isNotNull && col("price").isNotNull)
+      .orderBy(col("_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_content_defaults" -> (contentDefaults _),
+    "etl_tax_slab"         -> (taxSlab _),
+    "etl_industry_resolve" -> (industryResolve _),
+    "etl_embed_products"   -> (embedProducts _),
+    "etl_master_products"  -> (masterProducts _),
+    "etl_es_docs"          -> (esDocs _),
+    "etl_update_fields"    -> (updateFields _))
+
+  private val embedDimsSql = (0 until 8).map { i =>
+    s"""round(CAST(('0x' || substr(md5(product_name || ' ' || description || ' ' || brand_name || ' ' || category_name || ':$i'), 1, 8)) AS BIGINT) / 4294967296.0, 6) AS e$i"""
+  }.mkString(",\n  ")
+
+  private val contentDefaultsSql =
+    s"""SELECT p_partkey, p_name AS product_name,
+       |  (p_size % 2 = 0) AS is_restaurant,
+       |  (($brandRawSql) IS NOT NULL AND ($categoryRawSql) IS NOT NULL
+       |   AND ($subcategoryRawSql) IS NOT NULL AND ($descriptionRawSql) IS NOT NULL) AS is_complete,
+       |  coalesce($brandRawSql,
+       |    CASE WHEN p_size % 2 = 0 THEN 'House Special' ELSE 'Generic' END) AS brand_name,
+       |  coalesce($categoryRawSql, 'Others') AS category_name,
+       |  coalesce($subcategoryRawSql, 'miscellaneous items') AS subcategory_name,
+       |  coalesce($descriptionRawSql, p_name) AS description,
+       |  CASE WHEN (($brandRawSql) IS NOT NULL AND ($categoryRawSql) IS NOT NULL
+       |        AND ($subcategoryRawSql) IS NOT NULL AND ($descriptionRawSql) IS NOT NULL)
+       |       THEN 'mapped' ELSE 'generated' END AS match_type
+       |FROM part""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "etl_content_defaults" -> (contentDefaultsSql + "\nORDER BY p_partkey"),
+    "etl_tax_slab" ->
+      """SELECT l_orderkey, l_linenumber, (l_tax > 0.04) AS is_tax,
+        |  CASE WHEN l_tax > 0.04 THEN 'TAX_SLAB_TRUE' ELSE 'TAX_SLAB_FALSE' END AS tax_slab
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "etl_industry_resolve" ->
+      """SELECT c_custkey, n_name, r_name,
+        |  coalesce(industry_type, 'unknown') AS industry
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |LEFT JOIN (VALUES ('ASIA', 'restaurant'), ('AMERICA', 'restaurant'),
+        |                  ('EUROPE', 'grocery'), ('AFRICA', 'grocery'))
+        |  AS dim(r_name_dim, industry_type) ON r_name = r_name_dim
+        |ORDER BY c_custkey""".stripMargin,
+    "etl_embed_products" ->
+      s"""SELECT p_partkey, product_name,\n  $embedDimsSql\nFROM ($contentDefaultsSql) t ORDER BY p_partkey""",
+    "etl_master_products" ->
+      s"""WITH base AS ($contentDefaultsSql),
+         |upcs AS (${EtlMatching.oracles("etl_upc_validate").replace("ORDER BY p_partkey", "")})
+         |SELECT base.p_partkey, product_name AS name, description, brand_name,
+         |  category_name, subcategory_name, CAST(NULL AS VARCHAR) AS image_url,
+         |  CASE WHEN NOT is_restaurant THEN upc END AS upc, match_type
+         |FROM base JOIN upcs ON base.p_partkey = upcs.p_partkey
+         |ORDER BY base.p_partkey""".stripMargin,
+    "etl_es_docs" ->
+      s"""WITH base AS ($contentDefaultsSql)
+         |SELECT coalesce(CASE WHEN p_size % 3 <> 0 THEN 'm-' || base.p_partkey END,
+         |                'r-' || base.p_partkey) AS doc_id,
+         |  'r-' || base.p_partkey AS retailer_id,
+         |  product_name, brand_name,
+         |  category_name AS category, subcategory_name AS subcategory,
+         |  true AS is_active
+         |FROM base JOIN part ON base.p_partkey = part.p_partkey
+         |ORDER BY retailer_id""".stripMargin,
+    "etl_update_fields" ->
+      """SELECT 'e-' || event_id AS _id,
+        |  CASE WHEN value >= 10 THEN value END AS price
+        |FROM events
+        |WHERE ('e-' || event_id) IS NOT NULL
+        |  AND (CASE WHEN value >= 10 THEN value END) IS NOT NULL
+        |ORDER BY _id""".stripMargin)
+}

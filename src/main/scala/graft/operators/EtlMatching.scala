@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Matching stages of the reference pipeline: stage 0 precheck
+  * (anti-join against existing products), stage 1 UPC validation +
+  * master-product equi-join, stage 2 name-similarity matching.
+  *
+  * Reference: repository/ops/services/batch_processor.py:367-556,
+  * api/api-client.py:109-268.
+  */
+object EtlMatching {
+
+  // --- UPC synthesis + validation ------------------------------------
+  // The driver tables carry no barcodes, so article codes are derived
+  // deterministically from the part key (injective for partkey < ~1.28M,
+  // far above any tested SF). The *operator* is the validation/join.
+
+  /** 12-digit article code for a key. */
+  private def digits12(key: Column): Column =
+    lpad((key * 777371L % 1000000000000L).cast("string"), 12, "0")
+
+  private val digits12Sql = (k: String) =>
+    s"lpad(CAST(($k * 777371) % 1000000000000 AS VARCHAR), 12, '0')"
+
+  /** UPC-A check-digit validity: 3*(odd positions) + (even positions)
+    * ≡ 0 (mod 10), positions 1-based over all 12 digits.
+    */
+  private def upcValid(code: Column): Column = {
+    def d(i: Int): Column = substring(code, i, 1).cast("int")
+    val odd  = Seq(1, 3, 5, 7, 9, 11).map(d).reduce(_ + _)
+    val even = Seq(2, 4, 6, 8, 10).map(d).reduce(_ + _)
+    (length(code) === 12) && ((odd * 3 + even + d(12)) % 10 === 0)
+  }
+
+  private def upcValidSql(code: String): String = {
+    def d(i: Int) = s"CAST(substr($code, $i, 1) AS INT)"
+    val odd  = Seq(1, 3, 5, 7, 9, 11).map(d).mkString(" + ")
+    val even = Seq(2, 4, 6, 8, 10).map(d).mkString(" + ")
+    s"(length($code) = 12 AND (3 * ($odd) + ($even) + ${d(12)}) % 10 = 0)"
+  }
+
+  /** Stage 0 precheck: drop incoming products that already exist —
+    * a left-anti join on the article key (batch_processor.py:367-404).
+    * "Existing" = parts already seen in lineitem.
+    */
+  def precheckAntijoin(spark: SparkSession, dir: String): DataFrame = {
+    val existing = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("2001-09-01").cast("timestamp"))
+      .select(col("l_partkey")).distinct()
+    Tables.part(spark, dir)
+      .join(existing, col("p_partkey") === col("l_partkey"), "left_anti")
+      .select("p_partkey", "p_name", "p_brand", "p_type")
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Stage 1a: barcode validation + normalization
+    * (batch_processor.py:417-423; `BarcodeValidator` + `normalize_upc_code`).
+    * Raw codes arrive with backtick junk / missing leading zero; we strip
+    * non-digits, pad 11-digit codes to 12, then check-digit validate.
+    */
+  def upcValidate(spark: SparkSession, dir: String): DataFrame = {
+    val base = digits12(col("p_partkey"))
+    val raw = when(col("p_size") % 3 === 0, concat(lit("`"), base))
+      .when(col("p_size") % 3 === 1, substring(base, 2, 11))
+      .otherwise(base)
+    val digits = regexp_replace(raw, "[^0-9]", "")
+    val padded = when(length(digits).between(11, 12), lpad(digits, 12, "0"))
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        raw.as("article_id_raw"),
+        padded.as("article_id_norm"),
+        coalesce(upcValid(padded), lit(false)).as("upc_is_valid"))
+      .withColumn("upc", when(col("upc_is_valid"), col("article_id_norm")))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Stage 1b: equi-join incoming rows against master products on the
+    * normalized UPC (batch_processor.py:432-475). Masters are a dim →
+    * broadcast; the fact side never shuffles.
+    */
+  def upcMatch(spark: SparkSession, dir: String): DataFrame = {
+    val masters = Tables.part(spark, dir)
+      .select(
+        digits12(col("p_partkey")).as("upc"),
+        col("p_partkey").as("master_id"),
+        col("p_name").as("master_name"),
+        col("p_brand").as("master_brand"))
+      .filter(upcValid(col("upc")))
+    val incoming = Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        digits12(col("l_partkey")).as("article_upc"),
+        col("l_extendedprice").as("price"))
+      .filter(upcValid(col("article_upc")))
+    incoming.join(broadcast(masters), col("article_upc") === col("upc"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("article_upc"),
+        col("price"), col("master_id"), col("master_name"), col("master_brand"),
+        lit("upc").as("match_type"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Stage 2: name-similarity match with threshold + top-match-only
+    * (batch_processor.py:477-556). Blocked on the name's first character
+    * so the join never degenerates into an unblocked cross product;
+    * ranked by (edit distance, master name, master id) and kept when
+    * within the threshold.
+    */
+  def similarityMatch(spark: SparkSession, dir: String): DataFrame = {
+    val threshold = 6
+    val masters = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO")
+      .groupBy(col("p_name").as("master_name"))
+      .agg(min(col("p_partkey")).as("master_id"))
+      .withColumn("block", substring(col("master_name"), 1, 1))
+    val candidates = Tables.part(spark, dir)
+      .filter(col("p_type") =!= "PROMO")
+      .select(
+        col("p_partkey"), col("p_name").as("product_name"),
+        substring(col("p_name"), 1, 1).as("block"))
+    val scored = candidates
+      .join(broadcast(masters), Seq("block"))
+      .withColumn("distance", levenshtein(col("product_name"), col("master_name")))
+      .filter(col("distance") <= threshold)
+    val w = Window.partitionBy(col("p_partkey"))
+      .orderBy(col("distance"), col("master_name"), col("master_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(
+        col("p_partkey"), col("product_name"), col("master_id"),
+        col("master_name"), col("distance"),
+        lit("similarity").as("match_type"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_precheck_antijoin" -> (precheckAntijoin _),
+    "etl_upc_validate"      -> (upcValidate _),
+    "etl_upc_match"         -> (upcMatch _),
+    "etl_similarity_match"  -> (similarityMatch _))
+
+  private val rawSql =
+    s"""CASE WHEN p_size % 3 = 0 THEN '`' || ${digits12Sql("p_partkey")}
+       |     WHEN p_size % 3 = 1 THEN substr(${digits12Sql("p_partkey")}, 2, 11)
+       |     ELSE ${digits12Sql("p_partkey")} END""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "etl_precheck_antijoin" ->
+      """SELECT p_partkey, p_name, p_brand, p_type FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+        |                  AND l_shipdate >= TIMESTAMP '2001-09-01')
+        |ORDER BY p_partkey""".stripMargin,
+    "etl_upc_validate" ->
+      s"""WITH raw AS (
+         |  SELECT p_partkey, $rawSql AS article_id_raw FROM part
+         |), norm AS (
+         |  SELECT p_partkey, article_id_raw,
+         |    CASE WHEN length(regexp_replace(article_id_raw, '[^0-9]', '', 'g')) BETWEEN 11 AND 12
+         |         THEN lpad(regexp_replace(article_id_raw, '[^0-9]', '', 'g'), 12, '0') END AS article_id_norm
+         |  FROM raw)
+         |SELECT p_partkey, article_id_raw, article_id_norm,
+         |  coalesce(${upcValidSql("article_id_norm")}, false) AS upc_is_valid,
+         |  CASE WHEN coalesce(${upcValidSql("article_id_norm")}, false)
+         |       THEN article_id_norm END AS upc
+         |FROM norm ORDER BY p_partkey""".stripMargin,
+    "etl_upc_match" ->
+      s"""WITH masters AS (
+         |  SELECT ${digits12Sql("p_partkey")} AS upc, p_partkey AS master_id,
+         |    p_name AS master_name, p_brand AS master_brand
+         |  FROM part WHERE ${upcValidSql(digits12Sql("p_partkey"))}
+         |), incoming AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    ${digits12Sql("l_partkey")} AS article_upc,
+         |    l_extendedprice AS price
+         |  FROM lineitem WHERE ${upcValidSql(digits12Sql("l_partkey"))})
+         |SELECT l_orderkey, l_linenumber, article_upc, price,
+         |  master_id, master_name, master_brand, 'upc' AS match_type
+         |FROM incoming JOIN masters ON article_upc = upc
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "etl_similarity_match" ->
+      """WITH masters AS (
+        |  SELECT p_name AS master_name, min(p_partkey) AS master_id
+        |  FROM part WHERE p_type = 'PROMO' GROUP BY p_name
+        |), scored AS (
+        |  SELECT p.p_partkey, p.p_name AS product_name, m.master_id, m.master_name,
+        |    levenshtein(p.p_name, m.master_name) AS distance
+        |  FROM part p JOIN masters m
+        |    ON substr(p.p_name, 1, 1) = substr(m.master_name, 1, 1)
+        |  WHERE p.p_type <> 'PROMO'
+        |    AND levenshtein(p.p_name, m.master_name) <= 6
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY p_partkey
+        |    ORDER BY distance, master_name, master_id) AS rnk FROM scored)
+        |SELECT p_partkey, product_name, master_id, master_name, distance,
+        |  'similarity' AS match_type
+        |FROM ranked WHERE rnk = 1 ORDER BY p_partkey""".stripMargin)
+}

@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class EtlOperatorsSpec extends SparkTestBase {
+
+  test("all ETL queries return rows") {
+    val all = EtlCleaning.queries ++ EtlMatching.queries ++
+      EtlEnrichment.queries ++ EtlTemplates.queries
+    all.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("fillna leaves no nulls and zeroes the gaps") {
+    val df = EtlCleaning.fillnaZero(spark, sfDir)
+    assert(df.filter(col("quantity").isNull).count() == 0)
+    assert(df.filter(col("quantity") === 0.0).count() > 0)
+  }
+
+  test("menu clean applies defaults and parses prices") {
+    val df = EtlCleaning.menuClean(spark, sfDir)
+    assert(df.filter(col("subcategory").isNull || col("description").isNull).count() == 0)
+    assert(df.filter(col("subcategory") === "General").count() > 0)
+    assert(df.filter(col("description").startsWith("Delicious ")).count() > 0)
+    // parsed price round-trips the original retail price exactly
+    val joined = df.join(Tables.part(spark, sfDir), Seq("p_partkey"))
+    assert(joined.filter(col("price") =!= col("p_retailprice")).count() == 0)
+  }
+
+  test("column map drops empty product names") {
+    val df = EtlCleaning.columnMapRestaurant(spark, sfDir)
+    assert(df.filter(col("product_name") === "").count() == 0)
+    assert(df.count() < Tables.part(spark, sfDir).count())
+  }
+
+  test("dedup keeps exactly one row per (name, price) and keeps the first") {
+    val df = EtlCleaning.dedupFirst(spark, sfDir)
+    assert(df.groupBy("p_name", "p_retailprice").count().filter(col("count") > 1).count() == 0)
+    val firstKeys = Tables.part(spark, sfDir)
+      .groupBy("p_name", "p_retailprice").agg(min("p_partkey").as("k"))
+    assert(df.join(firstKeys, df("p_partkey") === firstKeys("k"), "left_anti").count() == 0)
+  }
+
+  test("batch assign produces dense batches of 10") {
+    val df = EtlCleaning.batchAssign(spark, sfDir)
+    val sizes = df.groupBy("batch_id").count()
+    assert(sizes.filter(col("count") > 10).count() == 0)
+    assert(sizes.filter(col("count") =!= 10).count() <= 1) // only the tail batch
+  }
+
+  test("upc validation accepts only correct check digits") {
+    val df = EtlMatching.upcValidate(spark, sfDir)
+    val valid = df.filter(col("upc_is_valid"))
+    assert(valid.count() > 0)
+    assert(valid.filter(length(col("upc")) =!= 12).count() == 0)
+    // ~1 in 10 codes should validate (check digit uniform-ish)
+    val rate = valid.count().toDouble / df.count()
+    assert(rate > 0.02 && rate < 0.3, s"suspicious validity rate $rate")
+  }
+
+  test("upc match enriches with master attributes") {
+    val df = EtlMatching.upcMatch(spark, sfDir)
+    assert(df.filter(col("master_name").isNull).count() == 0)
+    assert(df.select("match_type").distinct().collect().map(_.getString(0)).toSeq == Seq("upc"))
+  }
+
+  test("similarity match is top-1 per product within threshold") {
+    val df = EtlMatching.similarityMatch(spark, sfDir)
+    assert(df.groupBy("p_partkey").count().filter(col("count") > 1).count() == 0)
+    assert(df.filter(col("distance") > 6).count() == 0)
+  }
+
+  test("content defaults fill every taxonomy field") {
+    val df = EtlEnrichment.contentDefaults(spark, sfDir)
+    Seq("brand_name", "category_name", "subcategory_name", "description").foreach { c =>
+      assert(df.filter(col(c).isNull).count() == 0, s"$c has nulls")
+    }
+    assert(df.filter(col("match_type") === "generated").count() > 0)
+    assert(df.filter(!col("is_complete") && col("match_type") === "mapped").count() == 0)
+  }
+
+  test("embeddings are deterministic and in [0,1)") {
+    val a = EtlEnrichment.embedProducts(spark, sfDir).collect()
+    val b = EtlEnrichment.embedProducts(spark, sfDir).collect()
+    assert(a.sameElements(b))
+    val df = EtlEnrichment.embedProducts(spark, sfDir)
+    (0 until 8).foreach { i =>
+      assert(df.filter(col(s"e$i") < 0 || col(s"e$i") >= 1).count() == 0)
+    }
+  }
+
+  test("master products only carry UPC for grocery rows") {
+    val df = EtlEnrichment.masterProducts(spark, sfDir)
+    val restaurantKeys = EtlEnrichment.contentDefaults(spark, sfDir)
+      .filter(col("is_restaurant")).select("p_partkey")
+    assert(df.join(restaurantKeys, Seq("p_partkey")).filter(col("upc").isNotNull).count() == 0)
+    assert(df.filter(col("upc").isNotNull).count() > 0)
+  }
+
+  test("es docs prefer master id over retailer id") {
+    val df = EtlEnrichment.esDocs(spark, sfDir)
+    assert(df.filter(col("doc_id").startsWith("m-")).count() > 0)
+    assert(df.filter(col("doc_id").startsWith("r-")).count() > 0)
+    assert(df.filter(col("doc_id").isNull).count() == 0)
+  }
+
+  test("template chunks never exceed 30 products") {
+    val df = EtlTemplates.templateGroups(spark, sfDir)
+    assert(df.filter(col("product_count") > 30).count() == 0)
+    // multi-chunk categories get numbered names
+    val multi = df.groupBy("category").count().filter(col("count") > 1).select("category")
+    val numbered = df.join(multi, Seq("category"))
+      .filter(!col("template_name").rlike(" \\d+$"))
+    assert(numbered.count() == 0)
+  }
+
+  test("header text uses dictionary for known categories, fallback otherwise") {
+    val df = EtlTemplates.headerText(spark, sfDir)
+    val known = df.filter(col("category") === "Desserts").head()
+    assert(known.getAs[String]("header_text") == "Sweet Treats to End Your Day!")
+    val fallback = df.filter(col("category") === "ECONOMY").head()
+    assert(fallback.getAs[String]("header_text") == "Explore Our ECONOMY!")
+  }
+}
