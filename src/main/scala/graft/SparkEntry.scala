@@ -22,7 +22,9 @@ object SparkEntry {
       (EtlCleaning.queries, EtlCleaning.oracles),
       (EtlMatching.queries, EtlMatching.oracles),
       (EtlEnrichment.queries, EtlEnrichment.oracles),
-      (EtlTemplates.queries, EtlTemplates.oracles))
+      (EtlTemplates.queries, EtlTemplates.oracles),
+      (Dedup.queries, Dedup.oracles),
+      (AnnSearch.queries, AnnSearch.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

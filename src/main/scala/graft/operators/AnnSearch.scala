@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-d float vectors), the similarity-search capability behind the
+  * reference's stage-2 name matching and stage-3 embedding generation
+  * (batch_processor.py:477-556, 728-754) re-expressed at corpus scale.
+  *
+  * Two paths:
+  *  - `ann_topk`: brute-force cosine top-k — the correctness baseline.
+  *    The query side is a small fixed subset, broadcast against the
+  *    corpus, so the join is a map-side nested loop with no shuffle of
+  *    the big side; per-partition candidates then one shuffle for the
+  *    per-query top-k window.
+  *  - `ann_lsh_topk`: sign-random-projection LSH — the 100 TB path.
+  *    Every vector gets an 8-bit bucket key (sign of 8 deterministic
+  *    md5-derived hyperplane projections); candidates are generated
+  *    ONLY within matching buckets, so cost scales with bucket
+  *    occupancy, not corpus².
+  *
+  * All arithmetic is double-precision with results rounded to 6
+  * decimals and ranked on the rounded value (ties broken by id), so
+  * Spark and the DuckDB oracle agree exactly.
+  */
+object AnnSearch {
+
+  private val TopK = 5
+  private val NumPlanes = 8
+  private val Dims = 64
+  /** Every 50th vector is a query point. */
+  private val QueryFilter = "vec_id % 50 = 0"
+
+  /** Cosine similarity of two array<double> columns — codegen'd
+    * higher-order functions, no UDF.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Brute-force cosine top-k: broadcast query subset × corpus. */
+  def annTopk(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val q = all.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("v")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Hyperplane coefficients derived from md5("p:d") — reproducible in
+    * any engine: first 8 hex chars as int, mapped to [-1, 1].
+    */
+  private def coef(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
+  }
+
+  private lazy val planes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until NumPlanes).map(p => (1 to Dims).map(d => coef(p, d)))
+
+  /** Bucket key: concatenated sign bits of the 8 plane projections. */
+  private def bucket(v: Column): Column = {
+    val bits = planes.map { pl =>
+      val proj = aggregate(
+        zip_with(v, typedLit(pl), (x, c) => x * c), lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** LSH-bucketed ANN: candidates only within matching sign buckets —
+    * an equi-join on the bucket key (shuffle on bucket / broadcast of
+    * the query side), never an all-pairs cross join.
+    */
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir).withColumn("bucket", bucket(col("v")))
+    val q = all.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+    val scored = all.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("v")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("bucket"), col("cosine"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk"     -> (annTopk _),
+    "ann_lsh_topk" -> (annLshTopk _))
+
+  /** Shared oracle CTE: per-vector LSH bucket via the same md5-derived
+    * hyperplanes (DuckDB lists are 1-based like the d index).
+    */
+  private val bucketCte =
+    s"""planes AS (
+       |  SELECT p.p, d.d,
+       |    (CAST(('0x' || substr(md5(p.p || ':' || d.d), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS c
+       |  FROM generate_series(0, ${NumPlanes - 1}) p(p), generate_series(1, $Dims) d(d)),
+       |proj AS (
+       |  SELECT e.vec_id, pl.p,
+       |    CASE WHEN sum(e.embedding[pl.d] * pl.c) > 0 THEN '1' ELSE '0' END AS bit
+       |  FROM embeddings e CROSS JOIN planes pl
+       |  GROUP BY e.vec_id, pl.p),
+       |buck AS (
+       |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+       |  FROM proj GROUP BY vec_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_topk" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 50 = 0),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, cosine, rank FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH $bucketCte,
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id, bq.bucket,
+         |    round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+         |  FROM embeddings q
+         |  JOIN buck bq ON bq.vec_id = q.vec_id
+         |  JOIN buck be ON be.bucket = bq.bucket
+         |  JOIN embeddings e ON e.vec_id = be.vec_id AND e.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 50 = 0),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, bucket, cosine, rank FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
+}

@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication operators — the scale additions a training-data
+  * pipeline needs on top of the reference's per-catalog dedup:
+  * exact (content-hash groupBy), MinHash+LSH banding, SimHash, LSH-
+  * candidate + exact n-gram Jaccard verification, and embedding-cosine
+  * near-dup pairs.
+  *
+  * All hashing is md5-derived so Spark results and DuckDB oracles agree
+  * bit-for-bit. Every operator is one or two shuffles on an explicit key
+  * (content hash, doc id, band bucket) — no unblocked cross joins, so
+  * the plans scale linearly with corpus size.
+  */
+object Dedup {
+
+  private val NumHashes = 16
+  private val BandSize = 2 // 8 bands of 2 → ~0.9 recall at jaccard 0.5
+  private val NumBands = NumHashes / BandSize
+  private val JaccardThreshold = 0.5
+
+  /** 32-bit integer hash of a string expression, stable across engines. */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("bigint")
+  private def h32Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+
+  /** Exact dedup: cluster by content hash, canonical = min doc id. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("content_hash"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Distinct word-bigram shingles per document: one row per
+    * (doc_id, gram). The shingle relation is the shared input of the
+    * minhash and jaccard operators.
+    */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks) - 1)," +
+          " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))")).as("gram"))
+
+  private val shinglesCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+      |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents) d,
+      |         unnest(generate_series(1, len(toks) - 1)) t(i)))""".stripMargin
+
+  /** MinHash signature (16 md5-derived hash functions over bigram
+    * shingles) + banded LSH bucket keys. Single aggregation over the
+    * exploded shingle relation → map-side partial min, one shuffle on
+    * doc_id.
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val mins = (0 until NumHashes).map { j =>
+      min(h32(concat(col("gram"), lit(":" + j)))).as(s"m$j")
+    }
+    val bands = (0 until NumBands).map { b =>
+      val parts = (0 until BandSize).map(i => col(s"m${b * BandSize + i}").cast("string"))
+      substring(md5(concat_ws(",", parts: _*)), 1, 16).as(s"band$b")
+    }
+    shingles(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id") +: (0 until NumHashes).map(j => col(s"m$j")) ++: bands: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val minhashCte: String = {
+    val mins = (0 until NumHashes)
+      .map(j => s"min(${h32Sql(s"gram || ':$j'")}) AS m$j").mkString(", ")
+    val bands = (0 until NumBands).map { b =>
+      val parts = (0 until BandSize).map(i => s"CAST(m${b * BandSize + i} AS VARCHAR)")
+      s"substr(md5(${parts.mkString(" || ',' || ")}), 1, 16) AS band$b"
+    }.mkString(", ")
+    s"""$shinglesCte,
+       |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |sig AS (SELECT *, $bands FROM mh)""".stripMargin
+  }
+
+  /** LSH-candidate near-dup pairs verified with exact bigram Jaccard.
+    * Candidates = documents sharing any LSH band bucket (union over
+    * bands, each a self-equi-join on the bucket key — shuffle stays on
+    * the bucket, never all-pairs); verification joins the shingle
+    * relation to count the exact intersection.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sig = dedupMinhash(spark, dir).cache()
+    val pairs = (0 until NumBands).map { b =>
+      val l = sig.select(col("doc_id").as("doc_a"), col(s"band$b").as("bk"))
+      val r = sig.select(col("doc_id").as("doc_b"), col(s"band$b").as("bk"))
+      l.join(r, "bk").filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b")
+    }.reduce(_ union _).distinct()
+
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 16-bit SimHash: per-bit majority vote over md5-derived token
+    * hashes, frequency-weighted (tokens exploded, not distinct). One
+    * aggregation, 16 vote sums, fingerprint assembled per row.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
+    val votes = (0 until 16).map { b =>
+      sum(when(floor(col("h") / math.pow(2, b).toLong) % 2 === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val fp = (0 until 16).map { b =>
+      when(col(s"s$b") > 0, math.pow(2, b).toLong).otherwise(0L)
+    }.reduce(_ + _)
+    tok.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked on the label column (the
+    * coarse-cluster stand-in for an IVF/LSH partition at scale).
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("id_a"), col("label"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"), col("v").as("vb"))
+    a.join(b, "label").filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(AnnSearch.cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= 0.35)
+      .select("label", "id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> (dedupExact _),
+    "dedup_minhash"       -> (dedupMinhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_simhash"       -> (dedupSimhash _),
+    "dedup_embedding"     -> (dedupEmbedding _))
+
+  private val simhashSql: String = {
+    val votes = (0 until 16).map { b =>
+      s"sum(CASE WHEN CAST(floor(h / ${math.pow(2, b).toLong}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(", ")
+    val fp = (0 until 16).map { b =>
+      s"CASE WHEN s$b > 0 THEN ${math.pow(2, b).toLong} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(unnest(string_split_regex(trim(text), '\\s+'))), 1, 4)) AS INT) AS h
+       |  FROM documents),
+       |v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id)
+       |SELECT doc_id, $fp AS simhash FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS content_hash,
+        |  min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS canonical_id,
+        |  count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS cluster_size,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS is_duplicate
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_minhash" ->
+      s"WITH $minhashCte SELECT * FROM sig ORDER BY doc_id",
+    "dedup_ngram_jaccard" ->
+      s"""WITH $minhashCte,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM (${(0 until NumBands).map(b => s"SELECT doc_id, band$b AS bk FROM sig").mkString(" UNION ALL ")}) a
+         |  JOIN (${(0 until NumBands).map(b => s"SELECT doc_id, band$b AS bk FROM sig").mkString(" UNION ALL ")}) b
+         |    ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.doc_a
+         |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.gram = sa.gram
+         |  GROUP BY p.doc_a, p.doc_b)
+         |SELECT doc_a, doc_b, n_inter,
+         |  round(n_inter * 1.0 / (za.n_grams + zb.n_grams - n_inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes za ON za.doc_id = doc_a
+         |JOIN sizes zb ON zb.doc_id = doc_b
+         |WHERE round(n_inter * 1.0 / (za.n_grams + zb.n_grams - n_inter), 6) >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" -> simhashSql,
+    "dedup_embedding" ->
+      """SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin)
+
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{AnnSearch, Dedup}
+import org.apache.spark.sql.functions._
+
+class DedupAnnSpec extends SparkTestBase {
+
+  test("every dedup/ann query returns rows") {
+    (Dedup.queries ++ AnnSearch.queries).foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("dedup_exact: canonical ids are cluster minima and non-dups are canonical") {
+    val df = Dedup.dedupExact(spark, sfDir).cache()
+    assert(df.filter(col("canonical_id") > col("doc_id")).count() == 0)
+    assert(df.filter(!col("is_duplicate") && col("doc_id") =!= col("canonical_id")).count() == 0)
+    // one canonical per cluster
+    val perCluster = df.groupBy("content_hash")
+      .agg(countDistinct("canonical_id").as("n"))
+    assert(perCluster.filter(col("n") =!= 1).count() == 0)
+  }
+
+  test("dedup_minhash: signature values bounded and bands deterministic") {
+    val df = Dedup.dedupMinhash(spark, sfDir).cache()
+    assert(df.columns.count(_.startsWith("m")) == 16)
+    assert(df.columns.count(_.startsWith("band")) == 8)
+    // re-running yields the identical signature for the same doc
+    val again = Dedup.dedupMinhash(spark, sfDir)
+    assert(df.exceptAll(again).count() == 0)
+  }
+
+  test("dedup_ngram_jaccard: pairs are ordered, above threshold, and symmetric-free") {
+    val df = Dedup.dedupNgramJaccard(spark, sfDir).cache()
+    assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(df.filter(col("jaccard") < 0.5).count() == 0)
+  }
+
+  test("dedup_simhash: fingerprints fit in 16 bits") {
+    val df = Dedup.dedupSimhash(spark, sfDir)
+    val bad = df.filter(col("simhash") < 0 || col("simhash") > 65535)
+    assert(bad.count() == 0)
+  }
+
+  test("ann_topk: at most k neighbors per query, ranked by descending cosine") {
+    val df = AnnSearch.annTopk(spark, sfDir).cache()
+    val perQ = df.groupBy("q_id").count()
+    assert(perQ.filter(col("count") > 5).count() == 0)
+    // rank 1 has the max cosine within each query group
+    val r1 = df.filter(col("rank") === 1)
+      .select(col("q_id"), col("cosine").as("c1"))
+    val joined = df.join(r1, "q_id").filter(col("cosine") > col("c1"))
+    assert(joined.count() == 0)
+    assert(df.filter(col("q_id") === col("neighbor_id")).count() == 0)
+  }
+
+  test("ann_lsh_topk: neighbors share the query's bucket and are a subset signal of brute force") {
+    val lsh = AnnSearch.annLshTopk(spark, sfDir).cache()
+    assert(lsh.filter(col("q_id") === col("neighbor_id")).count() == 0)
+    // every (q, neighbor) pair found by LSH scores identically in brute force
+    val bf = AnnSearch.annTopk(spark, sfDir)
+      .select(col("q_id"), col("neighbor_id"), col("cosine").as("bf_cosine"))
+    val both = lsh.join(bf, Seq("q_id", "neighbor_id"))
+    assert(both.filter(col("cosine") =!= col("bf_cosine")).count() == 0)
+  }
+}
