@@ -24,7 +24,10 @@ object SparkEntry {
       (EtlEnrichment.queries, EtlEnrichment.oracles),
       (EtlTemplates.queries, EtlTemplates.oracles),
       (Dedup.queries, Dedup.oracles),
-      (AnnSearch.queries, AnnSearch.oracles))
+      (AnnSearch.queries, AnnSearch.oracles),
+      (TextAnalysis.queries, TextAnalysis.oracles),
+      (Events.queries, Events.oracles),
+      (Multimodal.queries, Multimodal.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics in batch form — the oracle-checkable
+  * equivalents of the Structured Streaming jobs in
+  * `graft.streaming.StreamOps` (the reference's Dagster sensors /
+  * triggered jobs, re-expressed as event-time computations).
+  *
+  * `events_hourly` is a tumbling-window aggregation (one shuffle on the
+  * composite group key, map-side partial aggregation). `events_sessionize`
+  * is gaps-and-islands sessionization: one shuffle on user_id, then
+  * lag + running-sum windows and a same-key aggregation — the batch
+  * twin of the streaming `mapGroupsWithState` sessionizer, so the two
+  * can be cross-checked (see StreamingSpec).
+  */
+object Events {
+
+  private val SessionGapMicros = 30L * 60 * 1000000 // 30 min
+
+  /** Hourly tumbling-window aggregate per event type. */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Sessionization with a 30-minute inactivity gap: session boundaries
+    * via lag, session ids via running sum, then per-session rollup.
+    */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    val isNew = when(
+      prevTs.isNull ||
+        (unix_micros(col("ts")) - unix_micros(prevTs)) > SessionGapMicros, 1L)
+      .otherwise(0L)
+    Tables.events(spark, dir)
+      .withColumn("new_session", isNew)
+      .withColumn("session_idx",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("sum_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_hourly"     -> (eventsHourly _),
+    "events_sessionize" -> (eventsSessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n_events, round(sum(value), 6) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      s"""WITH flagged AS (
+         |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+         |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SessionGapMicros
+         |    THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), numbered AS (
+         |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  FROM flagged)
+         |SELECT user_id, session_idx, min(ts) AS session_start,
+         |  max(ts) AS session_end, count(*) AS n_events,
+         |  round(sum(value), 6) AS sum_value
+         |FROM numbered GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin)
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column handling: media payloads travel as opaque `binary`
+  * columns with typed metadata, the way a 100 TB training-data lake
+  * stores images/audio/video next to text. The container has no media
+  * codecs, so the DECODE step is a clearly-marked deterministic STUB
+  * (`fakeDecode`); everything Spark-side — binary column, schema,
+  * metadata extraction, partition-batched decode plumbing — is real.
+  *
+  * `multimodal_meta` is the oracle-checked projection (payload synthesis
+  * + typed metadata, scan→project, no shuffle). `decodeBatched` is the
+  * typed Dataset path: per-partition iteration in fixed-size batches,
+  * the same shape a vectorized (Arrow/pandas-batch) decoder plugs into.
+  */
+object Multimodal {
+
+  /** Decode batch size — the unit a real decoder would vectorize over. */
+  val DecodeBatch = 64
+
+  private def h48(hex: Column, from: Int): Column =
+    conv(substring(hex, from, 6), 16, 10).cast("bigint")
+
+  /** Payload synthesis (UTF-8 bytes of the doc text — the opaque blob
+    * stand-in) + typed metadata: byte length, content md5, modality tag,
+    * and stub-decoded dimensions/duration derived from the content hash.
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val payload = encode(col("text"), "UTF-8")
+    val dig = md5(payload)
+    val modality = element_at(
+      typedLit(Seq("image", "audio", "video")), (col("doc_id") % 3 + 1).cast("int"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        // hex, not raw binary: the driver's pandas-based comparer can't
+        // sort bytearray cells; the typed binary stays internal
+        lower(hex(payload)).as("payload_hex"),
+        octet_length(payload).as("n_bytes"),
+        dig.as("payload_md5"),
+        modality.as("modality"),
+        when(modality =!= "audio", (h48(dig, 1) % 1857 + 64).cast("int")).as("width"),
+        when(modality =!= "audio", (h48(dig, 7) % 1017 + 64).cast("int")).as("height"),
+        when(modality =!= "image", round(((h48(dig, 13) % 36000).cast("double")) / 100.0, 6)).as("duration_s"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --- typed batched-decode plumbing (spec-covered, not oracle-able) ---
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte], modality: String)
+  case class DecodedRow(doc_id: Long, modality: String, n_bytes: Int,
+      width: Int, height: Int, batch_ordinal: Int)
+
+  /** STUB decoder: a real implementation would hand `batch` to an image
+    * /audio library (e.g. via Arrow) and return pixel/sample features.
+    * Here it derives deterministic fake dimensions from the payload so
+    * the plumbing is testable without codecs.
+    */
+  private def fakeDecode(batch: Seq[MediaRow], ordinal: Int): Seq[DecodedRow] =
+    batch.map { r =>
+      val n = r.payload.length
+      DecodedRow(r.doc_id, r.modality, n, 64 + n % 1857, 64 + (n * 31) % 1017, ordinal)
+    }
+
+  /** Partition-batched decode: each partition is consumed in
+    * `DecodeBatch`-sized chunks (bounded memory, vectorizable), the
+    * Scala analogue of `mapInPandas` batch iteration.
+    */
+  def decodeBatched(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatch).zipWithIndex.flatMap { case (batch, i) => fakeDecode(batch, i) }
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta" -> (multimodalMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  lower(hex(encode(text))) AS payload_hex,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) % 1857 + 64 AS INT) END AS width,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(CAST(('0x' || substr(md5(text), 7, 6)) AS BIGINT) % 1017 + 64 AS INT) END AS height,
+        |  CASE WHEN doc_id % 3 <> 0 THEN round(CAST(CAST(('0x' || substr(md5(text), 13, 6)) AS BIGINT) % 36000 AS DOUBLE) / 100.0, 6) END AS duration_s
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` corpus — the scale
+  * versions of the reference's per-item content checks (name/description
+  * validation, LLM-generated content QA — batch_processor.py:572-726):
+  * token counting, quality scoring, language identification, and
+  * content fingerprinting.
+  *
+  * All four are narrow per-row projections: no shuffle at all (the plans
+  * are scan → project), so they scale embarrassingly — exactly what a
+  * 100 TB corpus-prep pass needs. Language ID deliberately avoids an
+  * explode+join (which would shuffle) by scoring stopword hits with
+  * array higher-order functions inline.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowered. */
+  private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
+  private def toksSql(e: String) = s"string_split_regex(lower(trim($e)), '\\s+')"
+
+  /** BPE-ish pieces: alphanumeric runs or single non-space symbols. */
+  private val BpePattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "pas", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "no", "por", "como"))
+  private val langOrder = Seq("en", "de", "fr", "es")
+
+  private def hits(t: Column, lang: String): Column =
+    size(filter(t, x => array_contains(typedLit(stopwords(lang)), x)))
+  private def hitsSql(t: String, lang: String): String = {
+    val lst = stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($t, x -> list_contains($lst, x)))"
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex pieces. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Quality signals: length, token stats, punctuation / uppercase /
+    * stopword ratios, and a composite score in (0, 1).
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("double")
+    val nChar = length(col("text")).cast("double")
+    val punct = nChar - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", "")).cast("double")
+    val upper = nChar - length(regexp_replace(col("text"), "[A-Z]", "")).cast("double")
+    val stop = hits(t, "en").cast("double")
+    val punctRatio = round(punct / nChar, 6)
+    val upperRatio = round(upper / nChar, 6)
+    val stopRatio = round(stop / nTok, 6)
+    val avgTokLen = round(length(regexp_replace(col("text"), "\\s", "")).cast("double") / nTok, 6)
+    val score = round(
+      lit(1.0) / (lit(1.0) + exp(-(log(nTok + 1) * 0.3 + stop / nTok * 2.0
+        - punct / nChar * 3.0 - upper / nChar * 2.0))), 6)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nTok.cast("bigint").as("n_tokens"),
+        nChar.cast("bigint").as("n_chars_obs"),
+        avgTokLen.as("avg_token_len"),
+        punctRatio.as("punct_ratio"),
+        upperRatio.as("upper_ratio"),
+        stopRatio.as("stopword_ratio"),
+        score.as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID: stopword-hit counts per language, argmax with a fixed
+    * priority order, `und` when nothing hits.
+    */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val hitCols = langOrder.map(l => hits(t, l).as(s"hits_$l"))
+    val best = langOrder.foldRight(lit("und")) { (l, acc) =>
+      val isMax = langOrder.filter(_ != l)
+        .map(o => col(s"hits_$l") >= col(s"hits_$o")).reduce(_ && _)
+      when(col(s"hits_$l") > 0 && isMax &&
+        langOrder.takeWhile(_ != l)
+          .map(o => col(s"hits_$l") > col(s"hits_$o"))
+          .foldLeft(lit(true))(_ && _), lit(l)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: col("lang").as("lang_declared") +: hitCols: _*)
+      .withColumn("lang_pred", best)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowered text +
+    * a 60-bit integer prefix (60 bits so both engines stay in signed-64
+    * range).
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(norm).as("fp_md5"),
+        conv(substring(md5(norm), 1, 15), 16, 10).cast("bigint").as("fp60"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens"      -> (textTokens _),
+    "text_quality"     -> (textQuality _),
+    "text_langid"      -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  private val langidSelect: String = {
+    val hitCols = langOrder
+      .map(l => s"${hitsSql(toksSql("text"), l)} AS hits_$l").mkString(", ")
+    // same argmax-with-priority fold as the Spark side, unrolled
+    val best = langOrder.foldRight("'und'") { (l, acc) =>
+      val isMax = langOrder.filter(_ != l)
+        .map(o => s"hits_$l >= hits_$o").mkString(" AND ")
+      val strictEarlier = langOrder.takeWhile(_ != l) match {
+        case Nil => "TRUE"
+        case es  => es.map(o => s"hits_$l > hits_$o").mkString(" AND ")
+      }
+      s"CASE WHEN hits_$l > 0 AND $isMax AND $strictEarlier THEN '$l' ELSE $acc END"
+    }
+    s"""WITH h AS (
+       |  SELECT doc_id, lang AS lang_declared, $hitCols FROM documents)
+       |SELECT doc_id, lang_declared, hits_en, hits_de, hits_fr, hits_es,
+       |  $best AS lang_pred
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  len(${toksSql("text")}) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '$BpePattern')) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(len(${toksSql("text")}) AS DOUBLE) AS n_tok,
+         |    CAST(length(text) AS DOUBLE) AS n_char,
+         |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+         |    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS upper,
+         |    CAST(${hitsSql(toksSql("text"), "en")} AS DOUBLE) AS stop,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nospace
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(n_tok AS BIGINT) AS n_tokens,
+         |  CAST(n_char AS BIGINT) AS n_chars_obs,
+         |  round(nospace / n_tok, 6) AS avg_token_len,
+         |  round(punct / n_char, 6) AS punct_ratio,
+         |  round(upper / n_char, 6) AS upper_ratio,
+         |  round(stop / n_tok, 6) AS stopword_ratio,
+         |  round(1.0 / (1.0 + exp(-(ln(n_tok + 1) * 0.3 + stop / n_tok * 2.0
+         |    - punct / n_char * 3.0 - upper / n_char * 2.0))), 6) AS quality_score
+         |FROM base ORDER BY doc_id""".stripMargin,
+    "text_langid" -> langidSelect,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+        |  CAST(('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fp60
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

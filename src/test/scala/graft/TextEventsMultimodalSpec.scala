@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.{Events, Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class TextEventsMultimodalSpec extends SparkTestBase {
+
+  test("every text/events/multimodal query returns rows") {
+    (TextAnalysis.queries ++ Events.queries ++ Multimodal.queries).foreach {
+      case (name, fn) => assert(fn(spark, sfDir).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("text_tokens: BPE-ish pieces never fewer than whitespace tokens") {
+    val df = TextAnalysis.textTokens(spark, sfDir)
+    assert(df.filter(col("n_bpe_tokens") < col("n_ws_tokens")).count() == 0)
+    assert(df.filter(col("n_ws_tokens") <= 0).count() == 0)
+  }
+
+  test("text_quality: ratios in [0,1], score in (0,1), observed chars match n_chars") {
+    val df = TextAnalysis.textQuality(spark, sfDir).cache()
+    Seq("punct_ratio", "upper_ratio", "stopword_ratio", "quality_score").foreach { c =>
+      assert(df.filter(col(c) < 0 || col(c) > 1).count() == 0, s"$c out of range")
+    }
+    val joined = df.join(Tables.documents(spark, sfDir), "doc_id")
+    assert(joined.filter(col("n_chars_obs") =!= col("n_chars")).count() == 0)
+  }
+
+  test("text_langid: prediction is a known code or und, and matches hit counts") {
+    val df = TextAnalysis.textLangid(spark, sfDir).cache()
+    val langs = df.select("lang_pred").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "und")))
+    // when predicted l, hits_l is the max hit count
+    val bad = df.filter(col("lang_pred") === "en" &&
+      (col("hits_en") < col("hits_de") || col("hits_en") < col("hits_fr") ||
+        col("hits_en") < col("hits_es") || col("hits_en") === 0))
+    assert(bad.count() == 0)
+  }
+
+  test("text_fingerprint: fp60 is the 15-hex-digit prefix of fp_md5, duplicates share fingerprints") {
+    val df = TextAnalysis.textFingerprint(spark, sfDir)
+    val bad = df.filter(
+      conv(substring(col("fp_md5"), 1, 15), 16, 10).cast("bigint") =!= col("fp60"))
+    assert(bad.count() == 0)
+    assert(df.filter(col("fp60") < 0).count() == 0)
+  }
+
+  test("events_hourly: hours are truncated, totals add up to the table") {
+    val df = Events.eventsHourly(spark, sfDir).cache()
+    assert(df.filter(minute(col("hour")) =!= 0 || second(col("hour")) =!= 0).count() == 0)
+    val total = df.agg(sum("n_events")).head().getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+  }
+
+  test("events_sessionize: sessions partition the events, gaps within a session <= 30min") {
+    val df = Events.eventsSessionize(spark, sfDir).cache()
+    val total = df.agg(sum("n_events")).head().getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+    // consecutive sessions of a user are separated by > 30 min
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("session_idx")
+    val overlap = df
+      .withColumn("prev_end", lag(col("session_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        unix_micros(col("session_start")) - unix_micros(col("prev_end")) <= 30L * 60 * 1000000)
+    assert(overlap.count() == 0)
+  }
+
+  test("multimodal_meta: modality-typed metadata is consistent") {
+    val df = Multimodal.multimodalMeta(spark, sfDir).cache()
+    assert(df.filter(col("modality") === "audio" && col("width").isNotNull).count() == 0)
+    assert(df.filter(col("modality") === "image" && col("duration_s").isNotNull).count() == 0)
+    assert(df.filter(col("modality") === "video" &&
+      (col("width").isNull || col("duration_s").isNull)).count() == 0)
+    // payload length matches the declared byte count
+    assert(df.filter(length(col("payload_hex")) =!= col("n_bytes") * 2).count() == 0)
+  }
+
+  test("decodeBatched: stub decoder is deterministic, batch-bounded, and covers every row") {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        lit("image").as("modality"))
+      .as[Multimodal.MediaRow]
+    val decoded = Multimodal.decodeBatched(media).cache()
+    assert(decoded.count() == media.count())
+    // batches are capped at DecodeBatch rows
+    val perBatch = decoded.groupBy("batch_ordinal").count()
+      .agg(max("count")).head().getLong(0)
+    assert(perBatch <= Multimodal.DecodeBatch)
+    assert(decoded.filter(col("width") < 64 || col("height") < 64).count() == 0)
+  }
+}
