@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming versions of the event-time operators in
+  * `graft.operators.Events` — the continuous form of the reference's
+  * Dagster sensor/trigger flow (`repository/repository.py` sensors →
+  * job runs), re-expressed as incremental Spark plans.
+  *
+  * Both transforms accept a streaming OR batch DataFrame/Dataset, so
+  * the batch oracles double as correctness references for the streaming
+  * path (see StreamingSpec, which cross-checks against
+  * `Events.eventsSessionize` semantics).
+  */
+object StreamOps {
+
+  val SessionGapMicros: Long = 30L * 60 * 1000000
+
+  /** Hourly tumbling-window counts per event type with a 2h watermark:
+    * state is bounded (windows older than watermark are dropped), so
+    * the query runs forever at constant memory per key.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+  /** Open-session accumulator carried in group state (epoch micros). */
+  case class SessState(startUs: Long, endUs: Long, n: Long, sum: Double)
+
+  /** Streaming sessionization (30-min inactivity gap) via
+    * flatMapGroupsWithState: one state object per user, sessions emitted
+    * when a later event closes them. The batch twin is
+    * `Events.eventsSessionize` — same gap rule, same aggregates.
+    */
+  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          def us(e: Ev): Long = e.ts.getTime * 1000
+          evs.foreach { e =>
+            cur match {
+              case Some(s) if us(e) - s.endUs <= SessionGapMicros =>
+                cur = Some(SessState(s.startUs, us(e), s.n + 1, s.sum + e.value))
+              case Some(s) =>
+                closed += Session(userId,
+                  new java.sql.Timestamp(s.startUs / 1000),
+                  new java.sql.Timestamp(s.endUs / 1000), s.n,
+                  math.rint(s.sum * 1e6) / 1e6)
+                cur = Some(SessState(us(e), us(e), 1, e.value))
+              case None =>
+                cur = Some(SessState(us(e), us(e), 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.sinks.EsBulkSink
+import graft.sources.Readers
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SourcesSinksSpec extends SparkTestBase {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("menu CSV reads with explicit schema and captures malformed rows") {
+    val dir = tmpDir("graft-csv")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/menu.csv"),
+      """name,category,subcategory,description,price
+        |Margherita,Pizza,Classic,Tomato and mozzarella,12.50$
+        |"Broken,row,with,way,too,many,columns,oops",x,y,z,1,2,3,4
+        |Carbonara,Pasta,,,"9.90"
+        |""".stripMargin)
+    val df = Readers.menuCsv(spark, s"$dir/menu.csv").cache()
+    assert(df.count() == 3)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("name", "category", "subcategory", "description", "price", "_corrupt"))
+    assert(df.filter(col("_corrupt").isNotNull).count() == 1)
+    assert(df.filter(col("name") === "Margherita" && col("price") === "12.50$").count() == 1)
+  }
+
+  test("articles NDJSON round-trips through the explicit schema") {
+    val dir = tmpDir("graft-json")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/articles.json"),
+      """{"article_id": "a1", "name": "Rice 1kg", "brand": "Acme", "upc": "036000291452", "price": "3.20", "qte_main": 7.0}
+        |{"article_id": "a2", "name": "Beans", "price": "1.10"}
+        |not json at all
+        |""".stripMargin)
+    val df = Readers.articlesJson(spark, s"$dir/articles.json").cache()
+    assert(df.count() == 3)
+    assert(df.filter(col("_corrupt").isNotNull).count() == 1)
+    assert(df.filter(col("article_id") === "a2")
+      .select("brand").head().isNullAt(0)) // missing field → null, not failure
+  }
+
+  test("ES bulk sink writes two NDJSON lines per document, id in the action line") {
+    import spark.implicits._
+    val docs = Seq(
+      ("p1", "Margherita", 12.5),
+      ("p2", "Carbonara", 9.9))
+      .toDF("product_id", "product_name", "price")
+    val out = tmpDir("graft-es") + "/bulk"
+    EsBulkSink.write(docs, "products", "product_id", out)
+
+    val lines = spark.read.text(out).as[String].collect().toSeq
+    assert(lines.length == 4)
+    val actions = lines.filter(_.startsWith("""{"index":"""))
+    assert(actions.length == 2)
+    assert(actions.exists(_.contains(""""_id": "p1"""")))
+    assert(actions.forall(_.contains(""""_index": "products"""")))
+    // doc lines are valid JSON with the non-id fields
+    val docsBack = spark.read.json(
+      spark.createDataset(lines.filterNot(_.startsWith("""{"index":"""))))
+    assert(docsBack.columns.sorted.toSeq == Seq("price", "product_name"))
+    assert(docsBack.count() == 2)
+  }
+}

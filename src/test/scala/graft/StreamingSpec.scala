@@ -1,0 +1,87 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Ev, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming hourly counts match the batch computation of the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Ev(1, ts("2024-01-01 00:05:00"), 10, "click", 1.5),
+      Ev(2, ts("2024-01-01 00:45:00"), 11, "click", 2.5),
+      Ev(3, ts("2024-01-01 01:05:00"), 10, "view", 4.0),
+      Ev(4, ts("2024-01-01 01:55:00"), 12, "click", 8.0),
+      Ev(5, ts("2024-01-01 02:10:00"), 10, "view", 16.0))
+
+    val stream = MemoryStream[Ev]
+    stream.addData(events)
+    val q = StreamOps.hourlyCounts(stream.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("hourly")
+      .orderBy("hour", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val want = StreamOps.hourlyCounts(events.toDF())
+      .orderBy("hour", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+    assert(got.length == 4) // (00 click ×2) (01 view) (01 click) (02 view)
+  }
+
+  test("streaming sessionization closes a session after the 30-min gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      stream.addData(
+        Ev(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 00:10:00"), 1, "view", 2.0),
+        Ev(3, ts("2024-01-01 00:02:00"), 2, "click", 9.0)) // user 2 stays open
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // nothing closed yet
+
+      stream.addData(Ev(4, ts("2024-01-01 01:00:00"), 1, "click", 5.0)) // 50-min gap
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("sessions").as[Session].collect()
+    assert(rows.length == 1)
+    val s = rows.head
+    assert(s.user_id == 1)
+    assert(s.session_start == ts("2024-01-01 00:00:00"))
+    assert(s.session_end == ts("2024-01-01 00:10:00"))
+    assert(s.n_events == 2)
+    assert(s.sum_value == 3.0)
+  }
+
+  test("streaming sessionization handles out-of-order events within a batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sessions_ooo").outputMode("append").start()
+    try {
+      // arrives unordered; session 1 = [00:00, 00:20], closed by 01:10
+      stream.addData(
+        Ev(1, ts("2024-01-01 00:20:00"), 7, "view", 2.0),
+        Ev(2, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Ev(3, ts("2024-01-01 01:10:00"), 7, "click", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sessions_ooo").as[Session].collect()
+    assert(rows.length == 1)
+    assert(rows.head.session_start == ts("2024-01-01 00:00:00"))
+    assert(rows.head.session_end == ts("2024-01-01 00:20:00"))
+    assert(rows.head.n_events == 2)
+  }
+}
