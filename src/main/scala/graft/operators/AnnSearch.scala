@@ -34,26 +34,38 @@ object AnnSearch {
   /** Every 50th vector is a query point. */
   private val QueryFilter = "vec_id % 50 = 0"
 
+  private[operators] def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+
   /** Cosine similarity of two array<double> columns — codegen'd
     * higher-order functions, no UDF.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  /** Pair cosine from precomputed norms: at pair-generation time each
+    * side's norm is computed ONCE per vector (O(n)), not once per
+    * candidate pair (O(n²)) — same floating result as `cosine`
+    * (`sqrt(dot(a,a)) * sqrt(dot(b,b))` either way), a third of the
+    * per-pair flops.
+    */
+  def cosinePre(va: Column, vb: Column, na: Column, nb: Column): Column =
+    dot(va, vb) / (na * nb)
+
+  /** Embedding vectors with their norm precomputed once per vector. */
+  private[operators] def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** Brute-force cosine top-k: broadcast query subset × corpus. */
   def annTopk(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
     val q = all.filter(expr(QueryFilter))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cosine",
+        round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored
@@ -93,10 +105,12 @@ object AnnSearch {
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir).withColumn("bucket", bucket(col("v")))
     val q = all.filter(expr(QueryFilter))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket"))
     val scored = all.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cosine",
+        round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored

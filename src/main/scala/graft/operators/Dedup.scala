@@ -58,20 +58,31 @@ object Dedup {
       |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents) d,
       |         unnest(generate_series(1, len(toks) - 1)) t(i)))""".stripMargin
 
-  /** MinHash signature (16 md5-derived hash functions over bigram
+  /** Universal-hash family over a single md5-derived base hash:
+    * h_j(x) = (g(x) * (2j+1) + j*K) mod P — ONE md5 per shingle, 16
+    * multiply-adds, instead of 16 md5 evaluations (16× less string
+    * hashing in the hot aggregation).
+    */
+  private val HashP = 4294967291L // largest 32-bit prime
+  private val HashK = 2654435761L // Knuth multiplicative constant
+  private def hj(g: Column, j: Int): Column = (g * (2 * j + 1) + lit(j * HashK)) % HashP
+  private def hjSql(g: String, j: Int): String = s"($g * ${2 * j + 1} + ${j * HashK}) % $HashP"
+
+  /** MinHash signature (16-member universal hash family over bigram
     * shingles) + banded LSH bucket keys. Single aggregation over the
     * exploded shingle relation → map-side partial min, one shuffle on
     * doc_id.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val mins = (0 until NumHashes).map { j =>
-      min(h32(concat(col("gram"), lit(":" + j)))).as(s"m$j")
+      min(hj(col("g"), j)).as(s"m$j")
     }
     val bands = (0 until NumBands).map { b =>
       val parts = (0 until BandSize).map(i => col(s"m${b * BandSize + i}").cast("string"))
       substring(md5(concat_ws(",", parts: _*)), 1, 16).as(s"band$b")
     }
     shingles(spark, dir)
+      .select(col("doc_id"), h32(col("gram")).as("g"))
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id") +: (0 until NumHashes).map(j => col(s"m$j")) ++: bands: _*)
@@ -80,13 +91,14 @@ object Dedup {
 
   private val minhashCte: String = {
     val mins = (0 until NumHashes)
-      .map(j => s"min(${h32Sql(s"gram || ':$j'")}) AS m$j").mkString(", ")
+      .map(j => s"min(${hjSql("g", j)}) AS m$j").mkString(", ")
     val bands = (0 until NumBands).map { b =>
       val parts = (0 until BandSize).map(i => s"CAST(m${b * BandSize + i} AS VARCHAR)")
       s"substr(md5(${parts.mkString(" || ',' || ")}), 1, 16) AS band$b"
     }.mkString(", ")
     s"""$shinglesCte,
-       |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |shg AS (SELECT doc_id, ${h32Sql("gram")} AS g FROM sh),
+       |mh AS (SELECT doc_id, $mins FROM shg GROUP BY doc_id),
        |sig AS (SELECT *, $bands FROM mh)""".stripMargin
   }
 
@@ -97,14 +109,21 @@ object Dedup {
     * relation to count the exact intersection.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sig = dedupMinhash(spark, dir).cache()
-    val pairs = (0 until NumBands).map { b =>
-      val l = sig.select(col("doc_id").as("doc_a"), col(s"band$b").as("bk"))
-      val r = sig.select(col("doc_id").as("doc_b"), col(s"band$b").as("bk"))
-      l.join(r, "bk").filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b")
-    }.reduce(_ union _).distinct()
+    // unpivot band keys to (doc_id, band_idx, bk): ONE self-equi-join on
+    // the composite bucket key (one shuffle) instead of a join per band.
+    // cache() so the minhash subtree isn't evaluated once per join side
+    // (at cluster scale: persist(MEMORY_AND_DISK) or a checkpoint).
+    val sigLong = dedupMinhash(spark, dir)
+      .select(col("doc_id"), posexplode(
+        array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
+      .cache()
+    val pairs = sigLong.select(col("doc_id").as("doc_a"), col("band_idx"), col("bk"))
+      .join(sigLong.select(col("doc_id").as("doc_b"), col("band_idx"), col("bk")),
+        Seq("band_idx", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
 
-    val sh = shingles(spark, dir)
+    val sh = shingles(spark, dir).cache() // read 3× below
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
@@ -144,12 +163,15 @@ object Dedup {
     * coarse-cluster stand-in for an IVF/LSH partition at scale).
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    // norms precomputed per vector (O(n)), not per pair (O(n²))
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-    val a = e.select(col("vec_id").as("id_a"), col("label"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("label"), col("v").as("vb"))
+      .withColumn("nrm", sqrt(AnnSearch.dot(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("id_a"), col("label"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, "label").filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(AnnSearch.cosine(col("va"), col("vb")), 6))
+      .withColumn("cosine",
+        round(AnnSearch.cosinePre(col("va"), col("vb"), col("na"), col("nb")), 6))
       .filter(col("cosine") >= 0.35)
       .select("label", "id_a", "id_b", "cosine")
       .orderBy("id_a", "id_b")

@@ -89,17 +89,28 @@ object EtlCleaning {
 
   /** Deterministic fixed-size batch assignment (data2batches.py:74-77).
     *
-    * Scale note: a global row_number forces a single-partition sort, so
-    * this exact-order variant is for bounded inputs (a menu, a catalog
-    * slice). At 100 TB batch per partition instead:
-    * (spark_partition_id, monotonically_increasing_id) — same downstream
-    * contract, no global order.
+    * Global row numbers WITHOUT a global window: range-partition on the
+    * order key (partitions are then globally ordered), rank locally
+    * inside each partition, and add per-partition offsets from the tiny
+    * (≤ #partitions rows, broadcast) cumulative count table. The only
+    * unpartitioned window in the plan runs over that count table, so no
+    * single task ever sees more than one partition of the data — this
+    * survives 1000 executors, unlike `Window.orderBy(key)`.
     */
   def batchAssign(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("p_partkey"))
-    Tables.part(spark, dir)
+    val base = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_name"))
-      .withColumn("rn", row_number().over(w))
+      .repartitionByRange(col("p_partkey"))
+      .withColumn("pid", spark_partition_id())
+    val local = base.withColumn("lrn",
+      row_number().over(Window.partitionBy(col("pid")).orderBy(col("p_partkey"))))
+    val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(
+        sum(col("cnt")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    local.join(broadcast(offsets), "pid")
+      .withColumn("rn", col("lrn") + col("offset"))
       .select(
         col("p_partkey"), col("p_name"),
         floor((col("rn") - 1) / 10.0).cast("long").as("batch_id"),
