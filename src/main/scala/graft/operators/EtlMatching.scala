@@ -87,7 +87,9 @@ object EtlMatching {
         col("p_partkey"),
         raw.as("article_id_raw"),
         padded.as("article_id_norm"),
-        coalesce(upcValid(padded), lit(false)).as("upc_is_valid"))
+        // native codegen'd expression (graft.functions.UpcValid),
+        // registered by GraftExtensions; `false` for null/malformed input
+        coalesce(call_function("upc_valid", padded), lit(false)).as("upc_is_valid"))
       .withColumn("upc", when(col("upc_is_valid"), col("article_id_norm")))
       .orderBy(col("p_partkey"))
   }

@@ -1,0 +1,24 @@
+package graft.plans
+
+import graft.functions.UpcValid
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extension wiring for the engine's native pieces:
+  *  - SQL function `upc_valid` → the codegen'd [[UpcValid]] expression;
+  *  - the [[LevenshteinPrefilter]] optimizer rule.
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("upc_valid"),
+      new ExpressionInfo(classOf[UpcValid].getName, "upc_valid"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        UpcValid(exprs.head)))
+    ext.injectOptimizerRule(_ => LevenshteinPrefilter)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.UpcValid
+import graft.operators.EtlMatching
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class ExtensionsSpec extends SparkTestBase {
+
+  test("upc_valid expression: known-good and known-bad codes, eval and codegen paths agree") {
+    import spark.implicits._
+    val cases = Seq(
+      ("036000291452", true),   // classic valid UPC-A
+      ("036000291453", false),  // wrong check digit
+      ("03600029145", false),   // 11 digits
+      ("0360002914521", false), // 13 digits
+      ("03600029145x", false),  // non-digit
+      ("000000000000", true))   // all zeros: sum 0 % 10 == 0
+
+    // interpreted twin
+    cases.foreach { case (code, want) =>
+      assert(UpcValid.check(UTF8String.fromString(code)) == want, s"check($code)")
+    }
+    // through the session-registered SQL function (whole-stage codegen)
+    val got = cases.map(_._1).toDF("code")
+      .select(col("code"), call_function("upc_valid", col("code")).as("valid"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (code, want) => assert(got(code) == want, s"sql($code)") }
+    // null in → null out
+    val nullRow = Seq[Option[String]](None).toDF("code")
+      .select(call_function("upc_valid", col("code"))).head()
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("upc_valid agrees with the column-expression validator across the whole part table") {
+    val df = EtlMatching.upcValidate(spark, sfDir)
+    // upc is set iff upc_is_valid; upc always passes the native check
+    assert(df.filter(col("upc_is_valid") =!= col("upc").isNotNull).count() == 0)
+    val recheck = df.filter(col("upc").isNotNull)
+      .filter(!call_function("upc_valid", col("upc")))
+    assert(recheck.count() == 0)
+  }
+
+  test("levenshtein prefilter rule rewrites the similarity-match plan to the banded form") {
+    val plan = EtlMatching.similarityMatch(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    // the rewrite leaves a threshold-ed (banded) levenshtein + length guard
+    assert(plan.contains("Some(6)"), s"banded levenshtein missing from plan:\n$plan")
+    assert(plan.contains("abs("), s"length-difference guard missing from plan:\n$plan")
+  }
+
+  test("levenshtein prefilter preserves results (reference filter computed without the rule shape)") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("kitten", "sitting"),   // distance 3
+      ("flaw", "lawn"),        // distance 2
+      ("abcdef", "abcdefghij") // length diff 4 > 3 → pruned by guard
+    ).toDF("a", "b")
+    val viaRule = pairs.filter(levenshtein(col("a"), col("b")) <= 3).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(viaRule.toSet == Set(("kitten", "sitting"), ("flaw", "lawn")))
+  }
+}
