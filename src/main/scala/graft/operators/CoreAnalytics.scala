@@ -40,8 +40,10 @@ object CoreAnalytics {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
+    // customer SCALES with the dataset — no broadcast hint; the cost
+    // model broadcasts it at small SF and shuffles at 100 TB
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -60,10 +62,12 @@ object CoreAnalytics {
       .select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    // customer/supplier scale with the data (no hint — CBO/AQE decide);
+    // nation (25 rows) and region (5) are bounded → broadcast explicitly
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust.select("c_custkey", "c_nationkey")),
+      .join(cust.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp.select("s_suppkey", "s_nationkey")),
+      .join(supp.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
@@ -101,7 +105,7 @@ object CoreAnalytics {
   def ordersEnriched(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_mktsegment")
     Tables.orders(spark, dir)
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey")) // scales: no hint
       .select(
         col("o_orderkey"),
         col("c_name"),
@@ -112,13 +116,38 @@ object CoreAnalytics {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Skew-resilient fact⋈dim join via key salting: the dim side is
+    * replicated `Salt` ways, the fact side picks a deterministic salt,
+    * and the join key becomes (key, salt) — a hot key's rows now spread
+    * over `Salt` reducers instead of melting one. The salt is invisible
+    * in the result (oracle = the plain join), which is exactly the
+    * point: same answer, flatter task histogram. AQE's skew-join split
+    * handles moderate skew automatically; explicit salting is the tool
+    * when a single key exceeds what one task can hold at 100 TB.
+    */
+  def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val Salt = 8
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"),
+        pmod(col("l_orderkey"), lit(Salt)).cast("int").as("salt"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .withColumn("salt", explode(sequence(lit(0), lit(Salt - 1))))
+    li.join(supp,
+        col("l_suppkey") === col("s_suppkey") && li("salt") === supp("salt"))
+      .groupBy(col("s_nationkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("s_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"   -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_region_revenue"    -> (q5RegionRevenue _),
     "q_top_parts_per_brand" -> (topPartsPerBrand _),
     "q_rollup"             -> (rollupSummary _),
-    "q_orders_enriched"    -> (ordersEnriched _))
+    "q_orders_enriched"    -> (ordersEnriched _),
+    "q_salted_skew_join"   -> (saltedSkewJoin _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -179,5 +208,11 @@ object CoreAnalytics {
         |  CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
         |       THEN 'urgent' ELSE 'normal' END AS priority_class
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    // salting is result-invisible: the oracle is the plain equi-join
+    "q_salted_skew_join" ->
+      """SELECT s_nationkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
 }

@@ -95,8 +95,10 @@ object EtlMatching {
   }
 
   /** Stage 1b: equi-join incoming rows against master products on the
-    * normalized UPC (batch_processor.py:432-475). Masters are a dim →
-    * broadcast; the fact side never shuffles.
+    * normalized UPC (batch_processor.py:432-475). The master catalog
+    * scales with the business, so no broadcast hint: the cost model
+    * broadcasts while it fits and degrades to a shuffle equi-join on
+    * the UPC key (with AQE skew handling) at catalog scale.
     */
   def upcMatch(spark: SparkSession, dir: String): DataFrame = {
     val masters = Tables.part(spark, dir)
@@ -112,7 +114,7 @@ object EtlMatching {
         col("l_orderkey"), col("l_linenumber"),
         digits12(col("l_partkey")).as("article_upc"),
         col("l_extendedprice").as("price"))
-    incoming.join(broadcast(masters), col("article_upc") === col("upc"))
+    incoming.join(masters, col("article_upc") === col("upc"))
       .select(
         col("l_orderkey"), col("l_linenumber"), col("article_upc"),
         col("price"), col("master_id"), col("master_name"), col("master_brand"),
@@ -139,7 +141,8 @@ object EtlMatching {
         col("p_partkey"), col("p_name").as("product_name"),
         substring(col("p_name"), 1, 1).as("block"))
     val scored = candidates
-      .join(broadcast(masters), Seq("block"))
+      .join(masters, Seq("block")) // master corpus scales: no hint, the
+      // block key carries the join; CBO broadcasts only while it fits
       .withColumn("distance", levenshtein(col("product_name"), col("master_name")))
       .filter(col("distance") <= threshold)
     val w = Window.partitionBy(col("p_partkey"))
