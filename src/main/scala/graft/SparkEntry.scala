@@ -27,7 +27,8 @@ object SparkEntry {
       (AnnSearch.queries, AnnSearch.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Events.queries, Events.oracles),
-      (Multimodal.queries, Multimodal.oracles))
+      (Multimodal.queries, Multimodal.oracles),
+      (Pipeline.queries, Pipeline.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

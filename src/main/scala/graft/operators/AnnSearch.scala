@@ -121,9 +121,56 @@ object AnnSearch {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF-style ANN: the label column partitions the corpus into
+    * inverted lists; list centroids are element-wise means (rounded to
+    * 6 decimals so both engines agree bit-for-bit); each query probes
+    * its nearest centroid (nprobe=1) and searches ONLY that list.
+    * Centroid table is tiny (#labels rows) → broadcast; the corpus-side
+    * work is one equi-join on the probed label. At 100 TB the inverted
+    * lists are the partitioning scheme: a query touches 1/#lists of the
+    * data.
+    */
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    // element-wise mean per label: posexplode → avg per (label, dim) →
+    // reassemble ordered — two small shuffles over #labels × 64 rows
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d")).agg(round(avg(col("x")), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("cv"))
+      .select(col("label").as("c_label"), col("cv"))
+    val q = e.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("qnrm", sqrt(dot(col("qv"), col("qv"))))
+    // probe: nearest centroid per query (tiny cross join: |q| × #labels)
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_label"))
+    val probed = q.crossJoin(broadcast(cent))
+      .withColumn("c_cos", cosine(col("qv"), col("cv")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") === 1)
+      .select(col("q_id"), col("qv"), col("qnrm"), col("c_label").as("probe_label"))
+    // search only the probed inverted list
+    val corpus = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    corpus.join(broadcast(probed), col("label") === col("probe_label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("probe_label"), col("cosine"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk"     -> (annTopk _),
-    "ann_lsh_topk" -> (annLshTopk _))
+    "ann_lsh_topk" -> (annLshTopk _),
+    "ann_ivf_topk" -> (annIvfTopk _))
 
   /** Shared oracle CTE: per-vector LSH bucket via the same md5-derived
     * hyperplanes (DuckDB lists are 1-based like the d index).
@@ -168,5 +215,30 @@ object AnnSearch {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM scored)
          |SELECT q_id, neighbor_id, bucket, cosine, rank FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH cent AS (
+         |  SELECT label, d.d, round(avg(embedding[d.d]), 6) AS c
+         |  FROM embeddings, generate_series(1, $Dims) d(d)
+         |  GROUP BY label, d.d),
+         |centv AS (SELECT label, list(c ORDER BY d) AS cv FROM cent GROUP BY label),
+         |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+         |      FROM embeddings WHERE vec_id % 50 = 0),
+         |probe AS (
+         |  SELECT q_id, label AS probe_label, row_number() OVER (
+         |    PARTITION BY q_id
+         |    ORDER BY list_cosine_similarity(qv, cv) DESC, label) AS pr
+         |  FROM q CROSS JOIN centv),
+         |scored AS (
+         |  SELECT p.q_id, e.vec_id AS neighbor_id, p.probe_label,
+         |    round(list_cosine_similarity(qe.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+         |  FROM probe p
+         |  JOIN embeddings qe ON qe.vec_id = p.q_id
+         |  JOIN embeddings e ON e.label = p.probe_label AND e.vec_id <> p.q_id
+         |  WHERE p.pr = 1),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, probe_label, cosine, rank FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
 }

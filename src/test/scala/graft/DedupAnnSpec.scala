@@ -54,6 +54,19 @@ class DedupAnnSpec extends SparkTestBase {
     assert(df.filter(col("q_id") === col("neighbor_id")).count() == 0)
   }
 
+  test("ann_ivf_topk: neighbors come from one probed list and scores agree with brute force") {
+    val ivf = AnnSearch.annIvfTopk(spark, sfDir).cache()
+    assert(ivf.count() > 0)
+    // one probed label per query
+    val probes = ivf.groupBy("q_id").agg(countDistinct("probe_label").as("n"))
+    assert(probes.filter(col("n") =!= 1).count() == 0)
+    assert(ivf.filter(col("q_id") === col("neighbor_id")).count() == 0)
+    val bf = AnnSearch.annTopk(spark, sfDir)
+      .select(col("q_id"), col("neighbor_id"), col("cosine").as("bf_cosine"))
+    val both = ivf.join(bf, Seq("q_id", "neighbor_id"))
+    assert(both.filter(col("cosine") =!= col("bf_cosine")).count() == 0)
+  }
+
   test("ann_lsh_topk: neighbors share the query's bucket and are a subset signal of brute force") {
     val lsh = AnnSearch.annLshTopk(spark, sfDir).cache()
     assert(lsh.filter(col("q_id") === col("neighbor_id")).count() == 0)

@@ -1,0 +1,31 @@
+package graft
+
+import graft.operators.{EtlMatching, Pipeline}
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkTestBase {
+
+  test("end-to-end pipeline: unique doc ids, no already-existing products, consistent match types") {
+    val df = Pipeline.endToEnd(spark, sfDir).cache()
+    assert(df.count() > 0)
+    assert(df.select("doc_id").distinct().count() == df.count())
+    // upc-matched docs are master docs, generated ones retailer docs
+    assert(df.filter(col("match_type") === "upc" &&
+      !col("doc_id").startsWith("m-")).count() == 0)
+    assert(df.filter(col("match_type") === "generated" && col("upc").isNotNull).count() == 0)
+    // precheck really removed the existing products
+    val existing = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("2001-09-01").cast("timestamp"))
+      .select(col("l_partkey").as("pk")).distinct()
+    val leaked = df
+      .withColumn("pk", expr("CAST(substr(doc_id, 3) AS BIGINT)"))
+      .join(existing, "pk")
+    assert(leaked.count() == 0)
+  }
+
+  test("end-to-end pipeline deduplicates on (name, price)") {
+    val df = Pipeline.endToEnd(spark, sfDir)
+    val dupes = df.groupBy("product_name", "price").count().filter(col("count") > 1)
+    assert(dupes.count() == 0)
+  }
+}
