@@ -73,9 +73,43 @@ object EtlTemplates {
       .orderBy(col("category"))
   }
 
+  /** The template payload's `sections[].items` list
+    * (templatecreation.py:196-207): per (category, chunk) the ordered
+    * productRetailerId roster, comma-joined (a join-key-ordered
+    * `collect_list` — string-joined so the oracle compare is
+    * representation-stable). Same chunking/naming as `templateGroups`.
+    */
+  def templateSections(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.part(spark, dir)
+      .filter(col("p_size") % 13 =!= 0)
+      .select(col("p_partkey"), col("p_name"), col("p_type").as("category"))
+    val w = Window.partitionBy(col("category")).orderBy(col("p_name"), col("p_partkey"))
+    val chunked = active
+      .withColumn("rn", row_number().over(w))
+      .withColumn("total", count(lit(1)).over(Window.partitionBy(col("category"))))
+      .withColumn("chunk", floor((col("rn") - 1) / lit(MaxProducts.toDouble)).cast("long"))
+      .withColumn("retailer_id", concat(lit("r-"), col("p_partkey")))
+    chunked
+      .groupBy(col("category"), col("chunk"), col("total"))
+      .agg(
+        concat_ws(",", array_sort(collect_list(struct(col("rn"), col("retailer_id")))
+          .cast("array<struct<rn:long,retailer_id:string>>")
+        ).getField("retailer_id")).as("product_retailer_ids"),
+        count(lit(1)).as("product_count"))
+      .select(
+        col("category"),
+        when(ceil(col("total") / lit(MaxProducts.toDouble)) === 1, col("category"))
+          .otherwise(concat(col("category"), lit(" "), (col("chunk") + 1).cast("string")))
+          .as("template_name"),
+        col("product_retailer_ids"),
+        col("product_count"))
+      .orderBy(col("category"), col("template_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "etl_template_groups" -> (templateGroups _),
-    "etl_header_text"     -> (headerText _))
+    "etl_template_groups"   -> (templateGroups _),
+    "etl_header_text"       -> (headerText _),
+    "etl_template_sections" -> (templateSections _))
 
   val oracles: Map[String, String] = Map(
     "etl_template_groups" ->
@@ -118,5 +152,22 @@ object EtlTemplates {
         |    ELSE 'Explore Our ' || category || '!' END AS header_text,
         |  'Check out our amazing selection of ' || lower(category) ||
         |    '. Order now for the best dining experience!' AS body_text
-        |FROM cats ORDER BY category""".stripMargin)
+        |FROM cats ORDER BY category""".stripMargin,
+    "etl_template_sections" ->
+      s"""WITH active AS (
+         |  SELECT p_partkey, p_name, p_type AS category FROM part
+         |  WHERE p_size % 13 <> 0
+         |), chunked AS (
+         |  SELECT category, 'r-' || p_partkey AS retailer_id,
+         |    row_number() OVER (PARTITION BY category ORDER BY p_name, p_partkey) AS rn,
+         |    count(*) OVER (PARTITION BY category) AS total
+         |  FROM active)
+         |SELECT category,
+         |  CASE WHEN ceil(total / $MaxProducts.0) = 1 THEN category
+         |       ELSE category || ' ' || CAST(CAST(floor((rn - 1) / $MaxProducts.0) AS BIGINT) + 1 AS VARCHAR) END AS template_name,
+         |  string_agg(retailer_id, ',' ORDER BY rn) AS product_retailer_ids,
+         |  count(*) AS product_count
+         |FROM chunked
+         |GROUP BY category, CAST(floor((rn - 1) / $MaxProducts.0) AS BIGINT), total
+         |ORDER BY category, template_name""".stripMargin)
 }

@@ -106,6 +106,14 @@ class EtlOperatorsSpec extends SparkTestBase {
     assert(df.filter(col("doc_id").isNull).count() == 0)
   }
 
+  test("template sections carry exactly product_count ordered retailer ids") {
+    val df = graft.operators.EtlTemplates.templateSections(spark, sfDir).cache()
+    val bad = df.filter(
+      size(split(col("product_retailer_ids"), ",")) =!= col("product_count"))
+    assert(bad.count() == 0)
+    assert(df.filter(col("product_count") > 30).count() == 0)
+  }
+
   test("template chunks never exceed 30 products") {
     val df = EtlTemplates.templateGroups(spark, sfDir)
     assert(df.filter(col("product_count") > 30).count() == 0)

@@ -32,6 +32,25 @@ class ExtensionsSpec extends SparkTestBase {
     assert(nullRow.isNullAt(0))
   }
 
+  test("upc_valid property: appending the computed check digit always validates") {
+    import spark.implicits._
+    // for any 11-digit prefix, the UPC-A check digit makes it valid and
+    // every other digit makes it invalid
+    val prefixes = (0 until 500).map(i => f"${i * 987654321L % 100000000000L}%011d")
+    def checkDigit(p: String): Int = {
+      val ds = p.map(_ - '0')
+      val s = 3 * Seq(0, 2, 4, 6, 8, 10).map(ds).sum + Seq(1, 3, 5, 7, 9).map(ds).sum
+      (10 - s % 10) % 10
+    }
+    val rows = prefixes.flatMap { p =>
+      val good = checkDigit(p)
+      (0 to 9).map(d => (p + d, d == good))
+    }
+    val df = rows.toDF("code", "want")
+      .withColumn("got", call_function("upc_valid", col("code")))
+    assert(df.filter(col("got") =!= col("want")).count() == 0)
+  }
+
   test("upc_valid agrees with the column-expression validator across the whole part table") {
     val df = EtlMatching.upcValidate(spark, sfDir)
     // upc is set iff upc_is_valid; upc always passes the native check
