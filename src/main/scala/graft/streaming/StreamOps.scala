@@ -1,8 +1,9 @@
 package graft.streaming
 
+import graft.sinks.EsBulkSink
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming versions of the event-time operators in
   * `graft.operators.Events` — the continuous form of the reference's
@@ -31,6 +32,23 @@ object StreamOps {
         round(sum(col("value")), 6).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** Continuous ES bulk indexing: each micro-batch becomes one bulk
+    * NDJSON payload under `path/batch=<id>` via the file-based
+    * [[EsBulkSink]] — the streaming twin of the reference's per-batch
+    * `bulk_index_documents` POST loop. foreachBatch gives exactly-once
+    * per-batch file output (batch id in the path) and reuses the batch
+    * sink unchanged.
+    */
+  def esBulkStream(docs: DataFrame, index: String, idCol: String,
+      path: String, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) EsBulkSink.write(batch, index, idCol, s"$path/batch=$batchId")
+      }
+      .start()
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -64,6 +64,29 @@ class StreamingSpec extends SparkTestBase {
     assert(s.sum_value == 3.0)
   }
 
+  test("streaming ES bulk sink writes one bulk payload per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-es-stream").toString
+    val stream = MemoryStream[(String, String, Double)]
+    val docs = stream.toDF().toDF("product_id", "product_name", "price")
+    val q = StreamOps.esBulkStream(docs, "products", "product_id",
+      s"$dir/out", s"$dir/ckpt")
+    try {
+      stream.addData(("p1", "Margherita", 12.5), ("p2", "Carbonara", 9.9))
+      q.processAllAvailable()
+      stream.addData(("p3", "Tiramisu", 6.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val lines = spark.read.text(s"$dir/out/batch=*").as[String].collect()
+    assert(lines.length == 6) // 2 lines per doc
+    assert(lines.count(_.startsWith("""{"index":""")) == 3)
+    // batch isolation: batch dirs exist per micro-batch
+    val batchDirs = new java.io.File(s"$dir/out").listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(batchDirs.length == 2)
+  }
+
   test("streaming sessionization handles out-of-order events within a batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
