@@ -54,9 +54,31 @@ object Events {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** Embedded-JSON extraction (the reference's JSON-blob ingest path,
+    * ops/extraction.py json.loads): `props` is parsed with an EXPLICIT
+    * schema via from_json — never schema inference, which would cost a
+    * full extra pass at 100 TB — then aggregated per event type.
+    * Malformed JSON yields nulls, not failures (counted separately).
+    */
+  def eventsJsonKpis(spark: SparkSession, dir: String): DataFrame = {
+    val propsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType)))
+    Tables.events(spark, dir)
+      .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_parsed"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 6).as("avg_k"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_hourly"     -> (eventsHourly _),
-    "events_sessionize" -> (eventsSessionize _))
+    "events_hourly"       -> (eventsHourly _),
+    "events_sessionize"   -> (eventsSessionize _),
+    "events_json_kpis"    -> (eventsJsonKpis _))
 
   val oracles: Map[String, String] = Map(
     "events_hourly" ->
@@ -79,5 +101,12 @@ object Events {
          |  max(ts) AS session_end, count(*) AS n_events,
          |  round(sum(value), 6) AS sum_value
          |FROM numbered GROUP BY user_id, session_idx
-         |ORDER BY user_id, session_idx""".stripMargin)
+         |ORDER BY user_id, session_idx""".stripMargin,
+    "events_json_kpis" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(k) AS n_parsed, sum(k) AS sum_k, round(avg(k), 6) AS avg_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -50,8 +50,41 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** The training-data twin of `endToEnd`: raw corpus → quality gate →
+    * language gate → exact-dedup (keep canonical) → fingerprinted
+    * training corpus. This is the 100 TB corpus-prep shape: two narrow
+    * per-row projection stages (quality, langid — zero shuffles), then
+    * ONE shuffle on the content hash for dedup. Filters run before the
+    * shuffle, so the expensive stage only sees surviving documents.
+    */
+  def corpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // quality gate: token count + stopword signal (inline, no shuffle)
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val nTok = size(toks)
+    val stopHits = size(filter(toks, x =>
+      array_contains(typedLit(Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")), x)))
+    val gated = docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("stop_hits", stopHits)
+      .filter(col("n_tokens") >= 20 && col("stop_hits") > 0)
+    // dedup on normalized content, canonical = min doc_id
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    gated
+      .withColumn("content_hash", md5(norm))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"),
+        col("content_hash"),
+        conv(substring(col("content_hash"), 1, 15), 16, 10).cast("bigint").as("fp60"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "etl_pipeline_e2e" -> (endToEnd _))
+    "etl_pipeline_e2e" -> (endToEnd _),
+    "corpus_prep_e2e"  -> (corpusPrep _))
 
   val oracles: Map[String, String] = Map(
     "etl_pipeline_e2e" -> {
@@ -79,5 +112,21 @@ object Pipeline {
          |  true AS is_active
          |FROM fresh f LEFT JOIN upcs u ON f.p_partkey = u.p_partkey
          |ORDER BY doc_id""".stripMargin
-    })
+    },
+    "corpus_prep_e2e" ->
+      """WITH gated AS (
+        |  SELECT doc_id, lang, text,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        x -> list_contains(['the','a','and','of','to','in','is','it','for','on'], x))) AS stop_hits
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+        |  FROM gated WHERE n_tokens >= 20 AND stop_hits > 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+        |  FROM hashed)
+        |SELECT doc_id, lang, n_tokens, content_hash,
+        |  CAST(('0x' || substr(content_hash, 1, 15)) AS BIGINT) AS fp60
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin)
 }

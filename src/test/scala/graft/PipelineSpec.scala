@@ -23,6 +23,23 @@ class PipelineSpec extends SparkTestBase {
     assert(leaked.count() == 0)
   }
 
+  test("corpus prep: gated, deduped, fingerprint consistent with hash") {
+    val df = Pipeline.corpusPrep(spark, sfDir).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("n_tokens") < 20).count() == 0)
+    // one row per content hash
+    assert(df.select("content_hash").distinct().count() == df.count())
+    assert(df.filter(
+      conv(substring(col("content_hash"), 1, 15), 16, 10).cast("bigint") =!= col("fp60"))
+      .count() == 0)
+  }
+
+  test("events json kpis: parsed counts never exceed totals") {
+    val df = graft.operators.Events.eventsJsonKpis(spark, sfDir)
+    assert(df.filter(col("n_parsed") > col("n_events")).count() == 0)
+    assert(df.count() == 5) // one row per event type
+  }
+
   test("end-to-end pipeline deduplicates on (name, price)") {
     val df = Pipeline.endToEnd(spark, sfDir)
     val dupes = df.groupBy("product_name", "price").count().filter(col("count") > 1)
