@@ -75,10 +75,47 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** As-of join — for every purchase, the most recent click AT OR
+    * BEFORE it by the same user. Spark has no native as-of operator;
+    * rather than a custom physical plan, this composes existing ones
+    * (the preferred tier): tag both sides, union, ONE shuffle on
+    * user_id, then a carry-forward window (`max(struct(ts, id))` over
+    * preceding rows — lexicographic struct max = latest click so far).
+    * Cost is a single sort-within-partition pass, the same shape a
+    * dedicated merge-join implementation would have; at 100 TB both
+    * sides arrive hash-partitioned by user, nothing is replicated.
+    * Clicks order before purchases at equal timestamps (side tag in the
+    * sort key), matching ASOF `>=` semantics.
+    */
+  def eventsAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("side"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click",
+        max(when(col("side") === 0, struct(col("ts").as("c_ts"), col("event_id").as("c_id")))).over(w))
+      .filter(col("side") === 1 && col("last_click").isNotNull)
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("last_click.c_id").as("click_id"),
+        col("last_click.c_ts").as("click_ts"),
+        round((unix_micros(col("ts")) - unix_micros(col("last_click.c_ts"))) / 1e6, 6)
+          .as("gap_s"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly"       -> (eventsHourly _),
     "events_sessionize"   -> (eventsSessionize _),
-    "events_json_kpis"    -> (eventsJsonKpis _))
+    "events_json_kpis"    -> (eventsJsonKpis _),
+    "events_asof_join"    -> (eventsAsofJoin _))
 
   val oracles: Map[String, String] = Map(
     "events_hourly" ->
@@ -108,5 +145,21 @@ object Events {
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS INT) AS k
         |      FROM events)
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // DuckDB's native ASOF JOIN is the oracle for the composed plan;
+    // ties on (user_id, ts) between clicks are broken toward the larger
+    // event_id in both engines (struct max / MAX BY below)
+    "events_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS event_id
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, ts),
+        |purchases AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts,
+        |  round((epoch_us(p.ts) - epoch_us(c.ts)) / 1e6, 6) AS gap_s
+        |FROM purchases p
+        |ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin)
 }

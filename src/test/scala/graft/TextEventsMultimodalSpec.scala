@@ -66,6 +66,20 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(overlap.count() == 0)
   }
 
+  test("events_asof_join: click is the latest at-or-before the purchase") {
+    val df = Events.eventsAsofJoin(spark, sfDir).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("click_ts") > col("purchase_ts")).count() == 0)
+    assert(df.filter(col("gap_s") < 0).count() == 0)
+    // no later click exists between the matched click and the purchase
+    val clicks = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("ts").as("c2_ts"))
+    val better = df.join(clicks, col("user_id") === col("u"))
+      .filter(col("c2_ts") > col("click_ts") && col("c2_ts") <= col("purchase_ts"))
+    assert(better.count() == 0)
+  }
+
   test("multimodal_meta: modality-typed metadata is consistent") {
     val df = Multimodal.multimodalMeta(spark, sfDir).cache()
     assert(df.filter(col("modality") === "audio" && col("width").isNotNull).count() == 0)
