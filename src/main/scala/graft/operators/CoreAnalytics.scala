@@ -140,7 +140,38 @@ object CoreAnalytics {
       .orderBy(col("s_nationkey"))
   }
 
+  /** Banded range join: all part pairs whose retail prices lie within
+    * `Tol` of each other. The naive plan is an inequality join — a
+    * broadcast nested loop, O(n²) at any scale. Banding turns it into
+    * an equi-join: band = floor(price/Tol); |pa−pb| ≤ Tol implies the
+    * bands differ by at most 1, so one side explodes into
+    * {band−1, band, band+1} and the join key is the band. Each
+    * qualifying pair matches on EXACTLY one band value (the build
+    * side's own band), so no dedup is needed; the exact predicate
+    * filters band-neighbors that are just outside the tolerance.
+    * One shuffle on the band key; candidates per band stay bounded by
+    * the price density, not the table size.
+    */
+  def priceBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val Tol = 0.5
+    val base = Tables.part(spark, dir).select(col("p_partkey"), col("p_retailprice"))
+    val a = base
+      .select(col("p_partkey").as("key_a"), col("p_retailprice").as("price_a"))
+      .withColumn("band", explode(array((-1 to 1).map(d =>
+        floor(col("price_a") / Tol).cast("long") + d): _*)))
+    val b = base
+      .select(col("p_partkey").as("key_b"), col("p_retailprice").as("price_b"),
+        floor(col("p_retailprice") / Tol).cast("long").as("band"))
+    a.join(b, Seq("band"))
+      .filter(col("key_a") < col("key_b") &&
+        abs(col("price_a") - col("price_b")) <= Tol)
+      .select(col("key_a"), col("key_b"), col("price_a"), col("price_b"),
+        round(abs(col("price_a") - col("price_b")), 6).as("price_diff"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_price_band_join"    -> (priceBandJoin _),
     "q1_pricing_summary"   -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_region_revenue"    -> (q5RegionRevenue _),
@@ -209,6 +240,15 @@ object CoreAnalytics {
         |       THEN 'urgent' ELSE 'normal' END AS priority_class
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    // banding is result-invisible: the oracle is the plain range join
+    "q_price_band_join" ->
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  a.p_retailprice AS price_a, b.p_retailprice AS price_b,
+        |  round(abs(a.p_retailprice - b.p_retailprice), 6) AS price_diff
+        |FROM part a JOIN part b
+        |  ON a.p_partkey < b.p_partkey
+        |  AND abs(a.p_retailprice - b.p_retailprice) <= 0.5
+        |ORDER BY key_a, key_b""".stripMargin,
     // salting is result-invisible: the oracle is the plain equi-join
     "q_salted_skew_join" ->
       """SELECT s_nationkey,

@@ -16,6 +16,19 @@ class SaltedJoinSpec extends SparkTestBase {
     assert(salted.collect().toSeq == plain.collect().toSeq)
   }
 
+  test("banded range join equals the naive inequality join") {
+    val banded = CoreAnalytics.priceBandJoin(spark, sfDir)
+    val base = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_retailprice"))
+    val naive = base.toDF("key_a", "price_a")
+      .crossJoin(base.toDF("key_b", "price_b"))
+      .filter(col("key_a") < col("key_b") &&
+        abs(col("price_a") - col("price_b")) <= 0.5)
+      .select(col("key_a"), col("key_b"), col("price_a"), col("price_b"),
+        round(abs(col("price_a") - col("price_b")), 6).as("price_diff"))
+      .orderBy(col("key_a"), col("key_b"))
+    assert(banded.collect().toSeq == naive.collect().toSeq)
+  }
+
   test("fact rows join exactly one dim replica (salt is a partition, not a multiplier)") {
     val total = CoreAnalytics.saltedSkewJoin(spark, sfDir)
       .agg(sum("revenue")).head().getDouble(0)
