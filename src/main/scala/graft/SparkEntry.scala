@@ -28,7 +28,8 @@ object SparkEntry {
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Events.queries, Events.oracles),
       (Multimodal.queries, Multimodal.oracles),
-      (Pipeline.queries, Pipeline.oracles))
+      (Pipeline.queries, Pipeline.oracles),
+      (SqlSurface.queries, SqlSurface.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -60,6 +60,15 @@ class ExtensionsSpec extends SparkTestBase {
     assert(recheck.count() == 0)
   }
 
+  test("SQL surface: text queries run through the same session, upc_valid callable from SQL") {
+    val rev = graft.operators.SqlSurface.revenueByNation(spark, sfDir)
+    assert(rev.count() > 0 && rev.count() <= 25) // at most one row per nation
+    val share = graft.operators.SqlSurface.upcValidShare(spark, sfDir).cache()
+    assert(share.filter(col("n_valid") > col("n_parts")).count() == 0)
+    val totals = share.agg(sum("n_parts")).head().getLong(0)
+    assert(totals == Tables.part(spark, sfDir).count())
+  }
+
   test("levenshtein prefilter rule rewrites the similarity-match plan to the banded form") {
     val plan = EtlMatching.similarityMatch(spark, sfDir)
       .queryExecution.optimizedPlan.toString
