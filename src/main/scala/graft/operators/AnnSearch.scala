@@ -98,12 +98,18 @@ object AnnSearch {
     concat(bits: _*)
   }
 
+  /** Vectors with norm + sign-LSH bucket — shared by `annLshTopk` and
+    * `Dedup.dedupEmbeddingLsh`.
+    */
+  private[operators] def bucketedVecs(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir).withColumn("bucket", bucket(col("v")))
+
   /** LSH-bucketed ANN: candidates only within matching sign buckets —
     * an equi-join on the bucket key (shuffle on bucket / broadcast of
     * the query side), never an all-pairs cross join.
     */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
-    val all = vecs(spark, dir).withColumn("bucket", bucket(col("v")))
+    val all = bucketedVecs(spark, dir)
     val q = all.filter(expr(QueryFilter))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("bucket"))
@@ -175,7 +181,7 @@ object AnnSearch {
   /** Shared oracle CTE: per-vector LSH bucket via the same md5-derived
     * hyperplanes (DuckDB lists are 1-based like the d index).
     */
-  private val bucketCte =
+  private[operators] val bucketCte =
     s"""planes AS (
        |  SELECT p.p, d.d,
        |    (CAST(('0x' || substr(md5(p.p || ':' || d.d), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS c

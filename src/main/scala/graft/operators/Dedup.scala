@@ -177,8 +177,30 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Label-free variant of `dedupEmbedding`: blocking comes from the
+    * data itself via sign-LSH buckets (same 8 md5-derived hyperplanes
+    * as `ann_lsh_topk`), so the operator needs NO precomputed cluster
+    * column — the true 100 TB shape where candidate pairs exist only
+    * within a bucket. Recall can be raised by unioning several
+    * independent bucket families, same plan shape.
+    */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = AnnSearch.bucketedVecs(spark, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("bucket"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("bucket"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(AnnSearch.cosinePre(col("va"), col("vb"), col("na"), col("nb")), 6))
+      .filter(col("cosine") >= 0.35)
+      .select("bucket", "id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (dedupExact _),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash"       -> (dedupSimhash _),
@@ -229,6 +251,19 @@ object Dedup {
          |WHERE round(n_inter * 1.0 / (za.n_grams + zb.n_grams - n_inter), 6) >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" -> simhashSql,
+    "dedup_embedding_lsh" ->
+      s"""WITH ${AnnSearch.bucketCte},
+         |pairs AS (
+         |  SELECT ba.vec_id AS id_a, bb.vec_id AS id_b, ba.bucket
+         |  FROM buck ba JOIN buck bb
+         |    ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id)
+         |SELECT p.bucket, p.id_a, p.id_b,
+         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+         |FROM pairs p
+         |JOIN embeddings a ON a.vec_id = p.id_a
+         |JOIN embeddings b ON b.vec_id = p.id_b
+         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

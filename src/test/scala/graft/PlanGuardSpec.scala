@@ -1,0 +1,28 @@
+package graft
+
+/** Fleet-wide physical-plan guards: no registered query may plan a
+  * Cartesian product, and only the brute-force ANN baseline may use a
+  * broadcast nested loop (its non-equi self-comparison is the point —
+  * every scale-path operator must block/band/bucket its way to an
+  * equi-join instead).
+  */
+class PlanGuardSpec extends SparkTestBase {
+
+  // ann_topk: the brute-force baseline IS a non-equi broadcast loop.
+  // ann_ivf_topk: the centroid probe is a broadcast loop against a
+  // table bounded by the number of inverted lists (a constant, ≤ 10
+  // here), never by the data size — that's the IVF probe by definition.
+  private val nestedLoopAllowed = Set("ann_topk", "ann_ivf_topk")
+
+  test("no query plans a CartesianProduct; nested-loop joins only where intended") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val cartesian = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !nestedLoopAllowed(name)
+      if (cartesian || bnlj)
+        Some(s"$name: cartesian=$cartesian unexpected-BNLJ=$bnlj")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
