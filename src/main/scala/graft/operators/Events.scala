@@ -111,7 +111,38 @@ object Events {
       .orderBy(col("purchase_id"))
   }
 
+  /** Daily event-type pivot: one row per day, one count column per
+    * event type. The pivot values are DECLARED (not discovered), so the
+    * plan is a single aggregation — no extra distinct-values job, which
+    * at 100 TB would be a full pre-pass.
+    */
+  def eventsDailyPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("day"))
+
+  /** Sketch aggregation: HyperLogLog++ distinct-user estimates next to
+    * the exact count. No DuckDB oracle (different HLL implementation →
+    * rows-only check); the spec bounds the relative error instead.
+    * At 100 TB the sketch is mergeable map-side state per partition —
+    * the exact count is the thing that stops scaling, not the sketch.
+    */
+  def sketchDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+      .withColumn("rel_err",
+        round(abs(col("n_approx") - col("n_exact")) / col("n_exact"), 6))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_daily_pivot"  -> (eventsDailyPivot _),
+    "sketch_distinct_users" -> (sketchDistinctUsers _),
     "events_hourly"       -> (eventsHourly _),
     "events_sessionize"   -> (eventsSessionize _),
     "events_json_kpis"    -> (eventsJsonKpis _),
@@ -161,5 +192,16 @@ object Events {
         |  round((epoch_us(p.ts) - epoch_us(c.ts)) / 1e6, 6) AS gap_s
         |FROM purchases p
         |ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY purchase_id""".stripMargin)
+        |ORDER BY purchase_id""".stripMargin,
+    // sketch_distinct_users intentionally has NO oracle: DuckDB's
+    // approx_distinct is a different HLL implementation; the driver
+    // records a rows-only check and EventsSpec bounds the error.
+    "events_daily_pivot" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin)
 }

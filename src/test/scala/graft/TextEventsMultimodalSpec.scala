@@ -66,6 +66,21 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(overlap.count() == 0)
   }
 
+  test("events_daily_pivot: per-day type counts sum to the table size") {
+    val df = Events.eventsDailyPivot(spark, sfDir).cache()
+    val cols = Seq("click", "view", "purchase", "signup", "error")
+    assert(df.columns.toSet == (cols :+ "day").toSet)
+    val total = df.select(cols.map(c => sum(col(c))).reduce(_ + _)).head().getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+  }
+
+  test("sketch_distinct_users: HLL estimate within the configured error band") {
+    val df = Events.sketchDistinctUsers(spark, sfDir).cache()
+    assert(df.count() == 5)
+    // rsd 0.02 → generous 10% ceiling for small groups
+    assert(df.filter(col("rel_err") > 0.10).count() == 0)
+  }
+
   test("events_asof_join: click is the latest at-or-before the purchase") {
     val df = Events.eventsAsofJoin(spark, sfDir).cache()
     assert(df.count() > 0)
