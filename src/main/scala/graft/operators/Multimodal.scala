@@ -76,8 +76,29 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling for the video rows: up to `MaxFrames` evenly-spaced
+    * sample timestamps per clip, derived from the stub-decoded duration
+    * — `sequence` + `explode`, so sampling is pure plan work that scales
+    * with row count (a real decoder then seeks each (payload, frame_ts)
+    * pair in the batched-decode path).
+    */
+  val MaxFrames = 8
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    val meta = multimodalMeta(spark, dir)
+      .filter(col("modality") === "video")
+      .select(col("doc_id"), col("duration_s"))
+    val nFrames = least(lit(MaxFrames), greatest(lit(1), ceil(col("duration_s")).cast("int")))
+    meta
+      .withColumn("n_frames", nFrames)
+      .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1)))
+      .withColumn("frame_ts", round(col("frame_idx") * col("duration_s") / col("n_frames"), 6))
+      .select("doc_id", "n_frames", "frame_idx", "frame_ts")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_meta" -> (multimodalMeta _))
+    "multimodal_meta"   -> (multimodalMeta _),
+    "multimodal_frames" -> (multimodalFrames _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" ->
@@ -89,5 +110,18 @@ object Multimodal {
         |  CASE WHEN doc_id % 3 <> 1 THEN CAST(CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) % 1857 + 64 AS INT) END AS width,
         |  CASE WHEN doc_id % 3 <> 1 THEN CAST(CAST(('0x' || substr(md5(text), 7, 6)) AS BIGINT) % 1017 + 64 AS INT) END AS height,
         |  CASE WHEN doc_id % 3 <> 0 THEN round(CAST(CAST(('0x' || substr(md5(text), 13, 6)) AS BIGINT) % 36000 AS DOUBLE) / 100.0, 6) END AS duration_s
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frames" ->
+      """WITH vid AS (
+        |  SELECT doc_id,
+        |    round(CAST(CAST(('0x' || substr(md5(text), 13, 6)) AS BIGINT) % 36000 AS DOUBLE) / 100.0, 6) AS duration_s
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |framed AS (
+        |  SELECT doc_id, duration_s,
+        |    least(8, greatest(1, CAST(ceil(duration_s) AS INT))) AS n_frames
+        |  FROM vid)
+        |SELECT doc_id, n_frames, f.i AS frame_idx,
+        |  round(f.i * duration_s / n_frames, 6) AS frame_ts
+        |FROM framed, unnest(generate_series(0, n_frames - 1)) f(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin)
 }

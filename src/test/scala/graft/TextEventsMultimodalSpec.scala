@@ -105,6 +105,22 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(df.filter(length(col("payload_hex")) =!= col("n_bytes") * 2).count() == 0)
   }
 
+  test("multimodal_frames: at most 8 evenly spaced samples inside the clip") {
+    val df = Multimodal.multimodalFrames(spark, sfDir).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("n_frames") > 8 || col("n_frames") < 1).count() == 0)
+    assert(df.filter(col("frame_idx") >= col("n_frames")).count() == 0)
+    // sample timestamps stay within the clip
+    val meta = Multimodal.multimodalMeta(spark, sfDir)
+      .filter(col("modality") === "video").select(col("doc_id"), col("duration_s"))
+    val out = df.join(meta, "doc_id").filter(col("frame_ts") > col("duration_s"))
+    assert(out.count() == 0)
+    // frame counts per doc are dense: exactly n_frames rows
+    val counts = df.groupBy("doc_id", "n_frames").count()
+      .filter(col("count") =!= col("n_frames"))
+    assert(counts.count() == 0)
+  }
+
   test("decodeBatched: stub decoder is deterministic, batch-bounded, and covers every row") {
     import spark.implicits._
     val media = Tables.documents(spark, sfDir)
