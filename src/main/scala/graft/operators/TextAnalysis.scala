@@ -112,7 +112,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-wide top-k bigrams: explode → count → top-k. Map-side
+    * partial aggregation carries the heavy lifting; only (distinct
+    * bigram) rows shuffle, and the final top-k is a single ordered
+    * limit (TakeOrdered), not a global sort.
+    */
+  def textNgramTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .select(col("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+
+  /** Histogram of document lengths in 50-token buckets — the corpus
+    * profile a filtering policy is tuned against. One aggregation on
+    * the bucket id.
+    */
+  def textLengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select((floor(size(toks(col("text"))) / 50L) * 50).cast("long").as("bucket_start"))
+      .groupBy(col("bucket_start"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("bucket_start"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_topk"  -> (textNgramTopk _),
+    "text_length_hist" -> (textLengthHistogram _),
     "text_tokens"      -> (textTokens _),
     "text_quality"     -> (textQuality _),
     "text_langid"      -> (textLangid _),
@@ -139,6 +165,14 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_ngram_topk" ->
+      s"""SELECT tok, count(*) AS n
+         |FROM (SELECT unnest(${toksSql("text")}) AS tok FROM documents)
+         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "text_length_hist" ->
+      s"""SELECT CAST(floor(len(${toksSql("text")}) / 50) * 50 AS BIGINT) AS bucket_start,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY bucket_start""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id,
          |  len(${toksSql("text")}) AS n_ws_tokens,

@@ -37,6 +37,18 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(bad.count() == 0)
   }
 
+  test("text_ngram_topk and text_length_hist: bounded output, totals consistent") {
+    val topk = TextAnalysis.textNgramTopk(spark, sfDir).cache()
+    assert(topk.count() <= 20 && topk.count() > 0)
+    // descending counts
+    val counts = topk.select("n").collect().map(_.getLong(0)).toSeq
+    assert(counts == counts.sorted.reverse)
+    val hist = TextAnalysis.textLengthHistogram(spark, sfDir)
+    assert(hist.agg(sum("n_docs")).head().getLong(0) ==
+      Tables.documents(spark, sfDir).count())
+    assert(hist.filter(col("bucket_start") % 50 =!= 0).count() == 0)
+  }
+
   test("text_fingerprint: fp60 is the 15-hex-digit prefix of fp_md5, duplicates share fingerprints") {
     val df = TextAnalysis.textFingerprint(spark, sfDir)
     val bad = df.filter(
