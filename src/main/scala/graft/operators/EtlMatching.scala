@@ -26,15 +26,8 @@ object EtlMatching {
   private val digits12Sql = (k: String) =>
     s"lpad(CAST(($k * 777371) % 1000000000000 AS VARCHAR), 12, '0')"
 
-  /** UPC-A check-digit validity: 3*(odd positions) + (even positions)
-    * ≡ 0 (mod 10), positions 1-based over all 12 digits.
-    */
-  private def upcValid(code: Column): Column = {
-    def d(i: Int): Column = substring(code, i, 1).cast("int")
-    val odd  = Seq(1, 3, 5, 7, 9, 11).map(d).reduce(_ + _)
-    val even = Seq(2, 4, 6, 8, 10).map(d).reduce(_ + _)
-    (length(code) === 12) && ((odd * 3 + even + d(12)) % 10 === 0)
-  }
+  // String-side UPC validation lives in the native expression
+  // graft.functions.UpcValid (registered as `upc_valid`); see upcValidate.
 
   /** Same check-digit test on the numeric code (digits via div/mod, no
     * string ops): for synthesized codes the value is < 10^12, so the

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Elasticsearch bulk-format sink, file-based: each document becomes the
@@ -22,7 +22,7 @@ object EsBulkSink {
       lit(s"""{"index": {"_index": "$index", "_id": """"),
       col(idCol).cast("string"),
       lit("\"}}"))
-    val source = to_json(struct(fields.map(col): _*))
+    val source = to_json(struct(fields.toIndexedSeq.map(col): _*))
     docs.select(concat(action, lit("\n"), source).as("line"))
   }
 
