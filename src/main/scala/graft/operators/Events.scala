@@ -140,7 +140,22 @@ object Events {
         round(abs(col("n_approx") - col("n_exact")) / col("n_exact"), 6))
       .orderBy(col("event_type"))
 
+  /** Exact interpolated quantiles of event values per type (p50/p90/
+    * p99). Exact percentile needs the group's values together — fine
+    * for bounded groups; at 100 TB switch to `approx_percentile`
+    * (mergeable KLL-style sketch, same call shape).
+    */
+  def eventsValueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_quantiles"    -> (eventsValueQuantiles _),
     "events_daily_pivot"  -> (eventsDailyPivot _),
     "sketch_distinct_users" -> (sketchDistinctUsers _),
     "events_hourly"       -> (eventsHourly _),
@@ -196,6 +211,12 @@ object Events {
     // sketch_distinct_users intentionally has NO oracle: DuckDB's
     // approx_distinct is a different HLL implementation; the driver
     // records a rows-only check and EventsSpec bounds the error.
+    "events_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_daily_pivot" ->
       """SELECT date_trunc('day', ts) AS day,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -78,6 +78,12 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(overlap.count() == 0)
   }
 
+  test("events_quantiles: monotone percentiles per type") {
+    val df = Events.eventsValueQuantiles(spark, sfDir)
+    assert(df.count() == 5)
+    assert(df.filter(col("p50") > col("p90") || col("p90") > col("p99")).count() == 0)
+  }
+
   test("events_daily_pivot: per-day type counts sum to the table size") {
     val df = Events.eventsDailyPivot(spark, sfDir).cache()
     val cols = Seq("click", "view", "purchase", "signup", "error")
