@@ -170,7 +170,36 @@ object CoreAnalytics {
       .orderBy(col("key_a"), col("key_b"))
   }
 
+  /** CUBE grouping sets: all 2^2 aggregation granularities in one pass
+    * (Spark expands the grouping sets inside a single aggregation —
+    * no per-granularity rescan).
+    */
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(
+        coalesce(col("l_returnflag"), lit("~")),
+        coalesce(col("l_linestatus"), lit("~")))
+
+  /** Running revenue per customer over order dates — cumulative window
+    * (one shuffle on the customer key, ordered scan within).
+    */
+  def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 4))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube"               -> (cubeSummary _),
+    "q_running_revenue"    -> (runningRevenue _),
     "q_price_band_join"    -> (priceBandJoin _),
     "q1_pricing_summary"   -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -240,6 +269,16 @@ object CoreAnalytics {
         |       THEN 'urgent' ELSE 'normal' END AS priority_class
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY coalesce(l_returnflag, '~'), coalesce(l_linestatus, '~')""".stripMargin,
+    "q_running_revenue" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 4) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     // banding is result-invisible: the oracle is the plain range join
     "q_price_band_join" ->
       """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,

@@ -198,13 +198,84 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Near-dup CLUSTER assignment: connected components of the verified
+    * jaccard pair graph via min-label propagation (Pregel-style): each
+    * round every node takes the min label among itself and its
+    * neighbors; at fixpoint the label is the smallest doc id reachable
+    * — the cluster's canonical document. Convergence is checked with an
+    * aggregate (sum of labels is strictly decreasing until fixpoint);
+    * iteration count is bounded by the component diameter, which for
+    * near-dup cliques is tiny. At extreme scale swap the loop body for
+    * the large-star/small-star variant — same per-round plan shape.
+    * No data ever reaches the driver: the loop condition is a 1-row
+    * aggregate.
+    */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val jp = dedupNgramJaccard(spark, dir).select("doc_a", "doc_b")
+    val edges = jp.union(jp.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id")).cache()
+    var prevSum = labels.agg(sum("component")).head().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 32) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(labels("doc_id"),
+          least(labels("component"), coalesce(col("nbr_min"), labels("component")))
+            .as("component"))
+        .cache()
+      val s = next.agg(sum("component")).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    val w = Window.partitionBy(col("component"))
+    labels
+      .withColumn("component_size", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (dedupExact _),
+    "dedup_components"    -> (dedupComponents _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_embedding"     -> (dedupEmbedding _))
+
+  /** The jaccard pair relation as reusable CTEs ending in `jpairs` —
+    * shared by the pair oracle and the connected-components oracle.
+    */
+  private val jaccardCtes: String = {
+    val bandUnion = (0 until NumBands)
+      .map(b => s"SELECT doc_id, band$b AS bk FROM sig").mkString(" UNION ALL ")
+    s"""$minhashCte,
+       |cpairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ($bandUnion) a
+       |  JOIN ($bandUnion) b
+       |    ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+       |  FROM cpairs p
+       |  JOIN sh sa ON sa.doc_id = p.doc_a
+       |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.gram = sa.gram
+       |  GROUP BY p.doc_a, p.doc_b),
+       |jpairs AS (
+       |  SELECT doc_a, doc_b, n_inter,
+       |    round(n_inter * 1.0 / (za.n_grams + zb.n_grams - n_inter), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sizes za ON za.doc_id = doc_a
+       |  JOIN sizes zb ON zb.doc_id = doc_b
+       |  WHERE round(n_inter * 1.0 / (za.n_grams + zb.n_grams - n_inter), 6) >= $JaccardThreshold)""".stripMargin
+  }
 
   private val simhashSql: String = {
     val votes = (0 until 16).map { b =>
@@ -230,26 +301,19 @@ object Dedup {
     "dedup_minhash" ->
       s"WITH $minhashCte SELECT * FROM sig ORDER BY doc_id",
     "dedup_ngram_jaccard" ->
-      s"""WITH $minhashCte,
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM (${(0 until NumBands).map(b => s"SELECT doc_id, band$b AS bk FROM sig").mkString(" UNION ALL ")}) a
-         |  JOIN (${(0 until NumBands).map(b => s"SELECT doc_id, band$b AS bk FROM sig").mkString(" UNION ALL ")}) b
-         |    ON a.bk = b.bk AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
-         |  FROM pairs p
-         |  JOIN sh sa ON sa.doc_id = p.doc_a
-         |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.gram = sa.gram
-         |  GROUP BY p.doc_a, p.doc_b)
-         |SELECT doc_a, doc_b, n_inter,
-         |  round(n_inter * 1.0 / (za.n_grams + zb.n_grams - n_inter), 6) AS jaccard
-         |FROM inter
-         |JOIN sizes za ON za.doc_id = doc_a
-         |JOIN sizes zb ON zb.doc_id = doc_b
-         |WHERE round(n_inter * 1.0 / (za.n_grams + zb.n_grams - n_inter), 6) >= $JaccardThreshold
-         |ORDER BY doc_a, doc_b""".stripMargin,
+      s"WITH $jaccardCtes SELECT * FROM jpairs ORDER BY doc_a, doc_b",
+    "dedup_components" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc_id, min(v) AS component,
+         |  count(*) OVER (PARTITION BY min(v)) AS component_size
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "dedup_embedding_lsh" ->
       s"""WITH ${AnnSearch.bucketCte},

@@ -74,6 +74,25 @@ object EtlCleaning {
       .filter(col("product_name").isNotNull && col("product_name") =!= "")
       .orderBy(col("p_partkey"))
 
+  /** Grocery branch of the industry column mapping
+    * (data2batches.py:53-62): Article/Description/QteMain/Taxe2/
+    * PrixVente → article_id/product_name/quantity/is_tax/price, then
+    * the same null/empty-name filter as the restaurant flow.
+    */
+  def columnMapGrocery(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        lpad((col("l_partkey") * 777371L % 1000000000000L).cast("string"), 12, "0")
+          .as("article_id"),
+        when(col("l_partkey") % 97 === 0, lit(""))
+          .otherwise(concat(lit("Article "), col("l_partkey"))).as("product_name"),
+        col("l_quantity").as("quantity"),
+        (col("l_tax") > 0).as("is_tax"),
+        col("l_extendedprice").as("price"),
+        col("l_orderkey"), col("l_linenumber"))
+      .filter(col("product_name").isNotNull && col("product_name") =!= "")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   /** drop_duplicates(subset=[name, price], keep='first')
     * (extract_menu_with_gemini_op.py:115). "First" = lowest source key;
     * expressed as a window so it stays a single shuffle on the dedup key.
@@ -122,6 +141,7 @@ object EtlCleaning {
     "etl_fillna_zero"            -> (fillnaZero _),
     "etl_menu_clean"             -> (menuClean _),
     "etl_column_map_restaurant"  -> (columnMapRestaurant _),
+    "etl_column_map_grocery"     -> (columnMapGrocery _),
     "etl_dedup_first"            -> (dedupFirst _),
     "etl_batch_assign"           -> (batchAssign _))
 
@@ -147,6 +167,14 @@ object EtlCleaning {
         |WHERE (CASE WHEN p_size % 11 = 0 THEN '' ELSE p_name END) IS NOT NULL
         |  AND (CASE WHEN p_size % 11 = 0 THEN '' ELSE p_name END) <> ''
         |ORDER BY p_partkey""".stripMargin,
+    "etl_column_map_grocery" ->
+      """SELECT lpad(CAST(l_partkey * 777371 % 1000000000000 AS VARCHAR), 12, '0') AS article_id,
+        |  CASE WHEN l_partkey % 97 = 0 THEN '' ELSE 'Article ' || l_partkey END AS product_name,
+        |  l_quantity AS quantity, (l_tax > 0) AS is_tax,
+        |  l_extendedprice AS price, l_orderkey, l_linenumber
+        |FROM lineitem
+        |WHERE (CASE WHEN l_partkey % 97 = 0 THEN '' ELSE 'Article ' || l_partkey END) <> ''
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "etl_dedup_first" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM (
         |  SELECT *, row_number() OVER (PARTITION BY p_name, p_retailprice

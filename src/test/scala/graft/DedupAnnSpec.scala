@@ -36,6 +36,23 @@ class DedupAnnSpec extends SparkTestBase {
     assert(df.filter(col("jaccard") < 0.5).count() == 0)
   }
 
+  test("dedup_components: labels are component minima and edges never cross components") {
+    val comp = Dedup.dedupComponents(spark, sfDir).cache()
+    assert(comp.count() > 0)
+    assert(comp.filter(col("component") > col("doc_id")).count() == 0)
+    // every edge endpoint pair shares a component
+    val pairs = Dedup.dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val crossing = pairs
+      .join(comp.select(col("doc_id").as("doc_a"), col("component").as("ca")), "doc_a")
+      .join(comp.select(col("doc_id").as("doc_b"), col("component").as("cb")), "doc_b")
+      .filter(col("ca") =!= col("cb"))
+    assert(crossing.count() == 0)
+    // the canonical doc belongs to its own component
+    assert(comp.filter(col("doc_id") === col("component"))
+      .select("component").distinct().count() ==
+      comp.select("component").distinct().count())
+  }
+
   test("dedup_simhash: fingerprints fit in 16 bits") {
     val df = Dedup.dedupSimhash(spark, sfDir)
     val bad = df.filter(col("simhash") < 0 || col("simhash") > 65535)
