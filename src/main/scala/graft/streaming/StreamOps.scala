@@ -50,6 +50,38 @@ object StreamOps {
       }
       .start()
 
+  /** Stream-stream click attribution: each purchase joins the clicks of
+    * the same user in the preceding 30 minutes. Both sides carry
+    * watermarks and the join condition bounds event time on both ends,
+    * so Spark can expire join state — the query runs forever at bounded
+    * memory. (The streaming twin of `Events.eventsAsofJoin`'s
+    * candidate-generation step.)
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    p.join(c, expr(
+      """p_user = c_user
+        |AND click_ts <= purchase_ts
+        |AND click_ts >= purchase_ts - INTERVAL 30 MINUTES""".stripMargin))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
+  /** Streaming exact dedup: keep the first arrival per content hash,
+    * with state expired past the watermark (`dropDuplicatesWithinWatermark`)
+    * — the continuous form of `dedup_exact`, at bounded state.
+    */
+  def streamingDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", md5(lower(trim(col("text")))))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,

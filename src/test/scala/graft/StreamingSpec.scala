@@ -87,6 +87,45 @@ class StreamingSpec extends SparkTestBase {
     assert(batchDirs.length == 2)
   }
 
+  test("stream-stream click attribution joins purchases to in-window clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamOps.clickAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attribution").outputMode("append").start()
+    try {
+      clicks.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 0),   // in window
+        Ev(2, ts("2024-01-01 09:00:00"), 1, "click", 0),   // too old
+        Ev(3, ts("2024-01-01 10:05:00"), 2, "click", 0))   // other user
+      purchases.addData(Ev(10, ts("2024-01-01 10:20:00"), 1, "purchase", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attribution")
+      .select("purchase_id", "click_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSet == Set((10L, 1L)))
+  }
+
+  test("streaming dedup keeps the first arrival per content hash across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = stream.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamOps.streamingDedup(docs)
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      stream.addData((1L, ts("2024-01-01 00:00:00"), "hello world"),
+                     (2L, ts("2024-01-01 00:01:00"), "HELLO WORLD  ")) // dup after norm? no: md5(lower(trim)) differs by inner spaces
+      q.processAllAvailable()
+      stream.addData((3L, ts("2024-01-01 00:02:00"), "hello world"), // exact dup of doc 1
+                     (4L, ts("2024-01-01 00:03:00"), "fresh content"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_stream").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(1L) && ids.contains(4L) && !ids.contains(3L))
+  }
+
   test("streaming sessionization handles out-of-order events within a batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
