@@ -82,9 +82,28 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test assignment: a content-independent
+    * md5 bucket of the doc id → 80/10/10. Hash-based (not random) so
+    * the split is REPRODUCIBLE across runs, engines, and re-shards, and
+    * a document never migrates between splits when the corpus grows —
+    * the property that keeps eval sets uncontaminated over months of
+    * pipeline runs. Pure projection, no shuffle.
+    */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("bigint") % 100
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        bucket.as("bucket"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_pipeline_e2e" -> (endToEnd _),
-    "corpus_prep_e2e"  -> (corpusPrep _))
+    "corpus_prep_e2e"  -> (corpusPrep _),
+    "corpus_split"     -> (corpusSplit _))
 
   val oracles: Map[String, String] = Map(
     "etl_pipeline_e2e" -> {
@@ -128,5 +147,12 @@ object Pipeline {
         |  FROM hashed)
         |SELECT doc_id, lang, n_tokens, content_hash,
         |  CAST(('0x' || substr(content_hash, 1, 15)) AS BIGINT) AS fp60
-        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "corpus_split" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 AS bucket,
+        |  CASE WHEN CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

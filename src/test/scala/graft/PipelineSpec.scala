@@ -34,6 +34,18 @@ class PipelineSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("corpus split: deterministic, exhaustive, roughly 80/10/10") {
+    val df = Pipeline.corpusSplit(spark, sfDir).cache()
+    assert(df.count() == Tables.documents(spark, sfDir).count())
+    val again = Pipeline.corpusSplit(spark, sfDir)
+    assert(df.exceptAll(again).count() == 0)
+    val shares = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = shares.values.sum.toDouble
+    assert(shares("train") / n > 0.7 && shares("train") / n < 0.9)
+    assert(shares.keySet == Set("train", "val", "test"))
+  }
+
   test("events json kpis: parsed counts never exceed totals") {
     val df = graft.operators.Events.eventsJsonKpis(spark, sfDir)
     assert(df.filter(col("n_parsed") > col("n_events")).count() == 0)
