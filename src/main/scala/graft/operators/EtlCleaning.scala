@@ -137,7 +137,28 @@ object EtlCleaning {
       .orderBy(col("p_partkey"))
   }
 
+  /** Data-quality outlier flagging: per-category price z-scores
+    * (population stddev), |z| > 2 flagged. The category stats are one
+    * partial-aggregated shuffle over #categories rows, joined back
+    * broadcast — the fact side is scanned once and never shuffled.
+    */
+  def priceOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.part(spark, dir)
+      .groupBy(col("p_type").as("cat"))
+      .agg(
+        avg(col("p_retailprice")).as("mu"),
+        stddev_pop(col("p_retailprice")).as("sigma"))
+    Tables.part(spark, dir)
+      .join(broadcast(stats), col("p_type") === col("cat"))
+      .select(
+        col("p_partkey"), col("p_type"), col("p_retailprice"),
+        round((col("p_retailprice") - col("mu")) / col("sigma"), 6).as("z"))
+      .withColumn("is_outlier", abs(col("z")) > 2)
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_price_outliers"         -> (priceOutliers _),
     "etl_fillna_zero"            -> (fillnaZero _),
     "etl_menu_clean"             -> (menuClean _),
     "etl_column_map_restaurant"  -> (columnMapRestaurant _),
@@ -146,6 +167,16 @@ object EtlCleaning {
     "etl_batch_assign"           -> (batchAssign _))
 
   val oracles: Map[String, String] = Map(
+    "etl_price_outliers" ->
+      """WITH stats AS (
+        |  SELECT p_type AS cat, avg(p_retailprice) AS mu,
+        |    stddev_pop(p_retailprice) AS sigma
+        |  FROM part GROUP BY p_type)
+        |SELECT p_partkey, p_type, p_retailprice,
+        |  round((p_retailprice - mu) / sigma, 6) AS z,
+        |  abs(round((p_retailprice - mu) / sigma, 6)) > 2 AS is_outlier
+        |FROM part JOIN stats ON p_type = cat
+        |ORDER BY p_partkey""".stripMargin,
     "etl_fillna_zero" ->
       """SELECT l_orderkey, l_linenumber,
         |  coalesce(CASE WHEN l_quantity > 40 THEN NULL ELSE l_quantity END, 0.0) AS quantity

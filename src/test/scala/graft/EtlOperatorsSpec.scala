@@ -106,6 +106,16 @@ class EtlOperatorsSpec extends SparkTestBase {
     assert(df.filter(col("doc_id").isNull).count() == 0)
   }
 
+  test("price outliers: z-scores standardized per category, outliers beyond 2 sigma") {
+    val df = graft.operators.EtlCleaning.priceOutliers(spark, sfDir).cache()
+    assert(df.count() == Tables.part(spark, sfDir).count())
+    assert(df.filter(col("is_outlier") && abs(col("z")) <= 2).count() == 0)
+    // per-category mean of z is ~0
+    val badCat = df.groupBy("p_type").agg(avg("z").as("mz"))
+      .filter(abs(col("mz")) > 1e-3)
+    assert(badCat.count() == 0)
+  }
+
   test("template sections carry exactly product_count ordered retailer ids") {
     val df = graft.operators.EtlTemplates.templateSections(spark, sfDir).cache()
     val bad = df.filter(
