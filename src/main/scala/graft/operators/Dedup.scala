@@ -111,19 +111,24 @@ object Dedup {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // unpivot band keys to (doc_id, band_idx, bk): ONE self-equi-join on
     // the composite bucket key (one shuffle) instead of a join per band.
-    // cache() so the minhash subtree isn't evaluated once per join side
-    // (at cluster scale: persist(MEMORY_AND_DISK) or a checkpoint).
+    // localCheckpoint (not cache) so the minhash subtree isn't evaluated
+    // once per join side AND the blocks are released by the context
+    // cleaner once the result is dropped — cache() entries live in the
+    // session CacheManager forever unless explicitly unpersisted, a slow
+    // leak across a long-lived session running many operators. On a real
+    // cluster prefer reliable checkpoint(): localCheckpoint blocks die
+    // with their executor.
     val sigLong = dedupMinhash(spark, dir)
       .select(col("doc_id"), posexplode(
         array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
-      .cache()
+      .localCheckpoint()
     val pairs = sigLong.select(col("doc_id").as("doc_a"), col("band_idx"), col("bk"))
       .join(sigLong.select(col("doc_id").as("doc_b"), col("band_idx"), col("bk")),
         Seq("band_idx", "bk"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
 
-    val sh = shingles(spark, dir).cache() // read 3× below
+    val sh = shingles(spark, dir).localCheckpoint() // read 3× below
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
@@ -210,14 +215,33 @@ object Dedup {
     * No data ever reaches the driver: the loop condition is a 1-row
     * aggregate.
     */
-  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val jp = dedupNgramJaccard(spark, dir).select("doc_a", "doc_b")
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(dedupNgramJaccard(spark, dir).select("doc_a", "doc_b"))
+
+  /** Min-label propagation over an undirected pair graph
+    * (doc_a, doc_b). Exposed separately from `dedupComponents` so the
+    * loop is testable on degenerate graphs (empty, single edge) without
+    * a corpus. Every iteration `localCheckpoint()`s the new labels:
+    * the eager materialization doubles as the convergence probe's
+    * input, and the truncated lineage keeps plan-analysis time and
+    * lost-executor recovery cost CONSTANT per round instead of growing
+    * one join-aggregate layer per iteration — the thing that kills
+    * iterative jobs at 100× scale. Superseded label RDDs are released
+    * by the context cleaner. On a multi-executor cluster use reliable
+    * `checkpoint()` to survive executor loss.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    // sum over zero rows is null — Option-guard so an edge-free graph
+    // returns an empty labelling instead of an NPE
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum("component")).head().get(0)).fold(0L)(_.asInstanceOf[Long])
+    val jp = pairs.toDF("doc_a", "doc_b")
     val edges = jp.union(jp.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst").localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id")).cache()
-    var prevSum = labels.agg(sum("component")).head().getLong(0)
-    var converged = false
+      .withColumn("component", col("doc_id")).localCheckpoint()
+    var prevSum = labelSum(labels)
+    var converged = labels.isEmpty
     var iter = 0
     while (!converged && iter < 32) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
@@ -226,9 +250,8 @@ object Dedup {
         .select(labels("doc_id"),
           least(labels("component"), coalesce(col("nbr_min"), labels("component")))
             .as("component"))
-        .cache()
-      val s = next.agg(sum("component")).head().getLong(0)
-      labels.unpersist()
+        .localCheckpoint()
+      val s = labelSum(next)
       labels = next
       converged = s == prevSum
       prevSum = s

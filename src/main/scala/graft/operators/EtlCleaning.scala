@@ -137,6 +137,34 @@ object EtlCleaning {
       .orderBy(col("p_partkey"))
   }
 
+  /** MDB catalog ingest stand-in (extraction.py:108-157,
+    * `extract_mdb_from_blob`) — the grocery flow's main entry format.
+    * The reference shells out `mdb-export … Articles` and parses the
+    * resulting CSV; the shell-out is external, and what the engine owns
+    * — exercised end-to-end here — is the Articles CSV contract
+    * ([[graft.sources.Readers.parseMdbArticleLines]]): RFC-4180 quoted
+    * fields with embedded commas, empty field → null, string → typed
+    * coercion. Export lines are synthesized deterministically from
+    * `part` so the oracle can assert parse(line) equals the direct
+    * derivation — a quoting or coercion bug on either side breaks the
+    * match.
+    */
+  def articlesIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Readers
+    val price = when(col("p_size") % 5 === 0, lit(""))
+      .otherwise(col("p_retailprice").cast("decimal(12,2)").cast("string"))
+    val line = concat_ws(",",
+      lpad((col("p_partkey") * 777371L % 1000000000000L).cast("string"), 12, "0"),
+      concat(lit("\""), col("p_name"), lit(", "), col("p_brand"), lit("\"")),
+      price,
+      col("p_size").cast("string"),
+      (col("p_size") % 2).cast("string"))
+    val lines = Tables.part(spark, dir).select(col("p_partkey"), line.as("line"))
+    Readers.parseMdbArticleLines(lines, "line")
+      .select("p_partkey", "article_id", "product_name", "price", "quantity", "is_tax")
+      .orderBy(col("p_partkey"))
+  }
+
   /** Data-quality outlier flagging: per-category price z-scores
     * (population stddev), |z| > 2 flagged. The category stats are one
     * partial-aggregated shuffle over #categories rows, joined back
@@ -164,7 +192,8 @@ object EtlCleaning {
     "etl_column_map_restaurant"  -> (columnMapRestaurant _),
     "etl_column_map_grocery"     -> (columnMapGrocery _),
     "etl_dedup_first"            -> (dedupFirst _),
-    "etl_batch_assign"           -> (batchAssign _))
+    "etl_batch_assign"           -> (batchAssign _),
+    "etl_articles_ingest"        -> (articlesIngest _))
 
   val oracles: Map[String, String] = Map(
     "etl_price_outliers" ->
@@ -217,5 +246,17 @@ object EtlCleaning {
         |  CAST((rn - 1) % 10 AS BIGINT) AS pos_in_batch
         |FROM (SELECT p_partkey, p_name,
         |        row_number() OVER (ORDER BY p_partkey) AS rn FROM part) t
-        |ORDER BY p_partkey""".stripMargin)
+        |ORDER BY p_partkey""".stripMargin,
+    // the oracle derives the expected values DIRECTLY (no CSV text):
+    // if the Spark-side line synthesis + from_csv parse disagrees with
+    // the declared contract in any way, the hashes diverge
+    "etl_articles_ingest" ->
+      """SELECT p_partkey,
+        |  lpad(CAST(p_partkey * 777371 % 1000000000000 AS VARCHAR), 12, '0') AS article_id,
+        |  p_name || ', ' || p_brand AS product_name,
+        |  CASE WHEN p_size % 5 = 0 THEN NULL
+        |       ELSE CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) END AS price,
+        |  CAST(p_size AS DOUBLE) AS quantity,
+        |  (p_size % 2 = 1) AS is_tax
+        |FROM part ORDER BY p_partkey""".stripMargin)
 }

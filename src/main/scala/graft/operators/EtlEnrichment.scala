@@ -105,6 +105,34 @@ object EtlEnrichment {
       .orderBy(col("p_partkey"))
   }
 
+  /** Stage 4 image enrichment (batch_processor.py:782-…, wired into
+    * the stage sequence at 332-333): per-product image search + blob
+    * upload, with the RESULTS JOINED BACK onto the product set as a
+    * pipeline stage. The external search/upload is replaced by a
+    * deterministic md5-derived stub URL — the same public-knowledge
+    * posture as the embeddings stub above — succeeding for a
+    * deterministic ~2/3 of products, so both join branches (found /
+    * not-found) are exercised. The operator under test is the
+    * results-join stage: an equi-join on the product primary key, so at
+    * catalog scale it broadcasts while the result side fits and
+    * degrades to a key-partitioned shuffle join beyond.
+    */
+  def imageEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val base = contentDefaults(spark, dir)
+    val found = base.filter(col("p_partkey") % 3 =!= 0)
+      .select(
+        col("p_partkey").as("ik"),
+        concat(lit("https://blob.example/products/"),
+          md5(concat_ws("|", col("product_name"), col("brand_name"))), lit(".jpg"))
+          .as("image_url"))
+    base.join(found, col("p_partkey") === col("ik"), "left")
+      .select(
+        col("p_partkey"), col("product_name"), col("brand_name"),
+        col("image_url"),
+        col("image_url").isNotNull.as("image_found"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** Stage 5 master-product record construction (batch_processor.py:
     * 964-997): taxonomy names, null image, UPC only for valid grocery
     * barcodes.
@@ -162,6 +190,7 @@ object EtlEnrichment {
     "etl_tax_slab"         -> (taxSlab _),
     "etl_industry_resolve" -> (industryResolve _),
     "etl_embed_products"   -> (embedProducts _),
+    "etl_image_enrich"     -> (imageEnrich _),
     "etl_master_products"  -> (masterProducts _),
     "etl_es_docs"          -> (esDocs _),
     "etl_update_fields"    -> (updateFields _))
@@ -203,6 +232,14 @@ object EtlEnrichment {
         |ORDER BY c_custkey""".stripMargin,
     "etl_embed_products" ->
       s"""SELECT p_partkey, product_name,\n  $embedDimsSql\nFROM ($contentDefaultsSql) t ORDER BY p_partkey""",
+    "etl_image_enrich" ->
+      s"""WITH base AS ($contentDefaultsSql)
+         |SELECT p_partkey, product_name, brand_name,
+         |  CASE WHEN p_partkey % 3 <> 0
+         |       THEN 'https://blob.example/products/' ||
+         |            md5(product_name || '|' || brand_name) || '.jpg' END AS image_url,
+         |  (p_partkey % 3 <> 0) AS image_found
+         |FROM base ORDER BY p_partkey""".stripMargin,
     "etl_master_products" ->
       s"""WITH base AS ($contentDefaultsSql),
          |upcs AS (${EtlMatching.oracles("etl_upc_validate").replace("ORDER BY p_partkey", "")})

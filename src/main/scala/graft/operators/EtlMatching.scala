@@ -116,11 +116,27 @@ object EtlMatching {
   }
 
   /** Stage 2: name-similarity match with threshold + top-match-only
-    * (batch_processor.py:477-556). Blocked on the name's first character
-    * so the join never degenerates into an unblocked cross product;
-    * ranked by (edit distance, master name, master id) and kept when
-    * within the threshold.
+    * (batch_processor.py:477-556). Blocked on a COMPOSITE key —
+    * (first char, ±1 length band) — so the join never degenerates into
+    * an unblocked cross product; ranked by (edit distance, master name,
+    * master id) and kept when within the threshold.
+    *
+    * The prefix alone gives ~36 blocks: too few shuffle keys at 100 TB
+    * (each block is 1/36th of the catalog, a guaranteed hot partition).
+    * The length band is the refinement that scales WITHOUT changing a
+    * single output row: `levenshtein(a,b) <= 6` forces
+    * `|len(a)-len(b)| <= 6`, and with band width 7 (> threshold) any
+    * true match sits in the same or an adjacent bucket — so candidates
+    * exploded to {b-1, b, b+1} (the q_price_band_join pattern) cover
+    * every within-threshold pair the prefix block alone would find.
+    * Block cardinality multiplies by the length spread of the catalog
+    * and hot prefixes split across bands; the oracle stays the pure
+    * declarative prefix-block spec because the band is result-invisible.
+    * Each master carries exactly one band, so the exploded join yields
+    * no duplicate pairs.
     */
+  private val SimLenBand = 7 // band width > threshold ⇒ result-invisible
+
   def similarityMatch(spark: SparkSession, dir: String): DataFrame = {
     val threshold = 6
     val masters = Tables.part(spark, dir)
@@ -128,14 +144,18 @@ object EtlMatching {
       .groupBy(col("p_name").as("master_name"))
       .agg(min(col("p_partkey")).as("master_id"))
       .withColumn("block", substring(col("master_name"), 1, 1))
+      .withColumn("lband", floor(length(col("master_name")) / SimLenBand))
     val candidates = Tables.part(spark, dir)
       .filter(col("p_type") =!= "PROMO")
       .select(
         col("p_partkey"), col("p_name").as("product_name"),
-        substring(col("p_name"), 1, 1).as("block"))
+        substring(col("p_name"), 1, 1).as("block"),
+        floor(length(col("p_name")) / SimLenBand).as("lb0"))
+      .withColumn("lband", explode(array(col("lb0") - 1, col("lb0"), col("lb0") + 1)))
+      .drop("lb0")
     val scored = candidates
-      .join(masters, Seq("block")) // master corpus scales: no hint, the
-      // block key carries the join; CBO broadcasts only while it fits
+      .join(masters, Seq("block", "lband")) // master corpus scales: no hint,
+      // the block key carries the join; CBO broadcasts only while it fits
       .withColumn("distance", levenshtein(col("product_name"), col("master_name")))
       .filter(col("distance") <= threshold)
     val w = Window.partitionBy(col("p_partkey"))

@@ -124,9 +124,12 @@ object Events {
       .na.fill(0L)
       .orderBy(col("day"))
 
-  /** Sketch aggregation: HyperLogLog++ distinct-user estimates next to
-    * the exact count. No DuckDB oracle (different HLL implementation →
-    * rows-only check); the spec bounds the relative error instead.
+  /** Sketch aggregation: HyperLogLog++ distinct-user estimates checked
+    * against the exact count. The raw estimate differs between HLL
+    * implementations, so the oracle-checkable output is the
+    * engine-agnostic claim both engines can assert: the exact count
+    * plus `approx_ok` = (estimate within 5% of exact). DuckDB's
+    * approx_count_distinct makes the same claim on its side.
     * At 100 TB the sketch is mergeable map-side state per partition —
     * the exact count is the thing that stops scaling, not the sketch.
     */
@@ -136,8 +139,11 @@ object Events {
       .agg(
         countDistinct(col("user_id")).as("n_exact"),
         approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
-      .withColumn("rel_err",
-        round(abs(col("n_approx") - col("n_exact")) / col("n_exact"), 6))
+      .select(
+        col("event_type"),
+        col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) / col("n_exact") <= 0.05)
+          .as("approx_ok"))
       .orderBy(col("event_type"))
 
   /** Exact interpolated quantiles of event values per type (p50/p90/
@@ -177,8 +183,8 @@ object Events {
          |  FROM events
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          |), numbered AS (
-         |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |    ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
          |  FROM flagged)
          |SELECT user_id, session_idx, min(ts) AS session_start,
          |  max(ts) AS session_end, count(*) AS n_events,
@@ -187,7 +193,7 @@ object Events {
          |ORDER BY user_id, session_idx""".stripMargin,
     "events_json_kpis" ->
       """SELECT event_type, count(*) AS n_events,
-        |  count(k) AS n_parsed, sum(k) AS sum_k, round(avg(k), 6) AS avg_k
+        |  count(k) AS n_parsed, CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 6) AS avg_k
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS INT) AS k
         |      FROM events)
@@ -208,9 +214,15 @@ object Events {
         |FROM purchases p
         |ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY purchase_id""".stripMargin,
-    // sketch_distinct_users intentionally has NO oracle: DuckDB's
-    // approx_distinct is a different HLL implementation; the driver
-    // records a rows-only check and EventsSpec bounds the error.
+    // Both engines assert the same semantic claim — the HLL estimate is
+    // within 5% of exact — so the differing sketch implementations
+    // never reach the hashed output.
+    "sketch_distinct_users" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_exact,
+        |  abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |    / CAST(count(DISTINCT user_id) AS DOUBLE) <= 0.05 AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_quantiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50,

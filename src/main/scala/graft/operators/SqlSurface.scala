@@ -77,8 +77,8 @@ object SqlSurface {
          |    lpad(CAST(p_partkey * 777371 % 1000000000000 AS VARCHAR), 12, '0') AS code
          |  FROM part)
          |SELECT p_brand, count(*) AS n_parts,
-         |  sum(CASE WHEN (3 * ($odd) + ($even) + ${d(12)}) % 10 = 0
-         |           THEN 1 ELSE 0 END) AS n_valid
+         |  CAST(sum(CASE WHEN (3 * ($odd) + ($even) + ${d(12)}) % 10 = 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
          |FROM coded GROUP BY p_brand ORDER BY p_brand""".stripMargin
     })
 }

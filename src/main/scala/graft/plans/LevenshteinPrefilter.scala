@@ -25,13 +25,17 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] {
   // Idempotent by construction: the rewrite turns the threshold-less
   // Levenshtein(…, None) into Levenshtein(…, Some(k)), which no case
   // matches again. Applies wherever the predicate landed after pushdown
-  // (Filter node, Join condition, …).
+  // (Filter node, Join condition, …). Degenerate thresholds (k < 0, or
+  // k <= 0 for the strict case) are left untouched: the original
+  // predicate is constant-false and other rules may split/reorder the
+  // rewritten conjuncts, which would let a negative-threshold
+  // Levenshtein be evaluated without its length-diff guard.
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case LessThanOrEqual(Levenshtein(a, b, None), k @ Literal(_, IntegerType)) =>
+    case LessThanOrEqual(Levenshtein(a, b, None), k @ Literal(kv: Int, IntegerType)) if kv >= 0 =>
       And(
         LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), k),
         GreaterThanOrEqual(Levenshtein(a, b, Some(k)), Literal(0)))
-    case LessThan(Levenshtein(a, b, None), k @ Literal(kv: Int, IntegerType)) =>
+    case LessThan(Levenshtein(a, b, None), k @ Literal(kv: Int, IntegerType)) if kv > 0 =>
       And(
         LessThan(Abs(Subtract(Length(a), Length(b))), k),
         GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(kv - 1))), Literal(0)))

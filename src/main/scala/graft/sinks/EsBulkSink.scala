@@ -15,14 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object EsBulkSink {
 
-  /** One `line` column holding the action line + the doc line. */
+  /** One `line` column holding the action line + the doc line. The
+    * action line goes through to_json too (never string concatenation):
+    * an `_id` containing a quote or backslash must be escaped or the
+    * NDJSON is malformed. The source doc keeps explicit nulls
+    * (ignoreNullFields=false) to match the reference's bulk payload,
+    * which carries every field.
+    */
   def bulkLines(docs: DataFrame, index: String, idCol: String): DataFrame = {
     val fields = docs.columns.filter(_ != idCol)
-    val action = concat(
-      lit(s"""{"index": {"_index": "$index", "_id": """"),
-      col(idCol).cast("string"),
-      lit("\"}}"))
-    val source = to_json(struct(fields.toIndexedSeq.map(col): _*))
+    val action = to_json(struct(
+      struct(lit(index).as("_index"), col(idCol).cast("string").as("_id")).as("index")))
+    val source = to_json(struct(fields.toIndexedSeq.map(col): _*),
+      Map("ignoreNullFields" -> "false"))
     docs.select(concat(action, lit("\n"), source).as("line"))
   }
 

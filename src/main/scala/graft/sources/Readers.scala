@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** File-format readers mirroring the reference's ingest surface
@@ -59,4 +60,41 @@ object Readers {
 
   def articlesJson(spark: SparkSession, path: String): DataFrame =
     jsonLines(spark, path, articleSchema)
+
+  /** mdb-export Articles contract (extraction.py:108-157,
+    * `extract_mdb_from_blob`: blob → `mdb-export db.mdb Articles` →
+    * CSV). The mdb-export shell-out is an external tool; the part a
+    * Spark engine owns is the POST-export CSV contract: the Access
+    * table's French column names, RFC-4180 quoting (descriptions carry
+    * embedded commas), every field a string at ingest (typing belongs
+    * to the cleaning stage), empty field = null.
+    */
+  val mdbArticlesSchema: StructType = StructType(Seq(
+    StructField("Article", StringType),
+    StructField("Description", StringType),
+    StructField("PrixVente", StringType),
+    StructField("QteMain", StringType),
+    StructField("Taxe2", StringType)))
+
+  /** Read an mdb-export Articles CSV file (header + quoted fields),
+    * malformed rows captured in `_corrupt`.
+    */
+  def mdbArticlesCsv(spark: SparkSession, path: String): DataFrame =
+    csv(spark, path, mdbArticlesSchema.add(StructField("_corrupt", StringType)))
+
+  /** Parse a column holding mdb-export Articles CSV lines into the
+    * typed article columns the grocery flow consumes. Pure per-row
+    * `from_csv` expression work — no shuffle, stays inside whole-stage
+    * codegen, so ingest parsing scales as a map-only stage.
+    */
+  def parseMdbArticleLines(lines: DataFrame, lineCol: String): DataFrame =
+    lines
+      .withColumn("rec",
+        from_csv(col(lineCol), mdbArticlesSchema, Map("mode" -> "PERMISSIVE")))
+      .withColumn("article_id", col("rec.Article"))
+      .withColumn("product_name", col("rec.Description"))
+      .withColumn("price", col("rec.PrixVente").cast("double"))
+      .withColumn("quantity", col("rec.QteMain").cast("double"))
+      .withColumn("is_tax", col("rec.Taxe2") === "1")
+      .drop("rec", lineCol)
 }

@@ -101,19 +101,28 @@ object StreamOps {
       .flatMapGroupsWithState[SessState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
-          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // full microsecond precision (getTime alone drops sub-ms) and
+          // BigDecimal HALF_UP rounding — both must agree with the batch
+          // twin (unix_micros + Spark round), or sessions can split and
+          // sums can round differently at sub-ms gap boundaries
+          def us(e: Ev): Long = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+          def tsOf(micros: Long): java.sql.Timestamp = {
+            val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000)
+            t.setNanos((Math.floorMod(micros, 1000000L) * 1000).toInt)
+            t
+          }
+          def round6(x: Double): Double =
+            BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val evs = it.toSeq.sortBy(e => (us(e), e.event_id))
           var cur = state.getOption
           val closed = Seq.newBuilder[Session]
-          def us(e: Ev): Long = e.ts.getTime * 1000
           evs.foreach { e =>
             cur match {
               case Some(s) if us(e) - s.endUs <= SessionGapMicros =>
                 cur = Some(SessState(s.startUs, us(e), s.n + 1, s.sum + e.value))
               case Some(s) =>
-                closed += Session(userId,
-                  new java.sql.Timestamp(s.startUs / 1000),
-                  new java.sql.Timestamp(s.endUs / 1000), s.n,
-                  math.rint(s.sum * 1e6) / 1e6)
+                closed += Session(userId, tsOf(s.startUs), tsOf(s.endUs), s.n,
+                  round6(s.sum))
                 cur = Some(SessState(us(e), us(e), 1, e.value))
               case None =>
                 cur = Some(SessState(us(e), us(e), 1, e.value))

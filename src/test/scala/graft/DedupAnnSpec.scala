@@ -53,6 +53,40 @@ class DedupAnnSpec extends SparkTestBase {
       comp.select("component").distinct().count())
   }
 
+  test("connectedComponents: empty pair graph yields empty labelling, not an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+
+  test("connectedComponents: chain collapses to min label, separate edge stays apart") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs).cache()
+    assert(comp.count() == 6)
+    val chain = comp.filter(col("doc_id") <= 4L).select("component").distinct().collect()
+    assert(chain.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(comp.filter(col("doc_id") === 11L).head().getAs[Long]("component") == 10L)
+    assert(comp.filter(col("component") === 1L).head().getAs[Long]("component_size") == 4L)
+  }
+
+  test("dedup operators leave no dangling cache entries in the session") {
+    // the multi-read intermediates use localCheckpoint (context-cleaner
+    // reclaimable), never cache(): a long-lived session running many
+    // operators must not accumulate CacheManager entries it can never
+    // drop. A leaked cache would substitute an InMemoryRelation into any
+    // later plan-equal query — probe a fresh plan for exactly that.
+    spark.catalog.clearCache()
+    Dedup.dedupNgramJaccard(spark, sfDir).count()
+    Dedup.dedupComponents(spark, sfDir).count()
+    val probe = Dedup.dedupNgramJaccard(spark, sfDir)
+    val cachedNodes = probe.queryExecution.withCachedData.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cachedNodes.isEmpty,
+      s"dedup run left ${cachedNodes.size} CacheManager entries behind")
+  }
+
   test("dedup_simhash: fingerprints fit in 16 bits") {
     val df = Dedup.dedupSimhash(spark, sfDir)
     val bad = df.filter(col("simhash") < 0 || col("simhash") > 65535)

@@ -72,6 +72,41 @@ class EtlOperatorsSpec extends SparkTestBase {
     assert(df.filter(col("distance") > 6).count() == 0)
   }
 
+  test("similarity length-band blocking is result-invisible vs the pure prefix block") {
+    // reference result: prefix block only (the oracle's declarative spec)
+    val p = Tables.part(spark, sfDir)
+    val masters = p.filter(col("p_type") === "PROMO")
+      .groupBy(col("p_name").as("master_name"))
+      .agg(min(col("p_partkey")).as("master_id"))
+      .withColumn("block", substring(col("master_name"), 1, 1))
+    val cands = p.filter(col("p_type") =!= "PROMO")
+      .select(col("p_partkey"), col("p_name").as("product_name"),
+        substring(col("p_name"), 1, 1).as("block"))
+    val reference = cands.join(masters, Seq("block"))
+      .withColumn("distance", levenshtein(col("product_name"), col("master_name")))
+      .filter(col("distance") <= 6)
+      .select("p_partkey", "master_id", "distance")
+    val banded = EtlMatching.similarityMatch(spark, sfDir)
+    // the banded operator keeps top-1; every reference pair within
+    // threshold must have been a candidate, so the banded top-1 equals
+    // the reference top-1 computed independently
+    val refTop = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_partkey"))
+        .orderBy(col("distance"), col("mn"), col("master_id"))
+      cands.join(masters.withColumnRenamed("master_name", "mn"), Seq("block"))
+        .withColumn("distance", levenshtein(col("product_name"), col("mn")))
+        .filter(col("distance") <= 6)
+        .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("p_partkey"), col("master_id"), col("mn").as("master_name"), col("distance"))
+    }
+    assert(banded.select("p_partkey", "master_id", "master_name", "distance")
+      .exceptAll(refTop).count() == 0)
+    assert(refTop.exceptAll(
+      banded.select("p_partkey", "master_id", "master_name", "distance")).count() == 0)
+  }
+
   test("content defaults fill every taxonomy field") {
     val df = EtlEnrichment.contentDefaults(spark, sfDir)
     Seq("brand_name", "category_name", "subcategory_name", "description").foreach { c =>

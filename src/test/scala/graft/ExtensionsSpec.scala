@@ -77,6 +77,23 @@ class ExtensionsSpec extends SparkTestBase {
     assert(plan.contains("abs("), s"length-difference guard missing from plan:\n$plan")
   }
 
+  test("levenshtein prefilter leaves degenerate thresholds untouched") {
+    // parquet-backed so constant folding can't collapse the plan away
+    val p = Tables.part(spark, sfDir)
+    // k < 0 (<=) and k <= 0 (<): constant-false predicates must not be
+    // rewritten into a negative-threshold banded levenshtein
+    val le = p.filter(levenshtein(col("p_name"), col("p_brand")) <= -1)
+    assert(le.count() == 0)
+    assert(!le.queryExecution.optimizedPlan.toString.contains("Some(-1)"))
+    val lt = p.filter(levenshtein(col("p_name"), col("p_brand")) < 0)
+    assert(lt.count() == 0)
+    assert(!lt.queryExecution.optimizedPlan.toString.contains("Some(-1)"))
+    // strict < with a positive literal still rewrites (k-1 band)
+    val ok = p.filter(levenshtein(col("p_name"), col("p_name")) < 1)
+    assert(ok.count() == p.count())
+    assert(ok.queryExecution.optimizedPlan.toString.contains("Some(0)"))
+  }
+
   test("levenshtein prefilter preserves results (reference filter computed without the rule shape)") {
     import spark.implicits._
     val pairs = Seq(

@@ -40,6 +40,38 @@ class SourcesSinksSpec extends SparkTestBase {
       .select("brand").head().isNullAt(0)) // missing field → null, not failure
   }
 
+  test("mdb-export Articles contract: quoted commas, empty→null, typed coercion") {
+    import spark.implicits._
+    val lines = Seq(
+      (1L, "000000000010,\"Rice, Long Grain\",3.20,7,1"),
+      (2L, "000000000011,Beans,,2,0"))
+      .toDF("id", "line")
+    val parsed = Readers.parseMdbArticleLines(lines, "line").cache()
+    assert(parsed.columns.toSeq ==
+      Seq("id", "article_id", "product_name", "price", "quantity", "is_tax"))
+    val r1 = parsed.filter(col("id") === 1L).head()
+    assert(r1.getAs[String]("product_name") == "Rice, Long Grain") // RFC-4180 quote
+    assert(r1.getAs[Double]("price") == 3.2)
+    assert(r1.getAs[Boolean]("is_tax"))
+    val r2 = parsed.filter(col("id") === 2L).head()
+    assert(r2.isNullAt(r2.fieldIndex("price"))) // empty field → null
+    assert(r2.getAs[Double]("quantity") == 2.0)
+    assert(!r2.getAs[Boolean]("is_tax"))
+  }
+
+  test("mdb-export Articles CSV file reader applies the explicit schema") {
+    val dir = tmpDir("graft-mdb")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/articles.csv"),
+      """Article,Description,PrixVente,QteMain,Taxe2
+        |000000000010,"Rice, Long Grain",3.20,7,1
+        |000000000011,Beans,,2,0
+        |""".stripMargin)
+    val df = Readers.mdbArticlesCsv(spark, s"$dir/articles.csv").cache()
+    assert(df.count() == 2)
+    assert(df.filter(col("Description") === "Rice, Long Grain").count() == 1)
+    assert(df.filter(col("_corrupt").isNotNull).count() == 0)
+  }
+
   test("ES bulk sink writes two NDJSON lines per document, id in the action line") {
     import spark.implicits._
     val docs = Seq(
@@ -53,8 +85,8 @@ class SourcesSinksSpec extends SparkTestBase {
     assert(lines.length == 4)
     val actions = lines.filter(_.startsWith("""{"index":"""))
     assert(actions.length == 2)
-    assert(actions.exists(_.contains(""""_id": "p1"""")))
-    assert(actions.forall(_.contains(""""_index": "products"""")))
+    assert(actions.exists(_.contains(""""_id":"p1"""")))
+    assert(actions.forall(_.contains(""""_index":"products"""")))
     // doc lines are valid JSON with the non-id fields
     val docsBack = spark.read.json(
       spark.createDataset(lines.filterNot(_.startsWith("""{"index":"""))))

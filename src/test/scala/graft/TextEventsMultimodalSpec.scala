@@ -92,11 +92,15 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(total == Tables.events(spark, sfDir).count())
   }
 
-  test("sketch_distinct_users: HLL estimate within the configured error band") {
+  test("sketch_distinct_users: HLL estimate within the declared error band") {
     val df = Events.sketchDistinctUsers(spark, sfDir).cache()
     assert(df.count() == 5)
-    // rsd 0.02 → generous 10% ceiling for small groups
-    assert(df.filter(col("rel_err") > 0.10).count() == 0)
+    // rsd 0.02 → the 5% approx_ok bound must hold for every group, and
+    // n_exact must equal an independent exact count
+    assert(df.filter(!col("approx_ok")).count() == 0)
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+    assert(df.join(exact, "event_type").filter(col("n_exact") =!= col("n")).count() == 0)
   }
 
   test("events_asof_join: click is the latest at-or-before the purchase") {

@@ -64,7 +64,20 @@ for name in names:
             fails += 1
         continue
     try:
-        exp = con.sql(oracle[name]).df()
+        rel = con.sql(oracle[name])
+        # oracle-type lint: DuckDB sum(INTEGER) returns HUGEINT, which
+        # pandas renders float64 → the driver's value hash sees 996797.0
+        # vs Spark's 996797 and fails despite identical values. Any
+        # HUGEINT column means a missing CAST(... AS BIGINT) in the
+        # oracle SQL — fail loudly here, at dev time.
+        huge = [c for c, t in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(t).upper()]
+        if huge:
+            print(f"FAIL {name}: oracle columns {huge} are HUGEINT "
+                  f"(add CAST(... AS BIGINT) — driver hash would differ)")
+            fails += 1
+            continue
+        exp = rel.df()
     except Exception as e:
         print(f"FAIL {name}: oracle SQL error: {e}")
         fails += 1
@@ -72,6 +85,17 @@ for name in names:
     g, e = canon(got), canon(exp)
     if list(g.columns) != list(e.columns):
         print(f"FAIL {name}: columns {list(g.columns)} != {list(e.columns)}")
+        fails += 1
+        continue
+    # dtype-kind lint: int-vs-float between the two sides hashes
+    # differently in the driver even when values are numerically equal
+    kind_bad = [c for c in g.columns
+                if g[c].dtype.kind in "if" and e[c].dtype.kind in "if"
+                and (g[c].dtype.kind == "f") != (e[c].dtype.kind == "f")]
+    if kind_bad:
+        print(f"FAIL {name}: int/float dtype mismatch on {kind_bad} "
+              f"(spark={[str(g[c].dtype) for c in kind_bad]}, "
+              f"duck={[str(e[c].dtype) for c in kind_bad]})")
         fails += 1
         continue
     if len(g) != len(e):
