@@ -72,6 +72,27 @@ class SourcesSinksSpec extends SparkTestBase {
     assert(df.filter(col("_corrupt").isNotNull).count() == 0)
   }
 
+  test("ES bulk response accounting: ok/permanent/retryable split and retry queue") {
+    import spark.implicits._
+    val items = Seq(
+      (0L, """{"index": {"_id": "p1", "status": 201}}"""),
+      (0L, """{"index": {"_id": "p2", "status": 429}}"""),
+      (0L, """{"index": {"_id": "p3", "status": 400, "error": {"type": "mapper_parsing_exception", "reason": "bad field"}}}"""),
+      (1L, """{"index": {"_id": "p4", "status": 200}}"""),
+      (1L, """{"index": {"_id": "p5", "status": 503}}"""))
+      .toDF("batch_id", "line")
+    val acct = EsBulkSink.bulkAccounting(items, "batch_id", "line")
+      .orderBy("batch_id").collect()
+    assert(acct.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((0L, 3L, 1L, 1L, 1L), (1L, 2L, 1L, 0L, 1L)))
+    val retry = EsBulkSink.retryQueue(items, "line").as[String].collect().sorted.toSeq
+    assert(retry == Seq("p2", "p5"))
+    // permanent failures surface their error type
+    val parsed = EsBulkSink.parseBulkResponseItems(items, "line")
+    assert(parsed.filter(col("_id") === "p3").head()
+      .getAs[String]("error_type") == "mapper_parsing_exception")
+  }
+
   test("ES bulk sink writes two NDJSON lines per document, id in the action line") {
     import spark.implicits._
     val docs = Seq(
