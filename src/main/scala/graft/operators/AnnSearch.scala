@@ -34,11 +34,19 @@ object AnnSearch {
   /** Every 50th vector is a query point. */
   private val QueryFilter = "vec_id % 50 = 0"
 
+  /** Dot product via the native codegen'd [[graft.functions.DotProduct]]
+    * expression (session-registered as `vec_dot`). The higher-order
+    * `aggregate(zip_with(...))` formulation computes the same value in
+    * the same summation order but interprets its lambdas per element —
+    * 64 boxed closure calls per candidate pair, and pair count is the
+    * thing that scales. The native loop stays inside whole-stage
+    * codegen.
+    */
   private[operators] def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+    call_function("vec_dot", x, y)
 
-  /** Cosine similarity of two array<double> columns — codegen'd
-    * higher-order functions, no UDF.
+  /** Cosine similarity of two array<double> columns — native codegen'd
+    * expression work, no UDF.
     */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -91,9 +99,7 @@ object AnnSearch {
   /** Bucket key: concatenated sign bits of the 8 plane projections. */
   private def bucket(v: Column): Column = {
     val bits = planes.map { pl =>
-      val proj = aggregate(
-        zip_with(v, typedLit(pl), (x, c) => x * c), lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, "1").otherwise("0")
+      when(dot(v, typedLit(pl)) > 0, "1").otherwise("0")
     }
     concat(bits: _*)
   }

@@ -73,7 +73,15 @@ object Dedup {
     * exploded shingle relation → map-side partial min, one shuffle on
     * doc_id.
     */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashFromShingles(shingles(spark, dir)).orderBy(col("doc_id"))
+
+  /** The minhash aggregation over an existing shingle relation —
+    * factored out so `dedupNgramJaccard` can feed the SAME materialized
+    * shingles to signature generation and to Jaccard verification (one
+    * corpus explode instead of two), and without the presentation sort.
+    */
+  private def minhashFromShingles(sh: DataFrame): DataFrame = {
     val mins = (0 until NumHashes).map { j =>
       min(hj(col("g"), j)).as(s"m$j")
     }
@@ -81,12 +89,11 @@ object Dedup {
       val parts = (0 until BandSize).map(i => col(s"m${b * BandSize + i}").cast("string"))
       substring(md5(concat_ws(",", parts: _*)), 1, 16).as(s"band$b")
     }
-    shingles(spark, dir)
+    sh
       .select(col("doc_id"), h32(col("gram")).as("g"))
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id") +: (0 until NumHashes).map(j => col(s"m$j")) ++: bands: _*)
-      .orderBy(col("doc_id"))
   }
 
   private val minhashCte: String = {
@@ -109,16 +116,19 @@ object Dedup {
     * relation to count the exact intersection.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // unpivot band keys to (doc_id, band_idx, bk): ONE self-equi-join on
-    // the composite bucket key (one shuffle) instead of a join per band.
-    // localCheckpoint (not cache) so the minhash subtree isn't evaluated
-    // once per join side AND the blocks are released by the context
-    // cleaner once the result is dropped — cache() entries live in the
-    // session CacheManager forever unless explicitly unpersisted, a slow
-    // leak across a long-lived session running many operators. On a real
+    // ONE corpus explode: the same materialized shingle relation feeds
+    // signature generation AND Jaccard verification (read 4× below).
+    // localCheckpoint (not cache) so the subtree isn't evaluated once
+    // per read AND the blocks are released by the context cleaner once
+    // the result is dropped — cache() entries live in the session
+    // CacheManager forever unless explicitly unpersisted, a slow leak
+    // across a long-lived session running many operators. On a real
     // cluster prefer reliable checkpoint(): localCheckpoint blocks die
     // with their executor.
-    val sigLong = dedupMinhash(spark, dir)
+    val sh = shingles(spark, dir).localCheckpoint()
+    // unpivot band keys to (doc_id, band_idx, bk): ONE self-equi-join on
+    // the composite bucket key (one shuffle) instead of a join per band
+    val sigLong = minhashFromShingles(sh)
       .select(col("doc_id"), posexplode(
         array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
       .localCheckpoint()
@@ -128,7 +138,6 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
 
-    val sh = shingles(spark, dir).localCheckpoint() // read 3× below
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")

@@ -1,12 +1,13 @@
 package graft.plans
 
-import graft.functions.UpcValid
+import graft.functions.{DotProduct, UpcValid}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** Session extension wiring for the engine's native pieces:
   *  - SQL function `upc_valid` → the codegen'd [[UpcValid]] expression;
+  *  - SQL function `vec_dot` → the codegen'd [[DotProduct]] expression;
   *  - the [[LevenshteinPrefilter]] optimizer rule.
   *
   * Activate with
@@ -19,6 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[UpcValid].getName, "upc_valid"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         UpcValid(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
   }
 }

@@ -82,6 +82,27 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Session aggregation via the BUILT-IN `session_window` (the
+    * compose-existing-ops tier: state-store managed, merges overlapping
+    * windows, watermark expires closed sessions — preferred over custom
+    * `flatMapGroupsWithState` whenever per-session output is just
+    * aggregates). The custom [[sessionize]] below remains for the
+    * reference's richer semantics (explicit close events, custom state
+    * shape); both use the same 30-minute gap so the spec can cross-check
+    * them. Works on batch OR streaming input.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,

@@ -60,6 +60,32 @@ class ExtensionsSpec extends SparkTestBase {
     assert(recheck.count() == 0)
   }
 
+  test("vec_dot native expression agrees with the higher-order-function fold") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(100)
+    val hof = aggregate(zip_with(col("v"), col("v"), (u, w) => u * w),
+      lit(0.0), (acc, x) => acc + x)
+    // bit-identical, not just close: same left-to-right summation order
+    val diff = e.select(call_function("vec_dot", col("v"), col("v")).as("native"), hof.as("fold"))
+      .filter(col("native") =!= col("fold"))
+    assert(diff.count() == 0)
+    // null array and null element both yield null (fold semantics)
+    val edge = Seq(
+      (Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(3.0), Some(4.0)))),
+      (None, Some(Seq(Some(1.0)))),
+      (Some(Seq(Some(1.0), None)), Some(Seq(Some(1.0), Some(1.0)))))
+      .toDF("a", "b")
+      .select(call_function("vec_dot", col("a"), col("b")).as("d"))
+      .collect()
+    assert(edge(0).getDouble(0) == 11.0)
+    assert(edge(1).isNullAt(0) && edge(2).isNullAt(0))
+    // callable from SQL through the same registry
+    assert(spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .head().getDouble(0) == 11.0)
+  }
+
   test("SQL surface: text queries run through the same session, upc_valid callable from SQL") {
     val rev = graft.operators.SqlSurface.revenueByNation(spark, sfDir)
     assert(rev.count() > 0 && rev.count() <= 25) // at most one row per nation

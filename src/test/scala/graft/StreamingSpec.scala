@@ -64,6 +64,48 @@ class StreamingSpec extends SparkTestBase {
     assert(s.sum_value == 3.0)
   }
 
+  test("built-in session_window sessions agree with the custom sessionizer on start/count/sum") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Ev(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 00:10:00"), 1, "view", 2.0),
+      Ev(3, ts("2024-01-01 01:00:00"), 1, "click", 5.0), // 50-min gap → new session
+      Ev(4, ts("2024-01-01 00:02:00"), 2, "click", 9.0))
+
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.sessionWindows(stream.toDF())
+      .writeStream.format("memory").queryName("sw").outputMode("append").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      // push the watermark past every session's close
+      stream.addData(Ev(5, ts("2024-01-01 05:00:00"), 3, "click", 0.5))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sw").filter(col("user_id") <= 2)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      (1L, ts("2024-01-01 00:00:00"), 2L, 3.0),
+      (1L, ts("2024-01-01 01:00:00"), 1L, 5.0),
+      (2L, ts("2024-01-01 00:02:00"), 1L, 9.0)))
+
+    // the custom sessionizer emits the closed subset with identical
+    // (user, start, count, sum) — same 30-min gap rule
+    val custom = MemoryStream[Ev]
+    val q2 = StreamOps.sessionize(custom.toDS())
+      .writeStream.format("memory").queryName("sw_custom").outputMode("append").start()
+    try {
+      custom.addData(events)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val closed = spark.table("sw_custom").as[Session].collect()
+      .map(s => (s.user_id, s.session_start, s.n_events, s.sum_value)).toSet
+    assert(closed.subsetOf(got.map(t => (t._1, t._2, t._3, t._4))))
+    assert(closed.contains((1L, ts("2024-01-01 00:00:00"), 2L, 3.0)))
+  }
+
   test("streaming ES bulk sink writes one bulk payload per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
