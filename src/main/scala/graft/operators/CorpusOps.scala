@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation operators — the selection/hygiene passes a
+  * training-data pipeline runs between dedup and training: stratified
+  * sampling, per-source token budgeting, PII scrubbing, and benchmark
+  * decontamination. (The reference curates a product catalog the same
+  * way at item granularity: deterministic filters + defaulting,
+  * batch_processor.py:572-726; these are the corpus-scale analogues.)
+  *
+  * Sampling and scrubbing are scan→project (no shuffle); budgeting is
+  * one shuffle on source; decontamination is one gram-keyed join
+  * against a broadcast benchmark gram set. All selection is
+  * hash-deterministic, never random: reruns and engines agree
+  * bit-for-bit, and a document's fate never changes as the corpus
+  * around it grows.
+  */
+object CorpusOps {
+
+  /** 32-bit md5-derived hash, stable across engines (same family as
+    * Dedup/Pipeline).
+    */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("bigint")
+  private def h32Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+
+  /** Per-language sampling rates out of 1000 — the mixture knob:
+    * downsample the dominant language, keep the tail whole.
+    */
+  private val SampleRates: Map[String, Int] =
+    Map("en" -> 400).withDefaultValue(1000)
+  private val RateSql =
+    "CASE WHEN lang = 'en' THEN 400 ELSE 1000 END"
+
+  /** Stratified (per-language) deterministic sampling: a document is
+    * kept iff its id-hash bucket falls under the language's rate. No
+    * shuffle, no RNG — membership is a pure function of (doc_id, lang),
+    * so the sample is reproducible and only ever GROWS as new docs
+    * arrive (existing decisions never flip). At 100 TB this is a
+    * map-only filter pass.
+    */
+  def corpusSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val rate = SampleRates.foldLeft(lit(1000)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("bucket", h32(concat(lit("sample:"), col("doc_id"))) % 1000)
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source token budget: order each source's documents by length
+    * (longest first, id tie-break) and keep documents while the running
+    * token total stays within the budget — the "data mixture" cut that
+    * caps each source's contribution. One shuffle on source. Source
+    * cardinality bounds parallelism here; at 100 TB with few huge
+    * sources, switch to the two-phase range-partitioned numbering used
+    * by `etl_batch_assign` (per-partition windows + broadcast offsets)
+    * — same output, no single-task source.
+    */
+  private val TokenBudget = 1000L
+
+  def corpusTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(split(trim(col("text")), "\\s+")).cast("bigint")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", nTok)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII patterns, identical semantics in Java regex and RE2. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+?[0-9][0-9()\\- ]{8,14}[0-9]"
+
+  /** PII scrubbing: emails/phones replaced with typed placeholders.
+    * The driver corpus is clean text, so PII is INJECTED on a
+    * deterministic subset first (same synthesis pattern as the ETL
+    * null-gap operators) — the scrub then has real work to do and the
+    * oracle checks both the redaction and the counts. Map-only pass.
+    */
+  def corpusPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1 (555) 010-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(col("text"))
+    Tables.documents(spark, dir)
+      .withColumn("raw", withPii)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0))).as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("scrubbed_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination: flag documents sharing any word 5-gram
+    * with the benchmark set (here: doc_id < 20 stands in for an eval
+    * benchmark). The benchmark gram set is tiny relative to the corpus
+    * → broadcast semi-join on the gram hash; corpus grams stream
+    * through map-side, no corpus shuffle. Exactly the plan shape
+    * n-gram decontamination has at 100 TB (benchmark suites are MBs).
+    */
+  private val ContamN = 5
+
+  private def grams(df: DataFrame, n: Int): DataFrame =
+    df.select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      // guard: sequence(1, k) with k < 1 generates a DESCENDING range in
+      // Spark; documents shorter than n grams simply contribute none
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(toks) - ${n - 1})," +
+          s" i -> concat_ws(' ', slice(toks, i, $n))))")).as("gram"))
+
+  def corpusDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = grams(docs.filter(col("doc_id") < 20), ContamN)
+      .select(col("gram")).distinct()
+    val contaminated = grams(docs.filter(col("doc_id") >= 20), ContamN)
+      .join(broadcast(bench), "gram")
+      .select(col("doc_id")).distinct()
+      .withColumn("is_contaminated", lit(true))
+    docs.filter(col("doc_id") >= 20)
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("source"),
+        coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_sample_stratified" -> (corpusSampleStratified _),
+    "corpus_token_budget"      -> (corpusTokenBudget _),
+    "corpus_pii_scrub"         -> (corpusPiiScrub _),
+    "corpus_decontaminate"     -> (corpusDecontaminate _))
+
+  private def gramsCte(src: String, n: Int) =
+    s"""SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS gram
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM ($src) s) d,
+       |       unnest(generate_series(1, len(toks) - ${n - 1})) t(i))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "corpus_sample_stratified" ->
+      s"""SELECT doc_id, lang,
+         |  ${h32Sql("'sample:' || doc_id")} % 1000 AS bucket
+         |FROM documents
+         |WHERE ${h32Sql("'sample:' || doc_id")} % 1000 < ($RateSql)
+         |ORDER BY doc_id""".stripMargin,
+    "corpus_token_budget" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |cum AS (
+         |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY n_tokens DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM sized)
+         |SELECT doc_id, source, n_tokens, cum_tokens FROM cum
+         |WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""".stripMargin,
+    "corpus_pii_scrub" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN text || ' contact user' || doc_id ||
+         |              '@example.com or +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |         ELSE text END AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(raw, '$EmailRe')) AS n_emails,
+         |  len(regexp_extract_all(raw, '$PhoneRe')) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(raw, '$EmailRe', '<EMAIL>', 'g'),
+         |      '$PhoneRe', '<PHONE>', 'g')) AS scrubbed_hash
+         |FROM raw ORDER BY doc_id""".stripMargin,
+    "corpus_decontaminate" ->
+      s"""WITH bench AS (
+         |  SELECT DISTINCT gram FROM (${gramsCte("SELECT * FROM documents WHERE doc_id < 20", ContamN)})
+         |), corpus_grams AS (
+         |  ${gramsCte("SELECT * FROM documents WHERE doc_id >= 20", ContamN)}
+         |), contaminated AS (
+         |  SELECT DISTINCT cg.doc_id FROM corpus_grams cg JOIN bench b ON cg.gram = b.gram)
+         |SELECT d.doc_id, d.source,
+         |  (c.doc_id IS NOT NULL) AS is_contaminated
+         |FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+         |WHERE d.doc_id >= 20
+         |ORDER BY d.doc_id""".stripMargin)
+}

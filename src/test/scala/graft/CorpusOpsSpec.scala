@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.CorpusOps
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkTestBase {
+
+  test("every corpus op returns rows") {
+    CorpusOps.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("stratified sample: english downsampled, tail languages kept whole") {
+    val docs = Tables.documents(spark, sfDir).cache()
+    val sample = CorpusOps.corpusSampleStratified(spark, sfDir).cache()
+    val byLang = docs.groupBy("lang").count()
+      .withColumnRenamed("count", "n_all")
+      .join(sample.groupBy("lang").count().withColumnRenamed("count", "n_kept"),
+        Seq("lang"), "left")
+      .na.fill(0L, Seq("n_kept")).collect()
+      .map(r => r.getAs[String]("lang") -> (r.getAs[Long]("n_all"), r.getAs[Long]("n_kept"))).toMap
+    val (enAll, enKept) = byLang("en")
+    assert(enKept < enAll, "english must be downsampled")
+    assert(math.abs(enKept.toDouble / enAll - 0.4) < 0.15, s"en rate ${enKept.toDouble / enAll}")
+    byLang.filterNot(_._1 == "en").foreach { case (lang, (all, kept)) =>
+      assert(kept == all, s"$lang should be kept whole")
+    }
+    // membership is deterministic: rerun yields the identical sample
+    assert(sample.exceptAll(CorpusOps.corpusSampleStratified(spark, sfDir)).count() == 0)
+  }
+
+  test("token budget: per-source cumulative totals never exceed the budget, longest first") {
+    val df = CorpusOps.corpusTokenBudget(spark, sfDir).cache()
+    assert(df.filter(col("cum_tokens") > 1000L).count() == 0)
+    // within a source, kept docs are a prefix of the length-desc ordering:
+    // every kept doc is at least as long as any dropped doc... ties aside,
+    // check the weaker invariant directly: cum_tokens is consistent
+    val bad = df.groupBy("source")
+      .agg(sum("n_tokens").as("s"), max("cum_tokens").as("m"))
+      .filter(col("s") =!= col("m"))
+    assert(bad.count() == 0)
+  }
+
+  test("pii scrub: injected emails/phones are found and redacted") {
+    val df = CorpusOps.corpusPiiScrub(spark, sfDir).cache()
+    val injected = df.filter(col("doc_id") % 7 === 0)
+    assert(injected.filter(col("n_emails") < 1).count() == 0)
+    assert(injected.filter(col("n_phones") < 1).count() == 0)
+    val clean = df.filter(col("doc_id") % 7 =!= 0)
+    assert(clean.filter(col("n_emails") > 0).count() == 0)
+  }
+
+  test("decontamination: benchmark docs' near-copies are flagged, benchmark excluded") {
+    val df = CorpusOps.corpusDecontaminate(spark, sfDir).cache()
+    assert(df.filter(col("doc_id") < 20).count() == 0)
+    assert(df.count() == Tables.documents(spark, sfDir).filter(col("doc_id") >= 20).count())
+    // exact duplicates of benchmark docs (same content hash) must be flagged
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
+    val benchHashes = docs.filter(col("doc_id") < 20).select("h").distinct()
+    val dupOfBench = docs.filter(col("doc_id") >= 20).join(benchHashes, "h").select("doc_id")
+    val missed = dupOfBench.join(df.filter(!col("is_contaminated")), "doc_id")
+    assert(missed.count() == 0)
+  }
+}
