@@ -54,6 +54,20 @@ object Events {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** The BUILT-IN `session_window` sessionizer as an oracle-checked
+    * batch query — the compose-existing-ops tier next to the
+    * gaps-and-islands formulation above (both 30-min gap). Checkable
+    * columns are (user, start, count, sum): the built-in window's end
+    * is last-event + gap by definition, not the last event time.
+    * Boundary note: `session_window` starts a new session at
+    * diff >= gap where the lag formulation uses strict >; the oracle
+    * encodes >= (the built-in's semantics) — the two differ only for
+    * microsecond-exact 30-minute gaps.
+    */
+  def eventsSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.sessionWindows(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** Embedded-JSON extraction (the reference's JSON-blob ingest path,
     * ops/extraction.py json.loads): `props` is parsed with an EXPLICIT
     * schema via from_json — never schema inference, which would cost a
@@ -166,6 +180,7 @@ object Events {
     "sketch_distinct_users" -> (sketchDistinctUsers _),
     "events_hourly"       -> (eventsHourly _),
     "events_sessionize"   -> (eventsSessionize _),
+    "events_session_window" -> (eventsSessionWindow _),
     "events_json_kpis"    -> (eventsJsonKpis _),
     "events_asof_join"    -> (eventsAsofJoin _))
 
@@ -191,6 +206,21 @@ object Events {
          |  round(sum(value), 6) AS sum_value
          |FROM numbered GROUP BY user_id, session_idx
          |ORDER BY user_id, session_idx""".stripMargin,
+    "events_session_window" ->
+      s"""WITH flagged AS (
+         |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+         |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= $SessionGapMicros
+         |    THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), numbered AS (
+         |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+         |  FROM flagged)
+         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+         |  round(sum(value), 6) AS sum_value
+         |FROM numbered GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_start""".stripMargin,
     "events_json_kpis" ->
       """SELECT event_type, count(*) AS n_events,
         |  count(k) AS n_parsed, CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 6) AS avg_k
