@@ -80,8 +80,8 @@ object CorpusOps {
   }
 
   /** PII patterns, identical semantics in Java regex and RE2. */
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRe = "\\+?[0-9][0-9()\\- ]{8,14}[0-9]"
+  private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val PhoneRe = "\\+?[0-9][0-9()\\- ]{8,14}[0-9]"
 
   /** PII scrubbing: emails/phones replaced with typed placeholders.
     * The driver corpus is clean text, so PII is INJECTED on a
@@ -114,7 +114,7 @@ object CorpusOps {
     */
   private val ContamN = 5
 
-  private def grams(df: DataFrame, n: Int): DataFrame =
+  private[operators] def grams(df: DataFrame, n: Int): DataFrame =
     df.select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       // guard: sequence(1, k) with k < 1 generates a DESCENDING range in
       // Spark; documents shorter than n grams simply contribute none

@@ -100,10 +100,78 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** The FULL curation pipeline as one Catalyst plan: PII scrub →
+    * quality gate → exact dedup → benchmark decontamination →
+    * stratified sample → split assignment. The corpus is shuffled
+    * EXACTLY ONCE end-to-end (the dedup window on content hash):
+    * scrub/gate/sample/split are narrow projections, and the
+    * decontamination side produces a small contaminated-id set through
+    * a broadcast gram join that comes back as a broadcast anti-join —
+    * the corpus itself never moves for it. Stage order follows the
+    * curation convention: redact before anything hashes content, gate
+    * before the shuffle so only survivors pay for it.
+    */
+  def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // synthetic PII injection (deterministic subset) so the scrub is
+    // exercised — same synthesis as corpus_pii_scrub
+    val withPii = when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1 (555) 010-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(col("text"))
+    val nPii = size(regexp_extract_all(col("raw"), lit(CorpusOps.EmailRe), lit(0))) +
+      size(regexp_extract_all(col("raw"), lit(CorpusOps.PhoneRe), lit(0)))
+    val scrub = regexp_replace(regexp_replace(col("raw"), CorpusOps.EmailRe, "<EMAIL>"),
+      CorpusOps.PhoneRe, "<PHONE>")
+    val toks = split(lower(trim(col("clean"))), "\\s+")
+    val stopHits = size(filter(toks, x =>
+      array_contains(typedLit(Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")), x)))
+    val gated = docs
+      .withColumn("raw", withPii)
+      .withColumn("n_pii", nPii)
+      .withColumn("clean", scrub)
+      .withColumn("n_tokens", size(toks))
+      .withColumn("stop_hits", stopHits)
+      .filter(col("n_tokens") >= 20 && col("stop_hits") > 0)
+    // the ONE corpus shuffle: dedup window on normalized content hash
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    val deduped = gated
+      .withColumn("content_hash", md5(regexp_replace(lower(trim(col("clean"))), "\\s+", " ")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    // benchmark decontamination: contaminated ids via broadcast gram
+    // join, removed with a broadcast anti-join — no corpus shuffle
+    val bench = CorpusOps.grams(
+      docs.select(col("doc_id"), col("text")).filter(col("doc_id") < 20), 5)
+      .select(col("gram")).distinct()
+    val contaminated = CorpusOps.grams(
+      docs.select(col("doc_id"), col("text")).filter(col("doc_id") >= 20), 5)
+      .join(broadcast(bench), "gram")
+      .select(col("doc_id")).distinct()
+    val sampleBucket = conv(substring(md5(concat(lit("sample:"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("bigint") % 1000
+    val splitBucket = conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("bigint") % 100
+    deduped
+      .filter(col("doc_id") >= 20)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .withColumn("sb", sampleBucket)
+      .filter(col("sb") < when(col("lang") === "en", 400).otherwise(1000))
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        col("n_pii").cast("bigint").as("n_pii"),
+        col("content_hash"),
+        when(splitBucket < 80, "train").when(splitBucket < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "etl_pipeline_e2e" -> (endToEnd _),
-    "corpus_prep_e2e"  -> (corpusPrep _),
-    "corpus_split"     -> (corpusSplit _))
+    "etl_pipeline_e2e"  -> (endToEnd _),
+    "corpus_prep_e2e"   -> (corpusPrep _),
+    "corpus_curate_e2e" -> (corpusCurate _),
+    "corpus_split"      -> (corpusSplit _))
 
   val oracles: Map[String, String] = Map(
     "etl_pipeline_e2e" -> {
@@ -148,6 +216,51 @@ object Pipeline {
         |SELECT doc_id, lang, n_tokens, content_hash,
         |  CAST(('0x' || substr(content_hash, 1, 15)) AS BIGINT) AS fp60
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "corpus_curate_e2e" -> {
+      val gram5 =
+        """SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+          |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents) d,
+          |     unnest(generate_series(1, len(toks) - 4)) t(i)""".stripMargin
+      s"""WITH raw AS (
+         |  SELECT *, CASE WHEN doc_id % 7 = 0
+         |       THEN text || ' contact user' || doc_id ||
+         |            '@example.com or +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |       ELSE text END AS rawtext
+         |  FROM documents),
+         |scrubbed AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len(regexp_extract_all(rawtext, '${CorpusOps.EmailRe}')) +
+         |         len(regexp_extract_all(rawtext, '${CorpusOps.PhoneRe}')) AS BIGINT) AS n_pii,
+         |    regexp_replace(regexp_replace(rawtext, '${CorpusOps.EmailRe}', '<EMAIL>', 'g'),
+         |        '${CorpusOps.PhoneRe}', '<PHONE>', 'g') AS clean
+         |  FROM raw),
+         |gated AS (
+         |  SELECT *, CAST(len(string_split_regex(lower(trim(clean)), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM scrubbed
+         |  WHERE len(string_split_regex(lower(trim(clean)), '\\s+')) >= 20
+         |    AND len(list_filter(string_split_regex(lower(trim(clean)), '\\s+'),
+         |        x -> list_contains(['the','a','and','of','to','in','is','it','for','on'], x))) > 0),
+         |deduped AS (
+         |  SELECT * FROM (
+         |    SELECT *, md5(regexp_replace(lower(trim(clean)), '\\s+', ' ', 'g')) AS content_hash,
+         |      row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(clean)), '\\s+', ' ', 'g'))
+         |        ORDER BY doc_id) AS rn
+         |    FROM gated) WHERE rn = 1),
+         |bench AS (SELECT DISTINCT gram FROM ($gram5) g WHERE doc_id < 20),
+         |contaminated AS (
+         |  SELECT DISTINCT cg.doc_id FROM ($gram5) cg
+         |  JOIN bench b ON cg.gram = b.gram WHERE cg.doc_id >= 20)
+         |SELECT doc_id, lang, source, n_tokens, n_pii, content_hash,
+         |  CASE WHEN CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+         |       WHEN CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM deduped d
+         |WHERE doc_id >= 20
+         |  AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+         |  AND CAST(('0x' || substr(md5('sample:' || doc_id), 1, 8)) AS BIGINT) % 1000
+         |      < (CASE WHEN lang = 'en' THEN 400 ELSE 1000 END)
+         |ORDER BY doc_id""".stripMargin
+    },
     "corpus_split" ->
       """SELECT doc_id,
         |  CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 AS bucket,

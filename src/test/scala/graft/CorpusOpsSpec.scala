@@ -51,6 +51,32 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(clean.filter(col("n_emails") > 0).count() == 0)
   }
 
+  test("corpus_curate_e2e: one corpus shuffle, broadcast-only joins, gates composed correctly") {
+    // plan audit BEFORE any execution/caching: the pre-AQE plan carries
+    // exactly one copy of each exchange
+    spark.catalog.clearCache()
+    val plan = graft.operators.Pipeline.corpusCurate(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the corpus is never shuffle-joined: every join is broadcast
+    // (decon id set + bench grams are tiny by design)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus got shuffle-joined:\n$plan")
+    // hash exchanges: dedup window (corpus) + the two small distinct
+    // sets on the decon side — never more
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges <= 3, s"$hashExchanges hash exchanges:\n$plan")
+    val df = graft.operators.Pipeline.corpusCurate(spark, sfDir).cache()
+    assert(df.count() > 0)
+    // gates compose: no benchmark docs, no contaminated docs, no PII
+    // text survives, splits are valid
+    assert(df.filter(col("doc_id") < 20).count() == 0)
+    val contaminated = CorpusOps.corpusDecontaminate(spark, sfDir)
+      .filter(col("is_contaminated")).select("doc_id")
+    assert(df.join(contaminated, "doc_id").count() == 0)
+    assert(df.filter(!col("split").isin("train", "val", "test")).count() == 0)
+    assert(df.filter(col("doc_id") % 7 === 0 && col("n_pii") < 2).count() == 0)
+  }
+
   test("decontamination: benchmark docs' near-copies are flagged, benchmark excluded") {
     val df = CorpusOps.corpusDecontaminate(spark, sfDir).cache()
     assert(df.filter(col("doc_id") < 20).count() == 0)
