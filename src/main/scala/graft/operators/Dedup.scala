@@ -153,6 +153,38 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Signature-ESTIMATED Jaccard for the LSH candidate pairs: the
+    * fraction of agreeing minhash components is an unbiased estimate of
+    * the true Jaccard, computed from the 16-value signatures alone — no
+    * shingle join, no second corpus pass. At 100 TB this estimate IS
+    * the dedup filter (the signature relation is tiny next to the
+    * shingle relation); exact verification (`dedupNgramJaccard`) runs
+    * only on survivors when bit-exact decisions are required.
+    */
+  def dedupMinhashEst(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashFromShingles(shingles(spark, dir)).localCheckpoint()
+    val sigLong = sig
+      .select(col("doc_id"), posexplode(
+        array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
+    val pairs = sigLong.select(col("doc_id").as("doc_a"), col("band_idx"), col("bk"))
+      .join(sigLong.select(col("doc_id").as("doc_b"), col("band_idx"), col("bk")),
+        Seq("band_idx", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val a = sig.select(col("doc_id").as("doc_a") +:
+      (0 until NumHashes).map(j => col(s"m$j").as(s"a$j")): _*)
+    val b = sig.select(col("doc_id").as("doc_b") +:
+      (0 until NumHashes).map(j => col(s"m$j").as(s"b$j")): _*)
+    val matches = (0 until NumHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("est_jaccard", round(matches / lit(NumHashes.toDouble), 6))
+      .filter(col("est_jaccard") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** 16-bit SimHash: per-bit majority vote over md5-derived token
     * hashes, frequency-weighted (tokens exploded, not distinct). One
     * aggregation, 16 vote sums, fingerprint assembled per row.
@@ -277,14 +309,15 @@ object Dedup {
     "dedup_components"    -> (dedupComponents _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_minhash"       -> (dedupMinhash _),
+    "dedup_minhash_est"   -> (dedupMinhashEst _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_embedding"     -> (dedupEmbedding _))
 
-  /** The jaccard pair relation as reusable CTEs ending in `jpairs` —
-    * shared by the pair oracle and the connected-components oracle.
+  /** Signatures + LSH candidate pairs as CTEs ending in `cpairs` —
+    * shared by the estimate, exact-jaccard, and components oracles.
     */
-  private val jaccardCtes: String = {
+  private val cpairsCtes: String = {
     val bandUnion = (0 until NumBands)
       .map(b => s"SELECT doc_id, band$b AS bk FROM sig").mkString(" UNION ALL ")
     s"""$minhashCte,
@@ -292,7 +325,14 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM ($bandUnion) a
        |  JOIN ($bandUnion) b
-       |    ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |    ON a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** The jaccard pair relation as reusable CTEs ending in `jpairs` —
+    * shared by the pair oracle and the connected-components oracle.
+    */
+  private val jaccardCtes: String = {
+    s"""$cpairsCtes,
        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
@@ -332,6 +372,18 @@ object Dedup {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_minhash" ->
       s"WITH $minhashCte SELECT * FROM sig ORDER BY doc_id",
+    "dedup_minhash_est" -> {
+      val matches = (0 until NumHashes)
+        .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $cpairsCtes
+         |SELECT doc_a, doc_b,
+         |  round(($matches) / $NumHashes.0, 6) AS est_jaccard
+         |FROM cpairs p
+         |JOIN sig a ON a.doc_id = p.doc_a
+         |JOIN sig b ON b.doc_id = p.doc_b
+         |WHERE round(($matches) / $NumHashes.0, 6) >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "dedup_ngram_jaccard" ->
       s"WITH $jaccardCtes SELECT * FROM jpairs ORDER BY doc_a, doc_b",
     "dedup_components" ->

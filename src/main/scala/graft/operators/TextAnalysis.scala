@@ -136,12 +136,37 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("bucket_start"))
 
+  /** Bigram-familiarity score — the n-gram-LM-style quality filter
+    * ("does this document look like the corpus?") with the model
+    * TRAINED and APPLIED in one plan: corpus bigram counts (map-side
+    * partial agg, one shuffle on gram), joined back onto each
+    * document's frequency-weighted bigrams, averaged per doc.
+    * Arithmetic-only (integer sums + one division) so both engines
+    * agree bit-for-bit. At 100 TB the count model is the shuffled
+    * artifact (|distinct bigrams| rows) and documents stream through
+    * the gram-keyed join — the standard perplexity-filter shape.
+    */
+  def textBigramFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("gram"))
+    val counts = grams.groupBy("gram").agg(count(lit(1)).as("c"))
+    grams.join(counts, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), round(avg(col("c")), 6).as("avg_gram_count"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ngram_topk"  -> (textNgramTopk _),
     "text_length_hist" -> (textLengthHistogram _),
     "text_tokens"      -> (textTokens _),
     "text_quality"     -> (textQuality _),
     "text_langid"      -> (textLangid _),
+    "text_bigram_familiarity" -> (textBigramFamiliarity _),
     "text_fingerprint" -> (textFingerprint _))
 
   private val langidSelect: String = {
@@ -199,6 +224,15 @@ object TextAnalysis {
          |    - punct / n_char * 3.0 - upper / n_char * 2.0))), 6) AS quality_score
          |FROM base ORDER BY doc_id""".stripMargin,
     "text_langid" -> langidSelect,
+    "text_bigram_familiarity" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+         |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents) d,
+         |       unnest(generate_series(1, len(toks) - 1)) t(i)),
+         |c AS (SELECT gram, count(*) AS c FROM g GROUP BY gram)
+         |SELECT doc_id, count(*) AS n_grams, round(avg(c), 6) AS avg_gram_count
+         |FROM g JOIN c USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,

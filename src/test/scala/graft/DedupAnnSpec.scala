@@ -53,6 +53,21 @@ class DedupAnnSpec extends SparkTestBase {
       comp.select("component").distinct().count())
   }
 
+  test("dedup_minhash_est: estimates are signature fractions; identical docs estimate 1.0") {
+    val est = Dedup.dedupMinhashEst(spark, sfDir).cache()
+    assert(est.count() > 0)
+    // estimates are k/16 in [0.5, 1]
+    val bad = est.filter(col("est_jaccard") < 0.5 || col("est_jaccard") > 1.0 ||
+      (col("est_jaccard") * 16) =!= round(col("est_jaccard") * 16, 0))
+    assert(bad.count() == 0)
+    // exact duplicates (same shingle set) must estimate exactly 1.0
+    val exact = Dedup.dedupNgramJaccard(spark, sfDir)
+      .filter(col("jaccard") === 1.0).select("doc_a", "doc_b")
+    val missed = exact.join(est.filter(col("est_jaccard") === 1.0),
+      Seq("doc_a", "doc_b"), "left_anti")
+    assert(missed.count() == 0)
+  }
+
   test("connectedComponents: empty pair graph yields empty labelling, not an NPE") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")

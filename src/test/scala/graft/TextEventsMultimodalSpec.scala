@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Events, Multimodal, TextAnalysis}
+import graft.operators.{Dedup, Events, Multimodal, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class TextEventsMultimodalSpec extends SparkTestBase {
@@ -47,6 +47,27 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(hist.agg(sum("n_docs")).head().getLong(0) ==
       Tables.documents(spark, sfDir).count())
     assert(hist.filter(col("bucket_start") % 50 =!= 0).count() == 0)
+  }
+
+  test("text_bigram_familiarity: gram counts line up and duplicate docs score identically") {
+    import graft.operators.TextAnalysis
+    val fam = TextAnalysis.textBigramFamiliarity(spark, sfDir).cache()
+    // n_grams = n_tokens - 1 for every multi-token doc (frequency-weighted)
+    val toks = TextAnalysis.textTokens(spark, sfDir).select("doc_id", "n_ws_tokens")
+    val off = fam.join(toks, "doc_id")
+      .filter(col("n_grams") =!= col("n_ws_tokens") - 1)
+    assert(off.count() == 0)
+    // every bigram occurs at least once (its own occurrence) → score >= 1
+    assert(fam.filter(col("avg_gram_count") < 1.0).count() == 0)
+    // exact-duplicate documents must score identically
+    val dups = Dedup.dedupExact(spark, sfDir)
+      .select(col("doc_id"), col("canonical_id"))
+      .filter(col("doc_id") =!= col("canonical_id"))
+    val mismatch = dups
+      .join(fam.select(col("doc_id"), col("avg_gram_count").as("s1")), "doc_id")
+      .join(fam.select(col("doc_id").as("canonical_id"), col("avg_gram_count").as("s2")), "canonical_id")
+      .filter(col("s1") =!= col("s2"))
+    assert(mismatch.count() == 0)
   }
 
   test("text_fingerprint: fp60 is the 15-hex-digit prefix of fp_md5, duplicates share fingerprints") {
