@@ -96,9 +96,53 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Resize planning for the visual rows: fit-within-`FitBox` target
+    * dimensions preserving aspect ratio, never upscaling. All-INTEGER
+    * arithmetic (`w * box div max(w,h)`) so both engines produce the
+    * identical pixel dims — float scale factors would differ in
+    * rounding. This is the metadata half of a resize stage; the pixel
+    * work belongs to the batched-decode seam (`decodeBatched`).
+    */
+  val FitBox = 224
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    val mx = greatest(col("width"), col("height")).cast("bigint")
+    val needs = mx > FitBox
+    multimodalMeta(spark, dir)
+      .filter(col("modality") =!= "audio")
+      .select(
+        col("doc_id"), col("modality"), col("width"), col("height"),
+        when(needs, expr(s"CAST(width AS BIGINT) * $FitBox div greatest(width, height)"))
+          .otherwise(col("width").cast("bigint")).cast("int").as("target_w"),
+        when(needs, expr(s"CAST(height AS BIGINT) * $FitBox div greatest(width, height)"))
+          .otherwise(col("height").cast("bigint")).cast("int").as("target_h"),
+        needs.as("is_downscaled"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed 5-second window chunking for the audio rows — the unit a
+    * speech/audio featurizer consumes. `sequence` + `explode` plan
+    * work, same shape as frame sampling.
+    */
+  val ChunkSeconds = 5
+  def multimodalAudioChunks(spark: SparkSession, dir: String): DataFrame = {
+    val nChunks = greatest(lit(1), ceil(col("duration_s") / ChunkSeconds).cast("int"))
+    multimodalMeta(spark, dir)
+      .filter(col("modality") === "audio")
+      .select(col("doc_id"), col("duration_s"))
+      .withColumn("n_chunks", nChunks)
+      .withColumn("chunk_idx", explode(sequence(lit(0), col("n_chunks") - 1)))
+      .withColumn("chunk_start", (col("chunk_idx") * ChunkSeconds).cast("double"))
+      .withColumn("chunk_end",
+        round(least(col("duration_s"), (col("chunk_idx") + 1) * lit(ChunkSeconds.toDouble)), 6))
+      .select("doc_id", "n_chunks", "chunk_idx", "chunk_start", "chunk_end")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"   -> (multimodalMeta _),
-    "multimodal_frames" -> (multimodalFrames _))
+    "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_resize" -> (multimodalResize _),
+    "multimodal_audio_chunks" -> (multimodalAudioChunks _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" ->
@@ -111,6 +155,36 @@ object Multimodal {
         |  CASE WHEN doc_id % 3 <> 1 THEN CAST(CAST(('0x' || substr(md5(text), 7, 6)) AS BIGINT) % 1017 + 64 AS INT) END AS height,
         |  CASE WHEN doc_id % 3 <> 0 THEN round(CAST(CAST(('0x' || substr(md5(text), 13, 6)) AS BIGINT) % 36000 AS DOUBLE) / 100.0, 6) END AS duration_s
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+        |    CAST(CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) % 1857 + 64 AS INT) AS width,
+        |    CAST(CAST(('0x' || substr(md5(text), 7, 6)) AS BIGINT) % 1017 + 64 AS INT) AS height
+        |  FROM documents WHERE doc_id % 3 <> 1)
+        |SELECT doc_id, modality, width, height,
+        |  CAST(CASE WHEN greatest(width, height) > 224
+        |       THEN CAST(width AS BIGINT) * 224 // greatest(width, height)
+        |       ELSE width END AS INT) AS target_w,
+        |  CAST(CASE WHEN greatest(width, height) > 224
+        |       THEN CAST(height AS BIGINT) * 224 // greatest(width, height)
+        |       ELSE height END AS INT) AS target_h,
+        |  (greatest(width, height) > 224) AS is_downscaled
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "multimodal_audio_chunks" ->
+      """WITH aud AS (
+        |  SELECT doc_id,
+        |    round(CAST(CAST(('0x' || substr(md5(text), 13, 6)) AS BIGINT) % 36000 AS DOUBLE) / 100.0, 6) AS duration_s
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |chunked AS (
+        |  SELECT doc_id, duration_s,
+        |    greatest(1, CAST(ceil(duration_s / 5) AS INT)) AS n_chunks
+        |  FROM aud)
+        |SELECT doc_id, n_chunks, c.i AS chunk_idx,
+        |  CAST(c.i * 5 AS DOUBLE) AS chunk_start,
+        |  round(least(duration_s, CAST((c.i + 1) * 5 AS DOUBLE)), 6) AS chunk_end
+        |FROM chunked, unnest(generate_series(0, n_chunks - 1)) c(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "multimodal_frames" ->
       """WITH vid AS (
         |  SELECT doc_id,

@@ -164,6 +164,36 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(counts.count() == 0)
   }
 
+  test("multimodal_resize: fits the box, never upscales, integer-exact aspect") {
+    val df = Multimodal.multimodalResize(spark, sfDir).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("target_w") > col("width") || col("target_h") > col("height")).count() == 0)
+    assert(df.filter(col("is_downscaled") &&
+      (greatest(col("target_w"), col("target_h")) > 224)).count() == 0)
+    assert(df.filter(!col("is_downscaled") &&
+      (col("target_w") =!= col("width") || col("target_h") =!= col("height"))).count() == 0)
+    // integer floor math: target = dim * 224 div max(dim)
+    val recheck = df.filter(col("is_downscaled")).filter(
+      col("target_w") =!= expr("CAST(width AS BIGINT) * 224 div greatest(width, height)") ||
+      col("target_h") =!= expr("CAST(height AS BIGINT) * 224 div greatest(width, height)"))
+    assert(recheck.count() == 0)
+  }
+
+  test("multimodal_audio_chunks: windows tile the clip and end at its duration") {
+    val chunks = Multimodal.multimodalAudioChunks(spark, sfDir).cache()
+    assert(chunks.count() > 0)
+    assert(chunks.filter(col("chunk_start") >= col("chunk_end")).count() == 0)
+    assert(chunks.filter(col("chunk_start") =!= col("chunk_idx") * 5.0).count() == 0)
+    // per doc: indices dense 0..n-1 and the final window closes the clip
+    val meta = Multimodal.multimodalMeta(spark, sfDir)
+      .filter(col("modality") === "audio").select(col("doc_id"), col("duration_s"))
+    val last = chunks.groupBy("doc_id")
+      .agg(max("chunk_idx").as("mi"), count(lit(1)).as("n"), max("chunk_end").as("e"))
+    val bad = last.join(meta, "doc_id")
+      .filter(col("n") =!= col("mi") + 1 || col("e") =!= round(col("duration_s"), 6))
+    assert(bad.count() == 0)
+  }
+
   test("decodeBatched: stub decoder is deterministic, batch-bounded, and covers every row") {
     import spark.implicits._
     val media = Tables.documents(spark, sfDir)
