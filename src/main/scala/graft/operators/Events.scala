@@ -160,6 +160,45 @@ object Events {
           .as("approx_ok"))
       .orderBy(col("event_type"))
 
+  /** Ordered funnel per user: click → view → purchase, each stage's
+    * first occurrence must follow the previous stage's. One shuffle on
+    * user_id (the three stage aggregates fold into a single grouped
+    * pass via conditional min), then per-user flags — the classic
+    * conversion query without a self-join per stage.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    def firstTs(t: String) = min(when(col("event_type") === t, col("ts"))).as(s"first_$t")
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(firstTs("click"), firstTs("view"), firstTs("purchase"))
+    val s1 = col("first_click").isNotNull
+    val s2 = s1 && col("first_view").isNotNull && col("first_view") >= col("first_click")
+    val s3 = s2 && col("first_purchase").isNotNull && col("first_purchase") >= col("first_view")
+    perUser.select(
+        col("user_id"),
+        s1.as("reached_click"),
+        s2.as("reached_view"),
+        s3.as("reached_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Day-N cohort retention: users grouped by first-active day, counted
+    * distinct on each later active day offset. Two grouped passes
+    * (first-day per user, then distinct users per (cohort, offset)) —
+    * both shuffles on user-derived keys, no window over the corpus.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Exact interpolated quantiles of event values per type (p50/p90/
     * p99). Exact percentile needs the group's values together — fine
     * for bounded groups; at 100 TB switch to `approx_percentile`
@@ -182,7 +221,9 @@ object Events {
     "events_sessionize"   -> (eventsSessionize _),
     "events_session_window" -> (eventsSessionWindow _),
     "events_json_kpis"    -> (eventsJsonKpis _),
-    "events_asof_join"    -> (eventsAsofJoin _))
+    "events_asof_join"    -> (eventsAsofJoin _),
+    "events_funnel"       -> (eventsFunnel _),
+    "events_retention"    -> (eventsRetention _))
 
   val oracles: Map[String, String] = Map(
     "events_hourly" ->
@@ -253,6 +294,28 @@ object Events {
         |  abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
         |    / CAST(count(DISTINCT user_id) AS DOUBLE) <= 0.05 AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  (first_click IS NOT NULL) AS reached_click,
+        |  coalesce(first_click IS NOT NULL AND first_view >= first_click, false) AS reached_view,
+        |  coalesce(first_click IS NOT NULL AND first_view >= first_click
+        |    AND first_purchase >= first_view, false) AS reached_purchase
+        |FROM per_user ORDER BY user_id""".stripMargin,
+    "events_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+        |SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+        |  count(DISTINCT d.user_id) AS n_users
+        |FROM days d JOIN cohorts c ON d.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "events_quantiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50,

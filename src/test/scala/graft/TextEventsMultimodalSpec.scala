@@ -164,6 +164,29 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(counts.count() == 0)
   }
 
+  test("events_funnel: stages are monotone and ordered by first occurrence") {
+    val f = Events.eventsFunnel(spark, sfDir).cache()
+    // a later stage implies every earlier stage
+    assert(f.filter(col("reached_view") && !col("reached_click")).count() == 0)
+    assert(f.filter(col("reached_purchase") && !col("reached_view")).count() == 0)
+    val n = (c: String) => f.filter(col(c)).count()
+    assert(n("reached_click") >= n("reached_view"))
+    assert(n("reached_view") >= n("reached_purchase"))
+    assert(n("reached_purchase") > 0)
+  }
+
+  test("events_retention: day-0 cohort count equals cohort size, offsets non-negative") {
+    val r = Events.eventsRetention(spark, sfDir).cache()
+    assert(r.filter(col("day_offset") < 0).count() == 0)
+    val cohortSizes = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .groupBy("user_id").agg(min("day").as("cohort_day"))
+      .groupBy("cohort_day").count()
+    val day0 = r.filter(col("day_offset") === 0).select(col("cohort_day"), col("n_users"))
+    val bad = day0.join(cohortSizes, "cohort_day").filter(col("n_users") =!= col("count"))
+    assert(bad.count() == 0)
+  }
+
   test("multimodal_resize: fits the box, never upscales, integer-exact aspect") {
     val df = Multimodal.multimodalResize(spark, sfDir).cache()
     assert(df.count() > 0)
