@@ -174,6 +174,36 @@ object EtlEnrichment {
       .orderBy(col("retailer_id"))
   }
 
+  /** Apply extracted updates onto the live catalog — the other half of
+    * the reference's update flow (extraction.py:160-206 extracts
+    * `(_id, price)` rows; api-client.py PUTs them onto the stored
+    * products). Updates are keyed by product id, so application is one
+    * equi-join on the primary key with coalesce-overlay semantics:
+    * updated fields win, everything else carries forward, and
+    * `was_updated` records provenance. Broadcast while the update batch
+    * is small (it usually is), shuffle join at bulk-reprice scale.
+    */
+  def applyUpdates(spark: SparkSession, dir: String): DataFrame = {
+    val catalog = EtlCleaning.menuClean(spark, dir)
+    // +5.00 reprice, NOT a percentage: addition of identical doubles is
+    // bit-identical across engines, while round(x * 1.1, 2) on 2-decimal
+    // prices lands on the .xx5 boundary where Spark (rounds the shortest
+    // decimal repr) and DuckDB (rounds the binary value) disagree
+    val updates = Tables.part(spark, dir)
+      .filter(col("p_partkey") % 5 === 0)
+      .select(
+        col("p_partkey").as("uk"),
+        (col("p_retailprice") + 5.0).as("new_price"),
+        concat(lit("Updated "), col("p_name")).as("new_description"))
+    catalog.join(updates, col("p_partkey") === col("uk"), "left")
+      .select(
+        col("p_partkey"), col("name"), col("category"), col("subcategory"),
+        coalesce(col("new_description"), col("description")).as("description"),
+        coalesce(col("new_price"), col("price")).as("price"),
+        col("new_price").isNotNull.as("was_updated"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** Update-field projection (extraction.py:160-206): keep only rows
     * with both id and price.
     */
@@ -193,7 +223,8 @@ object EtlEnrichment {
     "etl_image_enrich"     -> (imageEnrich _),
     "etl_master_products"  -> (masterProducts _),
     "etl_es_docs"          -> (esDocs _),
-    "etl_update_fields"    -> (updateFields _))
+    "etl_update_fields"    -> (updateFields _),
+    "etl_apply_updates"    -> (applyUpdates _))
 
   private val embedDimsSql = (0 until 8).map { i =>
     s"""round(CAST(('0x' || substr(md5(product_name || ' ' || description || ' ' || brand_name || ' ' || category_name || ':$i'), 1, 8)) AS BIGINT) / 4294967296.0, 6) AS e$i"""
@@ -258,6 +289,21 @@ object EtlEnrichment {
          |  true AS is_active
          |FROM base JOIN part ON base.p_partkey = part.p_partkey
          |ORDER BY retailer_id""".stripMargin,
+    "etl_apply_updates" -> {
+      val catalogSql = EtlCleaning.oracles("etl_menu_clean").replace("ORDER BY p_partkey", "")
+      s"""WITH catalog AS ($catalogSql),
+         |updates AS (
+         |  SELECT p_partkey AS uk,
+         |    p_retailprice + 5.0 AS new_price,
+         |    'Updated ' || p_name AS new_description
+         |  FROM part WHERE p_partkey % 5 = 0)
+         |SELECT p_partkey, name, category, subcategory,
+         |  coalesce(new_description, description) AS description,
+         |  coalesce(new_price, price) AS price,
+         |  (new_price IS NOT NULL) AS was_updated
+         |FROM catalog LEFT JOIN updates ON p_partkey = uk
+         |ORDER BY p_partkey""".stripMargin
+    },
     "etl_update_fields" ->
       """SELECT 'e-' || event_id AS _id,
         |  CASE WHEN value >= 10 THEN value END AS price

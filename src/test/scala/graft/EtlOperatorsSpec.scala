@@ -141,6 +141,20 @@ class EtlOperatorsSpec extends SparkTestBase {
     assert(df.filter(col("doc_id").isNull).count() == 0)
   }
 
+  test("apply updates: overlay wins on updated rows, carry-forward elsewhere") {
+    val catalog = EtlCleaning.menuClean(spark, sfDir)
+      .select(col("p_partkey"), col("price").as("old_price"), col("description").as("old_desc"))
+    val df = EtlEnrichment.applyUpdates(spark, sfDir).join(catalog, "p_partkey").cache()
+    assert(df.count() == catalog.count())
+    val updated = df.filter(col("was_updated"))
+    assert(updated.count() > 0)
+    assert(updated.filter(col("price") =!= col("old_price") + 5.0).count() == 0)
+    assert(updated.filter(!col("description").startsWith("Updated ")).count() == 0)
+    val untouched = df.filter(!col("was_updated"))
+    assert(untouched.filter(col("price") =!= col("old_price") ||
+      col("description") =!= col("old_desc")).count() == 0)
+  }
+
   test("price outliers: z-scores standardized per category, outliers beyond 2 sigma") {
     val df = graft.operators.EtlCleaning.priceOutliers(spark, sfDir).cache()
     assert(df.count() == Tables.part(spark, sfDir).count())
