@@ -160,6 +160,32 @@ object Events {
           .as("approx_ok"))
       .orderBy(col("event_type"))
 
+  /** Hourly volume anomaly detection: each (type, hour) count scored
+    * against the trailing 24 hours' mean/stddev, |z| > 3 flagged — the
+    * monitoring query a pipeline owner runs over ingest volumes. The
+    * expensive part is the hourly aggregation (one shuffle, map-side
+    * partial); the trailing window then runs over the AGGREGATED
+    * relation (#types × #hours rows), so the window cost is independent
+    * of event volume.
+    */
+  def eventsHourlyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val trailing = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("mu", avg(col("n_events")).over(trailing))
+      .withColumn("sigma", stddev_pop(col("n_events")).over(trailing))
+      .filter(col("sigma") > 0)
+      .select(
+        col("hour"), col("event_type"), col("n_events"),
+        round(col("mu"), 6).as("mu"),
+        round((col("n_events") - col("mu")) / col("sigma"), 6).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > 3)
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   /** Ordered funnel per user: click → view → purchase, each stage's
     * first occurrence must follow the previous stage's. One shuffle on
     * user_id (the three stage aggregates fold into a single grouped
@@ -223,7 +249,8 @@ object Events {
     "events_json_kpis"    -> (eventsJsonKpis _),
     "events_asof_join"    -> (eventsAsofJoin _),
     "events_funnel"       -> (eventsFunnel _),
-    "events_retention"    -> (eventsRetention _))
+    "events_retention"    -> (eventsRetention _),
+    "events_hourly_anomaly" -> (eventsHourlyAnomaly _))
 
   val oracles: Map[String, String] = Map(
     "events_hourly" ->
@@ -294,6 +321,20 @@ object Events {
         |  abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
         |    / CAST(count(DISTINCT user_id) AS DOUBLE) <= 0.05 AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_hourly_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT *, avg(n_events) OVER w AS mu, stddev_pop(n_events) OVER w AS sigma
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT hour, event_type, n_events, round(mu, 6) AS mu,
+        |  round((n_events - mu) / sigma, 6) AS z,
+        |  abs(round((n_events - mu) / sigma, 6)) > 3 AS is_anomaly
+        |FROM win WHERE sigma > 0
+        |ORDER BY hour, event_type""".stripMargin,
     "events_funnel" ->
       """WITH per_user AS (
         |  SELECT user_id,
