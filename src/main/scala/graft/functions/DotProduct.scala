@@ -17,10 +17,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * order as the fold (bit-identical results), no boxing, no virtual
   * dispatch.
   *
-  * Null semantics match the composed form: a null array OR a null
-  * element anywhere yields null (in the fold a null product nullifies
-  * the accumulator). Lengths may differ; the overlap is summed.
-  * Registered as SQL function `vec_dot` by
+  * Null semantics match the composed form exactly: a null array, a
+  * null element anywhere, OR unequal lengths yield null (zip_with pads
+  * the shorter array with nulls, and a null product nullifies the
+  * fold's accumulator — so unequal lengths are null in the composed
+  * form too). Registered as SQL function `vec_dot` by
   * [[graft.plans.GraftExtensions]].
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
@@ -51,9 +52,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
@@ -69,7 +71,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 object DotProduct {
   /** Interpreted twin of the generated loop. */
   def dot(a: ArrayData, b: ArrayData): Any = {
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {

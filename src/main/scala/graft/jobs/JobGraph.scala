@@ -46,8 +46,10 @@ object JobGraph {
     ops.foreach(o => o.deps.foreach(d =>
       require(byName.contains(d), s"op ${o.name} depends on unknown op $d")))
 
-    // Kahn's algorithm with declaration-order tie-break
-    val indeg = mutable.Map(ops.map(o => o.name -> o.deps.size): _*)
+    // Kahn's algorithm with declaration-order tie-break; indegrees are
+    // over DISTINCT deps (the decrement below fires once per completed
+    // op, so a duplicated dep entry must not count twice)
+    val indeg = mutable.Map(ops.map(o => o.name -> o.deps.distinct.size): _*)
     val order = mutable.ArrayBuffer.empty[Op]
     val ready = mutable.ArrayBuffer(ops.filter(_.deps.isEmpty): _*)
     while (ready.nonEmpty) {

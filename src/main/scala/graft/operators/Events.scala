@@ -161,7 +161,10 @@ object Events {
       .orderBy(col("event_type"))
 
   /** Hourly volume anomaly detection: each (type, hour) count scored
-    * against the trailing 24 hours' mean/stddev, |z| > 3 flagged — the
+    * against the mean/stddev of the last 24 OBSERVED hourly buckets for
+    * that type (a ROWS frame over the aggregated relation — hours with
+    * zero events have no bucket, so the frame can span more than 24
+    * wall-clock hours on sparse types), |z| > 3 flagged — the
     * monitoring query a pipeline owner runs over ingest volumes. The
     * expensive part is the hourly aggregation (one shuffle, map-side
     * partial); the trailing window then runs over the AGGREGATED

@@ -128,6 +128,10 @@ object Multimodal {
     val nChunks = greatest(lit(1), ceil(col("duration_s") / ChunkSeconds).cast("int"))
     multimodalMeta(spark, dir)
       .filter(col("modality") === "audio")
+      // a zero-length clip has no windows to tile; without this guard a
+      // duration_s of exactly 0.0 (possible: the md5-derived hash can be
+      // ≡ 0 mod 36000) would emit a degenerate [0.0, 0.0) chunk
+      .filter(col("duration_s") > 0)
       .select(col("doc_id"), col("duration_s"))
       .withColumn("n_chunks", nChunks)
       .withColumn("chunk_idx", explode(sequence(lit(0), col("n_chunks") - 1)))
@@ -179,7 +183,7 @@ object Multimodal {
         |chunked AS (
         |  SELECT doc_id, duration_s,
         |    greatest(1, CAST(ceil(duration_s / 5) AS INT)) AS n_chunks
-        |  FROM aud)
+        |  FROM aud WHERE duration_s > 0)
         |SELECT doc_id, n_chunks, c.i AS chunk_idx,
         |  CAST(c.i * 5 AS DOUBLE) AS chunk_start,
         |  round(least(duration_s, CAST((c.i + 1) * 5 AS DOUBLE)), 6) AS chunk_end

@@ -26,7 +26,11 @@ object EsBulkSink {
   def bulkLines(docs: DataFrame, index: String, idCol: String): DataFrame = {
     val fields = docs.columns.filter(_ != idCol)
     val action = to_json(struct(
-      struct(lit(index).as("_index"), col(idCol).cast("string").as("_id")).as("index")))
+      struct(lit(index).as("_index"), col(idCol).cast("string").as("_id")).as("index")),
+      // keep a null _id visible ({"_id":null}) instead of silently
+      // dropping the field — ES would auto-assign an id and the bad
+      // row would never surface
+      Map("ignoreNullFields" -> "false"))
     val source = to_json(struct(fields.toIndexedSeq.map(col): _*),
       Map("ignoreNullFields" -> "false"))
     docs.select(concat(action, lit("\n"), source).as("line"))

@@ -81,6 +81,12 @@ class ExtensionsSpec extends SparkTestBase {
       .collect()
     assert(edge(0).getDouble(0) == 11.0)
     assert(edge(1).isNullAt(0) && edge(2).isNullAt(0))
+    // unequal lengths: zip_with pads with nulls, so the fold is null —
+    // and vec_dot matches (not an overlap sum)
+    val uneq = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(call_function("vec_dot", col("a"), col("b")).as("d"))
+      .collect()
+    assert(uneq(0).isNullAt(0))
     // callable from SQL through the same registry
     assert(spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
       .head().getDouble(0) == 11.0)

@@ -44,6 +44,17 @@ class JobGraphSpec extends AnyFunSuite {
     assert(ran == Set("src", "sibling"))
   }
 
+  test("a duplicated dependency entry is not a cycle") {
+    var ran = List.empty[String]
+    val runs = JobGraph.run(Seq(
+      Op("src", Nil, 0, () => ran ::= "src"),
+      // deps lists src twice — must still reach indegree 0 and run
+      Op("dup", Seq("src", "src"), 0, () => ran ::= "dup")))
+      .map(r => r.name -> r).toMap
+    assert(runs("dup").status == JobGraph.Succeeded)
+    assert(ran.reverse == List("src", "dup"))
+  }
+
   test("cycles and unknown deps fail fast") {
     intercept[IllegalArgumentException] {
       JobGraph.run(Seq(
