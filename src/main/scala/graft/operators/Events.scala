@@ -125,6 +125,37 @@ object Events {
       .orderBy(col("purchase_id"))
   }
 
+  /** The SAME as-of join through the NATIVE operator
+    * ([[graft.plans.AsOfJoin]]): custom logical node planned by the
+    * injected strategy as a physical merge pass — one hash shuffle per
+    * side, sort within partitions, O(1) merge state; no union, no
+    * window buffer. Same oracle as `events_asof_join` (DuckDB's native
+    * ASOF JOIN), so the two implementation tiers are checked against
+    * each other through the driver. Tiebreak `event_id` ascending makes
+    * the equal-timestamp winner the max event_id, matching the oracle's
+    * click dedup.
+    */
+  def eventsAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    graft.plans.AsOfJoin.join(
+        purchases, clicks,
+        leftKeys = Seq(purchases.col("user_id")), rightKeys = Seq(clicks.col("c_user")),
+        leftTime = purchases.col("purchase_ts"), rightTime = clicks.col("c_ts"),
+        rightTiebreak = Seq(clicks.col("c_id")))
+      .select(
+        col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("c_id").as("click_id"), col("c_ts").as("click_ts"),
+        round((unix_micros(col("purchase_ts")) - unix_micros(col("c_ts"))) / 1e6, 6)
+          .as("gap_s"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Daily event-type pivot: one row per day, one count column per
     * event type. The pivot values are DECLARED (not discovered), so the
     * plan is a single aggregation — no extra distinct-values job, which
@@ -251,6 +282,7 @@ object Events {
     "events_session_window" -> (eventsSessionWindow _),
     "events_json_kpis"    -> (eventsJsonKpis _),
     "events_asof_join"    -> (eventsAsofJoin _),
+    "events_asof_native"  -> (eventsAsofNative _),
     "events_funnel"       -> (eventsFunnel _),
     "events_retention"    -> (eventsRetention _),
     "events_hourly_anomaly" -> (eventsHourlyAnomaly _))
@@ -303,6 +335,20 @@ object Events {
     // ties on (user_id, ts) between clicks are broken toward the larger
     // event_id in both engines (struct max / MAX BY below)
     "events_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS event_id
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, ts),
+        |purchases AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts,
+        |  round((epoch_us(p.ts) - epoch_us(c.ts)) / 1e6, 6) AS gap_s
+        |FROM purchases p
+        |ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+    // the native-operator twin asserts the identical result set
+    "events_asof_native" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, max(event_id) AS event_id
         |  FROM events WHERE event_type = 'click'

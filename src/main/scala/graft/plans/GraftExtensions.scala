@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 /** Session extension wiring for the engine's native pieces:
   *  - SQL function `upc_valid` → the codegen'd [[UpcValid]] expression;
   *  - SQL function `vec_dot` → the codegen'd [[DotProduct]] expression;
-  *  - the [[LevenshteinPrefilter]] optimizer rule.
+  *  - the [[LevenshteinPrefilter]] optimizer rule;
+  *  - the [[AsOfJoinStrategy]] planner strategy (native merge as-of
+  *    join for [[AsOfJoinPlan]] nodes).
   *
   * Activate with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
@@ -26,5 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
