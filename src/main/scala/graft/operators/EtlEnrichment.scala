@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Enrichment stages of the reference pipeline: stage 3 content
@@ -204,6 +205,36 @@ object EtlEnrichment {
       .orderBy(col("p_partkey"))
   }
 
+  /** Slowly-changing-dimension type-2 price history — the catalog-
+    * maintenance view the reference's update flow implies but never
+    * materializes: every repriced product keeps its full version
+    * history with validity intervals. Observations are the
+    * (partkey, shipdate, price) feed from lineitem (min price per day
+    * for determinism); consecutive equal prices collapse; each
+    * surviving version carries valid_from / valid_to (null = current)
+    * and a version number. One shuffle on the product key; the windows
+    * all share that partitioning, so the whole history build is a
+    * single exchange regardless of history depth.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy(col("l_partkey")).orderBy(col("obs_date"))
+    val obs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_shipdate").as("obs_date"))
+      .agg(min(col("l_extendedprice")).as("price"))
+    obs
+      .withColumn("prev_price", lag(col("price"), 1).over(byKey))
+      // keep version starts only: first observation or a price change
+      .filter(col("prev_price").isNull || col("price") =!= col("prev_price"))
+      .withColumn("valid_from", col("obs_date"))
+      .withColumn("valid_to", lead(col("obs_date"), 1).over(byKey))
+      .withColumn("version", row_number().over(byKey))
+      .select(
+        col("l_partkey"), col("version"), col("price"),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("l_partkey"), col("version"))
+  }
+
   /** Update-field projection (extraction.py:160-206): keep only rows
     * with both id and price.
     */
@@ -224,7 +255,8 @@ object EtlEnrichment {
     "etl_master_products"  -> (masterProducts _),
     "etl_es_docs"          -> (esDocs _),
     "etl_update_fields"    -> (updateFields _),
-    "etl_apply_updates"    -> (applyUpdates _))
+    "etl_apply_updates"    -> (applyUpdates _),
+    "etl_scd2_history"     -> (scd2History _))
 
   private val embedDimsSql = (0 until 8).map { i =>
     s"""round(CAST(('0x' || substr(md5(product_name || ' ' || description || ' ' || brand_name || ' ' || category_name || ':$i'), 1, 8)) AS BIGINT) / 4294967296.0, 6) AS e$i"""
@@ -246,6 +278,26 @@ object EtlEnrichment {
        |FROM part""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "etl_scd2_history" ->
+      """WITH obs AS (
+        |  SELECT l_partkey, l_shipdate AS obs_date, min(l_extendedprice) AS price
+        |  FROM lineitem GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT *, lag(price) OVER (PARTITION BY l_partkey ORDER BY obs_date)
+        |    AS prev_price
+        |  FROM obs),
+        |starts AS (
+        |  SELECT l_partkey, obs_date, price FROM flagged
+        |  WHERE prev_price IS NULL OR price <> prev_price)
+        |SELECT l_partkey,
+        |  CAST(row_number() OVER w AS INT) AS version,
+        |  price,
+        |  obs_date AS valid_from,
+        |  lead(obs_date) OVER w AS valid_to,
+        |  (lead(obs_date) OVER w IS NULL) AS is_current
+        |FROM starts
+        |WINDOW w AS (PARTITION BY l_partkey ORDER BY obs_date)
+        |ORDER BY l_partkey, version""".stripMargin,
     "etl_content_defaults" -> (contentDefaultsSql + "\nORDER BY p_partkey"),
     "etl_tax_slab" ->
       """SELECT l_orderkey, l_linenumber, (l_tax > 0.04) AS is_tax,

@@ -191,6 +191,35 @@ object Events {
           .as("approx_ok"))
       .orderBy(col("event_type"))
 
+  /** Sketch REUSE — the pattern that actually matters at 100 TB: build
+    * per-(type, day) HyperLogLog sketches ONCE (Datasketches
+    * `hll_sketch_agg`, map-side partial), then answer the per-type
+    * distinct-users question by MERGING the stored sketches
+    * (`hll_union_agg`) without ever rescanning raw events. A real
+    * deployment persists the daily sketch table and serves any
+    * date-range distinct count from it. Output is the engine-agnostic
+    * claim (exact count + estimate-within-5% boolean), same contract as
+    * `sketch_distinct_users`, so DuckDB's different HLL implementation
+    * asserts the same invariant.
+    */
+  def sketchHllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // the stored artifact: one sketch per (event_type, day)
+    val daily = ev.groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    // merge-only query over the sketch table — no raw-event rescan
+    val merged = daily.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_approx"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(merged, "event_type")
+      .select(
+        col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) / col("n_exact") <= 0.05)
+          .as("approx_ok"))
+      .orderBy(col("event_type"))
+  }
+
   /** Hourly volume anomaly detection: each (type, hour) count scored
     * against the mean/stddev of the last 24 OBSERVED hourly buckets for
     * that type (a ROWS frame over the aggregated relation — hours with
@@ -283,6 +312,7 @@ object Events {
     "events_json_kpis"    -> (eventsJsonKpis _),
     "events_asof_join"    -> (eventsAsofJoin _),
     "events_asof_native"  -> (eventsAsofNative _),
+    "sketch_hll_union"    -> (sketchHllUnion _),
     "events_funnel"       -> (eventsFunnel _),
     "events_retention"    -> (eventsRetention _),
     "events_hourly_anomaly" -> (eventsHourlyAnomaly _))
@@ -364,6 +394,15 @@ object Events {
     // Both engines assert the same semantic claim — the HLL estimate is
     // within 5% of exact — so the differing sketch implementations
     // never reach the hashed output.
+    // same engine-agnostic contract: DuckDB's HLL answers the identical
+    // within-5% claim (it has no mergeable-sketch SQL surface, so the
+    // reuse aspect is Spark-side only; the asserted semantics match)
+    "sketch_hll_union" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_exact,
+        |  abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |    / CAST(count(DISTINCT user_id) AS DOUBLE) <= 0.05 AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "sketch_distinct_users" ->
       """SELECT event_type,
         |  count(DISTINCT user_id) AS n_exact,

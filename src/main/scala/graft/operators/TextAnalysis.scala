@@ -160,7 +160,73 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition signals (the Gopher-style repetition filters, adapted
+    * to token n-grams): per doc, the fraction of tokens covered by the
+    * single most repeated bigram and the fraction of trigrams that are
+    * duplicates; `is_repetitive` flags degenerate/looping text — the
+    * filter that catches boilerplate and LLM loops a quality score
+    * misses. Plan: one explode per n-gram order, grouped with map-side
+    * partial aggregation (the shuffle carries (doc, gram, count) rows,
+    * bounded by per-doc DISTINCT grams), then a 3-way doc_id join —
+    * every stage keyed on doc_id or (doc_id, gram), embarrassingly
+    * partition-parallel at corpus scale.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tokens"))
+    def grams(n: Int) = base.select(col("doc_id"), explode(expr(
+      s"transform(sequence(1, size(toks) - ${n - 1}), i -> " +
+        (1 to n).map(j => s"element_at(toks, i + ${j - 1})")
+          .mkString("concat_ws(' ', ", ", ", ")") + ")")).as("gram"))
+    val biStat = grams(2)
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
+    val triStat = grams(3)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"), countDistinct(col("gram")).as("n_tri_distinct"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(biStat, "doc_id").join(triStat, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(lit(2.0) * col("top_bigram_n") / col("n_tokens"), 6).as("top_bigram_frac"),
+        round(lit(1.0) - col("n_tri_distinct").cast("double") / col("n_tri"), 6)
+          .as("dup_trigram_frac"))
+      .withColumn("is_repetitive",
+        col("top_bigram_frac") > 0.12 || col("dup_trigram_frac") > 0.03)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed token-window chunking with overlap (window 32, stride 24) —
+    * the RAG / context-length prep pass: each doc becomes overlapping
+    * chunks that tile the token sequence; the last window is the first
+    * one reaching the end. Pure plan work per row (sequence + explode +
+    * slice): NO shuffle except the output sort — at 100 TB this is a
+    * map-only pass that chains straight into the embedding stage.
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val W = 32; val S = 24
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tokens"))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= W, lit(1L))
+          .otherwise(ceil((col("n_tokens") - W).cast("double") / S) + 1))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("chunk_toks",
+        slice(col("toks"), (col("chunk_idx") * S + 1).cast("int"), lit(W)))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_chunks"), col("chunk_idx"),
+        (col("chunk_idx") * S + 1).as("start_token"),
+        size(col("chunk_toks")).as("chunk_len"),
+        concat_ws(" ", col("chunk_toks")).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition"  -> (textRepetition _),
+    "doc_chunks"       -> (docChunks _),
     "text_ngram_topk"  -> (textNgramTopk _),
     "text_length_hist" -> (textLengthHistogram _),
     "text_tokens"      -> (textTokens _),
@@ -190,6 +256,47 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |base AS (
+         |  SELECT doc_id, len(toks) AS n_tokens, toks FROM t WHERE len(toks) >= 3),
+         |bg AS (
+         |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+         |  FROM base, unnest(generate_series(1, len(toks) - 1)) s(i)),
+         |bc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+         |bstat AS (SELECT doc_id, max(c) AS top_bigram_n FROM bc GROUP BY 1),
+         |tg AS (
+         |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+         |  FROM base, unnest(generate_series(1, len(toks) - 2)) s(i)),
+         |tstat AS (
+         |  SELECT doc_id, count(*) AS n_tri, count(DISTINCT gram) AS n_tri_distinct
+         |  FROM tg GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  round(2.0 * top_bigram_n / n_tokens, 6) AS top_bigram_frac,
+         |  round(1.0 - CAST(n_tri_distinct AS DOUBLE) / n_tri, 6) AS dup_trigram_frac,
+         |  (round(2.0 * top_bigram_n / n_tokens, 6) > 0.12
+         |    OR round(1.0 - CAST(n_tri_distinct AS DOUBLE) / n_tri, 6) > 0.03)
+         |    AS is_repetitive
+         |FROM base JOIN bstat USING (doc_id) JOIN tstat USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "doc_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |base AS (
+         |  SELECT doc_id, toks, len(toks) AS n_tokens,
+         |    CASE WHEN len(toks) <= 32 THEN 1
+         |         ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS n_chunks
+         |  FROM t)
+         |SELECT doc_id, n_tokens, n_chunks, s.i AS chunk_idx,
+         |  s.i * 24 + 1 AS start_token,
+         |  len(list_slice(toks, CAST(s.i * 24 + 1 AS INT), CAST(s.i * 24 + 32 AS INT)))
+         |    AS chunk_len,
+         |  array_to_string(
+         |    list_slice(toks, CAST(s.i * 24 + 1 AS INT), CAST(s.i * 24 + 32 AS INT)), ' ')
+         |    AS chunk_text
+         |FROM base, unnest(generate_series(0, n_chunks - 1)) s(i)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_ngram_topk" ->
       s"""SELECT tok, count(*) AS n
          |FROM (SELECT unnest(${toksSql("text")}) AS tok FROM documents)

@@ -231,4 +231,66 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(perBatch <= Multimodal.DecodeBatch)
     assert(decoded.filter(col("width") < 64 || col("height") < 64).count() == 0)
   }
+
+  test("text_repetition: fractions in range, flag consistent with thresholds") {
+    val df = TextAnalysis.textRepetition(spark, sfDir).cache()
+    Seq("top_bigram_frac", "dup_trigram_frac").foreach { c =>
+      assert(df.filter(col(c) < 0 || col(c) > 1).count() == 0, s"$c out of range")
+    }
+    val inconsistent = df.filter(
+      col("is_repetitive") =!=
+        (col("top_bigram_frac") > 0.12 || col("dup_trigram_frac") > 0.03))
+    assert(inconsistent.count() == 0)
+    // the thresholds actually split the corpus (otherwise the flag is dead code)
+    assert(df.filter(col("is_repetitive")).count() > 0)
+    assert(df.filter(!col("is_repetitive")).count() > 0)
+    df.unpersist()
+  }
+
+  test("doc_chunks: windows tile the token sequence with stride 24 / width 32") {
+    val df = TextAnalysis.docChunks(spark, sfDir).cache()
+    // every chunk is non-empty and at most the window width
+    assert(df.filter(col("chunk_len") < 1 || col("chunk_len") > 32).count() == 0)
+    // per doc: chunk count matches n_chunks, indices contiguous from 0,
+    // and the last window reaches the end of the doc
+    val perDoc = df.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), max("chunk_idx").as("last_idx"),
+      first("n_chunks").as("n_chunks"), first("n_tokens").as("n_tokens"),
+      max(col("start_token") + col("chunk_len") - 1).as("covered"))
+    assert(perDoc.filter(col("n") =!= col("n_chunks")).count() == 0)
+    assert(perDoc.filter(col("last_idx") =!= col("n_chunks") - 1).count() == 0)
+    assert(perDoc.filter(col("covered") =!= col("n_tokens")).count() == 0)
+    df.unpersist()
+  }
+
+  test("etl_scd2_history: versions contiguous, intervals chain, one current row per key") {
+    import graft.operators.EtlEnrichment
+    val df = EtlEnrichment.scd2History(spark, sfDir).cache()
+    // exactly one open (current) version per product
+    val open = df.filter(col("is_current"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    assert(open.filter(col("n") =!= 1).count() == 0)
+    assert(df.filter(!col("is_current") && col("valid_to").isNull).count() == 0)
+    // intervals chain: valid_to equals the next version's valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_partkey").orderBy("version")
+    val chained = df
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("next_from").isNotNull && col("valid_to") =!= col("next_from"))
+    assert(chained.count() == 0)
+    // consecutive versions always change the price
+    val samePrice = df
+      .withColumn("next_price", lead(col("price"), 1).over(w))
+      .filter(col("next_price").isNotNull && col("price") === col("next_price"))
+    assert(samePrice.count() == 0)
+    df.unpersist()
+  }
+
+  test("sketch_hll_union: merged daily sketches stay within the 5% band") {
+    val df = Events.sketchHllUnion(spark, sfDir).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("n_exact") <= 0).count() == 0)
+    assert(df.filter(!col("approx_ok")).count() == 0)
+    df.unpersist()
+  }
 }
