@@ -97,4 +97,18 @@ object Readers {
       .withColumn("quantity", col("rec.QteMain").cast("double"))
       .withColumn("is_tax", col("rec.Taxe2") === "1")
       .drop("rec", lineCol)
+
+  // --- ORC interchange -------------------------------------------------
+  // The second columnar format an engine at this scale must speak:
+  // warehouses that standardized on Hive/ORC hand over data without a
+  // parquet rewrite pass. Same explicit-schema discipline as every
+  // other reader (no inference pass), and the ORC scan supports the
+  // same predicate pushdown + column pruning as parquet — asserted on
+  // the executed plan in SourcesSinksSpec.
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

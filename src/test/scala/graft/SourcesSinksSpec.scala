@@ -114,4 +114,24 @@ class SourcesSinksSpec extends SparkTestBase {
     assert(docsBack.columns.sorted.toSeq == Seq("price", "product_name"))
     assert(docsBack.count() == 2)
   }
+
+  test("ORC round-trips losslessly and the scan pushes filters + prunes columns") {
+    val dir = tmpDir("graft-orc")
+    val src = Tables.part(spark, sfDir)
+    Readers.writeOrc(src, s"$dir/part.orc")
+    val back = Readers.orc(spark, s"$dir/part.orc",
+      org.apache.spark.sql.types.StructType.fromDDL(src.schema.toDDL))
+    assert(back.count() == src.count())
+    // lossless: same rows under the same ordering
+    assert(back.orderBy("p_partkey").collect().toSeq ==
+      src.orderBy("p_partkey").collect().toSeq)
+    // pushdown + pruning reach the ORC scan exactly like parquet
+    val q = back.filter(col("p_size") > 40).select("p_partkey", "p_size")
+    q.write.format("noop").mode("overwrite").save()
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(p_size"),
+      s"no pushed filter in ORC scan:\n$scan")
+    assert(scan.contains("ReadSchema: struct<p_partkey:bigint,p_size:"),
+      s"ORC scan did not prune columns:\n$scan")
+  }
 }
