@@ -30,6 +30,7 @@ object SparkEntry {
       (Events.queries, Events.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (Pipeline.queries, Pipeline.oracles),
+      (Incremental.queries, Incremental.oracles),
       (SqlSurface.queries, SqlSurface.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
