@@ -82,6 +82,19 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-static enrichment: every streaming event picks up its
+    * dimension attributes from a static catalog table — the continuous
+    * form of `q_orders_enriched` and the shape of the reference's
+    * per-batch catalog lookups. Stateless (no watermark, no streaming
+    * state): the static side is just a batch relation the planner
+    * broadcasts under every micro-batch, so the stream never shuffles;
+    * left join keeps events whose key has no catalog row yet (nulls
+    * surface the gap instead of dropping the event).
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   /** Session aggregation via the BUILT-IN `session_window` (the
     * compose-existing-ops tier: state-store managed, merges overlapping
     * windows, watermark expires closed sessions — preferred over custom

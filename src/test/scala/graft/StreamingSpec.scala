@@ -188,4 +188,24 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.head.session_end == ts("2024-01-01 00:20:00"))
     assert(rows.head.n_events == 2)
   }
+
+  test("stream-static enrichment joins the catalog, keeps unknown keys with nulls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "restaurant"), (2L, "grocery")).toDF("dim_key", "industry")
+    val stream = MemoryStream[(Long, Long, Double)]
+    val events = stream.toDF().toDF("event_id", "account", "value")
+    val q = StreamOps.enrichStream(events, dim, "account", "dim_key")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      stream.addData((100L, 1L, 5.0), (101L, 2L, 6.0))
+      q.processAllAvailable()
+      stream.addData((102L, 999L, 7.0)) // no catalog row yet
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("enriched")
+      .select("event_id", "industry").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(rows == Set((100L, "restaurant"), (101L, "grocery"), (102L, null)))
+  }
 }
