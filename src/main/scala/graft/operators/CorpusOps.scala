@@ -139,7 +139,28 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed-size per-group sample through the NATIVE bounded aggregate
+    * ([[graft.functions.BottomKByKey]], session-registered): the 10
+    * docs with the smallest md5 per language — a deterministic uniform
+    * sample whose membership is independent of partitioning and
+    * cluster size. The plan is ObjectHashAggregate with a PARTIAL pass
+    * before the exchange: each map task reduces its slice to ≤ k rows
+    * per language, so the shuffle carries O(#langs × k) rows — where
+    * the window formulation (`row_number() <= k`) shuffles and sorts
+    * the whole corpus. The oracle IS that window formulation, so the
+    * driver checks the aggregate against the declarative definition.
+    */
+  def corpusSampleBottomK(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(call_function("bottom_k_by_key",
+        md5(col("doc_id").cast("string")), col("doc_id"), lit(10)).as("sample"))
+      .select(col("lang"), posexplode(col("sample")).as(Seq("pos", "doc_id")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("sample_rank"), col("doc_id"))
+      .orderBy(col("lang"), col("sample_rank"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_sample_bottomk"    -> (corpusSampleBottomK _),
     "corpus_sample_stratified" -> (corpusSampleStratified _),
     "corpus_token_budget"      -> (corpusTokenBudget _),
     "corpus_pii_scrub"         -> (corpusPiiScrub _),
@@ -152,6 +173,17 @@ object CorpusOps {
        |       unnest(generate_series(1, len(toks) - ${n - 1})) t(i))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the window formulation IS the aggregate's definition: k smallest
+    // md5 keys per language, ties broken by doc_id
+    "corpus_sample_bottomk" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT lang, CAST(sample_rank AS INT) AS sample_rank, doc_id
+        |FROM ranked WHERE sample_rank <= 10
+        |ORDER BY lang, sample_rank""".stripMargin,
     "corpus_sample_stratified" ->
       s"""SELECT doc_id, lang,
          |  ${h32Sql("'sample:' || doc_id")} % 1000 AS bucket

@@ -1,6 +1,7 @@
 package graft.plans
 
-import graft.functions.{DotProduct, UpcValid}
+import graft.functions.{BottomKByKey, DotProduct, UpcValid}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -27,6 +28,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("bottom_k_by_key"),
+      new ExpressionInfo(classOf[BottomKByKey].getName, "bottom_k_by_key"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val k = exprs(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bottom_k_by_key: k must be an integer literal, got $other")
+        }
+        BottomKByKey(exprs(0), exprs(1), k)
+      }))
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
