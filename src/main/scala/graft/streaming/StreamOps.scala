@@ -82,6 +82,41 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming materialized view — the continuous twin of
+    * `etl_incremental_agg`: each micro-batch is reduced to its (small)
+    * mergeable aggregate and MERGED into the stored state via
+    * [[graft.operators.Incremental.mergeAggState]]; history is never
+    * rescanned. State versions are keyed by batchId (`v=<batchId>`)
+    * and a replayed batch deterministically overwrites its own version,
+    * so the sink is idempotent under checkpoint recovery — the
+    * file-based form of exactly-once state maintenance.
+    */
+  def incrementalAggStream(lineitem: DataFrame, stateDir: String,
+      checkpoint: String): StreamingQuery =
+    lineitem.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val prev =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(stateDir))) None
+          else fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
+            .map(_.getPath.getName).filter(_.startsWith("v="))
+            .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
+            .sorted.lastOption
+        val delta = graft.operators.Incremental.aggState(batch)
+        val merged = prev match {
+          case Some(v) => graft.operators.Incremental
+            .mergeAggState(sp.read.parquet(s"$stateDir/v=$v"), delta)
+            .drop("had_history", "had_delta")
+          case None => delta
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+      }
+      .start()
+
   /** Stream-static enrichment: every streaming event picks up its
     * dimension attributes from a static catalog table — the continuous
     * form of `q_orders_enriched` and the shape of the reference's

@@ -189,6 +189,36 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.head.n_events == 2)
   }
 
+  test("streaming incremental aggregate state equals the batch aggregate of all data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-stream").toString
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val stream = MemoryStream[(Long, Double, Double, Double, java.sql.Date)]
+    val li = stream.toDF()
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+    val q = StreamOps.incrementalAggStream(li, s"$dir/state", s"$dir/ckpt")
+    val all = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Double, Double, java.sql.Date)]
+    def push(rows: (Long, Double, Double, Double, java.sql.Date)*): Unit = {
+      all ++= rows; stream.addData(rows); q.processAllAvailable()
+    }
+    try {
+      push((1L, 2.0, 100.0, 0.1, d("2024-01-01")), (2L, 1.0, 50.0, 0.0, d("2024-01-01")))
+      push((1L, 3.0, 200.0, 0.2, d("2024-01-02")), (3L, 5.0, 80.0, 0.0, d("2024-01-02")))
+      push((2L, 4.0, 60.0, 0.5, d("2024-01-03")))
+    } finally q.stop()
+    val versions = new java.io.File(s"$dir/state").listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong).sorted
+    assert(versions.length == 3)
+    val state = spark.read.parquet(s"$dir/state/v=${versions.last}")
+      .orderBy("l_partkey")
+    val expected = graft.operators.Incremental.aggState(
+        all.toSeq.toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"))
+      .orderBy("l_partkey")
+    assert(state.collect().toSeq == expected.collect().toSeq)
+  }
+
   test("stream-static enrichment joins the catalog, keeps unknown keys with nulls") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
