@@ -31,6 +31,7 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracles),
       (Pipeline.queries, Pipeline.oracles),
       (Incremental.queries, Incremental.oracles),
+      (DataQuality.queries, DataQuality.oracles),
       (SqlSurface.queries, SqlSurface.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */

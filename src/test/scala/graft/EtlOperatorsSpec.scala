@@ -190,4 +190,17 @@ class EtlOperatorsSpec extends SparkTestBase {
     val fallback = df.filter(col("category") === "ECONOMY").head()
     assert(fallback.getAs[String]("header_text") == "Explore Our ECONOMY!")
   }
+
+  test("dq_checks: six constraints, pass flags consistent, driver data is clean") {
+    val df = DataQuality.dqChecks(spark, sfDir).cache()
+    assert(df.count() == 6)
+    assert(df.filter(col("pass") =!= (col("n_violations") === 0)).count() == 0)
+    // the generated tables satisfy every declared constraint
+    assert(df.filter(!col("pass")).count() == 0)
+    // counted over the full tables, not a sample
+    val nPart = Tables.part(spark, sfDir).count()
+    assert(df.filter(col("target").startsWith("part.") && col("n_rows") =!= nPart)
+      .count() == 0)
+    df.unpersist()
+  }
 }
