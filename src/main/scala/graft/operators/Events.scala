@@ -302,7 +302,29 @@ object Events {
         round(expr("percentile(value, 0.99)"), 6).as("p99"))
       .orderBy(col("event_type"))
 
+  /** The 100 TB quantile path actually exercised: `approx_percentile`
+    * (mergeable KLL-style sketch, map-side partial) checked against the
+    * exact percentiles with the engine-agnostic contract — output is
+    * the exact p50 plus within-5% booleans for the approximate p50/p90,
+    * so DuckDB's own approx_quantile asserts the same claim despite a
+    * different sketch implementation.
+    */
+  def eventsQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5D)"), 6).as("p50_exact"),
+        expr("approx_percentile(value, 0.5D, 1000)").as("ap50"),
+        expr("percentile(value, 0.9D)").as("ep90"),
+        expr("approx_percentile(value, 0.9D, 1000)").as("ap90"))
+      .select(
+        col("event_type"), col("p50_exact"),
+        (abs(col("ap50") - col("p50_exact")) / col("p50_exact") <= 0.05).as("p50_ok"),
+        (abs(col("ap90") - col("ep90")) / col("ep90") <= 0.05).as("p90_ok"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_quantiles_approx" -> (eventsQuantilesApprox _),
     "events_quantiles"    -> (eventsValueQuantiles _),
     "events_daily_pivot"  -> (eventsDailyPivot _),
     "sketch_distinct_users" -> (sketchDistinctUsers _),
@@ -445,6 +467,17 @@ object Events {
         |  count(DISTINCT d.user_id) AS n_users
         |FROM days d JOIN cohorts c ON d.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    // both engines assert the same claim: their own sketch quantile is
+    // within 5% of their own exact quantile (p50_exact itself is exact
+    // interpolated in both, so it hash-compares directly)
+    "events_quantiles_approx" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |  abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+        |    / quantile_cont(value, 0.5) <= 0.05 AS p50_ok,
+        |  abs(approx_quantile(value, 0.9) - quantile_cont(value, 0.9))
+        |    / quantile_cont(value, 0.9) <= 0.05 AS p90_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_quantiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50,

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Shuffle budgets for headline queries — the plan-shape regression
+  * guard. Every exchange is a full materialize-and-repartition of its
+  * input; at 100 TB an accidental extra one (a lost partial
+  * aggregation, a stray repartition, a join that stopped reusing its
+  * child's partitioning) is the difference between a plan that holds
+  * and one that doesn't. Budgets pin the CURRENT static plan (AQE off
+  * for determinism — AQE only removes/splits exchanges at runtime,
+  * never adds); a failure means the plan got structurally worse, not
+  * that a threshold needs bumping.
+  */
+class ShuffleBudgetSpec extends SparkTestBase {
+
+  private def countShuffles(p: SparkPlan): Int = {
+    val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+    self + p.children.map(countShuffles).sum + p.subqueries.map(countShuffles).sum
+  }
+
+  // (query, max exchanges incl. the output-stability sort)
+  private val budgets = Seq(
+    "q1_pricing_summary"    -> 2,
+    "q5_region_revenue"     -> 2,
+    "etl_pipeline_e2e"      -> 4,
+    "corpus_curate_e2e"     -> 4,
+    "corpus_prep_e2e"       -> 2,
+    "dedup_exact"           -> 2,
+    "dedup_minhash"         -> 2,
+    "etl_upc_match"         -> 1,
+    "etl_similarity_match"  -> 3,
+    "events_hourly"         -> 3,
+    "events_sessionize"     -> 2,
+    "events_asof_native"    -> 3,
+    "corpus_sample_bottomk" -> 2,
+    "etl_incremental_agg"   -> 3,
+    "text_tokens"           -> 1,
+    "dq_checks"             -> 4)
+
+  test("headline queries stay within their shuffle budgets") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val over = budgets.flatMap { case (name, budget) =>
+        val n = countShuffles(
+          SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
+        if (n > budget) Some(s"$name: $n > $budget") else None
+      }
+      assert(over.isEmpty, s"shuffle budgets exceeded: ${over.mkString(", ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
