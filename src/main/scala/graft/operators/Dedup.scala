@@ -287,12 +287,17 @@ object Dedup {
     while (!converged && iter < 32) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      // observe() rides the convergence probe ON the checkpoint's
+      // materialization job (CollectMetrics in the same pass) — one
+      // Spark job per iteration instead of materialize + re-aggregate
+      val obs = new org.apache.spark.sql.Observation(s"cc_iter_$iter")
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"),
           least(labels("component"), coalesce(col("nbr_min"), labels("component")))
             .as("component"))
+        .observe(obs, sum(col("component")).as("label_sum"))
         .localCheckpoint()
-      val s = labelSum(next)
+      val s = Option(obs.get("label_sum")).fold(0L)(_.asInstanceOf[Long])
       labels = next
       converged = s == prevSum
       prevSum = s
