@@ -34,7 +34,13 @@ import org.apache.spark.sql.graft.PlanApi
   *
   * Null times: rows whose time expression is null sort first and a null
   * right time compares <= everything (natural null-first ordering) —
-  * filter them out upstream if that is not intended.
+  * filter them out upstream if that is not intended. Null KEYS follow
+  * SQL join equality: they never match (left null-key rows are
+  * unmatched; kept with nulls under `outer`).
+  *
+  * Skew: AQE's OptimizeSkewedJoin only rewrites Spark's own join
+  * execs, so a pathological hot key here needs upstream salting (see
+  * `q_salted_skew_join`) — same as any custom operator.
   */
 object AsOfJoin {
 
@@ -174,8 +180,14 @@ case class AsOfJoinExec(
                 advancing = false
               }
             }
+            // SQL join equality never matches NULL keys: a null-key
+            // left row is unmatched even though the natural ordering
+            // would compare null == null (right null-key rows sort
+            // first and are consumed by the c < 0 branch unmatched —
+            // except against a null-key left row, which this guards)
             val matched =
-              lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0
+              !lKey.anyNull && lastMatch != null &&
+                keyOrd.compare(lastMatchKey, lKey) == 0
             if (matched) {
               ready = resultProj(joined(l, lastMatch))
             } else if (isOuter) {

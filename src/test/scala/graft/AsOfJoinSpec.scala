@@ -78,6 +78,27 @@ class AsOfJoinSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(out.map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("null keys never match (SQL join equality), even against null-key right rows") {
+    import spark.implicits._
+    val clicks = Seq(
+      (Some(1L), 100L, 10L), (None, 50L, 11L), (None, 60L, 12L))
+      .toDF("c_user", "c_t", "c_id")
+    val purchases = Seq(
+      (Some(1L), 200L, 900L), (None, 200L, 901L))
+      .toDF("user_id", "p_t", "p_id")
+    def run(outer: Boolean) = AsOfJoin.join(
+        purchases, clicks,
+        Seq(purchases.col("user_id")), Seq(clicks.col("c_user")),
+        purchases.col("p_t"), clicks.col("c_t"),
+        rightTiebreak = Seq(clicks.col("c_id")), outer = outer)
+      .select("p_id", "c_id").orderBy("p_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    // inner: the null-key purchase is dropped; the null-key clicks match nothing
+    assert(run(outer = false) == Seq((900L, 10L)))
+    // outer: the null-key purchase survives with a null right side
+    assert(run(outer = true) == Seq((900L, 10L), (901L, -1L)))
+  }
+
   test("empty right side: inner empty, outer all-null right") {
     import spark.implicits._
     val clicks = Seq.empty[(Long, Long, Long)].toDF("c_user", "c_t", "c_id")
