@@ -224,9 +224,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Chunk-granularity exact dedup — the passage-level pass (à la
+    * C4/RefinedWeb paragraph dedup) that document-level dedup misses:
+    * boilerplate repeated ACROSS distinct documents. Chunks from
+    * [[docChunks]] are keyed by content hash; the keep-first winner is
+    * the lowest (doc_id, chunk_idx); every chunk row carries its
+    * verdict. One shuffle on the chunk hash (map-side partial min),
+    * composing two existing operators — no new machinery.
+    */
+  def dedupChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = docChunks(spark, dir)
+      .select(col("doc_id"), col("chunk_idx"), md5(col("chunk_text")).as("chunk_hash"))
+    val keepers = chunks
+      .groupBy(col("chunk_hash"))
+      .agg(
+        min(struct(col("doc_id"), col("chunk_idx"))).as("first"),
+        count(lit(1)).as("n_copies"))
+      .select(col("chunk_hash"), col("first.doc_id").as("keep_doc"),
+        col("first.chunk_idx").as("keep_idx"), col("n_copies"))
+    chunks.join(keepers, "chunk_hash")
+      .select(
+        col("doc_id"), col("chunk_idx"), col("chunk_hash"), col("n_copies"),
+        (col("doc_id") === col("keep_doc") && col("chunk_idx") === col("keep_idx"))
+          .as("is_kept"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition"  -> (textRepetition _),
     "doc_chunks"       -> (docChunks _),
+    "dedup_chunks"     -> (dedupChunks _),
     "text_ngram_topk"  -> (textNgramTopk _),
     "text_length_hist" -> (textLengthHistogram _),
     "text_tokens"      -> (textTokens _),
@@ -297,6 +324,27 @@ object TextAnalysis {
          |    AS chunk_text
          |FROM base, unnest(generate_series(0, n_chunks - 1)) s(i)
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "dedup_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |base AS (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN len(toks) <= 32 THEN 1
+         |         ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS n_chunks
+         |  FROM t),
+         |chunks AS (
+         |  SELECT doc_id, s.i AS chunk_idx,
+         |    md5(array_to_string(
+         |      list_slice(toks, CAST(s.i * 24 + 1 AS INT), CAST(s.i * 24 + 32 AS INT)), ' '))
+         |      AS chunk_hash
+         |  FROM base, unnest(generate_series(0, n_chunks - 1)) s(i)),
+         |flagged AS (
+         |  SELECT doc_id, chunk_idx, chunk_hash,
+         |    count(*) OVER (PARTITION BY chunk_hash) AS n_copies,
+         |    row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM chunks)
+         |SELECT doc_id, chunk_idx, chunk_hash, n_copies, (rn = 1) AS is_kept
+         |FROM flagged ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_ngram_topk" ->
       s"""SELECT tok, count(*) AS n
          |FROM (SELECT unnest(${toksSql("text")}) AS tok FROM documents)

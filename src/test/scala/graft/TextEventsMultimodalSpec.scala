@@ -263,6 +263,18 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("dedup_chunks: exactly one kept copy per hash, copy counts add up") {
+    val df = TextAnalysis.dedupChunks(spark, sfDir).cache()
+    val perHash = df.groupBy("chunk_hash").agg(
+      sum(when(col("is_kept"), 1).otherwise(0)).as("n_kept"),
+      count(lit(1)).as("n"), first("n_copies").as("n_copies"))
+    assert(perHash.filter(col("n_kept") =!= 1).count() == 0)
+    assert(perHash.filter(col("n") =!= col("n_copies")).count() == 0)
+    // row count matches the chunking pass it composes
+    assert(df.count() == TextAnalysis.docChunks(spark, sfDir).count())
+    df.unpersist()
+  }
+
   test("etl_scd2_history: versions contiguous, intervals chain, one current row per key") {
     import graft.operators.EtlEnrichment
     val df = EtlEnrichment.scd2History(spark, sfDir).cache()
