@@ -100,6 +100,32 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** The dataset-card report: per (lang, split) document counts, token
+    * totals, and mean quality — the mixture table every corpus release
+    * publishes and every rebalancing decision reads. Composes the split
+    * assignment with per-doc token/quality projections into ONE grouped
+    * pass (map-side partial agg over ≤ #langs × 3 groups); at 100 TB
+    * this is a single scan + a #groups-row shuffle.
+    */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val bucket = conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("bigint") % 100
+    Tables.documents(spark, dir)
+      .select(
+        col("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"),
+        size(toks).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("lang"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_tokens")), 6).as("mean_tokens"),
+        round(avg(col("n_chars")), 6).as("mean_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   /** The FULL curation pipeline as one Catalyst plan: PII scrub →
     * quality gate → exact dedup → benchmark decontamination →
     * stratified sample → split assignment. The corpus is shuffled
@@ -171,7 +197,8 @@ object Pipeline {
     "etl_pipeline_e2e"  -> (endToEnd _),
     "corpus_prep_e2e"   -> (corpusPrep _),
     "corpus_curate_e2e" -> (corpusCurate _),
-    "corpus_split"      -> (corpusSplit _))
+    "corpus_split"      -> (corpusSplit _),
+    "corpus_report"     -> (corpusReport _))
 
   val oracles: Map[String, String] = Map(
     "etl_pipeline_e2e" -> {
@@ -261,6 +288,21 @@ object Pipeline {
          |      < (CASE WHEN lang = 'en' THEN 400 ELSE 1000 END)
          |ORDER BY doc_id""".stripMargin
     },
+    "corpus_report" ->
+      """WITH tagged AS (
+        |  SELECT lang,
+        |    CASE WHEN CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+        |    length(text) AS n_chars
+        |  FROM documents)
+        |SELECT lang, split, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(avg(n_tokens), 6) AS mean_tokens,
+        |  round(avg(n_chars), 6) AS mean_chars
+        |FROM tagged GROUP BY lang, split
+        |ORDER BY lang, split""".stripMargin,
     "corpus_split" ->
       """SELECT doc_id,
         |  CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 AS bucket,

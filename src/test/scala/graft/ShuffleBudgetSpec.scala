@@ -39,6 +39,24 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "text_tokens"           -> 1,
     "dq_checks"             -> 4)
 
+  test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
+    // Spark's own InferWindowGroupLimit plans rank-filter windows as a
+    // Partial+Final group limit — each map task forwards only its own
+    // top-N per group, the same shuffle reduction a custom top-k
+    // operator would buy (which is why the repo does not carry one;
+    // the native bounded aggregate exists for the SAMPLING shape the
+    // optimizer cannot infer)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q_top_parts_per_brand")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"), s"group-limit pushdown missing:\n$plan")
+      assert(plan.contains("Partial") && plan.contains("Final"),
+        "expected two-phase (Partial before the exchange, Final after)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("headline queries stay within their shuffle budgets") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
