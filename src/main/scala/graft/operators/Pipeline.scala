@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -89,14 +89,24 @@ object Pipeline {
     * the property that keeps eval sets uncontaminated over months of
     * pipeline runs. Pure projection, no shuffle.
     */
-  def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 8), 16, 10)
+  /** The one split-assignment definition: md5 bucket of the doc id in
+    * [0, 100), train < 80 <= val < 90 <= test. `corpusSplit`,
+    * `corpusReport`, and both oracles all derive from here so the
+    * published mixture can never drift from the actual assignment.
+    */
+  private[operators] def splitBucket: Column =
+    conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 8), 16, 10)
       .cast("bigint") % 100
+  private[operators] def splitName(bucket: Column): Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = splitBucket
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         bucket.as("bucket"),
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+        splitName(bucket).as("split"))
       .orderBy(col("doc_id"))
   }
 
@@ -109,12 +119,10 @@ object Pipeline {
     */
   def corpusReport(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(lower(trim(col("text"))), "\\s+")
-    val bucket = conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 8), 16, 10)
-      .cast("bigint") % 100
     Tables.documents(spark, dir)
       .select(
         col("lang"),
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"),
+        splitName(splitBucket).as("split"),
         size(toks).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars"))
       .groupBy(col("lang"), col("split"))
@@ -176,8 +184,6 @@ object Pipeline {
       .select(col("doc_id")).distinct()
     val sampleBucket = conv(substring(md5(concat(lit("sample:"), col("doc_id"))), 1, 8), 16, 10)
       .cast("bigint") % 1000
-    val splitBucket = conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 8), 16, 10)
-      .cast("bigint") % 100
     deduped
       .filter(col("doc_id") >= 20)
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
@@ -188,8 +194,7 @@ object Pipeline {
         col("n_tokens").cast("bigint").as("n_tokens"),
         col("n_pii").cast("bigint").as("n_pii"),
         col("content_hash"),
-        when(splitBucket < 80, "train").when(splitBucket < 90, "val")
-          .otherwise("test").as("split"))
+        splitName(splitBucket).as("split"))
       .orderBy(col("doc_id"))
   }
 
@@ -199,6 +204,16 @@ object Pipeline {
     "corpus_curate_e2e" -> (corpusCurate _),
     "corpus_split"      -> (corpusSplit _),
     "corpus_report"     -> (corpusReport _))
+
+  /** SQL twin of [[splitBucket]]/[[splitName]] — one definition for
+    * every oracle that mentions the split.
+    */
+  private val splitBucketSql =
+    "CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100"
+  private val splitCaseSql =
+    s"""CASE WHEN $splitBucketSql < 80 THEN 'train'
+       |       WHEN $splitBucketSql < 90 THEN 'val'
+       |       ELSE 'test' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "etl_pipeline_e2e" -> {
@@ -278,9 +293,7 @@ object Pipeline {
          |  SELECT DISTINCT cg.doc_id FROM ($gram5) cg
          |  JOIN bench b ON cg.gram = b.gram WHERE cg.doc_id >= 20)
          |SELECT doc_id, lang, source, n_tokens, n_pii, content_hash,
-         |  CASE WHEN CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
-         |       WHEN CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
-         |       ELSE 'test' END AS split
+         |  $splitCaseSql AS split
          |FROM deduped d
          |WHERE doc_id >= 20
          |  AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
@@ -289,14 +302,12 @@ object Pipeline {
          |ORDER BY doc_id""".stripMargin
     },
     "corpus_report" ->
-      """WITH tagged AS (
-        |  SELECT lang,
-        |    CASE WHEN CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
-        |         WHEN CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
-        |         ELSE 'test' END AS split,
-        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
-        |    length(text) AS n_chars
-        |  FROM documents)
+      s"""WITH tagged AS (
+         |  SELECT lang,
+         |    $splitCaseSql AS split,
+         |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+         |    length(text) AS n_chars
+         |  FROM documents)
         |SELECT lang, split, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  round(avg(n_tokens), 6) AS mean_tokens,
@@ -304,10 +315,8 @@ object Pipeline {
         |FROM tagged GROUP BY lang, split
         |ORDER BY lang, split""".stripMargin,
     "corpus_split" ->
-      """SELECT doc_id,
-        |  CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 AS bucket,
-        |  CASE WHEN CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
-        |       WHEN CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin)
+      s"""SELECT doc_id,
+         |  $splitBucketSql AS bucket,
+         |  $splitCaseSql AS split
+         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` corpus — the scale
@@ -172,22 +173,32 @@ object TextAnalysis {
     * partition-parallel at corpus scale.
     */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), toks(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tokens"))
-    def grams(n: Int) = base.select(col("doc_id"), explode(expr(
+    // ONE corpus scan: both n-gram orders ride a single tagged explode
+    // (the naive per-order formulation re-scans and re-tokenizes the
+    // corpus once per order plus once for the lengths)
+    def gramArr(n: Int) = expr(
       s"transform(sequence(1, size(toks) - ${n - 1}), i -> " +
         (1 to n).map(j => s"element_at(toks, i + ${j - 1})")
-          .mkString("concat_ws(' ', ", ", ", ")") + ")")).as("gram"))
-    val biStat = grams(2)
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
-    val triStat = grams(3)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tri"), countDistinct(col("gram")).as("n_tri_distinct"))
-    base.select(col("doc_id"), col("n_tokens"))
-      .join(biStat, "doc_id").join(triStat, "doc_id")
+          .mkString("concat_ws(' ', ", ", ", ")") + ")")
+    val tagged = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        explode(concat(
+          transform(gramArr(2), g => struct(lit(2).as("n"), g.as("gram"))),
+          transform(gramArr(3), g => struct(lit(3).as("n"), g.as("gram"))))).as("g"))
+      .select(col("doc_id"), col("n_tokens"), col("g.n").as("n"), col("g.gram").as("gram"))
+    // per (doc, order, gram) counts — map-side partial — then per-doc
+    // stats for both orders in one grouped pass
+    val stats = tagged
+      .groupBy(col("doc_id"), col("n_tokens"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(
+        max(when(col("n") === 2, col("c"))).as("top_bigram_n"),
+        sum(when(col("n") === 3, col("c"))).as("n_tri"),
+        count(when(col("n") === 3, lit(1))).as("n_tri_distinct"))
+    stats
       .select(
         col("doc_id"), col("n_tokens"),
         round(lit(2.0) * col("top_bigram_n") / col("n_tokens"), 6).as("top_bigram_frac"),
@@ -233,20 +244,17 @@ object TextAnalysis {
     * composing two existing operators — no new machinery.
     */
   def dedupChunks(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = docChunks(spark, dir)
+    // single scan + single shuffle on the hash: the keep-first verdict
+    // and copy count are windows over the SAME partitioning (a
+    // groupBy-then-join-back formulation would run the chunking
+    // explode twice and shuffle twice)
+    val w = Window.partitionBy(col("chunk_hash"))
+    val wOrd = w.orderBy(col("doc_id"), col("chunk_idx"))
+    docChunks(spark, dir)
       .select(col("doc_id"), col("chunk_idx"), md5(col("chunk_text")).as("chunk_hash"))
-    val keepers = chunks
-      .groupBy(col("chunk_hash"))
-      .agg(
-        min(struct(col("doc_id"), col("chunk_idx"))).as("first"),
-        count(lit(1)).as("n_copies"))
-      .select(col("chunk_hash"), col("first.doc_id").as("keep_doc"),
-        col("first.chunk_idx").as("keep_idx"), col("n_copies"))
-    chunks.join(keepers, "chunk_hash")
-      .select(
-        col("doc_id"), col("chunk_idx"), col("chunk_hash"), col("n_copies"),
-        (col("doc_id") === col("keep_doc") && col("chunk_idx") === col("keep_idx"))
-          .as("is_kept"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("is_kept", row_number().over(wOrd) === 1)
+      .select("doc_id", "chunk_idx", "chunk_hash", "n_copies", "is_kept")
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 

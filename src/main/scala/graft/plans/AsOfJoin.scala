@@ -56,10 +56,31 @@ object AsOfJoin {
       outer: Boolean = false): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       "as-of join needs matching non-empty key lists")
-    val plan = AsOfJoinPlan(
-      left.queryExecution.analyzed, right.queryExecution.analyzed,
-      leftKeys.map(PlanApi.expr), rightKeys.map(PlanApi.expr),
-      PlanApi.expr(leftTime), PlanApi.expr(rightTime),
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    // Spark's analyzer deduplicates exprIds for ITS Join node
+    // (DeduplicateRelations); a custom node gets no such pass, and
+    // shared attribute ids would silently bind right-side output
+    // columns to left-side ordinals. Refuse loudly instead.
+    require(lPlan.outputSet.intersect(rPlan.outputSet).isEmpty,
+      "as-of join sides share attributes (self-join or common lineage); " +
+        "alias one side's columns first, e.g. df.select(cols.map(c => col(c).as(\"r_\" + c)))")
+    val lk = leftKeys.map(PlanApi.expr)
+    val rk = rightKeys.map(PlanApi.expr)
+    val lt = PlanApi.expr(leftTime)
+    val rt = PlanApi.expr(rightTime)
+    // the merge compares with orderings built from the LEFT types —
+    // a type mismatch would mis-read the right side's row layout at
+    // runtime, so reject it at construction
+    lk.zip(rk).zipWithIndex.foreach { case ((l, r), i) =>
+      require(l.dataType == r.dataType,
+        s"as-of join key $i type mismatch: ${l.dataType.catalogString} vs " +
+          r.dataType.catalogString)
+    }
+    require(lt.dataType == rt.dataType,
+      s"as-of join time type mismatch: ${lt.dataType.catalogString} vs " +
+        rt.dataType.catalogString)
+    val plan = AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt,
       rightTiebreak.map(PlanApi.expr), outer)
     PlanApi.ofRows(left.sparkSession, plan)
   }

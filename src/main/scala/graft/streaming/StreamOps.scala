@@ -128,7 +128,9 @@ object StreamOps {
     */
   def enrichStream(events: DataFrame, dim: DataFrame,
       eventKey: String, dimKey: String): DataFrame =
-    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+    // qualified refs: an unqualified col(name) is ambiguous the moment
+    // both frames carry the name (e.g. enriching on a same-named key)
+    events.join(broadcast(dim), events.col(eventKey) === dim.col(dimKey), "left")
 
   /** Session aggregation via the BUILT-IN `session_window` (the
     * compose-existing-ops tier: state-store managed, merges overlapping
