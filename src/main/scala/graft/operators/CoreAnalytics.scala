@@ -170,6 +170,26 @@ object CoreAnalytics {
       .orderBy(col("key_a"), col("key_b"))
   }
 
+  /** Explicit GROUPING SETS — the third grouping surface next to
+    * ROLLUP/CUBE: exactly the requested granularities
+    * ((returnflag, linestatus) and (linestatus)), still ONE pass with
+    * the expansion inside the aggregation; `grouping(...)` flags
+    * disambiguate a real NULL group key from a rolled-up one, which is
+    * how BI layers consume these results.
+    */
+  def groupingSetsSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.createOrReplaceTempView("lineitem_gs")
+    li.sparkSession.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  count(*) AS n_rows,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+        |ORDER BY coalesce(l_returnflag, '~'), coalesce(l_linestatus, '~'), g_flag""".stripMargin)
+  }
+
   /** CUBE grouping sets: all 2^2 aggregation granularities in one pass
     * (Spark expands the grouping sets inside a single aggregation —
     * no per-granularity rescan).
@@ -199,6 +219,7 @@ object CoreAnalytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cube"               -> (cubeSummary _),
+    "q_grouping_sets"      -> (groupingSetsSummary _),
     "q_running_revenue"    -> (runningRevenue _),
     "q_price_band_join"    -> (priceBandJoin _),
     "q1_pricing_summary"   -> (q1PricingSummary _),
@@ -263,6 +284,14 @@ object CoreAnalytics {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY coalesce(l_returnflag, '~'), coalesce(l_linestatus, '~')""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  count(*) AS n_rows,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+        |ORDER BY coalesce(l_returnflag, '~'), coalesce(l_linestatus, '~'), g_flag""".stripMargin,
     "q_orders_enriched" ->
       """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice,
         |  CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')

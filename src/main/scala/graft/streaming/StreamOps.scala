@@ -117,6 +117,25 @@ object StreamOps {
       }
       .start()
 
+  /** Windowed sketch aggregation: per-hour distinct users
+    * (`approx_count_distinct`) and p90 value (`approx_percentile`)
+    * under a watermark — both aggregates are MERGEABLE sketches, so
+    * they run as ordinary streaming state (partial per micro-batch,
+    * merged in the state store, expired past the watermark). The
+    * streaming twin of `sketch_distinct_users`/`events_quantiles_approx`:
+    * at 100 TB-rate streams, exact distinct/percentile state is
+    * unbounded per window, sketch state is constant.
+    */
+  def hourlySketches(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
+        expr("approx_percentile(value, 0.9D, 1000)").as("p90_approx"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_users_approx"), col("p90_approx"))
+
   /** Stream-static enrichment: every streaming event picks up its
     * dimension attributes from a static catalog table — the continuous
     * form of `q_orders_enriched` and the shape of the reference's

@@ -219,6 +219,24 @@ class StreamingSpec extends SparkTestBase {
     assert(state.collect().toSeq == expected.collect().toSeq)
   }
 
+  test("streaming sketch aggregation matches the batch sketches on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.hourlySketches(stream.toDF())
+      .writeStream.format("memory").queryName("sketches").outputMode("update").start()
+    val evs = (1 to 40).map(i =>
+      Ev(i.toLong, ts(f"2024-01-01 10:${i % 60}%02d:00"), (i % 7).toLong, "click", i.toDouble))
+    try { stream.addData(evs); q.processAllAvailable() } finally q.stop()
+    val streamRow = spark.table("sketches")
+      .filter(col("event_type") === "click").collect()
+    assert(streamRow.length == 1)
+    // identical sketches over the identical rows, computed in batch
+    val batch = StreamOps.hourlySketches(evs.toDF()).collect()
+    assert(streamRow.head.getLong(2) == batch.head.getLong(2))
+    assert(streamRow.head.getDouble(3) == batch.head.getDouble(3))
+  }
+
   test("stream-static enrichment joins the catalog, keeps unknown keys with nulls") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
