@@ -180,19 +180,19 @@ object TextAnalysis {
       s"transform(sequence(1, size(toks) - ${n - 1}), i -> " +
         (1 to n).map(j => s"element_at(toks, i + ${j - 1})")
           .mkString("concat_ws(' ', ", ", ", ")") + ")")
+    // both orders share one exploded relation untagged — a bigram can
+    // never collide with a trigram (different word counts), so the
+    // order is recovered per DISTINCT gram after the first aggregation
+    // (the small side), not carried through the explode (the big side)
     val tagged = Tables.documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), size(col("toks")).as("n_tokens"),
-        explode(concat(
-          transform(gramArr(2), g => struct(lit(2).as("n"), g.as("gram"))),
-          transform(gramArr(3), g => struct(lit(3).as("n"), g.as("gram"))))).as("g"))
-      .select(col("doc_id"), col("n_tokens"), col("g.n").as("n"), col("g.gram").as("gram"))
-    // per (doc, order, gram) counts — map-side partial — then per-doc
-    // stats for both orders in one grouped pass
+        explode(concat(gramArr(2), gramArr(3))).as("gram"))
     val stats = tagged
-      .groupBy(col("doc_id"), col("n_tokens"), col("n"), col("gram"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("gram"))
       .agg(count(lit(1)).as("c"))
+      .withColumn("n", size(split(col("gram"), " ")))
       .groupBy(col("doc_id"), col("n_tokens"))
       .agg(
         max(when(col("n") === 2, col("c"))).as("top_bigram_n"),
