@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column handling: media payloads travel as opaque `binary`
@@ -45,6 +46,23 @@ object Multimodal {
         when(modality =!= "audio", (h48(dig, 1) % 1857 + 64).cast("int")).as("width"),
         when(modality =!= "audio", (h48(dig, 7) % 1017 + 64).cast("int")).as("height"),
         when(modality =!= "image", round(((h48(dig, 13) % 36000).cast("double")) / 100.0, 6)).as("duration_s"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content-hash dedup over the BINARY payloads — the baseline
+    * multimodal dedup pass (identical images/clips recur constantly in
+    * scraped corpora; byte-identical dedup runs before any perceptual
+    * hashing). Same single-shuffle window shape as the text dedups,
+    * keyed on (modality, payload_md5): keep-first by doc_id, every row
+    * carries its verdict and copy count.
+    */
+  def multimodalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("modality"), col("payload_md5"))
+    val wOrd = w.orderBy(col("doc_id"))
+    multimodalMeta(spark, dir)
+      .select(col("doc_id"), col("modality"), col("payload_md5"), col("n_bytes"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("is_kept", row_number().over(wOrd) === 1)
       .orderBy(col("doc_id"))
   }
 
@@ -146,9 +164,22 @@ object Multimodal {
     "multimodal_meta"   -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_resize" -> (multimodalResize _),
-    "multimodal_audio_chunks" -> (multimodalAudioChunks _))
+    "multimodal_audio_chunks" -> (multimodalAudioChunks _),
+    "multimodal_dedup"  -> (multimodalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "multimodal_dedup" ->
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+        |    md5(text) AS payload_md5,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents)
+        |SELECT doc_id, modality, payload_md5, n_bytes,
+        |  count(*) OVER (PARTITION BY modality, payload_md5) AS n_copies,
+        |  (row_number() OVER (PARTITION BY modality, payload_md5 ORDER BY doc_id) = 1)
+        |    AS is_kept
+        |FROM meta ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  lower(hex(encode(text))) AS payload_hex,

@@ -275,6 +275,17 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("multimodal_dedup: one kept copy per (modality, hash), counts consistent") {
+    val df = Multimodal.multimodalDedup(spark, sfDir).cache()
+    val perKey = df.groupBy("modality", "payload_md5").agg(
+      sum(when(col("is_kept"), 1).otherwise(0)).as("n_kept"),
+      count(lit(1)).as("n"), first("n_copies").as("n_copies"))
+    assert(perKey.filter(col("n_kept") =!= 1).count() == 0)
+    assert(perKey.filter(col("n") =!= col("n_copies")).count() == 0)
+    assert(df.count() == Tables.documents(spark, sfDir).count())
+    df.unpersist()
+  }
+
   test("etl_scd2_history: versions contiguous, intervals chain, one current row per key") {
     import graft.operators.EtlEnrichment
     val df = EtlEnrichment.scd2History(spark, sfDir).cache()
