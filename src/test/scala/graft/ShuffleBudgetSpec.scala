@@ -37,7 +37,15 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "corpus_sample_bottomk" -> 2,
     "etl_incremental_agg"   -> 3,
     "text_tokens"           -> 1,
-    "dq_checks"             -> 4)
+    "dq_checks"             -> 4,
+    "dedup_chunks"          -> 3,
+    "multimodal_dedup"      -> 3,
+    "corpus_report"         -> 2,
+    "q_grouping_sets"       -> 2,
+    "text_repetition"       -> 3,
+    "etl_scd2_history"      -> 3,
+    "sketch_hll_union"      -> 5,
+    "events_quantiles_approx" -> 2)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
