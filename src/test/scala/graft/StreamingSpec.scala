@@ -219,6 +219,33 @@ class StreamingSpec extends SparkTestBase {
     assert(state.collect().toSeq == expected.collect().toSeq)
   }
 
+  test("streaming incremental aggregate survives a checkpoint restart without double-merging") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-restart").toString
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val stream = MemoryStream[(Long, Double, Double, Double, java.sql.Date)]
+    val li = stream.toDF()
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+    val b1 = Seq((1L, 2.0, 100.0, 0.1, d("2024-01-01")), (2L, 1.0, 50.0, 0.0, d("2024-01-01")))
+    val b2 = Seq((1L, 3.0, 200.0, 0.2, d("2024-01-02")))
+    // first incarnation processes batch 1, then STOPS
+    val q1 = StreamOps.incrementalAggStream(li, s"$dir/state", s"$dir/ckpt")
+    try { stream.addData(b1); q1.processAllAvailable() } finally q1.stop()
+    // second incarnation on the SAME checkpoint picks up from offset 1:
+    // batch 1 must not merge again
+    stream.addData(b2)
+    val q2 = StreamOps.incrementalAggStream(li, s"$dir/state", s"$dir/ckpt")
+    try { q2.processAllAvailable() } finally q2.stop()
+    val versions = new java.io.File(s"$dir/state").listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong).sorted
+    val state = spark.read.parquet(s"$dir/state/v=${versions.last}").orderBy("l_partkey")
+    val expected = graft.operators.Incremental.aggState(
+        (b1 ++ b2).toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"))
+      .orderBy("l_partkey")
+    assert(state.collect().toSeq == expected.collect().toSeq)
+  }
+
   test("streaming sketch aggregation matches the batch sketches on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
