@@ -319,8 +319,10 @@ object Events {
         expr("approx_percentile(value, 0.9D, 1000)").as("ap90"))
       .select(
         col("event_type"), col("p50_exact"),
-        (abs(col("ap50") - col("p50_exact")) / col("p50_exact") <= 0.05).as("p50_ok"),
-        (abs(col("ap90") - col("ep90")) / col("ep90") <= 0.05).as("p90_ok"))
+        // relative error against |exact|: a signed denominator makes the
+        // bound vacuously true whenever the exact percentile is negative
+        (abs(col("ap50") - col("p50_exact")) / abs(col("p50_exact")) <= 0.05).as("p50_ok"),
+        (abs(col("ap90") - col("ep90")) / abs(col("ep90")) <= 0.05).as("p90_ok"))
       .orderBy(col("event_type"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -474,9 +476,9 @@ object Events {
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50_exact,
         |  abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
-        |    / quantile_cont(value, 0.5) <= 0.05 AS p50_ok,
+        |    / abs(quantile_cont(value, 0.5)) <= 0.05 AS p50_ok,
         |  abs(approx_quantile(value, 0.9) - quantile_cont(value, 0.9))
-        |    / quantile_cont(value, 0.9) <= 0.05 AS p90_ok
+        |    / abs(quantile_cont(value, 0.9)) <= 0.05 AS p90_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_quantiles" ->
       """SELECT event_type,

@@ -29,7 +29,14 @@ object Multimodal {
     * stand-in) + typed metadata: byte length, content md5, modality tag,
     * and stub-decoded dimensions/duration derived from the content hash.
     */
-  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    metaRows(spark, dir).orderBy(col("doc_id"))
+
+  /** [[multimodalMeta]] without the presentation sort — composition
+    * point for downstream passes (dedup) whose first shuffle would
+    * destroy the order anyway.
+    */
+  private def metaRows(spark: SparkSession, dir: String): DataFrame = {
     val payload = encode(col("text"), "UTF-8")
     val dig = md5(payload)
     val modality = element_at(
@@ -46,7 +53,6 @@ object Multimodal {
         when(modality =!= "audio", (h48(dig, 1) % 1857 + 64).cast("int")).as("width"),
         when(modality =!= "audio", (h48(dig, 7) % 1017 + 64).cast("int")).as("height"),
         when(modality =!= "image", round(((h48(dig, 13) % 36000).cast("double")) / 100.0, 6)).as("duration_s"))
-      .orderBy(col("doc_id"))
   }
 
   /** Content-hash dedup over the BINARY payloads — the baseline
@@ -59,7 +65,7 @@ object Multimodal {
   def multimodalDedup(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("modality"), col("payload_md5"))
     val wOrd = w.orderBy(col("doc_id"))
-    multimodalMeta(spark, dir)
+    metaRows(spark, dir)
       .select(col("doc_id"), col("modality"), col("payload_md5"), col("n_bytes"))
       .withColumn("n_copies", count(lit(1)).over(w))
       .withColumn("is_kept", row_number().over(wOrd) === 1)
@@ -102,7 +108,7 @@ object Multimodal {
     */
   val MaxFrames = 8
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
-    val meta = multimodalMeta(spark, dir)
+    val meta = metaRows(spark, dir)
       .filter(col("modality") === "video")
       .select(col("doc_id"), col("duration_s"))
     val nFrames = least(lit(MaxFrames), greatest(lit(1), ceil(col("duration_s")).cast("int")))
@@ -125,7 +131,7 @@ object Multimodal {
   def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
     val mx = greatest(col("width"), col("height")).cast("bigint")
     val needs = mx > FitBox
-    multimodalMeta(spark, dir)
+    metaRows(spark, dir)
       .filter(col("modality") =!= "audio")
       .select(
         col("doc_id"), col("modality"), col("width"), col("height"),
@@ -144,7 +150,7 @@ object Multimodal {
   val ChunkSeconds = 5
   def multimodalAudioChunks(spark: SparkSession, dir: String): DataFrame = {
     val nChunks = greatest(lit(1), ceil(col("duration_s") / ChunkSeconds).cast("int"))
-    multimodalMeta(spark, dir)
+    metaRows(spark, dir)
       .filter(col("modality") === "audio")
       // a zero-length clip has no windows to tile; without this guard a
       // duration_s of exactly 0.0 (possible: the md5-derived hash can be

@@ -201,7 +201,10 @@ object TextAnalysis {
     stats
       .select(
         col("doc_id"), col("n_tokens"),
-        round(lit(2.0) * col("top_bigram_n") / col("n_tokens"), 6).as("top_bigram_frac"),
+        // occurrences of the top bigram overlap ("go go go go" has 3 of
+        // "go go" over 4 tokens), so cap the covered-token estimate at 1
+        round(least(lit(1.0), lit(2.0) * col("top_bigram_n") / col("n_tokens")), 6)
+          .as("top_bigram_frac"),
         round(lit(1.0) - col("n_tri_distinct").cast("double") / col("n_tri"), 6)
           .as("dup_trigram_frac"))
       .withColumn("is_repetitive",
@@ -216,7 +219,14 @@ object TextAnalysis {
     * slice): NO shuffle except the output sort — at 100 TB this is a
     * map-only pass that chains straight into the embedding stage.
     */
-  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    chunkRows(spark, dir).orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** [[docChunks]] without the presentation sort — composition point for
+    * downstream passes (dedup) whose first shuffle would destroy the
+    * order anyway.
+    */
+  private def chunkRows(spark: SparkSession, dir: String): DataFrame = {
     val W = 32; val S = 24
     Tables.documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("toks"))
@@ -232,7 +242,6 @@ object TextAnalysis {
         (col("chunk_idx") * S + 1).as("start_token"),
         size(col("chunk_toks")).as("chunk_len"),
         concat_ws(" ", col("chunk_toks")).as("chunk_text"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
   /** Chunk-granularity exact dedup — the passage-level pass (à la
@@ -250,7 +259,7 @@ object TextAnalysis {
     // explode twice and shuffle twice)
     val w = Window.partitionBy(col("chunk_hash"))
     val wOrd = w.orderBy(col("doc_id"), col("chunk_idx"))
-    docChunks(spark, dir)
+    chunkRows(spark, dir)
       .select(col("doc_id"), col("chunk_idx"), md5(col("chunk_text")).as("chunk_hash"))
       .withColumn("n_copies", count(lit(1)).over(w))
       .withColumn("is_kept", row_number().over(wOrd) === 1)
@@ -308,9 +317,9 @@ object TextAnalysis {
          |  SELECT doc_id, count(*) AS n_tri, count(DISTINCT gram) AS n_tri_distinct
          |  FROM tg GROUP BY 1)
          |SELECT doc_id, n_tokens,
-         |  round(2.0 * top_bigram_n / n_tokens, 6) AS top_bigram_frac,
+         |  round(least(1.0, 2.0 * top_bigram_n / n_tokens), 6) AS top_bigram_frac,
          |  round(1.0 - CAST(n_tri_distinct AS DOUBLE) / n_tri, 6) AS dup_trigram_frac,
-         |  (round(2.0 * top_bigram_n / n_tokens, 6) > 0.12
+         |  (round(least(1.0, 2.0 * top_bigram_n / n_tokens), 6) > 0.12
          |    OR round(1.0 - CAST(n_tri_distinct AS DOUBLE) / n_tri, 6) > 0.03)
          |    AS is_repetitive
          |FROM base JOIN bstat USING (doc_id) JOIN tstat USING (doc_id)

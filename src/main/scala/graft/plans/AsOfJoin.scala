@@ -96,8 +96,11 @@ case class AsOfJoinPlan(
     rightTiebreak: Seq[Expression], outer: Boolean)
   extends BinaryNode {
 
+  // only an OUTER as-of join can null-extend the right side; the inner
+  // form must not widen nullability (writers and not-null contracts
+  // downstream read this schema)
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -128,7 +131,7 @@ case class AsOfJoinExec(
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -161,12 +164,12 @@ case class AsOfJoinExec(
       val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lk.map(_.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
-      // bind against the NULLABLE view of the right side: an outer
-      // match feeds an all-null row, and binding against the child's
-      // original non-nullable attributes would elide the null checks
-      // (nulls silently read as 0/false)
-      val resultProj =
-        UnsafeProjection.create(allOut, lOut ++ rOut.map(_.withNullability(true)))
+      // bind against `output` itself: under `outer` that is the NULLABLE
+      // view of the right side (an outer match feeds an all-null row, and
+      // binding against the child's original non-nullable attributes
+      // would elide the null checks — nulls silently read as 0/false);
+      // inner never feeds null rows, so the tight schema is safe
+      val resultProj = UnsafeProjection.create(allOut, allOut)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(nRightCols)
 

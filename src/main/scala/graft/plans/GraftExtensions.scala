@@ -1,10 +1,10 @@
 package graft.plans
 
 import graft.functions.{BottomKByKey, DotProduct, UpcValid}
-import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Session extension wiring for the engine's native pieces:
   *  - SQL function `upc_valid` → the codegen'd [[UpcValid]] expression;
@@ -17,25 +17,43 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def requireArity(name: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$name expects $n arguments, got ${exprs.length}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("upc_valid"),
       new ExpressionInfo(classOf[UpcValid].getName, "upc_valid"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        UpcValid(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        requireArity("upc_valid", exprs, 1)
+        UpcValid(exprs.head)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        requireArity("vec_dot", exprs, 2)
+        DotProduct(exprs(0), exprs(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("bottom_k_by_key"),
       new ExpressionInfo(classOf[BottomKByKey].getName, "bottom_k_by_key"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (exprs: Seq[Expression]) => {
+        requireArity("bottom_k_by_key", exprs, 3)
+        // any statically-evaluable integral k (10, 10L, CAST(10 AS INT), …)
         val k = exprs(2) match {
-          case Literal(v: Int, _) => v
+          case e if e.foldable &&
+              Seq(ByteType, ShortType, IntegerType, LongType).contains(e.dataType) =>
+            e.eval() match {
+              case n: Number if n.longValue() >= 1 && n.longValue() <= Int.MaxValue =>
+                n.intValue()
+              case bad => throw new IllegalArgumentException(
+                s"bottom_k_by_key: k must be a positive integer, got $bad")
+            }
           case other => throw new IllegalArgumentException(
-            s"bottom_k_by_key: k must be an integer literal, got $other")
+            s"bottom_k_by_key: k must be a foldable integral expression, got $other")
         }
         BottomKByKey(exprs(0), exprs(1), k)
       }))

@@ -111,4 +111,20 @@ class AsOfJoinSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     val outer = join(outer = true).orderBy("p_id").collect()
     assert(outer.length == 2 && outer.forall(_.isNullAt(5)))
   }
+
+  test("schema nullability: only the outer form widens the right side") {
+    import spark.implicits._
+    val clicks = Seq((1L, 10L, 7L)).toDF("c_user", "c_t", "c_id")
+    val purchases = Seq((1L, 100L, 900L)).toDF("user_id", "p_t", "p_id")
+    def join(outer: Boolean) = AsOfJoin.join(
+      purchases, clicks,
+      Seq(purchases.col("user_id")), Seq(clicks.col("c_user")),
+      purchases.col("p_t"), clicks.col("c_t"), outer = outer)
+    val innerRight = join(outer = false).schema.fields.drop(3)
+    val outerRight = join(outer = true).schema.fields.drop(3)
+    assert(innerRight.forall(!_.nullable),
+      "inner as-of join must not widen right-side nullability")
+    assert(outerRight.forall(_.nullable),
+      "outer as-of join must report nullable right-side columns")
+  }
 }

@@ -58,6 +58,33 @@ class BottomKSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(viaSql == viaSql13, "sample membership changed with partitioning")
   }
 
+  test("SQL builder: clear arity error, foldable k accepted, bad k rejected") {
+    import spark.implicits._
+    Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v").createOrReplaceTempView("bk_args")
+    // wrong arity → usable message, not IndexOutOfBoundsException
+    val arityErr = intercept[Exception] {
+      spark.sql("SELECT g, bottom_k_by_key(md5(CAST(v AS STRING)), v) FROM bk_args GROUP BY g")
+        .collect()
+    }
+    assert(arityErr.getMessage.contains("expects 3 arguments"), arityErr.getMessage)
+    // k as a LONG literal and as a foldable cast both work
+    Seq("10L", "CAST(10 AS INT)", "5 + 5").foreach { kExpr =>
+      val out = spark.sql(
+        s"SELECT g, bottom_k_by_key(md5(CAST(v AS STRING)), v, $kExpr) AS s FROM bk_args GROUP BY g")
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(out("a").toSet == Set(1L, 2L), s"k=$kExpr")
+    }
+    // non-positive and non-integral k rejected with the builder's message
+    Seq("0", "'x'", "v").foreach { kExpr =>
+      val err = intercept[Exception] {
+        spark.sql(
+          s"SELECT g, bottom_k_by_key(md5(CAST(v AS STRING)), v, $kExpr) FROM bk_args GROUP BY g")
+          .collect()
+      }
+      assert(err.getMessage.contains("bottom_k_by_key: k must be"), s"k=$kExpr: ${err.getMessage}")
+    }
+  }
+
   test("groups smaller than k return all their rows, ordered by key") {
     import spark.implicits._
     val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v")

@@ -38,8 +38,8 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "etl_incremental_agg"   -> 3,
     "text_tokens"           -> 1,
     "dq_checks"             -> 4,
-    "dedup_chunks"          -> 3,
-    "multimodal_dedup"      -> 3,
+    "dedup_chunks"          -> 2,
+    "multimodal_dedup"      -> 2,
     "corpus_report"         -> 2,
     "q_grouping_sets"       -> 2,
     "text_repetition"       -> 3,
