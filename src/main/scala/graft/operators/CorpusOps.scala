@@ -159,7 +159,28 @@ object CorpusOps {
       .select(col("lang"), (col("pos") + 1).cast("int").as("sample_rank"), col("doc_id"))
       .orderBy(col("lang"), col("sample_rank"))
 
+  /** Quantile-threshold quality gate: keep documents whose quality
+    * score reaches the corpus 25th percentile — the relative-threshold
+    * filter ("drop the worst quartile") every curation recipe applies.
+    * The naive formulation globally sorts the corpus to find the
+    * cutoff; this one computes the percentile as a 1-row aggregate,
+    * broadcasts it, and filters map-side — no global sort, no second
+    * scan shape change at any scale. Exact `percentile` here (matches
+    * DuckDB `quantile_cont` bit-for-bit on the rounded scores); at
+    * 100 TB swap in `approx_percentile` — same call shape, mergeable
+    * sketch (`events_quantiles_approx` exercises that path's contract).
+    */
+  def corpusQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality_score"))
+    val thr = scored.agg(round(expr("percentile(quality_score, 0.25D)"), 6).as("p25"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("quality_score") >= col("p25"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_quality_gate"      -> (corpusQualityGate _),
     "corpus_sample_bottomk"    -> (corpusSampleBottomK _),
     "corpus_sample_stratified" -> (corpusSampleStratified _),
     "corpus_token_budget"      -> (corpusTokenBudget _),
@@ -173,6 +194,13 @@ object CorpusOps {
        |       unnest(generate_series(1, len(toks) - ${n - 1})) t(i))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_quality_gate" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")} AS quality_score
+         |  FROM documents),
+         |t AS (SELECT round(quantile_cont(quality_score, 0.25), 6) AS p25 FROM s)
+         |SELECT doc_id, quality_score, p25 FROM s, t
+         |WHERE quality_score >= p25 ORDER BY doc_id""".stripMargin,
     // the window formulation IS the aggregate's definition: k smallest
     // md5 keys per language, ties broken by doc_id
     "corpus_sample_bottomk" ->

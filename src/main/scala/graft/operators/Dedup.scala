@@ -309,9 +309,34 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-cluster statistics over the near-dup component graph — the
+    * dedup AUDIT view (cluster-size distribution, edge density) a
+    * curation run publishes before committing deletions: component id
+    * (min doc), member count, max member, and the number of verified
+    * near-dup pairs inside the cluster. The pair relation is
+    * `localCheckpoint()`ed ONCE so the fixpoint and the edge counts
+    * both ride the same materialization instead of re-running the
+    * Jaccard verification join; the stats themselves are two
+    * component-keyed aggregations over the (tiny) label/pair relations.
+    */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val labels = connectedComponents(pairs).select("doc_id", "component")
+    val edgeCounts = pairs
+      .join(labels.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .groupBy(col("component")).agg(count(lit(1)).as("n_edges"))
+    labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+      .join(edgeCounts, Seq("component"))
+      .select("component", "n_docs", "max_doc", "n_edges")
+      .orderBy(col("component"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (dedupExact _),
     "dedup_components"    -> (dedupComponents _),
+    "dedup_cluster_stats" -> (dedupClusterStats _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_minhash_est"   -> (dedupMinhashEst _),
@@ -391,6 +416,25 @@ object Dedup {
     },
     "dedup_ngram_jaccard" ->
       s"WITH $jaccardCtes SELECT * FROM jpairs ORDER BY doc_a, doc_b",
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+         |docstats AS (
+         |  SELECT component, count(*) AS n_docs, max(doc_id) AS max_doc
+         |  FROM comp GROUP BY 1),
+         |estats AS (
+         |  SELECT c.component, count(*) AS n_edges
+         |  FROM jpairs j JOIN comp c ON j.doc_a = c.doc_id GROUP BY 1)
+         |SELECT component, n_docs, max_doc, n_edges
+         |FROM docstats JOIN estats USING (component)
+         |ORDER BY component""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE $jaccardCtes,
          |edges AS (

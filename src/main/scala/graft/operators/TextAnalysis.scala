@@ -40,6 +40,33 @@ object TextAnalysis {
     s"len(list_filter($t, x -> list_contains($lst, x)))"
   }
 
+  /** Composite quality score in (0, 1) for a text column — the single
+    * definition shared by `text_quality` and the corpus quality gate
+    * (`CorpusOps.corpusQualityGate`). Rounded to 6 so both engines
+    * compare the identical value.
+    */
+  private[operators] def qualityScore(text: Column): Column = {
+    val t = toks(text)
+    val nTok = size(t).cast("double")
+    val nChar = length(text).cast("double")
+    val punct = nChar - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")).cast("double")
+    val upper = nChar - length(regexp_replace(text, "[A-Z]", "")).cast("double")
+    val stop = size(filter(t, x => array_contains(typedLit(stopwords("en")), x))).cast("double")
+    round(lit(1.0) / (lit(1.0) + exp(-(log(nTok + 1) * 0.3 + stop / nTok * 2.0
+      - punct / nChar * 3.0 - upper / nChar * 2.0))), 6)
+  }
+
+  /** DuckDB rendering of [[qualityScore]] (`e` is the text expression).
+    * DuckDB `/` is float division even on integers, so no casts needed.
+    */
+  private[operators] def qualityScoreSql(e: String): String = {
+    val t = toksSql(e)
+    s"round(1.0 / (1.0 + exp(-(ln(len($t) + 1) * 0.3" +
+      s" + ${hitsSql(t, "en")} / len($t) * 2.0" +
+      s" - (length($e) - length(regexp_replace($e, '[^A-Za-z0-9\\s]', '', 'g'))) / length($e) * 3.0" +
+      s" - (length($e) - length(regexp_replace($e, '[A-Z]', '', 'g'))) / length($e) * 2.0))), 6)"
+  }
+
   /** Token counting: whitespace tokens + BPE-ish regex pieces. */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -63,9 +90,7 @@ object TextAnalysis {
     val upperRatio = round(upper / nChar, 6)
     val stopRatio = round(stop / nTok, 6)
     val avgTokLen = round(length(regexp_replace(col("text"), "\\s", "")).cast("double") / nTok, 6)
-    val score = round(
-      lit(1.0) / (lit(1.0) + exp(-(log(nTok + 1) * 0.3 + stop / nTok * 2.0
-        - punct / nChar * 3.0 - upper / nChar * 2.0))), 6)
+    val score = qualityScore(col("text"))
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
@@ -267,7 +292,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Per-document top-3 terms by TF-IDF — the keyword-extraction pass
+    * (domain tagging, topic routing, index keys) with the model TRAINED
+    * and APPLIED in one plan, like [[textBigramFamiliarity]]: the
+    * classic two-pass shape. Pass 1 builds the models — the vocab-sized
+    * df relation (column pruning reduces its input to the DISTINCT
+    * (doc, term) pairs, so the shuffle never carries counts) and the
+    * 1-row corpus count (footer-only parquet count). Pass 2 computes
+    * per-(doc, term) tf (one shuffle, map-side partial) and joins the
+    * df model in: broadcast while the vocabulary fits (unhinted — the
+    * cost model decides, per the repo broadcast policy), degrading to a
+    * term-keyed shuffle join with AQE skew split at vocabulary scale
+    * (stopword terms are the hot keys, which is also why df is NOT a
+    * `count over (partition by term)` window — that shape cannot skew-
+    * split). idf = ln((N+1)/(df+1)); the per-doc top-3 is a
+    * rank-filtered window that InferWindowGroupLimit plans as a partial
+    * group limit — each map task forwards only its own top-3 per doc.
+    * Ordering is deterministic: rounded score desc, then term asc.
+    */
+  def textTfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf_topk"  -> (textTfidfTopk _),
     "text_repetition"  -> (textRepetition _),
     "doc_chunks"       -> (docChunks _),
     "dedup_chunks"     -> (dedupChunks _),
@@ -300,6 +363,24 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf_topk" ->
+      s"""WITH terms AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents)
+         |  WHERE term <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf,
+         |    round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1)), 6) AS tfidf
+         |  FROM tf JOIN df USING (term), n),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, term, tf, tfidf FROM ranked
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "text_repetition" ->
       s"""WITH t AS (
          |  SELECT doc_id, ${toksSql("text")} AS toks FROM documents),

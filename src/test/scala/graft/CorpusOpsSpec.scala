@@ -77,6 +77,25 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(df.filter(col("doc_id") % 7 === 0 && col("n_pii") < 2).count() == 0)
   }
 
+  test("quality gate: threshold is the corpus p25, kept docs all reach it") {
+    val docs = Tables.documents(spark, sfDir)
+    val gated = CorpusOps.corpusQualityGate(spark, sfDir).cache()
+    // one threshold for the whole corpus, and every kept row clears it
+    assert(gated.select("p25").distinct().count() == 1)
+    assert(gated.filter(col("quality_score") < col("p25")).count() == 0)
+    // the gate keeps roughly the top three quartiles (ties can only ADD
+    // rows at the boundary, never remove)
+    val frac = gated.count().toDouble / docs.count()
+    assert(frac >= 0.75 && frac < 0.90, s"kept fraction $frac")
+    // dropped docs all score strictly below the threshold
+    val thr = gated.select("p25").head().getDouble(0)
+    val dropped = docs.join(gated.select("doc_id"), Seq("doc_id"), "left_anti")
+    val scored = graft.operators.TextAnalysis.textQuality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+    assert(dropped.join(scored, "doc_id").filter(col("quality_score") >= thr).count() == 0)
+    gated.unpersist()
+  }
+
   test("decontamination: benchmark docs' near-copies are flagged, benchmark excluded") {
     val df = CorpusOps.corpusDecontaminate(spark, sfDir).cache()
     assert(df.filter(col("doc_id") < 20).count() == 0)

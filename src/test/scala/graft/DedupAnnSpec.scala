@@ -53,6 +53,21 @@ class DedupAnnSpec extends SparkTestBase {
       comp.select("component").distinct().count())
   }
 
+  test("dedup_cluster_stats: agrees with the labelling, clusters connected") {
+    val stats = Dedup.dedupClusterStats(spark, sfDir).cache()
+    val comp = Dedup.dedupComponents(spark, sfDir).cache()
+    // same component set, and member counts add back up to the labelling
+    assert(stats.select("component").exceptAll(comp.select("component").distinct()).count() == 0)
+    assert(comp.select("component").distinct().exceptAll(stats.select("component")).count() == 0)
+    assert(stats.agg(sum("n_docs")).head().getLong(0) == comp.count())
+    // components arise from the pair graph: ≥2 members, and a connected
+    // cluster of n docs needs at least n-1 verified pairs
+    assert(stats.filter(col("n_docs") < 2).count() == 0)
+    assert(stats.filter(col("n_edges") < col("n_docs") - 1).count() == 0)
+    assert(stats.filter(col("max_doc") < col("component")).count() == 0)
+    stats.unpersist(); comp.unpersist()
+  }
+
   test("dedup_minhash_est: estimates are signature fractions; identical docs estimate 1.0") {
     val est = Dedup.dedupMinhashEst(spark, sfDir).cache()
     assert(est.count() > 0)

@@ -45,7 +45,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "text_repetition"       -> 3,
     "etl_scd2_history"      -> 3,
     "sketch_hll_union"      -> 5,
-    "events_quantiles_approx" -> 2)
+    "events_quantiles_approx" -> 2,
+    "text_tfidf_topk"       -> 6,
+    "corpus_quality_gate"   -> 2)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a

@@ -232,6 +232,25 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(decoded.filter(col("width") < 64 || col("height") < 64).count() == 0)
   }
 
+  test("text_tfidf_topk: ranks contiguous, scores ordered, rare terms beat stopwords") {
+    val df = TextAnalysis.textTfidfTopk(spark, sfDir).cache()
+    // at most 3 rows per doc, ranks are 1..n with no gaps
+    val byDoc = df.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+    assert(byDoc.filter(col("n") > 3 || col("mx") =!= col("n") || col("mn") =!= 1).count() == 0)
+    // within a doc, score never increases as rank increases
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("rank")
+    assert(df.withColumn("prev", lag(col("tfidf"), 1).over(w))
+      .filter(col("prev").isNotNull && col("tfidf") > col("prev")).count() == 0)
+    // idf does its job: a corpus-universal stopword ("the" appears in
+    // most docs) should essentially never be a top-3 keyword
+    val stopHits = df.filter(col("term") === "the").count()
+    assert(stopHits < df.select("doc_id").distinct().count() / 10,
+      s"'the' ranked top-3 in $stopHits docs — idf not discounting")
+    df.unpersist()
+  }
+
   test("text_repetition: fractions in range, flag consistent with thresholds") {
     val df = TextAnalysis.textRepetition(spark, sfDir).cache()
     Seq("top_bigram_frac", "dup_trigram_frac").foreach { c =>
