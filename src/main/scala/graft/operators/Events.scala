@@ -31,6 +31,33 @@ object Events {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** SLIDING-window volume — 1-hour windows advancing every 15 minutes
+    * (the overlapping-window dashboard feed; tumbling and session
+    * windows are covered by `events_hourly` / `events_session_window`).
+    * Uses Spark's native `window(ts, length, slide)` generator: each
+    * event expands to length/slide = 4 window assignments BEFORE the
+    * aggregation, so the plan stays one explode + one shuffle with
+    * map-side partial aggregation — the same shape the streaming twin
+    * has under a watermark. Window bounds are emitted as epoch SECONDS
+    * (bigint) so both engines compare integers, not timezone-typed
+    * timestamps. At 100 TB the 4× row expansion is the stated cost of
+    * sliding windows; widen the slide (or aggregate tumbling 15-min
+    * panes and roll 4 panes up, the two-level pattern) when the
+    * overlap factor hurts.
+    */
+  def eventsSlidingVolume(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start_s"),
+        unix_timestamp(col("window.end")).as("window_end_s"),
+        col("event_type"), col("n_events"), col("sum_value"), col("n_users"))
+      .orderBy(col("window_start_s"), col("event_type"))
+
   /** Sessionization with a 30-minute inactivity gap: session boundaries
     * via lag, session ids via running sum, then per-session rollup.
     */
@@ -327,6 +354,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_quantiles_approx" -> (eventsQuantilesApprox _),
+    "events_sliding_volume" -> (eventsSlidingVolume _),
     "events_quantiles"    -> (eventsValueQuantiles _),
     "events_daily_pivot"  -> (eventsDailyPivot _),
     "sketch_distinct_users" -> (sketchDistinctUsers _),
@@ -342,6 +370,19 @@ object Events {
     "events_hourly_anomaly" -> (eventsHourlyAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    // every event belongs to exactly length/slide = 4 sliding windows:
+    // starts (floor(epoch/900) - i) * 900 for i in 0..3, matching
+    // Spark's epoch-aligned window(ts, '1 hour', '15 minutes')
+    "events_sliding_volume" ->
+      """WITH w AS (
+        |  SELECT event_type, user_id, value,
+        |    CAST((floor(epoch(ts) / 900) - i) * 900 AS BIGINT) AS window_start_s
+        |  FROM events, unnest([0, 1, 2, 3]) t(i))
+        |SELECT window_start_s, window_start_s + 3600 AS window_end_s, event_type,
+        |  count(*) AS n_events, round(sum(value), 6) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM w GROUP BY 1, 2, 3
+        |ORDER BY window_start_s, event_type""".stripMargin,
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n_events, round(sum(value), 6) AS sum_value,

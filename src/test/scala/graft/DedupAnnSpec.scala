@@ -68,6 +68,26 @@ class DedupAnnSpec extends SparkTestBase {
     stats.unpersist(); comp.unpersist()
   }
 
+  test("dedup_keep_best: one winner per cluster, and it is the best-quality member") {
+    val df = Dedup.dedupKeepBest(spark, sfDir).cache()
+    assert(df.count() == Tables.documents(spark, sfDir).count())
+    // exactly one kept member per component
+    val perComp = df.groupBy("component")
+      .agg(sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"))
+    assert(perComp.filter(col("n_kept") =!= 1L).count() == 0)
+    // the winner's quality is the component max
+    val best = df.groupBy("component").agg(max("quality_score").as("best"))
+    val wrongWinner = df.filter(col("is_kept")).join(best, "component")
+      .filter(col("quality_score") < col("best"))
+    assert(wrongWinner.count() == 0)
+    // the gate actually drops near-dups, and only from multi-member clusters
+    val dropped = df.filter(!col("is_kept")).cache()
+    assert(dropped.count() > 0, "no near-dup was dropped — dead operator")
+    val sizes = df.groupBy("component").agg(count(lit(1)).as("n"))
+    assert(dropped.join(sizes, "component").filter(col("n") < 2).count() == 0)
+    dropped.unpersist(); df.unpersist()
+  }
+
   test("dedup_minhash_est: estimates are signature fractions; identical docs estimate 1.0") {
     val est = Dedup.dedupMinhashEst(spark, sfDir).cache()
     assert(est.count() > 0)

@@ -47,7 +47,8 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "sketch_hll_union"      -> 5,
     "events_quantiles_approx" -> 2,
     "text_tfidf_topk"       -> 6,
-    "corpus_quality_gate"   -> 2)
+    "corpus_quality_gate"   -> 2,
+    "events_sliding_volume" -> 3)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a

@@ -232,6 +232,16 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(decoded.filter(col("width") < 64 || col("height") < 64).count() == 0)
   }
 
+  test("events_sliding_volume: 1h windows on a 15min grid, every event in exactly 4") {
+    val df = Events.eventsSlidingVolume(spark, sfDir).cache()
+    assert(df.filter(col("window_end_s") - col("window_start_s") =!= 3600L).count() == 0)
+    assert(df.filter(col("window_start_s") % 900 =!= 0).count() == 0)
+    // length/slide = 4 overlapping windows per event
+    val total = df.agg(sum("n_events")).head().getLong(0)
+    assert(total == 4L * Tables.events(spark, sfDir).count(), s"counted $total")
+    df.unpersist()
+  }
+
   test("text_tfidf_topk: ranks contiguous, scores ordered, rare terms beat stopwords") {
     val df = TextAnalysis.textTfidfTopk(spark, sfDir).cache()
     // at most 3 rows per doc, ranks are 1..n with no gaps
