@@ -223,10 +223,75 @@ object AnnSearch {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** k-means lists for the trained-IVF path. */
+  private val KmeansK = 8
+  private val KmeansIters = 2
+
+  /** One Lloyd assignment step: every vector to its nearest centroid by
+    * squared L2 distance. The centroid table is K rows → broadcast, so
+    * the step is map-side over the corpus plus one shuffle for the
+    * per-vector argmin window on `vec_id` (bounded: K candidates per
+    * vector). dist² is expanded to dot products (v·v − 2 v·c + c·c,
+    * evaluated left-to-right by the native `vec_dot`) and rounded to 6
+    * decimals BEFORE the argmin so both engines pick the same cluster;
+    * ties break on the lower cluster id.
+    */
+  private def kmAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cl"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("dist2", round(
+        dot(col("v"), col("v")) - lit(2) * dot(col("v"), col("cv"))
+          + dot(col("cv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cl"), col("dist2"), col("v"))
+  }
+
+  /** One Lloyd update step: element-wise mean of each cluster's members
+    * (posexplode → avg per (cluster, dim) → reassemble ordered), rounded
+    * to 6 decimals so the next assignment sees identical centroids in
+    * both engines. Two shuffles over K × 64 rows — independent of corpus
+    * size after the (map-side combined) partial aggregation.
+    */
+  private def kmCentroids(assigned: DataFrame): DataFrame =
+    assigned.select(col("cl"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("cl"), col("d")).agg(round(avg(col("x")), 6).as("c"))
+      .groupBy(col("cl"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("cv"))
+
+  /** IVF index TRAINING: `KmeansIters` unrolled Lloyd iterations of
+    * k-means (K = 8) over the embedding corpus — the step every IVF
+    * deployment runs before `ann_ivf_topk`-style probing, here without
+    * leaning on the synthetic `label` column. Init is deterministic
+    * (centroid j = the vector with vec_id = j); each iteration is
+    * broadcast-assign + tiny mean-update, so per-iteration cost is one
+    * corpus scan regardless of K. Centroids are `localCheckpoint()`ed
+    * between iterations: the relation is K rows, and truncating there
+    * keeps the per-iteration lineage flat instead of stacking one
+    * assign+update layer per round (the `dedup_components` lesson).
+    * Output is the final assignment (vector → list) with its distance.
+    */
+  def annKmeansTrain(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    var cent = e.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cl"), col("v").as("cv"))
+    var assigned = kmAssign(e, cent)
+    for (_ <- 1 until KmeansIters) {
+      cent = kmCentroids(assigned).localCheckpoint()
+      assigned = kmAssign(e, cent)
+    }
+    assigned
+      .select(col("vec_id"), col("cl").as("cluster"), col("dist2"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk"     -> (annTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
-    "ann_ivf_topk" -> (annIvfTopk _))
+    "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_kmeans_train" -> (annKmeansTrain _))
 
   /** Shared oracle CTE: per-vector LSH bucket via the same md5-derived
     * hyperplanes (DuckDB lists are 1-based like the d index).
@@ -245,7 +310,41 @@ object AnnSearch {
        |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
        |  FROM proj GROUP BY vec_id)""".stripMargin
 
+  /** Unrolled Lloyd iterations as CTEs — the oracle mirrors the exact
+    * arithmetic (same dist² expansion, same left-to-right inner product,
+    * same 6-decimal rounding of distances and centroid means).
+    */
+  private val kmeansSql: String = {
+    def assign(cent: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, cl, dist2, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cl) AS rn
+         |    FROM (SELECT e.vec_id, e.v, c.cl,
+         |            round(list_inner_product(e.v, e.v) - 2 * list_inner_product(e.v, c.cv)
+         |              + list_inner_product(c.cv, c.cv), 6) AS dist2
+         |          FROM e CROSS JOIN $cent c) s) r
+         |  WHERE rn = 1)""".stripMargin
+    def update(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT cl, list(c ORDER BY d) AS cv FROM (
+         |    SELECT a.cl, d.d, round(avg(a.v[d.d]), 6) AS c
+         |    FROM $prev a, generate_series(1, $Dims) d(d)
+         |    GROUP BY a.cl, d.d) m
+         |  GROUP BY cl)""".stripMargin
+    val iters = (1 until KmeansIters).flatMap { i =>
+      Seq(update(s"a${i - 1}", s"c$i"), assign(s"c$i", s"a$i"))
+    }
+    val ctes = Seq(
+      s"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+      s"c0 AS (SELECT vec_id AS cl, v AS cv FROM e WHERE vec_id < $KmeansK)",
+      assign("c0", "a0")) ++ iters
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT vec_id, cl AS cluster, dist2 FROM a${KmeansIters - 1}
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_kmeans_train" -> kmeansSql,
     "ann_topk" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,

@@ -217,7 +217,36 @@ object CoreAnalytics {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** Per-nation customer revenue deciles: `ntile(10)` + `percent_rank`
+    * over the nation-partitioned revenue ordering — the distribution-
+    * ranking window tier (segmentation/percentile reporting). The
+    * window is PARTITIONED (by nation), so no global sort: each nation's
+    * ranking is an independent within-partition pass after one shuffle
+    * on the nation key. Revenue is rounded to 2 decimals BEFORE ranking
+    * (ties then break on the customer key) so both engines rank the
+    * same total order. At extreme per-partition cardinality, swap ntile
+    * for percentile-threshold bucketing (1-row cutoff aggregate
+    * broadcast) — same output contract.
+    */
+  def customerDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+    rev.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .select(col("n_name"), col("c_custkey").as("custkey"),
+        col("revenue"), col("decile"), col("pct_rank"))
+      .orderBy(col("n_name"), col("custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_customer_deciles"   -> (customerDeciles _),
     "q_cube"               -> (cubeSummary _),
     "q_grouping_sets"      -> (groupingSetsSummary _),
     "q_running_revenue"    -> (runningRevenue _),
@@ -231,6 +260,18 @@ object CoreAnalytics {
     "q_salted_skew_join"   -> (saltedSkewJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_customer_deciles" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT n_name, c_custkey AS custkey, revenue,
+        |  ntile(10) OVER w AS decile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM rev
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WINDOW w AS (PARTITION BY n_name ORDER BY revenue DESC, c_custkey)
+        |ORDER BY n_name, custkey""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -179,7 +179,36 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature exponent and doc budget for the mixture rebalance. */
+  private val MixAlpha = 0.5
+  private val MixBudgetDocs = 300L
+
+  /** Temperature-scaled mixture rebalancing (the multilingual-training
+    * α-sampling rule): each language's share of the doc budget is
+    * n^α / Σ n^α with α = 0.5, which upweights tail languages relative
+    * to their raw counts — the knob `corpus_sample_stratified` hard-codes,
+    * here DERIVED from the corpus itself. Per-language counts are one
+    * grouped pass; the normalizer is a 1-row aggregate broadcast back
+    * (never a global window), so the plan is two tiny shuffles at any
+    * corpus size. Output: per-language weight, doc target, and the
+    * sampling rate to feed a hash-bucket filter.
+    */
+  def corpusMixRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val z = counts.agg(sum(pow(col("n_docs"), MixAlpha)).as("z"))
+    counts.crossJoin(broadcast(z))
+      .withColumn("weight", round(pow(col("n_docs"), MixAlpha) / col("z"), 6))
+      .withColumn("target_docs", floor(col("weight") * MixBudgetDocs))
+      .withColumn("sample_rate",
+        round(least(col("target_docs").cast("double") / col("n_docs"), lit(1.0)), 6))
+      .select(col("lang"), col("n_docs"), col("weight"),
+        col("target_docs"), col("sample_rate"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_mix_rebalance"     -> (corpusMixRebalance _),
     "corpus_quality_gate"      -> (corpusQualityGate _),
     "corpus_sample_bottomk"    -> (corpusSampleBottomK _),
     "corpus_sample_stratified" -> (corpusSampleStratified _),
@@ -194,6 +223,15 @@ object CorpusOps {
        |       unnest(generate_series(1, len(toks) - ${n - 1})) t(i))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_mix_rebalance" ->
+      s"""WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |z AS (SELECT sum(pow(n_docs, $MixAlpha)) AS z FROM counts),
+         |w AS (SELECT lang, n_docs, round(pow(n_docs, $MixAlpha) / z, 6) AS weight
+         |      FROM counts CROSS JOIN z),
+         |t AS (SELECT *, CAST(floor(weight * $MixBudgetDocs) AS BIGINT) AS target_docs FROM w)
+         |SELECT lang, n_docs, weight, target_docs,
+         |  round(least(target_docs * 1.0 / n_docs, 1.0), 6) AS sample_rate
+         |FROM t ORDER BY lang""".stripMargin,
     "corpus_quality_gate" ->
       s"""WITH s AS (
          |  SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")} AS quality_score

@@ -272,17 +272,21 @@ object Dedup {
     * `checkpoint()` to survive executor loss.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    // sum over zero rows is null — Option-guard so an edge-free graph
-    // returns an empty labelling instead of an NPE
-    def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum("component")).head().get(0)).fold(0L)(_.asInstanceOf[Long])
     val jp = pairs.toDF("doc_a", "doc_b")
     val edges = jp.union(jp.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").localCheckpoint()
+    // the initial sum/emptiness probes ride the seed checkpoint's
+    // materialization job (same observe() trick as the loop body) —
+    // without this the loop setup costs 3 Spark jobs instead of 1.
+    // sum over zero rows is null — Option-guard so an edge-free graph
+    // returns an empty labelling instead of an NPE
+    val obs0 = new org.apache.spark.sql.Observation("cc_init")
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id")).localCheckpoint()
-    var prevSum = labelSum(labels)
-    var converged = labels.isEmpty
+      .withColumn("component", col("doc_id"))
+      .observe(obs0, sum(col("component")).as("label_sum"), count(lit(1)).as("n_nodes"))
+      .localCheckpoint()
+    var prevSum = Option(obs0.get("label_sum")).fold(0L)(_.asInstanceOf[Long])
+    var converged = obs0.get("n_nodes").asInstanceOf[Long] == 0L
     var iter = 0
     while (!converged && iter < 32) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))

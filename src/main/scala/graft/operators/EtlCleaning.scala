@@ -185,7 +185,44 @@ object EtlCleaning {
       .orderBy(col("p_partkey"))
   }
 
+  /** Row-level validation with machine-readable reason codes — the
+    * quarantine half of the reference's validate-and-clean step
+    * (extract_menu_with_gemini_op.py:154-180 silently drops/defaults;
+    * a production ETL routes rejects to a quarantine table WITH the
+    * reasons, so upstream can fix the source). Dirtiness is synthesized
+    * on modular predicates (null names, unparsable price text, negative
+    * quantities) so every reason fires; the checks are all scan-level
+    * expressions — a map-only pass at any scale. `concat_ws` skips the
+    * null branches of the un-fired checks in both engines, so the
+    * reason list needs no array filtering.
+    */
+  def quarantine(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        when(col("p_partkey") % 53 === 0, lit(null)).otherwise(col("p_name")).as("name"),
+        when(col("p_size") % 13 === 0, lit("N/A"))
+          .otherwise(concat(lit("$"), col("p_retailprice").cast("string"), lit(" USD")))
+          .as("price_text"),
+        when(col("p_partkey") % 41 === 0, -col("p_size")).otherwise(col("p_size"))
+          .cast("long").as("quantity"))
+    // strip → guard '' → cast: "N/A" strips to the empty string, which
+    // must become NULL (not a cast failure under ANSI)
+    val digits = regexp_replace(col("price_text"), "[^0-9.]", "")
+    val price = when(digits === "", lit(null).cast("double")).otherwise(digits.cast("double"))
+    raw
+      .withColumn("price", price)
+      .withColumn("reasons", concat_ws(",",
+        when(col("name").isNull || trim(col("name")) === "", "missing_name"),
+        when(col("price").isNull || col("price") <= 0, "bad_price"),
+        when(col("quantity") < 0, "negative_quantity")))
+      .withColumn("is_quarantined", col("reasons") =!= "")
+      .select("p_partkey", "name", "price", "quantity", "reasons", "is_quarantined")
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_quarantine"             -> (quarantine _),
     "etl_price_outliers"         -> (priceOutliers _),
     "etl_fillna_zero"            -> (fillnaZero _),
     "etl_menu_clean"             -> (menuClean _),
@@ -196,6 +233,28 @@ object EtlCleaning {
     "etl_articles_ingest"        -> (articlesIngest _))
 
   val oracles: Map[String, String] = Map(
+    "etl_quarantine" ->
+      """WITH raw AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 53 = 0 THEN NULL ELSE p_name END AS name,
+        |    regexp_replace(
+        |      CASE WHEN p_size % 13 = 0 THEN 'N/A'
+        |           ELSE '$' || CAST(p_retailprice AS VARCHAR) || ' USD' END,
+        |      '[^0-9.]', '', 'g') AS digits,
+        |    CAST(CASE WHEN p_partkey % 41 = 0 THEN -p_size ELSE p_size END AS BIGINT) AS quantity
+        |  FROM part),
+        |p AS (
+        |  SELECT p_partkey, name, quantity,
+        |    CASE WHEN digits = '' THEN NULL ELSE CAST(digits AS DOUBLE) END AS price
+        |  FROM raw),
+        |r AS (
+        |  SELECT *, concat_ws(',',
+        |    CASE WHEN name IS NULL OR trim(name) = '' THEN 'missing_name' END,
+        |    CASE WHEN price IS NULL OR price <= 0 THEN 'bad_price' END,
+        |    CASE WHEN quantity < 0 THEN 'negative_quantity' END) AS reasons
+        |  FROM p)
+        |SELECT p_partkey, name, price, quantity, reasons, reasons <> '' AS is_quarantined
+        |FROM r ORDER BY p_partkey""".stripMargin,
     "etl_price_outliers" ->
       """WITH stats AS (
         |  SELECT p_type AS cat, avg(p_retailprice) AS mu,

@@ -346,13 +346,34 @@ object Events {
         expr("approx_percentile(value, 0.9D, 1000)").as("ap90"))
       .select(
         col("event_type"), col("p50_exact"),
-        // relative error against |exact|: a signed denominator makes the
-        // bound vacuously true whenever the exact percentile is negative
-        (abs(col("ap50") - col("p50_exact")) / abs(col("p50_exact")) <= 0.05).as("p50_ok"),
-        (abs(col("ap90") - col("ep90")) / abs(col("ep90")) <= 0.05).as("p90_ok"))
+        // relative error against |exact| (signed denominator would make
+        // the bound vacuously true for negative percentiles), with an
+        // absolute-error fallback so an exact value of 0 doesn't turn
+        // the contract unsatisfiable (rel err against 0 is Inf/NaN)
+        (abs(col("ap50") - col("p50_exact")) <= 0.05 ||
+          abs(col("ap50") - col("p50_exact")) / abs(col("p50_exact")) <= 0.05).as("p50_ok"),
+        (abs(col("ap90") - col("ep90")) <= 0.05 ||
+          abs(col("ap90") - col("ep90")) / abs(col("ep90")) <= 0.05).as("p90_ok"))
       .orderBy(col("event_type"))
 
+  /** Wide→long reshape of the daily KPI pivot via the NATIVE `unpivot`
+    * (melt) operator — the inverse of `events_daily_pivot` and the
+    * standard step before feeding wide report tables back into long-form
+    * processing. Unpivot is pure plan work (each row expands to one row
+    * per measure column, no shuffle beyond the upstream aggregation),
+    * and the value columns are DECLARED, mirroring the pivot's declared
+    * key list — never a schema-discovery pre-pass.
+    */
+  def eventsUnpivotDaily(spark: SparkSession, dir: String): DataFrame =
+    eventsDailyPivot(spark, dir)
+      .unpivot(
+        Array(col("day")),
+        Array(col("click"), col("view"), col("purchase"), col("signup"), col("error")),
+        "event_type", "n_events")
+      .orderBy(col("day"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_unpivot_daily" -> (eventsUnpivotDaily _),
     "events_quantiles_approx" -> (eventsQuantilesApprox _),
     "events_sliding_volume" -> (eventsSlidingVolume _),
     "events_quantiles"    -> (eventsValueQuantiles _),
@@ -516,10 +537,12 @@ object Events {
     "events_quantiles_approx" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50_exact,
-        |  abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
-        |    / abs(quantile_cont(value, 0.5)) <= 0.05 AS p50_ok,
-        |  abs(approx_quantile(value, 0.9) - quantile_cont(value, 0.9))
-        |    / abs(quantile_cont(value, 0.9)) <= 0.05 AS p90_ok
+        |  (abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5)) <= 0.05
+        |   OR abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+        |      / abs(quantile_cont(value, 0.5)) <= 0.05) AS p50_ok,
+        |  (abs(approx_quantile(value, 0.9) - quantile_cont(value, 0.9)) <= 0.05
+        |   OR abs(approx_quantile(value, 0.9) - quantile_cont(value, 0.9))
+        |      / abs(quantile_cont(value, 0.9)) <= 0.05) AS p90_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_quantiles" ->
       """SELECT event_type,
@@ -527,6 +550,9 @@ object Events {
         |  round(quantile_cont(value, 0.9), 6) AS p90,
         |  round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_unpivot_daily" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "events_daily_pivot" ->
       """SELECT date_trunc('day', ts) AS day,
         |  count(*) FILTER (event_type = 'click') AS click,

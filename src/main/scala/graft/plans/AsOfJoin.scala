@@ -223,6 +223,7 @@ case class AsOfJoinExec(
         override def hasNext: Boolean = { computeNext(); ready != null }
         override def next(): InternalRow = {
           computeNext()
+          if (ready == null) throw new NoSuchElementException("next on empty iterator")
           val r = ready; ready = null; r
         }
       }

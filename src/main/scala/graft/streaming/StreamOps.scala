@@ -114,6 +114,16 @@ object StreamOps {
           case None => delta
         }
         merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+        // Retention: once v=batchId is durably written, every version
+        // older than the predecessor it was merged from is dead weight —
+        // replay of batchId re-reads only `prev`. Pruning here keeps the
+        // directory at ≤2 versions, so both storage and the per-batch
+        // listStatus scan stay O(1) over the stream's lifetime.
+        val keep = prev.getOrElse(batchId)
+        fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
+          .map(_.getPath).filter(_.getName.startsWith("v="))
+          .filter(_.getName.stripPrefix("v=").toLong < keep)
+          .foreach(p => fs.delete(p, true))
       }
       .start()
 

@@ -39,4 +39,19 @@ class CoreAnalyticsSpec extends SparkTestBase {
     val classes = df.select("priority_class").distinct().collect().map(_.getString(0)).toSet
     assert(classes.subsetOf(Set("urgent", "normal")))
   }
+
+  test("customer deciles: buckets 1..10, monotone in revenue within nation") {
+    val df = CoreAnalytics.customerDeciles(spark, sfDir).cache()
+    assert(df.filter(col("decile") < 1 || col("decile") > 10).count() == 0)
+    assert(df.filter(col("pct_rank") < 0 || col("pct_rank") > 1).count() == 0)
+    // a customer in decile d never out-earns anyone in decile d-1
+    val b = df.groupBy(col("n_name"), col("decile"))
+      .agg(max(col("revenue")).as("mx"), min(col("revenue")).as("mn"))
+    val adj = b.select(col("n_name"), col("decile"), col("mn"))
+      .join(b.select(col("n_name"), (col("decile") - 1).as("decile"), col("mx").as("next_mx")),
+        Seq("n_name", "decile"))
+    assert(adj.filter(col("next_mx") > col("mn")).count() == 0)
+    df.unpersist()
+  }
+
 }

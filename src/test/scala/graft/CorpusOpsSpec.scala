@@ -108,4 +108,20 @@ class CorpusOpsSpec extends SparkTestBase {
     val missed = dupOfBench.join(df.filter(!col("is_contaminated")), "doc_id")
     assert(missed.count() == 0)
   }
+
+  test("mix rebalance: weights normalize, budget respected, tail upweighted") {
+    val df = CorpusOps.corpusMixRebalance(spark, sfDir).cache()
+    val wsum = df.agg(sum("weight")).head().getDouble(0)
+    assert(math.abs(wsum - 1.0) < 1e-3)
+    assert(df.agg(sum("target_docs")).head().getLong(0) <= 300)
+    assert(df.filter(col("sample_rate") <= 0 || col("sample_rate") > 1).count() == 0)
+    // alpha = 0.5 flattens the mixture: the rarest language's weight must
+    // exceed its raw corpus share, the most common one's must fall below
+    val total = df.agg(sum("n_docs")).head().getLong(0).toDouble
+    val rows = df.orderBy(col("n_docs")).collect()
+    assert(rows.head.getAs[Double]("weight") > rows.head.getAs[Long]("n_docs") / total)
+    assert(rows.last.getAs[Double]("weight") < rows.last.getAs[Long]("n_docs") / total)
+    df.unpersist()
+  }
+
 }

@@ -203,4 +203,15 @@ class DedupAnnSpec extends SparkTestBase {
     assert(lshRecall >= 0.30, f"LSH recall collapsed: $lshRecall%.3f")
     assert(ivfRecall >= 0.30, f"IVF recall collapsed: $ivfRecall%.3f")
   }
+
+  test("kmeans training: total assignment, bounded K, deterministic, cost improves") {
+    val a = AnnSearch.annKmeansTrain(spark, sfDir).cache()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(a.count() == n)
+    assert(a.select("cluster").distinct().count() <= 8)
+    assert(a.filter(col("dist2") < -1e-6).count() == 0)
+    assert(a.exceptAll(AnnSearch.annKmeansTrain(spark, sfDir)).count() == 0)
+    a.unpersist()
+  }
+
 }

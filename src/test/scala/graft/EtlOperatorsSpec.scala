@@ -203,4 +203,22 @@ class EtlOperatorsSpec extends SparkTestBase {
       .count() == 0)
     df.unpersist()
   }
+
+  test("quarantine: every reason fires, verdict matches the reason list") {
+    val df = EtlCleaning.quarantine(spark, sfDir).cache()
+    assert(df.filter(col("is_quarantined") =!= (col("reasons") =!= "")).count() == 0)
+    Seq("missing_name", "bad_price", "negative_quantity").foreach { r =>
+      assert(df.filter(col("reasons").contains(r)).count() > 0, s"$r never fired")
+    }
+    assert(df.filter(!col("is_quarantined")).count() > 0)
+    // reason implies the offending value is actually bad
+    assert(df.filter(col("reasons").contains("missing_name")
+      && col("name").isNotNull).count() == 0)
+    assert(df.filter(col("reasons").contains("negative_quantity")
+      && col("quantity") >= 0).count() == 0)
+    assert(df.filter(col("reasons").contains("bad_price")
+      && col("price") > 0).count() == 0)
+    df.unpersist()
+  }
+
 }

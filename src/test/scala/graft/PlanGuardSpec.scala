@@ -9,10 +9,18 @@ package graft
 class PlanGuardSpec extends SparkTestBase {
 
   // ann_topk: the brute-force baseline IS a non-equi broadcast loop.
-  // ann_ivf_topk: the centroid probe is a broadcast loop against a
-  // table bounded by the number of inverted lists (a constant, ≤ 10
-  // here), never by the data size — that's the IVF probe by definition.
-  private val nestedLoopAllowed = Set("ann_topk", "ann_ivf_topk")
+  // ann_ivf_topk / ann_kmeans_train: the centroid probe/assign is a
+  // broadcast loop against a table bounded by the number of lists /
+  // clusters (a constant, ≤ 10 here), never by the data size — that's
+  // the IVF/k-means shape by definition.
+  // corpus_quality_gate / corpus_mix_rebalance / text_tfidf_topk: a
+  // crossJoin against a broadcast 1-ROW aggregate (quantile threshold /
+  // mixture normalizer / corpus doc count) plans as a BNLJ; a 1-row
+  // broadcast side is constant at any corpus size, so the loop is a
+  // scalar-subquery stand-in, not an all-pairs join.
+  private val nestedLoopAllowed = Set(
+    "ann_topk", "ann_ivf_topk", "ann_kmeans_train",
+    "corpus_quality_gate", "corpus_mix_rebalance", "text_tfidf_topk")
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

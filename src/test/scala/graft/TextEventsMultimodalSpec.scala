@@ -345,4 +345,18 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(df.filter(!col("approx_ok")).count() == 0)
     df.unpersist()
   }
+
+  test("events_unpivot_daily inverts the pivot and preserves totals") {
+    val long = Events.eventsUnpivotDaily(spark, sfDir).cache()
+    assert(long.count() == Events.eventsDailyPivot(spark, sfDir).count() * 5)
+    assert(long.agg(sum("n_events")).head().getLong(0) ==
+      Tables.events(spark, sfDir).count())
+    // melt round-trips: re-pivoting the long form gives the wide counts back
+    val repivot = long.groupBy("day")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(first(col("n_events")))
+    assert(repivot.exceptAll(Events.eventsDailyPivot(spark, sfDir)).count() == 0)
+    long.unpersist()
+  }
+
 }
