@@ -189,7 +189,10 @@ object Dedup {
     * hashes, frequency-weighted (tokens exploded, not distinct). One
     * aggregation, 16 vote sums, fingerprint assembled per row.
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashFingerprints(spark, dir).orderBy(col("doc_id"))
+
+  private def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
@@ -202,7 +205,44 @@ object Dedup {
     tok.groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), fp.as("simhash"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** Hamming radius and band count for the simhash pair search:
+    * hamming ≤ 3 over 16 bits, 4 bands of 4 bits — by pigeonhole any
+    * pair within the radius agrees on at least one whole band.
+    */
+  private val SimhashRadius = 3
+  private val SimhashBands = 4
+
+  /** SimHash near-dup PAIRS — the fingerprint half of the Google-style
+    * dedup pipeline: candidates come from a self-equi-join on banded
+    * fingerprint bits (pigeonhole: any pair within hamming radius 3
+    * shares at least one exact 4-bit band), then exact verification is
+    * a single `bit_count(xor)` on the two 16-bit fingerprints — no
+    * second corpus pass, no token re-join. One shuffle on the band key,
+    * one distinct; cost scales with band-bucket occupancy, never
+    * pairs². (`dedup_ngram_jaccard` verifies against the shingle
+    * relation; this is the cheaper fingerprint-only verdict used when
+    * the corpus no longer fits a shingle join.)
+    */
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bands = simhashFingerprints(spark, dir)
+      .select(col("doc_id"), col("simhash"), explode(array(
+        (0 until SimhashBands).map(b => struct(
+          lit(b).as("band_idx"),
+          shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15L)).as("band_bits"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band_idx"), col("bb.band_bits"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("fa"),
+      col("band_idx"), col("band_bits"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("fb"),
+      col("band_idx"), col("band_bits"))
+    a.join(b, Seq("band_idx", "band_bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "fa", "fb").distinct()
+      .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
+      .filter(col("hamming") <= SimhashRadius)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Embedding-cosine near-dup pairs, blocked on the label column (the
@@ -378,6 +418,7 @@ object Dedup {
     "dedup_minhash_est"   -> (dedupMinhashEst _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash"       -> (dedupSimhash _),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_embedding"     -> (dedupEmbedding _))
 
   /** Signatures + LSH candidate pairs as CTEs ending in `cpairs` —
@@ -415,19 +456,25 @@ object Dedup {
        |  WHERE round(n_inter * 1.0 / (za.n_grams + zb.n_grams - n_inter), 6) >= $JaccardThreshold)""".stripMargin
   }
 
-  private val simhashSql: String = {
+  /** SimHash fingerprints as CTEs ending in `sim` — shared by the
+    * fingerprint dump and the banded pair-search oracle.
+    */
+  private val simhashCtes: String = {
     val votes = (0 until 16).map { b =>
       s"sum(CASE WHEN CAST(floor(h / ${math.pow(2, b).toLong}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
     }.mkString(", ")
     val fp = (0 until 16).map { b =>
       s"CASE WHEN s$b > 0 THEN ${math.pow(2, b).toLong} ELSE 0 END"
     }.mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, CAST(('0x' || substr(md5(unnest(string_split_regex(trim(text), '\\s+'))), 1, 4)) AS INT) AS h
        |  FROM documents),
-       |v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id)
-       |SELECT doc_id, $fp AS simhash FROM v ORDER BY doc_id""".stripMargin
+       |v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $fp AS simhash FROM v)""".stripMargin
   }
+
+  private val simhashSql: String =
+    s"WITH $simhashCtes SELECT doc_id, simhash FROM sim ORDER BY doc_id"
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -508,6 +555,20 @@ object Dedup {
          |  count(*) OVER (PARTITION BY min(v)) AS component_size
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
     "dedup_simhash" -> simhashSql,
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashCtes,
+         |bands AS (
+         |  SELECT doc_id, simhash, b.b AS band_idx, (simhash >> (4 * b.b)) & 15 AS band_bits
+         |  FROM sim, generate_series(0, ${SimhashBands - 1}) b(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS fa, b.simhash AS fb
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+         |    AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= $SimhashRadius
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding_lsh" ->
       s"""WITH ${AnnSearch.bucketCte},
          |pairs AS (

@@ -329,7 +329,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Token-distribution (Shannon) entropy per document — the quality
+    * signal that separates natural prose from gibberish and keyboard
+    * mash (low entropy = heavy repetition, high ≈ ln(n_distinct) =
+    * near-uniform noise; prose sits in between). Computed WITHOUT a
+    * per-token probability pass: H = ln(N) − Σ n·ln(n) / N needs only
+    * the per-(doc, token) counts, so the plan is the same two map-side-
+    * combined aggregations as every other text operator — explode →
+    * count per (doc_id, tok) → fold per doc_id. Rounded to 6 decimals
+    * so both engines' libm agree.
+    */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+    cnt.groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("n") * log(col("n"))).as("s"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens")) - col("s") / col("n_tokens"), 6).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy"     -> (textEntropy _),
     "text_tfidf_topk"  -> (textTfidfTopk _),
     "text_repetition"  -> (textRepetition _),
     "doc_chunks"       -> (docChunks _),
@@ -363,6 +390,20 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // CAST(sum(...) AS BIGINT): DuckDB sum(BIGINT) returns HUGEINT,
+    // which the driver's pandas bridge floatifies (the round-1 lesson)
+    "text_entropy" ->
+      s"""WITH cnt AS (
+         |  SELECT doc_id, tok, count(*) AS n FROM (
+         |    SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents) t
+         |  WHERE tok <> '' GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_distinct, sum(n * ln(n)) AS s
+         |  FROM cnt GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  round(ln(n_tokens) - s / n_tokens, 6) AS entropy
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "text_tfidf_topk" ->
       s"""WITH terms AS (
          |  SELECT * FROM (

@@ -72,6 +72,31 @@ object StreamOps {
         col("purchase_ts"), col("click_id"), col("click_ts"))
   }
 
+  /** LEFT OUTER stream-stream attribution: same join window as
+    * [[clickAttribution]], but purchases with NO qualifying click are
+    * still emitted — with null click columns — once BOTH watermarks
+    * pass the join window and Spark can prove no matching click will
+    * arrive. The outer emission is literally the state-expiry event,
+    * so unmatched-purchase latency equals the watermark delay and
+    * state stays bounded exactly as in the inner form. (The continuous
+    * twin of a left join in the batch funnel: conversion AND
+    * non-conversion rows from one query.)
+    */
+  def clickAttributionOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    p.join(c, expr(
+      """p_user = c_user
+        |AND click_ts <= purchase_ts
+        |AND click_ts >= purchase_ts - INTERVAL 30 MINUTES""".stripMargin), "leftOuter")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Streaming exact dedup: keep the first arrival per content hash,
     * with state expired past the watermark (`dropDuplicatesWithinWatermark`)
     * — the continuous form of `dedup_exact`, at bounded state.

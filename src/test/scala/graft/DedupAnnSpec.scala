@@ -214,4 +214,22 @@ class DedupAnnSpec extends SparkTestBase {
     a.unpersist()
   }
 
+
+  test("simhash pairs: within radius, ordered, and banding loses nothing") {
+    val pairs = Dedup.dedupSimhashPairs(spark, sfDir).cache()
+    assert(pairs.filter(col("hamming") > 3).count() == 0)
+    assert(pairs.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    // pigeonhole completeness: the banded candidate join must find EVERY
+    // pair within the radius — compare against the all-pairs ground truth
+    val fp = Dedup.dedupSimhash(spark, sfDir).select("doc_id", "simhash")
+    val truth = fp.select(col("doc_id").as("doc_a"), col("simhash").as("fa"))
+      .crossJoin(fp.select(col("doc_id").as("doc_b"), col("simhash").as("fb")))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(expr("bit_count(fa ^ fb)") <= 3)
+      .select("doc_a", "doc_b")
+    assert(truth.exceptAll(pairs.select("doc_a", "doc_b")).count() == 0)
+    assert(pairs.select("doc_a", "doc_b").exceptAll(truth).count() == 0)
+    pairs.unpersist()
+  }
+
 }

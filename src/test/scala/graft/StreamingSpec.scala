@@ -149,6 +149,35 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSet == Set((10L, 1L)))
   }
 
+  test("outer stream-stream join emits unmatched purchases after watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamOps.clickAttributionOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attribution_outer").outputMode("append").start()
+    try {
+      clicks.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 0))
+      purchases.addData(
+        Ev(10, ts("2024-01-01 10:20:00"), 1, "purchase", 5.0),  // matched
+        Ev(11, ts("2024-01-01 10:20:00"), 2, "purchase", 7.0))  // no click ever
+      q.processAllAvailable()
+      // advance BOTH watermarks far past the join window so the
+      // unmatched purchase's state expires and the null-click row emits
+      clicks.addData(Ev(2, ts("2024-01-01 14:00:00"), 9, "click", 0))
+      purchases.addData(Ev(12, ts("2024-01-01 14:00:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      clicks.addData(Ev(3, ts("2024-01-01 18:00:00"), 9, "click", 0))
+      purchases.addData(Ev(13, ts("2024-01-01 18:00:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attribution_outer")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(rows(10L) == 1L)   // in-window click attributed
+    assert(rows(11L) == -1L)  // unmatched purchase emitted with null click
+  }
+
   test("streaming dedup keeps the first arrival per content hash across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -359,4 +359,18 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     long.unpersist()
   }
 
+
+  test("text_entropy: bounds hold and repetition lowers entropy") {
+    val df = TextAnalysis.textEntropy(spark, sfDir).cache()
+    assert(df.count() == Tables.documents(spark, sfDir).count())
+    // 0 <= H <= ln(n_distinct) (uniform upper bound), tolerance for rounding
+    assert(df.filter(col("entropy") < -1e-6).count() == 0)
+    assert(df.filter(col("entropy") > log(col("n_distinct")) + 1e-6).count() == 0)
+    // single-token docs have zero entropy; all-distinct docs hit the bound
+    assert(df.filter(col("n_distinct") === 1 && abs(col("entropy")) > 1e-6).count() == 0)
+    assert(df.filter(col("n_distinct") === col("n_tokens")
+      && abs(col("entropy") - log(col("n_tokens"))) > 1e-5).count() == 0)
+    df.unpersist()
+  }
+
 }
