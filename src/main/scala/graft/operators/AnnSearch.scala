@@ -272,7 +272,16 @@ object AnnSearch {
     * assign+update layer per round (the `dedup_components` lesson).
     * Output is the final assignment (vector → list) with its distance.
     */
-  def annKmeansTrain(spark: SparkSession, dir: String): DataFrame = {
+  def annKmeansTrain(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssignments(spark, dir)
+      .select(col("vec_id"), col("cl").as("cluster"), col("dist2"))
+      .orderBy(col("vec_id"))
+
+  /** The trained assignment relation (vec_id, cl, dist2, v) — shared
+    * with `Dedup.dedupSemantic`, which blocks its pair search on the
+    * learned clusters.
+    */
+  private[operators] def kmeansAssignments(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     var cent = e.filter(col("vec_id") < KmeansK)
@@ -283,8 +292,6 @@ object AnnSearch {
       assigned = kmAssign(e, cent)
     }
     assigned
-      .select(col("vec_id"), col("cl").as("cluster"), col("dist2"))
-      .orderBy(col("vec_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -314,7 +321,9 @@ object AnnSearch {
     * arithmetic (same dist² expansion, same left-to-right inner product,
     * same 6-decimal rounding of distances and centroid means).
     */
-  private val kmeansSql: String = {
+  private[operators] def kmeansFinalCte: String = s"a${KmeansIters - 1}"
+
+  private[operators] val kmeansCtes: String = {
     def assign(cent: String, out: String) =
       s"""$out AS (
          |  SELECT vec_id, cl, dist2, v FROM (
@@ -338,10 +347,13 @@ object AnnSearch {
       s"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
       s"c0 AS (SELECT vec_id AS cl, v AS cv FROM e WHERE vec_id < $KmeansK)",
       assign("c0", "a0")) ++ iters
-    s"""WITH ${ctes.mkString(",\n")}
-       |SELECT vec_id, cl AS cluster, dist2 FROM a${KmeansIters - 1}
-       |ORDER BY vec_id""".stripMargin
+    ctes.mkString(",\n")
   }
+
+  private val kmeansSql: String =
+    s"""WITH $kmeansCtes
+       |SELECT vec_id, cl AS cluster, dist2 FROM $kmeansFinalCte
+       |ORDER BY vec_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ann_kmeans_train" -> kmeansSql,

@@ -245,7 +245,28 @@ object CoreAnalytics {
       .orderBy(col("n_name"), col("custkey"))
   }
 
+  /** Trailing-7-day revenue per customer — the RANGE-frame window tier
+    * (vs `q_running_revenue`'s ROWS frame): the frame is bounded by the
+    * ORDER-BY VALUE (order day within the last 6 days), not a row
+    * count, so same-day orders always share a frame and sparse
+    * histories window correctly. Ordering on the integer day number
+    * keeps the frame spec engine-neutral; one shuffle on the customer
+    * key like every other per-customer window.
+    */
+  def trailingRevenue7d(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+      .rangeBetween(-6, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("day_num",
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long"))
+      .withColumn("trailing_7d", round(sum(col("o_totalprice")).over(w), 2))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "trailing_7d")
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trailing_7d"        -> (trailingRevenue7d _),
     "q_customer_deciles"   -> (customerDeciles _),
     "q_cube"               -> (cubeSummary _),
     "q_grouping_sets"      -> (groupingSetsSummary _),
@@ -260,6 +281,14 @@ object CoreAnalytics {
     "q_salted_skew_join"   -> (saltedSkewJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_trailing_7d" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS trailing_7d
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q_customer_deciles" ->
       """WITH rev AS (
         |  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue

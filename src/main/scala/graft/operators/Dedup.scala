@@ -284,6 +284,30 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** SemDeDup-style semantic dedup: near-dup pairs blocked on LEARNED
+    * k-means clusters (the `ann_kmeans_train` assignment) instead of a
+    * precomputed label (`dedup_embedding`) or data-derived LSH buckets
+    * (`dedup_embedding_lsh`) — the published recipe for embedding-space
+    * corpus pruning: cluster once, then compare only within clusters.
+    * Pair cost scales with cluster occupancy; the cluster step itself
+    * is broadcast-assign (K constant). Norms precomputed per vector.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = AnnSearch.kmeansAssignments(spark, dir)
+      .withColumn("nrm", sqrt(AnnSearch.dot(col("v"), col("v"))))
+      .select(col("vec_id"), col("cl").as("cluster"), col("v"), col("nrm"))
+    val a = labeled.select(col("vec_id").as("id_a"), col("cluster"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = labeled.select(col("vec_id").as("id_b"), col("cluster"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, "cluster").filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(AnnSearch.cosinePre(col("va"), col("vb"), col("na"), col("nb")), 6))
+      .filter(col("cosine") >= 0.35)
+      .select("cluster", "id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Near-dup CLUSTER assignment: connected components of the verified
     * jaccard pair graph via min-label propagation (Pregel-style): each
     * round every node takes the min label among itself and its
@@ -419,7 +443,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
-    "dedup_embedding"     -> (dedupEmbedding _))
+    "dedup_embedding"     -> (dedupEmbedding _),
+    "dedup_semantic"      -> (dedupSemantic _))
 
   /** Signatures + LSH candidate pairs as CTEs ending in `cpairs` —
     * shared by the estimate, exact-jaccard, and components oracles.
@@ -581,6 +606,20 @@ object Dedup {
          |JOIN embeddings a ON a.vec_id = p.id_a
          |JOIN embeddings b ON b.vec_id = p.id_b
          |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH ${AnnSearch.kmeansCtes},
+         |lab AS (SELECT vec_id, cl AS cluster FROM ${AnnSearch.kmeansFinalCte}),
+         |pairs AS (
+         |  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM lab a JOIN lab b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |SELECT p.cluster, p.id_a, p.id_b,
+         |  round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
+         |FROM pairs p
+         |JOIN embeddings ea ON ea.vec_id = p.id_a
+         |JOIN embeddings eb ON eb.vec_id = p.id_b
+         |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,

@@ -54,4 +54,19 @@ class CoreAnalyticsSpec extends SparkTestBase {
     df.unpersist()
   }
 
+
+  test("trailing 7d window equals the direct interval self-join") {
+    val df = CoreAnalytics.trailingRevenue7d(spark, sfDir).cache()
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("d"),
+        col("o_totalprice").as("p"))
+    val truth = df.join(o, col("o_custkey") === col("k")
+        && datediff(col("o_orderdate"), col("d")).between(0, 6))
+      .groupBy("o_custkey", "o_orderkey")
+      .agg(round(sum(col("p")), 2).as("expected"))
+    val joined = df.join(truth, Seq("o_custkey", "o_orderkey"))
+    assert(joined.filter(abs(col("trailing_7d") - col("expected")) > 1e-6).count() == 0)
+    df.unpersist()
+  }
+
 }

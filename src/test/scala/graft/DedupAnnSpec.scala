@@ -232,4 +232,19 @@ class DedupAnnSpec extends SparkTestBase {
     pairs.unpersist()
   }
 
+
+  test("semantic dedup: pairs share a learned cluster and clear the threshold") {
+    val pairs = Dedup.dedupSemantic(spark, sfDir).cache()
+    assert(pairs.filter(col("cosine") < 0.35).count() == 0)
+    assert(pairs.filter(col("id_a") >= col("id_b")).count() == 0)
+    // blocking consistency: both members carry the pair's cluster label
+    val lab = AnnSearch.annKmeansTrain(spark, sfDir).select("vec_id", "cluster")
+    val bad = pairs
+      .join(lab.select(col("vec_id").as("id_a"), col("cluster").as("ca")), "id_a")
+      .join(lab.select(col("vec_id").as("id_b"), col("cluster").as("cb")), "id_b")
+      .filter(col("ca") =!= col("cluster") || col("cb") =!= col("cluster"))
+    assert(bad.count() == 0)
+    pairs.unpersist()
+  }
+
 }

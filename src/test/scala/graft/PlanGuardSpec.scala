@@ -20,6 +20,7 @@ class PlanGuardSpec extends SparkTestBase {
   // scalar-subquery stand-in, not an all-pairs join.
   private val nestedLoopAllowed = Set(
     "ann_topk", "ann_ivf_topk", "ann_kmeans_train",
+    "dedup_semantic", // embeds the k-means assign (same K-constant loop)
     "corpus_quality_gate", "corpus_mix_rebalance", "text_tfidf_topk")
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
