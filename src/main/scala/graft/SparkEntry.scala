@@ -24,6 +24,7 @@ object SparkEntry {
       (EtlEnrichment.queries, EtlEnrichment.oracles),
       (EtlTemplates.queries, EtlTemplates.oracles),
       (Dedup.queries, Dedup.oracles),
+      (GraphOps.queries, GraphOps.oracles),
       (CorpusOps.queries, CorpusOps.oracles),
       (AnnSearch.queries, AnnSearch.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),

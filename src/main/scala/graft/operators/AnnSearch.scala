@@ -294,10 +294,99 @@ object AnnSearch {
     assigned
   }
 
+  /** Product-quantization parameters: M subspaces of Sub dims, Ks
+    * codewords per subspace, trained with `PqIters` Lloyd rounds.
+    * 64-d doubles (512 B) compress to M = 16 single-byte codes (32×).
+    * Calibrated on the synthetic corpus: coarser codebooks (M=4/Ks=4 …
+    * M=8/Ks=16) measured 4-24% recall vs brute force; 16×32 measures
+    * 42% — level with the LSH/IVF paths on these structure-poor random
+    * vectors.
+    */
+  private val PqM = 16
+  private val PqSub = Dims / PqM
+  private val PqKs = 32
+  private val PqIters = 2
+
+  /** Product-quantization ANN (the Jégou/Douze/Schmid PQ recipe):
+    * L2-NORMALIZE each vector (on the unit sphere ‖a−b‖² = 2−2·cosθ,
+    * so L2 ranking equals the brute-force cosine ranking and PQ error
+    * is pure quantization), split into M=16 subvectors, k-means each
+    * subspace to Ks=32 codewords (same unrolled deterministic Lloyd as
+    * `ann_kmeans_train`, all subspaces trained in ONE relation keyed
+    * by m), encode the corpus as 16 small codes, and answer queries by
+    * ASYMMETRIC DISTANCE COMPUTATION: the query precomputes its
+    * distance to every codeword (M×Ks = 512 numbers, broadcast), and
+    * each corpus vector's approximate distance is a sum of 16 table
+    * lookups — no per-pair float vector math at all. This is the
+    * memory-side scale story the other ANN paths don't cover: at
+    * 100 TB the codes relation is ~32× smaller than the vectors, the
+    * ADC scan reads ONLY codes, and the same codes serve every query.
+    * ADC alone is still a linear scan (that is PQ's published
+    * contract); compose with the IVF list pruning of `ann_ivf_topk`
+    * (IVFADC) for sublinear. Distances are rounded to 6 decimals
+    * before every argmin/rank so both engines pick identical codes and
+    * neighbors; ties break on code/vector id.
+    */
+  def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val sub = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("raw"))
+      .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
+      .select(col("vec_id"), expr("transform(raw, x -> x / nrm)").as("v"))
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> slice(v, m * $PqSub + 1, $PqSub))"))
+        .as(Seq("m", "sv")))
+    // one Lloyd assignment over ALL subspaces at once: the codebook is
+    // M×Ks rows → broadcast; argmin per (vector, subspace)
+    def assign(cb: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("dsub"), col("code"))
+      sub.join(broadcast(cb), "m")
+        .withColumn("dsub", round(
+          dot(col("sv"), col("sv")) - lit(2) * dot(col("sv"), col("cv"))
+            + dot(col("cv"), col("cv")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("code"), col("sv"))
+    }
+    var cb = sub.filter(col("vec_id") < PqKs)
+      .select(col("m"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
+    var assigned = assign(cb)
+    for (_ <- 1 until PqIters) {
+      cb = assigned
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("m"), col("code"), col("d"))
+        .agg(round(avg(col("x")), 6).as("c"))
+        .groupBy(col("m"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+          s => s.getField("c")).as("cv"))
+        .localCheckpoint() // M×Ks rows; truncate the per-round lineage
+      assigned = assign(cb)
+    }
+    val codes = assigned.select("vec_id", "m", "code")
+    // ADC: query → per-codeword distance table (M×Ks per query, broadcast)
+    val qsub = sub.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qs"))
+    val dt = qsub.join(broadcast(cb), "m")
+      .withColumn("dsub", round(
+        dot(col("qs"), col("qs")) - lit(2) * dot(col("qs"), col("cv"))
+          + dot(col("cv"), col("cv")), 6))
+      .select(col("q_id"), col("m"), col("code"), col("dsub"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist2"), col("vec_id"))
+    codes.join(broadcast(dt), Seq("m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("dsub")), 6).as("adist2"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adist2"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk"     -> (annTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_pq_topk"  -> (annPqTopk _),
     "ann_kmeans_train" -> (annKmeansTrain _))
 
   /** Shared oracle CTE: per-vector LSH bucket via the same md5-derived
@@ -355,8 +444,57 @@ object AnnSearch {
        |SELECT vec_id, cl AS cluster, dist2 FROM $kmeansFinalCte
        |ORDER BY vec_id""".stripMargin
 
+  /** PQ oracle: the same subspace Lloyd rounds and ADC lookups with
+    * identical rounding points (round before every argmin/rank).
+    * Filtering self-matches before vs after the ADC aggregation
+    * commutes (the filter is on group keys).
+    */
+  private val pqSql: String = {
+    def assign(cb: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, m, code, sv FROM (
+         |    SELECT s.vec_id, s.m, c.code, s.sv,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |        round(list_inner_product(s.sv, s.sv) - 2 * list_inner_product(s.sv, c.cv)
+         |          + list_inner_product(c.cv, c.cv), 6), c.code) AS rn
+         |    FROM sub s JOIN $cb c ON c.m = s.m) r
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |    x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+       |  FROM embeddings),
+       |sub AS (SELECT vec_id, mm.m, v[mm.m*$PqSub+1 : mm.m*$PqSub+$PqSub] AS sv
+       |        FROM e, generate_series(0, ${PqM - 1}) mm(m)),
+       |cb0 AS (SELECT m, CAST(vec_id AS INT) AS code, sv AS cv FROM sub WHERE vec_id < $PqKs),
+       |${assign("cb0", "a0")},
+       |cb1 AS (
+       |  SELECT m, code, list(c ORDER BY d) AS cv FROM (
+       |    SELECT a.m, a.code, d.d, round(avg(a.sv[d.d]), 6) AS c
+       |    FROM a0 a, generate_series(1, $PqSub) d(d)
+       |    GROUP BY a.m, a.code, d.d) x
+       |  GROUP BY m, code),
+       |${assign("cb1", "a1")},
+       |qsub AS (SELECT vec_id AS q_id, m, sv AS qs FROM sub WHERE vec_id % 50 = 0),
+       |dt AS (
+       |  SELECT q.q_id, c.m, c.code,
+       |    round(list_inner_product(q.qs, q.qs) - 2 * list_inner_product(q.qs, c.cv)
+       |      + list_inner_product(c.cv, c.cv), 6) AS dsub
+       |  FROM qsub q JOIN cb1 c ON c.m = q.m),
+       |adc AS (
+       |  SELECT t.q_id, a.vec_id, round(sum(t.dsub), 6) AS adist2
+       |  FROM a1 a JOIN dt t ON t.m = a.m AND t.code = a.code
+       |  WHERE a.vec_id <> t.q_id
+       |  GROUP BY t.q_id, a.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist2, vec_id) AS rank
+       |  FROM adc)
+       |SELECT q_id, vec_id AS neighbor_id, adist2, rank FROM ranked
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "ann_kmeans_train" -> kmeansSql,
+    "ann_pq_topk" -> pqSql,
     "ann_topk" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,

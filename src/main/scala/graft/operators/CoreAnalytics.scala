@@ -152,7 +152,17 @@ object CoreAnalytics {
     * One shuffle on the band key; candidates per band stay bounded by
     * the price density, not the table size.
     */
-  def priceBandJoin(spark: SparkSession, dir: String): DataFrame = {
+  def priceBandJoin(spark: SparkSession, dir: String): DataFrame =
+    priceBandPairs(spark, dir)
+      .select(col("key_a"), col("key_b"), col("price_a"), col("price_b"),
+        round(abs(col("price_a") - col("price_b")), 6).as("price_diff"))
+      .orderBy(col("key_a"), col("key_b"))
+
+  /** The banded pair relation (key_a < key_b, |Δprice| ≤ 0.5) without
+    * presentation columns/sort — shared with [[GraphOps]], which uses
+    * the price-proximity graph as its test pair graph.
+    */
+  private[operators] def priceBandPairs(spark: SparkSession, dir: String): DataFrame = {
     val Tol = 0.5
     val base = Tables.part(spark, dir).select(col("p_partkey"), col("p_retailprice"))
     val a = base
@@ -165,9 +175,6 @@ object CoreAnalytics {
     a.join(b, Seq("band"))
       .filter(col("key_a") < col("key_b") &&
         abs(col("price_a") - col("price_b")) <= Tol)
-      .select(col("key_a"), col("key_b"), col("price_a"), col("price_b"),
-        round(abs(col("price_a") - col("price_b")), 6).as("price_diff"))
-      .orderBy(col("key_a"), col("key_b"))
   }
 
   /** Explicit GROUPING SETS — the third grouping surface next to
@@ -265,7 +272,80 @@ object CoreAnalytics {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** Order-priority census over late-shipped orders — the EXISTS
+    * correlated-subquery tier (TPC-H Q4 shape, with l_shipdate >
+    * o_orderdate standing in for the commit/receipt columns this schema
+    * lacks). Spark plans the EXISTS as a LEFT SEMI join: lineitem is
+    * touched once, shuffled on the order key, and each order emits at
+    * most one row into the aggregate no matter how many lines qualify —
+    * the semi join IS the decorrelation, no per-order subquery ever
+    * executes. Date filter sits on the orders scan (parquet pushdown).
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Every part scored against its brand's average price, flagged when
+    * ≥5% above it — the correlated SCALAR-subquery tier (TPC-H Q17
+    * shape). The correlated `(SELECT avg(...) WHERE brand =
+    * outer.brand)` decorrelates into one grouped aggregate over the
+    * ~25 bounded brands, broadcast back onto the scan: the fact side
+    * is read once and never shuffles. The brand average is rounded
+    * in-query and the flag compares the ROUNDED ratio so both engines
+    * apply the same cutoff to the same 6-decimal value (raw float
+    * compares at a threshold boundary are where engines disagree).
+    */
+  def brandPremium(spark: SparkSession, dir: String): DataFrame = {
+    val avgb = Tables.part(spark, dir)
+      .groupBy(col("p_brand"))
+      .agg(round(avg(col("p_retailprice")), 6).as("brand_avg"))
+    Tables.part(spark, dir)
+      .select("p_partkey", "p_brand", "p_retailprice")
+      .join(broadcast(avgb), "p_brand") // bounded dim: ~25 brands
+      .withColumn("premium_ratio", round(col("p_retailprice") / col("brand_avg"), 6))
+      .withColumn("is_premium", col("premium_ratio") > 1.05)
+      .select("p_partkey", "p_brand", "p_retailprice", "brand_avg",
+        "premium_ratio", "is_premium")
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Large-volume orders (TPC-H Q18 shape): orders whose total lineitem
+    * quantity clears a threshold, enriched with customer identity. The
+    * scale move is aggregate-BEFORE-join: lineitem collapses to one row
+    * per order and the HAVING filter drops ~99.9% of them before any
+    * join runs, so the joins see survivors (hundreds) instead of the
+    * fact table (billions at 100 TB). Threshold 260 keeps a stable
+    * result set in the synthetic data (~99.9th percentile of per-order
+    * quantity).
+    */
+  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 260)
+    big.join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority"    -> (q4OrderPriority _),
+    "q_brand_premium"      -> (brandPremium _),
+    "q_large_orders"       -> (largeOrders _),
     "q_trailing_7d"        -> (trailingRevenue7d _),
     "q_customer_deciles"   -> (customerDeciles _),
     "q_cube"               -> (cubeSummary _),
@@ -281,6 +361,36 @@ object CoreAnalytics {
     "q_salted_skew_join"   -> (saltedSkewJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // the correlated scalar subquery is the SPEC; the Spark plan is its
+    // decorrelated agg+broadcast-join form
+    "q_brand_premium" ->
+      """WITH avgb AS (
+        |  SELECT p_brand, round(avg(p_retailprice), 6) AS brand_avg
+        |  FROM part GROUP BY p_brand)
+        |SELECT p_partkey, p_brand, p_retailprice, brand_avg,
+        |  round(p_retailprice / brand_avg, 6) AS premium_ratio,
+        |  round(p_retailprice / brand_avg, 6) > 1.05 AS is_premium
+        |FROM part JOIN avgb USING (p_brand)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING round(sum(l_quantity), 2) > 260)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
     "q_trailing_7d" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
         |  round(sum(o_totalprice) OVER (

@@ -372,7 +372,54 @@ object Events {
         "event_type", "n_events")
       .orderBy(col("day"), col("event_type"))
 
+  /** Point-in-interval attribution — the generic INTERVAL JOIN tier
+    * (as-of joins match the latest point; this matches every point
+    * inside an arbitrary window). "Promo windows" are derived from the
+    * data (the 5 busiest hours, widened to [hour−30 min, hour+90 min)),
+    * then every event landing inside a window is attributed to it.
+    *
+    * The naive plan is an inequality join (`ts >= start AND ts < end`)
+    * — a nested loop at any scale. The scale shape here is TIME-BUCKET
+    * equi-join: each interval explodes into the hour buckets it covers
+    * (a 2-hour window → 3 buckets, a constant), events carry their own
+    * hour bucket, the join key is the bucket, and the exact range
+    * predicate filters inside the bucket. One shuffle on the bucket
+    * key; cost scales with events-per-bucket × windows-per-bucket,
+    * never |events| × |windows|. The 5-window table is broadcast here,
+    * but the bucket key is what keeps the plan an equi-join when the
+    * interval side is millions of campaign windows at 100 TB.
+    * Overlapping windows legitimately attribute the same event to each
+    * window they cover. Bounds are emitted as epoch seconds so both
+    * engines compare integers.
+    */
+  def eventsPromoAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("user_id"), col("value"))
+    val windows = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("h"))
+      .limit(5)
+      .select(
+        (col("h") - expr("INTERVAL 30 MINUTES")).as("w_start"),
+        (col("h") + expr("INTERVAL 90 MINUTES")).as("w_end"))
+    val wb = windows.withColumn("hb", explode(expr(
+      "sequence(date_trunc('hour', w_start), date_trunc('hour', w_end), INTERVAL 1 HOUR)")))
+    ev.withColumn("hb", date_trunc("hour", col("ts")))
+      .join(wb, Seq("hb"))
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy(
+        unix_timestamp(col("w_start")).as("w_start_s"),
+        unix_timestamp(col("w_end")).as("w_end_s"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("w_start_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_promo_attribution" -> (eventsPromoAttribution _),
     "events_unpivot_daily" -> (eventsUnpivotDaily _),
     "events_quantiles_approx" -> (eventsQuantilesApprox _),
     "events_sliding_volume" -> (eventsSlidingVolume _),
@@ -391,6 +438,22 @@ object Events {
     "events_hourly_anomaly" -> (eventsHourlyAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    // bucketing is result-invisible: the oracle is the plain range join
+    "events_promo_attribution" ->
+      """WITH hours AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |top AS (
+        |  SELECT h - INTERVAL 30 MINUTE AS w_start,
+        |         h + INTERVAL 90 MINUTE AS w_end
+        |  FROM hours ORDER BY n DESC, h LIMIT 5)
+        |SELECT CAST(epoch(w_start) AS BIGINT) AS w_start_s,
+        |  CAST(epoch(w_end) AS BIGINT) AS w_end_s,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 4) AS sum_value
+        |FROM top JOIN events e ON e.ts >= w_start AND e.ts < w_end
+        |GROUP BY 1, 2 ORDER BY w_start_s""".stripMargin,
     // every event belongs to exactly length/slide = 4 sliding windows:
     // starts (floor(epoch/900) - i) * 900 for i in 0..3, matching
     // Spark's epoch-aligned window(ts, '1 hour', '15 minutes')

@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative / relational graph analytics over pair relations — the
+  * third graph tier next to the connected-components fixpoint
+  * ([[Dedup.connectedComponents]]) and the cluster audit views: fixed-
+  * iteration PageRank and per-node triangle counting. In a curation
+  * pipeline these run over the near-dup pair graph (rank = centrality
+  * of a document inside its duplication neighborhood; triangles =
+  * cluster cohesion before committing deletions). Here they are
+  * exercised on the price-proximity pair graph
+  * ([[CoreAnalytics.priceBandPairs]]), whose degree distribution is
+  * rich enough to make the arithmetic observable — the near-dup graph
+  * in the synthetic corpus is a union of tiny regular cliques, where
+  * PageRank degenerates to a uniform vector.
+  *
+  * Both operators are pure plan work over (src, dst) relations: joins
+  * and aggregations shuffling on vertex keys — nothing is collected,
+  * nothing iterates on the driver.
+  */
+object GraphOps {
+
+  /** Neighbors kept per node in the kNN graph. */
+  private val KnnK = 4
+
+  /** MUTUAL 4-nearest-neighbor price graph — the bounded-degree input
+    * both graph operators run on. The raw band pair graph
+    * ([[CoreAnalytics.priceBandPairs]]) densifies with the corpus
+    * (same price range, more parts → per-band occupancy and therefore
+    * node degree grow LINEARLY with data size; measured: triangle
+    * counting over it cost 23.9s at sf0.1 vs 0.5s at sf0.01 — a
+    * Σ deg² blow-up, the classic unscalable graph shape). kNN-graph
+    * construction is the standard fix AND a standard operator in its
+    * own right: banded candidates → per-node k nearest by
+    * WindowGroupLimit-pruned rank → an edge survives only if BOTH
+    * endpoints chose each other (mutual kNN), which caps degree at k
+    * BY CONSTRUCTION at any corpus size. Σ deg² ≤ k²·n — triangle and
+    * rank costs stay linear forever.
+    */
+  private[operators] def knnEdges(spark: SparkSession, dir: String): DataFrame = {
+    val cand = CoreAnalytics.priceBandPairs(spark, dir)
+      .select(col("key_a").as("u"), col("key_b").as("v"),
+        round(abs(col("price_a") - col("price_b")), 6).as("diff"))
+    val sym = cand.union(cand.select(col("v").as("u"), col("u").as("v"), col("diff")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("diff"), col("v"))
+    val knn = sym.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KnnK).select(col("u"), col("v"))
+    knn.as("k1").join(knn.as("k2"),
+        col("k1.u") === col("k2.v") && col("k1.v") === col("k2.u"))
+      .filter(col("k1.u") < col("k1.v"))
+      .select(col("k1.u").as("a"), col("k1.v").as("b"))
+      // materialize the graph once: consumers reference the edge
+      // relation 3-5 times (wedge joins, degree counts) and would
+      // otherwise re-plan the whole band-join + rank + mutual-join
+      // chain per reference (26 exchanges for triangle counting)
+      .localCheckpoint()
+  }
+
+  /** The same mutual-kNN edge relation as SQL CTEs ending in `edges`
+    * (a < b) — shared by both oracles.
+    */
+  private val knnEdgesCte: String =
+    s"""cand AS (
+       |  SELECT a.p_partkey AS u, b.p_partkey AS v,
+       |    round(abs(a.p_retailprice - b.p_retailprice), 6) AS diff
+       |  FROM part a JOIN part b
+       |    ON a.p_partkey < b.p_partkey
+       |    AND abs(a.p_retailprice - b.p_retailprice) <= 0.5),
+       |sym AS (SELECT u, v, diff FROM cand UNION ALL SELECT v, u, diff FROM cand),
+       |knn AS (SELECT u, v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY u ORDER BY diff, v) AS rn FROM sym)
+       |  WHERE rn <= $KnnK),
+       |edges AS (
+       |  SELECT k1.u AS a, k1.v AS b
+       |  FROM knn k1 JOIN knn k2 ON k1.u = k2.v AND k1.v = k2.u
+       |  WHERE k1.u < k1.v)""".stripMargin
+
+  /** Damping factor and its complement as separate literals: `1 - 0.85`
+    * and `0.15` are DIFFERENT doubles, so both engines must use the
+    * same literal form or ranks drift in the last ulp per iteration.
+    */
+  private val Damping = 0.85
+  private val Teleport = 0.15
+  private val Iters = 3
+
+  /** Fixed-iteration PageRank (3 rounds, d=0.85) over the undirected
+    * pair graph, unrolled into ONE Catalyst plan — no driver loop, no
+    * checkpoint bookkeeping, because the iteration count is a constant
+    * of the operator (rank-for-audit, not convergence-to-tolerance).
+    * Per iteration the plan is exactly one shuffle: weighted edges join
+    * the current ranks on src, partial-aggregate map-side, and reduce
+    * on dst. The 1-row node count joins in via `crossJoin(broadcast)`,
+    * never a driver collect. For convergence-driven rank (tens of
+    * iterations) switch to the [[Dedup.connectedComponents]] pattern —
+    * a driver loop with `localCheckpoint()` every few rounds to
+    * truncate lineage; per-round plan shape stays identical.
+    *
+    * Symmetrized edges mean every node has out-degree ≥ 1, so there is
+    * no dangling-mass term; each node also receives ≥ 1 contribution,
+    * so the inner join after aggregation loses no nodes.
+    */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankOf(knnEdges(spark, dir))
+
+  /** PageRank over any (a, b) pair relation with a < b — exposed for
+    * specs to drive degenerate graphs (single edge, path, star).
+    */
+  def pagerankOf(pairs: DataFrame): DataFrame = {
+    val jp = pairs.toDF("a", "b")
+    val edges = jp.select(col("a").as("src"), col("b").as("dst"))
+      .union(jp.select(col("b").as("src"), col("a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // materialize the degree-weighted adjacency ONCE (the standard
+    // PageRank preprocessing): without it every unrolled iteration
+    // re-plans the edge-building subtree and the static plan grows an
+    // Exchange tower (19 exchanges for 3 iterations when left pure).
+    // localCheckpoint also truncates lineage, same trade as
+    // [[Dedup.connectedComponents]]; reliable checkpoint() on a real
+    // cluster.
+    val weighted = edges.join(deg, "src").localCheckpoint()
+    // the 1-row node count is crossJoin-broadcast into EVERY iteration's
+    // projection — checkpoint it so the degree aggregation isn't
+    // re-planned once per iteration
+    val nRel = deg.agg(count(lit(1)).as("n_nodes")).localCheckpoint()
+    var ranks = deg.crossJoin(broadcast(nRel))
+      .select(col("src").as("doc_id"), (lit(1.0) / col("n_nodes")).as("r"))
+    for (_ <- 1 to Iters) {
+      ranks = weighted.join(ranks, weighted("src") === ranks("doc_id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("r") / col("d")).as("contrib"))
+        .crossJoin(broadcast(nRel))
+        .select(col("dst").as("doc_id"),
+          (lit(Teleport) / col("n_nodes") + lit(Damping) * col("contrib")).as("r"))
+    }
+    ranks.select(col("doc_id"), round(col("r"), 6).as("pagerank"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-node triangle count + local clustering coefficient. With every
+    * edge oriented low-key → high-key, each triangle {a<b<c} is found
+    * EXACTLY once as e(a,b) ⋈ e(b,c) ⋈ e(a,c) — two equi-joins on
+    * vertex keys, no distinct, no double counting. Each found triangle
+    * then credits its three corners (explode) and a groupBy counts per
+    * node. Cost is Σ deg²(v) candidate wedges — at skewed scale, the
+    * standard fix is re-orienting edges from lower- to higher-DEGREE
+    * endpoint (bounds wedge count by arboricity), same plan shape with
+    * a degree join up front. Clustering = 2·tri / (deg·(deg−1)),
+    * rounded; degree-1 nodes get 0.
+    */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(knnEdges(spark, dir))
+
+  /** Triangle/clustering stats over any (a, b) pair relation with
+    * a < b and no duplicate pairs — exposed for specs (K4, paths).
+    */
+  def trianglesOf(pairs: DataFrame): DataFrame = {
+    val e = pairs.toDF("key_a", "key_b")
+    val e1 = e.select(col("key_a").as("a"), col("key_b").as("b"))
+    val e2 = e.select(col("key_a").as("b"), col("key_b").as("c"))
+    val e3 = e.select(col("key_a").as("a"), col("key_b").as("c"))
+    val tris = e1.join(e2, "b").join(e3, Seq("a", "c"))
+    val triPerNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("key_a").as("node"))
+      .union(e.select(col("key_b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(
+        col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2, round(
+          coalesce(col("n_triangles"), lit(0L)) * 2.0 /
+            (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+      .orderBy(col("node"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank"  -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _))
+
+  private def prIter(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT we.dst AS doc_id,
+       |    (SELECT $Teleport / n_nodes FROM n) + $Damping * sum(r.r / we.d) AS r
+       |  FROM we JOIN $prev r ON r.doc_id = we.src GROUP BY we.dst)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH $knnEdgesCte,
+         |dedges AS (SELECT a AS src, b AS dst FROM edges
+         |           UNION ALL SELECT b, a FROM edges),
+         |deg AS (SELECT src, count(*) AS d FROM dedges GROUP BY src),
+         |we AS (SELECT e.src, e.dst, d.d FROM dedges e JOIN deg d USING (src)),
+         |n AS (SELECT count(*) AS n_nodes FROM deg),
+         |r0 AS (SELECT src AS doc_id, 1.0 / n_nodes AS r FROM deg, n),
+         |${(1 to Iters).map(i => prIter(s"r${i - 1}", s"r$i")).mkString(",\n")}
+         |SELECT doc_id, round(r, 6) AS pagerank FROM r$Iters
+         |ORDER BY doc_id""".stripMargin,
+    "graph_triangles" ->
+      s"""WITH $knnEdgesCte,
+         |tris AS (
+         |  SELECT e1.a, e1.b, e2.b AS c
+         |  FROM edges e1
+         |  JOIN edges e2 ON e2.a = e1.b
+         |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tpn AS (
+         |  SELECT node, count(*) AS n_triangles
+         |  FROM (SELECT unnest([a, b, c]) AS node FROM tris) GROUP BY node),
+         |deg AS (
+         |  SELECT node, count(*) AS degree FROM (
+         |    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+         |  GROUP BY node)
+         |SELECT d.node, d.degree,
+         |  coalesce(t.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN d.degree >= 2 THEN round(
+         |    coalesce(t.n_triangles, 0) * 2.0 / (d.degree * (d.degree - 1)), 6)
+         |  ELSE 0.0 END AS clustering
+         |FROM deg d LEFT JOIN tpn t USING (node)
+         |ORDER BY d.node""".stripMargin)
+}

@@ -138,6 +138,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing fingerprints (the MOSS/Stanford local document
+    * fingerprinting scheme): hash every token 3-gram, then in each
+    * sliding window of 4 consecutive gram hashes select the minimum —
+    * rightmost position on hash ties, per the published algorithm —
+    * and emit the distinct selections. Guarantees any shared substring
+    * of ≥ 6 tokens produces a shared fingerprint, at an expected
+    * density of 2/(w+1) ≈ 0.4 of grams — the sub-document near-dup
+    * index that `text_fingerprint` (whole-doc) and shingle LSH
+    * (whole-doc similarity) can't give you. Entirely scan-local work
+    * (per-doc windows after one shuffle on doc_id); the output is what
+    * you'd feed a fingerprint-keyed self-join at 100 TB.
+    *
+    * The (hash, rightmost-pos) selection is encoded as ONE integer —
+    * `hash · 2²⁰ + (2²⁰−1 − pos)` — so a plain windowed `min` picks
+    * hash-then-rightmost in both engines with pure integer math (no
+    * struct comparisons, no engine-specific argmin semantics). Caps
+    * documents at 2²⁰ tokens; chunk longer ones upstream
+    * ([[docChunks]]).
+    */
+  def textWinnowing(spark: SparkSession, dir: String): DataFrame = {
+    val K = 3; val W = 4; val Shift = 1048576L // 2^20
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= K) // sequence(1, n<1) would run DESCENDING in Spark
+      .select(col("doc_id"), (size(col("t")) - (K - 1)).as("n_grams"),
+        posexplode(expr(
+          s"transform(sequence(1, size(t) - ${K - 1}), i -> " +
+            "concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"))
+          .as(Seq("pos", "gram")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, W - 1)
+    grams
+      .withColumn("key",
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("bigint") * Shift +
+          (lit(Shift - 1) - col("pos")))
+      .withColumn("k", min(col("key")).over(w))
+      .filter(col("pos") <= col("n_grams") - W) // only full windows select
+      .select(col("doc_id"), expr(s"k div $Shift").as("fp_hash"),
+        (lit(Shift - 1) - pmod(col("k"), lit(Shift))).as("fp_pos"))
+      .distinct()
+      .orderBy(col("doc_id"), col("fp_pos"))
+  }
+
   /** Corpus-wide top-k bigrams: explode → count → top-k. Map-side
     * partial aggregation carries the heavy lifting; only (distinct
     * bigram) rows shuffle, and the final top-k is a single ordered
@@ -356,6 +399,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnowing"   -> (textWinnowing _),
     "text_entropy"     -> (textEntropy _),
     "text_tfidf_topk"  -> (textTfidfTopk _),
     "text_repetition"  -> (textRepetition _),
@@ -390,6 +434,27 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_winnowing" ->
+      """WITH wtoks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, len(t) - 2 AS n_grams,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |  FROM wtoks, unnest(generate_series(1, len(t) - 2)) s(i)),
+        |keyed AS (
+        |  SELECT doc_id, pos, n_grams,
+        |    CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) * 1048576 + (1048575 - pos) AS key
+        |  FROM grams),
+        |sel AS (
+        |  SELECT doc_id, pos, n_grams,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS k
+        |  FROM keyed)
+        |SELECT DISTINCT doc_id,
+        |  k // 1048576 AS fp_hash,
+        |  1048575 - (k % 1048576) AS fp_pos
+        |FROM sel WHERE pos <= n_grams - 4
+        |ORDER BY doc_id, fp_pos""".stripMargin,
     // CAST(sum(...) AS BIGINT): DuckDB sum(BIGINT) returns HUGEINT,
     // which the driver's pandas bridge floatifies (the round-1 lesson)
     "text_entropy" ->

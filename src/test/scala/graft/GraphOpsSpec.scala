@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{Events, GraphOps, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-4 operators: PageRank/triangles over pair
+  * graphs, winnowing fingerprints, and interval-join attribution.
+  */
+class GraphOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("pagerank on a star graph: hand-computed 3-iteration values") {
+    // S3: center 0, leaves 1..3. Degrees: d(0)=3, d(leaf)=1.
+    // r0 = 1/4 each; three exact iterations by hand give
+    // center 0.6208125, leaf 0.12639583... (see assertions).
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val r = GraphOps.pagerankOf(star).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // tolerance, not rounded equality: the center's exact value
+    // 0.6208125 sits ON a 6-dp rounding boundary, so the last-ulp
+    // float error decides the rounded digit
+    assert(math.abs(r(0L) - 0.6208125) < 2e-6)
+    Seq(1L, 2L, 3L).foreach(l => assert(math.abs(r(l) - 0.12639583) < 2e-6))
+  }
+
+  test("pagerank preserves unit rank mass") {
+    val g = GraphOps.graphPagerank(spark, sfDir)
+    val total = g.agg(sum(col("pagerank"))).head().getDouble(0)
+    val n = g.count()
+    // each node's value is rounded to 6dp, so tolerance scales with n
+    assert(math.abs(total - 1.0) <= 1e-6 * n + 1e-9, s"mass $total over $n nodes")
+  }
+
+  test("triangles on K4: four triangles, every node in three, clustering 1") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val t = GraphOps.trianglesOf(k4).collect()
+    assert(t.length == 4)
+    assert(t.forall(r => r.getLong(1) == 3 && r.getLong(2) == 3 && r.getDouble(3) == 1.0))
+  }
+
+  test("a path graph has no triangles and zero clustering") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val t = GraphOps.trianglesOf(path).collect()
+    assert(t.forall(r => r.getLong(2) == 0))
+    assert(t.forall(r => r.getDouble(3) == 0.0))
+  }
+
+  test("graph_triangles invariants on the mutual-kNN price graph") {
+    val t = GraphOps.graphTriangles(spark, sfDir).cache()
+    assert(t.count() > 0)
+    assert(t.filter(col("clustering") < 0 || col("clustering") > 1).count() == 0)
+    assert(t.filter(col("n_triangles") > 0 && col("degree") < 2).count() == 0)
+    // mutual kNN bounds degree at k BY CONSTRUCTION — the scale claim
+    assert(t.agg(max(col("degree"))).head().getLong(0) <= 4)
+    t.unpersist()
+  }
+
+  test("winnowing guarantee: within a doc, consecutive fingerprint positions gap <= w") {
+    val W = 4
+    val fp = TextAnalysis.textWinnowing(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("fp_pos"))
+    val gaps = fp.withColumn("gap", col("fp_pos") - lag(col("fp_pos"), 1).over(w))
+    assert(gaps.filter(col("gap") > W).count() == 0)
+    // first selection must land inside the first window
+    val firsts = fp.groupBy(col("doc_id")).agg(min(col("fp_pos")).as("p0"))
+    assert(firsts.filter(col("p0") > W - 1).count() == 0)
+  }
+
+  test("winnowing density is ~2/(w+1) of grams") {
+    val fp = TextAnalysis.textWinnowing(spark, sfDir)
+    val nFp = fp.count().toDouble
+    val nGrams = Tables.documents(spark, sfDir)
+      .select(greatest(size(split(lower(trim(col("text"))), "\\s+")) - 2, lit(0)).as("g"))
+      .agg(sum(col("g"))).head().getLong(0).toDouble
+    val density = nFp / nGrams
+    assert(density > 0.25 && density < 0.55, s"density $density")
+  }
+
+  test("promo attribution: every window's events fall inside it and users <= events") {
+    val r = Events.eventsPromoAttribution(spark, sfDir).collect()
+    assert(r.nonEmpty && r.length <= 5)
+    r.foreach { row =>
+      assert(row.getLong(1) - row.getLong(0) == 7200L) // 2-hour windows
+      assert(row.getLong(3) <= row.getLong(2))         // n_users <= n_events
+    }
+  }
+}

@@ -21,7 +21,8 @@ class PlanGuardSpec extends SparkTestBase {
   private val nestedLoopAllowed = Set(
     "ann_topk", "ann_ivf_topk", "ann_kmeans_train",
     "dedup_semantic", // embeds the k-means assign (same K-constant loop)
-    "corpus_quality_gate", "corpus_mix_rebalance", "text_tfidf_topk")
+    "corpus_quality_gate", "corpus_mix_rebalance", "text_tfidf_topk",
+    "graph_pagerank") // 1-row broadcast node count joined per iteration
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

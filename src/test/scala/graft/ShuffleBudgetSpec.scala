@@ -48,7 +48,15 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "events_quantiles_approx" -> 2,
     "text_tfidf_topk"       -> 6,
     "corpus_quality_gate"   -> 2,
-    "events_sliding_volume" -> 3)
+    "events_sliding_volume" -> 3,
+    "q4_order_priority"     -> 2,
+    "q_brand_premium"       -> 2,
+    "q_large_orders"        -> 3,
+    "text_winnowing"        -> 2,
+    "events_promo_attribution" -> 4,
+    "graph_triangles"       -> 7,
+    "graph_pagerank"        -> 8,
+    "ann_pq_topk"           -> 4)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
