@@ -1,6 +1,41 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  private def j(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** The fixed headline subset printed on the summary line. */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "q_price_band_join", "q_salted_skew_join", "etl_pipeline_e2e",
+    "etl_similarity_match", "etl_scd2_history", "etl_column_map_grocery",
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
+    "dedup_components", "dedup_keep_best", "ann_topk", "ann_lsh_topk",
+    "ann_ivf_topk", "text_quality", "text_tfidf_topk", "corpus_curate_e2e",
+    "events_sessionize", "events_sliding_volume", "multimodal_frames",
+    "sketch_hll_union")
+
+  /** Complete per-query medians — written to BENCH_FULL.json. */
+  def fullLine(results: Map[String, Double], sfDir: String): String = {
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val full = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}"""
+  }
+
+  /** The printed summary — MUST stay compact. The driver keeps only the
+    * LAST ~2000 chars of bench output, so a full per-query map on the
+    * JSON line truncates mid-line and never parses (BENCH_r01..r03 all
+    * show "parsed": null). Headline subset + 3-dp values keep the line
+    * well under the capture window; BenchLineSpec pins the bound.
+    */
+  def summaryLine(results: Map[String, Double], sfDir: String): String = {
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + j(v)))
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"detail":"BENCH_FULL.json","queries":$qs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,30 +69,10 @@ object Bench {
       }.sorted
       name -> times(runs / 2)
     }
-    def j(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Full per-query medians → a file; the printed line stays compact.
-    // The driver keeps only the LAST ~2000 chars of bench output, so a
-    // 95-query map in the JSON line truncates mid-line and never parses
-    // (BENCH_r01..r03 all show "parsed": null). Headline subset + 3-dp
-    // values keep the line well under the capture window.
-    val full = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
     val fw = new java.io.PrintWriter("BENCH_FULL.json")
-    try fw.println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""")
+    try fw.println(fullLine(results, sfDir))
     finally fw.close()
-    val headline = Seq(
-      "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-      "q_price_band_join", "q_salted_skew_join", "etl_pipeline_e2e",
-      "etl_similarity_match", "etl_scd2_history", "etl_column_map_grocery",
-      "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
-      "dedup_components", "dedup_keep_best", "ann_topk", "ann_lsh_topk",
-      "ann_ivf_topk", "text_quality", "text_tfidf_topk", "corpus_curate_e2e",
-      "events_sessionize", "events_sliding_volume", "multimodal_frames",
-      "sketch_hll_union")
-    val qs = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + j(v)))
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"detail":"BENCH_FULL.json","queries":$qs,"sf":"$sfDir"}""")
+    println(summaryLine(results, sfDir))
     spark.stop()
   }
 }

@@ -342,7 +342,44 @@ object CoreAnalytics {
       .orderBy(col("total_qty").desc, col("o_orderkey"))
   }
 
+  /** Bi-directional trade volume between two nations by ship year
+    * (TPC-H Q7 shape) — the SELF-ALIASED dim pattern: the nation table
+    * joins twice under different roles (supplier's nation, customer's
+    * nation) with an OR-of-pairs predicate that only the combination of
+    * both aliases can evaluate. Both alias sides are the same bounded
+    * 25-row dim → broadcast twice; the pair predicate prunes after the
+    * second dim attach, so the fact side still sees only equi-joins.
+    * Date filter sits on the lineitem scan (pushdown).
+    */
+  def q7BiNationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+      .filter(col("n_name").isin("NATION_10", "NATION_12"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    li.join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cn_key"))
+      .filter(
+        (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12") ||
+        (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_bination_volume"   -> (q7BiNationVolume _),
     "q4_order_priority"    -> (q4OrderPriority _),
     "q_brand_premium"      -> (brandPremium _),
     "q_large_orders"       -> (largeOrders _),
@@ -361,6 +398,22 @@ object CoreAnalytics {
     "q_salted_skew_join"   -> (saltedSkewJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q7_bination_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_10' AND cn.n_name = 'NATION_12')
+        |    OR (sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_10'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -247,6 +247,48 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Count-min sketch dimensions: d hash rows × w buckets. Error bound
+    * ε ≈ e/w of the total stream count with probability 1 − e^−d.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
+  /** Count-min sketch point queries — the frequency-sketch family next
+    * to the cardinality sketches (`sketch_distinct_users` /
+    * `sketch_hll_union`): d×w integer counters answer "how many events
+    * did user u fire?" for ANY user in O(d), never rescanning the
+    * stream. The sketch build is the 100 TB story: one aggregation of
+    * the d-way-expanded stream with map-side partial combine, so the
+    * shuffle carries at most d×w = 1024 counter rows no matter how
+    * many events flow in; cells are additive, so per-partition /
+    * per-day sketches merge by summing (same reuse pattern as the HLL
+    * table). Estimates are min-over-rows, NEVER below the true count
+    * (CMS's one-sided guarantee — asserted as a checked column). All
+    * integer arithmetic on md5-derived buckets: both engines compute
+    * the identical sketch, so the estimates themselves hash-match.
+    */
+  def sketchCountMin(spark: SparkSession, dir: String): DataFrame = {
+    def bucket(j: Column, key: Column): Column = pmod(
+      conv(substring(md5(concat(j, lit(":"), key)), 1, 8), 16, 10).cast("bigint"),
+      lit(CmsWidth.toLong))
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val cells = ev
+      .withColumn("j", explode(sequence(lit(0), lit(CmsDepth - 1))))
+      .withColumn("bucket", bucket(col("j"), col("user_id")))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = ev.filter(col("user_id") % 7 === 0)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      .withColumn("j", explode(sequence(lit(0), lit(CmsDepth - 1))))
+      .withColumn("bucket", bucket(col("j"), col("user_id")))
+    q.join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy(col("user_id"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_est"))
+      .select(col("user_id"), col("n_exact"), col("n_est"),
+        (col("n_est") >= col("n_exact")).as("never_underestimates"))
+      .orderBy(col("user_id"))
+  }
+
   /** Hourly volume anomaly detection: each (type, hour) count scored
     * against the mean/stddev of the last 24 OBSERVED hourly buckets for
     * that type (a ROWS frame over the aggregated relation — hours with
@@ -433,11 +475,34 @@ object Events {
     "events_asof_join"    -> (eventsAsofJoin _),
     "events_asof_native"  -> (eventsAsofNative _),
     "sketch_hll_union"    -> (sketchHllUnion _),
+    "sketch_count_min"    -> (sketchCountMin _),
     "events_funnel"       -> (eventsFunnel _),
     "events_retention"    -> (eventsRetention _),
     "events_hourly_anomaly" -> (eventsHourlyAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    // identical md5-derived integer sketch on both sides: the estimate
+    // itself hash-matches, and the one-sided CMS guarantee is a column
+    "sketch_count_min" ->
+      s"""WITH ev AS (SELECT user_id FROM events),
+         |cells AS (
+         |  SELECT j.j,
+         |    CAST(('0x' || substr(md5(j.j || ':' || user_id), 1, 8)) AS BIGINT) % $CmsWidth AS bucket,
+         |    count(*) AS cnt
+         |  FROM ev, generate_series(0, ${CmsDepth - 1}) j(j)
+         |  GROUP BY 1, 2),
+         |q AS (
+         |  SELECT user_id, count(*) AS n_exact
+         |  FROM ev WHERE user_id % 7 = 0 GROUP BY 1),
+         |qj AS (
+         |  SELECT q.user_id, q.n_exact, j.j,
+         |    CAST(('0x' || substr(md5(j.j || ':' || q.user_id), 1, 8)) AS BIGINT) % $CmsWidth AS bucket
+         |  FROM q, generate_series(0, ${CmsDepth - 1}) j(j))
+         |SELECT user_id, n_exact, min(cnt) AS n_est,
+         |  min(cnt) >= n_exact AS never_underestimates
+         |FROM qj JOIN cells USING (j, bucket)
+         |GROUP BY user_id, n_exact
+         |ORDER BY user_id""".stripMargin,
     // bucketing is result-invisible: the oracle is the plain range join
     "events_promo_attribution" ->
       """WITH hours AS (

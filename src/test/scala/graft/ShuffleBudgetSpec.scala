@@ -56,7 +56,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "events_promo_attribution" -> 4,
     "graph_triangles"       -> 7,
     "graph_pagerank"        -> 8,
-    "ann_pq_topk"           -> 4)
+    "ann_pq_topk"           -> 4,
+    "q7_bination_volume"    -> 2,
+    "sketch_count_min"      -> 3)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
