@@ -221,7 +221,44 @@ object EtlCleaning {
       .orderBy(col("p_partkey"))
   }
 
+  /** Snapshot diff — the change-detection half of the reference's
+    * update flow (api-client fetches current docs, batch_processor
+    * decides what to push): given yesterday's and today's catalog
+    * snapshots, classify every key as added / removed / changed /
+    * unchanged in ONE full outer join on the business key. Both
+    * snapshots are derived deterministically from `part` (modular
+    * drops on each side simulate churn; a 10%-price bump on
+    * `key % 10 = 3` simulates edits) so the classification is
+    * oracle-checkable. At 100 TB this is the canonical
+    * co-partitionable join: bucket both snapshot tables by the key
+    * (sources/Bucketing.scala) and the diff runs with NO shuffle at
+    * all; the status column then feeds an `etl_apply_updates`-style
+    * merge. Prices compared exactly — both sides carry the same stored
+    * doubles, and the bumped side rounds in-query identically in both
+    * engines.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val old = Tables.part(spark, dir)
+      .filter(col("p_partkey") % 89 =!= 0)
+      .select(col("p_partkey").as("old_key"), col("p_retailprice").as("old_price"))
+    val nw = Tables.part(spark, dir)
+      .filter(col("p_partkey") % 97 =!= 0)
+      .select(col("p_partkey").as("new_key"),
+        when(col("p_partkey") % 10 === 3, round(col("p_retailprice") * 1.1, 2))
+          .otherwise(col("p_retailprice")).as("new_price"))
+    old.join(nw, col("old_key") === col("new_key"), "full_outer")
+      .select(
+        coalesce(col("old_key"), col("new_key")).as("p_partkey"),
+        col("old_price"), col("new_price"),
+        when(col("old_key").isNull, lit("added"))
+          .when(col("new_key").isNull, lit("removed"))
+          .when(col("old_price") =!= col("new_price"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_snapshot_diff"          -> (snapshotDiff _),
     "etl_quarantine"             -> (quarantine _),
     "etl_price_outliers"         -> (priceOutliers _),
     "etl_fillna_zero"            -> (fillnaZero _),
@@ -233,6 +270,22 @@ object EtlCleaning {
     "etl_articles_ingest"        -> (articlesIngest _))
 
   val oracles: Map[String, String] = Map(
+    "etl_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT p_partkey AS old_key, p_retailprice AS old_price
+        |  FROM part WHERE p_partkey % 89 <> 0),
+        |new AS (
+        |  SELECT p_partkey AS new_key,
+        |    CASE WHEN p_partkey % 10 = 3 THEN round(p_retailprice * 1.1, 2)
+        |         ELSE p_retailprice END AS new_price
+        |  FROM part WHERE p_partkey % 97 <> 0)
+        |SELECT coalesce(old_key, new_key) AS p_partkey, old_price, new_price,
+        |  CASE WHEN old_key IS NULL THEN 'added'
+        |       WHEN new_key IS NULL THEN 'removed'
+        |       WHEN old_price <> new_price THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM old FULL OUTER JOIN new ON old_key = new_key
+        |ORDER BY p_partkey""".stripMargin,
     "etl_quarantine" ->
       """WITH raw AS (
         |  SELECT p_partkey,

@@ -157,7 +157,13 @@ object TextAnalysis {
     * documents at 2²⁰ tokens; chunk longer ones upstream
     * ([[docChunks]]).
     */
-  def textWinnowing(spark: SparkSession, dir: String): DataFrame = {
+  def textWinnowing(spark: SparkSession, dir: String): DataFrame =
+    winnowSelections(spark, dir).orderBy(col("doc_id"), col("fp_pos"))
+
+  /** The distinct (doc_id, fp_hash, fp_pos) selections without the
+    * presentation sort — shared with [[textWinnowPairs]].
+    */
+  private def winnowSelections(spark: SparkSession, dir: String): DataFrame = {
     val K = 3; val W = 4; val Shift = 1048576L // 2^20
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("t"))
@@ -178,7 +184,33 @@ object TextAnalysis {
       .select(col("doc_id"), expr(s"k div $Shift").as("fp_hash"),
         (lit(Shift - 1) - pmod(col("k"), lit(Shift))).as("fp_pos"))
       .distinct()
-      .orderBy(col("doc_id"), col("fp_pos"))
+  }
+
+  /** Winnowing fingerprints IN USE: candidate near-dup pairs from the
+    * shared-fingerprint index — the MOSS pair search. Documents sharing
+    * ≥ 3 distinct selected hashes are flagged with their overlap count.
+    * One self-equi-join on the fingerprint hash (same plan family as
+    * the MinHash band join: the shuffle key is the hash, candidates
+    * exist only within a hash bucket, never all-pairs) over the ~0.4×
+    * compressed fingerprint relation. Measured on the synthetic corpus:
+    * unrelated pairs share 1-2 fingerprints, true near-dups 6-37 — the
+    * threshold sits in the gap. Position is dropped before the join
+    * (DISTINCT doc, hash): winnowing may select the same hash at
+    * several positions and pair evidence counts distinct CONTENT, not
+    * repeats.
+    */
+  def textWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val MinShared = 3
+    val fp = winnowSelections(spark, dir)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .localCheckpoint() // referenced twice below; winnowing itself is 2 window passes
+    fp.select(col("doc_id").as("doc_a"), col("fp_hash"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp_hash")), "fp_hash")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Corpus-wide top-k bigrams: explode → count → top-k. Map-side
@@ -400,6 +432,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_winnowing"   -> (textWinnowing _),
+    "text_winnow_pairs" -> (textWinnowPairs _),
     "text_entropy"     -> (textEntropy _),
     "text_tfidf_topk"  -> (textTfidfTopk _),
     "text_repetition"  -> (textRepetition _),
@@ -433,28 +466,44 @@ object TextAnalysis {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  /** Winnowing selection as CTEs ending in `sel` — shared by the
+    * fingerprint dump and the pair-search oracle.
+    */
+  private val winnowCtes: String =
+    """wtoks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i - 1 AS pos, len(t) - 2 AS n_grams,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      |  FROM wtoks, unnest(generate_series(1, len(t) - 2)) s(i)),
+      |keyed AS (
+      |  SELECT doc_id, pos, n_grams,
+      |    CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) * 1048576 + (1048575 - pos) AS key
+      |  FROM grams),
+      |sel AS (
+      |  SELECT doc_id, pos, n_grams,
+      |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS k
+      |  FROM keyed)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_winnowing" ->
-      """WITH wtoks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
-        |grams AS (
-        |  SELECT doc_id, i - 1 AS pos, len(t) - 2 AS n_grams,
-        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
-        |  FROM wtoks, unnest(generate_series(1, len(t) - 2)) s(i)),
-        |keyed AS (
-        |  SELECT doc_id, pos, n_grams,
-        |    CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) * 1048576 + (1048575 - pos) AS key
-        |  FROM grams),
-        |sel AS (
-        |  SELECT doc_id, pos, n_grams,
-        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS k
-        |  FROM keyed)
+      s"""WITH $winnowCtes
         |SELECT DISTINCT doc_id,
         |  k // 1048576 AS fp_hash,
         |  1048575 - (k % 1048576) AS fp_pos
         |FROM sel WHERE pos <= n_grams - 4
         |ORDER BY doc_id, fp_pos""".stripMargin,
+    "text_winnow_pairs" ->
+      s"""WITH $winnowCtes,
+        |fp AS (
+        |  SELECT DISTINCT doc_id, k // 1048576 AS fp_hash
+        |  FROM sel WHERE pos <= n_grams - 4)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // CAST(sum(...) AS BIGINT): DuckDB sum(BIGINT) returns HUGEINT,
     // which the driver's pandas bridge floatifies (the round-1 lesson)
     "text_entropy" ->

@@ -77,6 +77,39 @@ class GraphOpsSpec extends SparkTestBase {
     assert(density > 0.25 && density < 0.55, s"density $density")
   }
 
+  test("winnow pairs: above threshold, ordered, and backed by actual shared fingerprints") {
+    val pairs = TextAnalysis.textWinnowPairs(spark, sfDir).cache()
+    assert(pairs.count() > 0)
+    assert(pairs.filter(col("n_shared") < 3).count() == 0)
+    assert(pairs.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    // spot-check: the top pair's overlap equals a direct fingerprint
+    // intersection count
+    val top = pairs.orderBy(col("n_shared").desc, col("doc_a")).head()
+    val fp = TextAnalysis.textWinnowing(spark, sfDir)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val inter = fp.filter(col("doc_id") === top.getLong(0)).select("fp_hash")
+      .intersect(fp.filter(col("doc_id") === top.getLong(1)).select("fp_hash"))
+      .count()
+    assert(inter == top.getLong(2), s"pair overlap ${top.getLong(2)} != direct $inter")
+    pairs.unpersist()
+  }
+
+  test("snapshot diff: statuses match the modular churn predicates") {
+    val d = graft.operators.EtlCleaning.snapshotDiff(spark, sfDir).cache()
+    val byStatus = d.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val part = Tables.part(spark, sfDir)
+    assert(byStatus.getOrElse("added", 0L) ==
+      part.filter(col("p_partkey") % 89 === 0 && col("p_partkey") % 97 =!= 0).count())
+    assert(byStatus.getOrElse("removed", 0L) ==
+      part.filter(col("p_partkey") % 97 === 0 && col("p_partkey") % 89 =!= 0).count())
+    assert(d.filter(col("status") === "added" && col("old_price").isNotNull).count() == 0)
+    assert(d.filter(col("status") === "removed" && col("new_price").isNotNull).count() == 0)
+    assert(d.filter(col("status") === "changed")
+      .filter(col("old_price") === col("new_price")).count() == 0)
+    d.unpersist()
+  }
+
   test("promo attribution: every window's events fall inside it and users <= events") {
     val r = Events.eventsPromoAttribution(spark, sfDir).collect()
     assert(r.nonEmpty && r.length <= 5)

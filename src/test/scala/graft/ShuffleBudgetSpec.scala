@@ -58,7 +58,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "graph_pagerank"        -> 8,
     "ann_pq_topk"           -> 4,
     "q7_bination_volume"    -> 2,
-    "sketch_count_min"      -> 3)
+    "sketch_count_min"      -> 3,
+    "etl_snapshot_diff"     -> 3,
+    "text_winnow_pairs"     -> 2)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
