@@ -328,13 +328,35 @@ object AnnSearch {
     * neighbors; ties break on code/vector id.
     */
   def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
-    val sub = Tables.embeddings(spark, dir)
+    val (codes, cb) = pqModel(spark, dir)
+    val dt = pqDistanceTable(spark, dir, cb)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist2"), col("vec_id"))
+    codes.join(broadcast(dt), Seq("m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("dsub")), 6).as("adist2"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adist2"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Normalized per-(vector, subspace) subvector relation. */
+  private def pqSubvectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("raw"))
       .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
       .select(col("vec_id"), expr("transform(raw, x -> x / nrm)").as("v"))
       .select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${PqM - 1}), m -> slice(v, m * $PqSub + 1, $PqSub))"))
         .as(Seq("m", "sv")))
+
+  /** The trained PQ model: corpus codes (vec_id, m, code) and the final
+    * codebook (m, code, cv) — shared by `ann_pq_topk` (full ADC scan)
+    * and `ann_ivfadc_topk` (ADC within probed IVF lists).
+    */
+  private def pqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sub = pqSubvectors(spark, dir)
     // one Lloyd assignment over ALL subspaces at once: the codebook is
     // M×Ks rows → broadcast; argmin per (vector, subspace)
     def assign(cb: DataFrame): DataFrame = {
@@ -362,20 +384,59 @@ object AnnSearch {
         .localCheckpoint() // M×Ks rows; truncate the per-round lineage
       assigned = assign(cb)
     }
-    val codes = assigned.select("vec_id", "m", "code")
-    // ADC: query → per-codeword distance table (M×Ks per query, broadcast)
-    val qsub = sub.filter(expr(QueryFilter))
+    (assigned.select("vec_id", "m", "code"), cb)
+  }
+
+  /** ADC lookup table: each query's distance to every codeword
+    * (M×Ks rows per query — broadcast).
+    */
+  private def pqDistanceTable(spark: SparkSession, dir: String, cb: DataFrame): DataFrame =
+    pqSubvectors(spark, dir).filter(expr(QueryFilter))
       .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qs"))
-    val dt = qsub.join(broadcast(cb), "m")
+      .join(broadcast(cb), "m")
       .withColumn("dsub", round(
         dot(col("qs"), col("qs")) - lit(2) * dot(col("qs"), col("cv"))
           + dot(col("cv"), col("cv")), 6))
       .select(col("q_id"), col("m"), col("code"), col("dsub"))
+
+  /** IVFADC — the composed production ANN shape (the second half of
+    * the Jégou et al. paper): the IVF coarse quantizer
+    * (`kmeansAssignments`, K=8 lists) prunes WHICH vectors are scored,
+    * and the PQ codes decide HOW each survivor is scored (ADC table
+    * lookups, no vector math). A query probes its `NProbe` nearest
+    * list centroids, then runs ADC only over codes in those lists:
+    * cost = nprobe/K of the code relation per query, and the code
+    * relation is already 32× smaller than the vectors — the two
+    * multiplicative reductions every billion-scale deployment stacks.
+    * Probing uses the same rounded-L2 argmin as list assignment, on
+    * centroids recomputed from the final assignment (a valid quantizer
+    * on both sides — the oracle recomputes identically). One corpus
+    * shuffle joins codes to list ids on vec_id; probes and the ADC
+    * table are broadcast.
+    */
+  def annIvfadcTopk(spark: SparkSession, dir: String): DataFrame = {
+    val (codes, cb) = pqModel(spark, dir)
+    val lists = kmeansAssignments(spark, dir)
+    val cent = kmCentroids(lists.select(col("cl"), col("v")))
+    val q = vecs(spark, dir).filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdist2"), col("cl"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("cdist2", round(
+        dot(col("qv"), col("qv")) - lit(2) * dot(col("qv"), col("cv"))
+          + dot(col("cv"), col("cv")), 6))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= NProbe)
+      .select(col("q_id"), col("cl"))
+    val dt = pqDistanceTable(spark, dir, cb)
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist2"), col("vec_id"))
-    codes.join(broadcast(dt), Seq("m", "code"))
+    lists.select(col("vec_id"), col("cl"))
+      .join(broadcast(probes), "cl")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(codes, "vec_id")
+      .join(broadcast(dt), Seq("q_id", "m", "code"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(round(sum(col("dsub")), 6).as("adist2"))
-      .filter(col("vec_id") =!= col("q_id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adist2"), col("rank"))
@@ -387,6 +448,7 @@ object AnnSearch {
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_pq_topk"  -> (annPqTopk _),
+    "ann_ivfadc_topk" -> (annIvfadcTopk _),
     "ann_kmeans_train" -> (annKmeansTrain _))
 
   /** Shared oracle CTE: per-vector LSH bucket via the same md5-derived
@@ -444,12 +506,13 @@ object AnnSearch {
        |SELECT vec_id, cl AS cluster, dist2 FROM $kmeansFinalCte
        |ORDER BY vec_id""".stripMargin
 
-  /** PQ oracle: the same subspace Lloyd rounds and ADC lookups with
-    * identical rounding points (round before every argmin/rank).
-    * Filtering self-matches before vs after the ADC aggregation
-    * commutes (the filter is on group keys).
+  /** PQ oracle CTEs (prefixed `p…` so they compose with `kmeansCtes`
+    * in the IVFADC oracle without name collisions), ending in the
+    * final assignment `pa1` and the query ADC table `pdt`. Identical
+    * rounding points as the Spark side (round before every
+    * argmin/rank).
     */
-  private val pqSql: String = {
+  private val pqCtes: String = {
     def assign(cb: String, out: String) =
       s"""$out AS (
          |  SELECT vec_id, m, code, sv FROM (
@@ -457,32 +520,39 @@ object AnnSearch {
          |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
          |        round(list_inner_product(s.sv, s.sv) - 2 * list_inner_product(s.sv, c.cv)
          |          + list_inner_product(c.cv, c.cv), 6), c.code) AS rn
-         |    FROM sub s JOIN $cb c ON c.m = s.m) r
+         |    FROM psub s JOIN $cb c ON c.m = s.m) r
          |  WHERE rn = 1)""".stripMargin
-    s"""WITH e AS (
+    s"""pe AS (
        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
        |    x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
        |  FROM embeddings),
-       |sub AS (SELECT vec_id, mm.m, v[mm.m*$PqSub+1 : mm.m*$PqSub+$PqSub] AS sv
-       |        FROM e, generate_series(0, ${PqM - 1}) mm(m)),
-       |cb0 AS (SELECT m, CAST(vec_id AS INT) AS code, sv AS cv FROM sub WHERE vec_id < $PqKs),
-       |${assign("cb0", "a0")},
-       |cb1 AS (
+       |psub AS (SELECT vec_id, mm.m, v[mm.m*$PqSub+1 : mm.m*$PqSub+$PqSub] AS sv
+       |        FROM pe, generate_series(0, ${PqM - 1}) mm(m)),
+       |pcb0 AS (SELECT m, CAST(vec_id AS INT) AS code, sv AS cv FROM psub WHERE vec_id < $PqKs),
+       |${assign("pcb0", "pa0")},
+       |pcb1 AS (
        |  SELECT m, code, list(c ORDER BY d) AS cv FROM (
        |    SELECT a.m, a.code, d.d, round(avg(a.sv[d.d]), 6) AS c
-       |    FROM a0 a, generate_series(1, $PqSub) d(d)
+       |    FROM pa0 a, generate_series(1, $PqSub) d(d)
        |    GROUP BY a.m, a.code, d.d) x
        |  GROUP BY m, code),
-       |${assign("cb1", "a1")},
-       |qsub AS (SELECT vec_id AS q_id, m, sv AS qs FROM sub WHERE vec_id % 50 = 0),
-       |dt AS (
+       |${assign("pcb1", "pa1")},
+       |pqsub AS (SELECT vec_id AS q_id, m, sv AS qs FROM psub WHERE vec_id % 50 = 0),
+       |pdt AS (
        |  SELECT q.q_id, c.m, c.code,
        |    round(list_inner_product(q.qs, q.qs) - 2 * list_inner_product(q.qs, c.cv)
        |      + list_inner_product(c.cv, c.cv), 6) AS dsub
-       |  FROM qsub q JOIN cb1 c ON c.m = q.m),
+       |  FROM pqsub q JOIN pcb1 c ON c.m = q.m)""".stripMargin
+  }
+
+  /** Filtering self-matches before vs after the ADC aggregation
+    * commutes (the filter is on group keys).
+    */
+  private val pqSql: String =
+    s"""WITH $pqCtes,
        |adc AS (
        |  SELECT t.q_id, a.vec_id, round(sum(t.dsub), 6) AS adist2
-       |  FROM a1 a JOIN dt t ON t.m = a.m AND t.code = a.code
+       |  FROM pa1 a JOIN pdt t ON t.m = a.m AND t.code = a.code
        |  WHERE a.vec_id <> t.q_id
        |  GROUP BY t.q_id, a.vec_id),
        |ranked AS (
@@ -490,11 +560,49 @@ object AnnSearch {
        |  FROM adc)
        |SELECT q_id, vec_id AS neighbor_id, adist2, rank FROM ranked
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
-  }
+
+  /** IVFADC oracle: the full-vector k-means chain (`kmeansCtes`, lists
+    * in `a1`) composed with the PQ chain (`pqCtes`): centroids
+    * recomputed from the final assignment exactly as the Spark side,
+    * probes by rounded-L2 argmin, ADC restricted to probed lists.
+    */
+  private val ivfadcSql: String =
+    s"""WITH $kmeansCtes,
+       |$pqCtes,
+       |cent AS (
+       |  SELECT cl, list(c ORDER BY d) AS cv FROM (
+       |    SELECT a.cl, d.d, round(avg(a.v[d.d]), 6) AS c
+       |    FROM $kmeansFinalCte a, generate_series(1, $Dims) d(d)
+       |    GROUP BY a.cl, d.d) mm
+       |  GROUP BY cl),
+       |qf AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 50 = 0),
+       |probes AS (
+       |  SELECT q_id, cl FROM (
+       |    SELECT q.q_id, c.cl, row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |      round(list_inner_product(q.v, q.v) - 2 * list_inner_product(q.v, c.cv)
+       |        + list_inner_product(c.cv, c.cv), 6), c.cl) AS pr
+       |    FROM qf q CROSS JOIN cent c) z
+       |  WHERE pr <= $NProbe),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id FROM probes p JOIN $kmeansFinalCte a ON a.cl = p.cl
+       |  WHERE a.vec_id <> p.q_id),
+       |adc AS (
+       |  SELECT cd.q_id, cd.vec_id, round(sum(t.dsub), 6) AS adist2
+       |  FROM cand cd
+       |  JOIN pa1 c ON c.vec_id = cd.vec_id
+       |  JOIN pdt t ON t.q_id = cd.q_id AND t.m = c.m AND t.code = c.code
+       |  GROUP BY cd.q_id, cd.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist2, vec_id) AS rank
+       |  FROM adc)
+       |SELECT q_id, vec_id AS neighbor_id, adist2, rank FROM ranked
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
 
   val oracles: Map[String, String] = Map(
     "ann_kmeans_train" -> kmeansSql,
     "ann_pq_topk" -> pqSql,
+    "ann_ivfadc_topk" -> ivfadcSql,
     "ann_topk" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,

@@ -221,6 +221,19 @@ class DedupAnnSpec extends SparkTestBase {
     pq.unpersist()
   }
 
+  test("ann_ivfadc_topk: k per query, candidates confined to probed lists, measurable recall") {
+    val r = AnnSearch.annIvfadcTopk(spark, sfDir).cache()
+    assert(r.groupBy("q_id").count().agg(max("count")).head().getLong(0) <= 5)
+    val bf = AnnSearch.annTopk(spark, sfDir).select(col("q_id"), col("neighbor_id"))
+    val hit = r.select(col("q_id"), col("neighbor_id"))
+      .join(bf, Seq("q_id", "neighbor_id")).count()
+    val recall = hit.toDouble / bf.count()
+    // IVFADC = PQ quantization error ∩ IVF list pruning: recall is
+    // bounded above by both stages'; assert well above chance
+    assert(recall >= 0.15, f"IVFADC recall collapsed: $recall%.3f")
+    r.unpersist()
+  }
+
   test("kmeans training: total assignment, bounded K, deterministic, cost improves") {
     val a = AnnSearch.annKmeansTrain(spark, sfDir).cache()
     val n = Tables.embeddings(spark, sfDir).count()

@@ -20,6 +20,7 @@ class PlanGuardSpec extends SparkTestBase {
   // scalar-subquery stand-in, not an all-pairs join.
   private val nestedLoopAllowed = Set(
     "ann_topk", "ann_ivf_topk", "ann_kmeans_train",
+    "ann_ivfadc_topk", // k-means assign + K-constant centroid probe
     "dedup_semantic", // embeds the k-means assign (same K-constant loop)
     "corpus_quality_gate", "corpus_mix_rebalance", "text_tfidf_topk",
     "graph_pagerank") // 1-row broadcast node count joined per iteration

@@ -60,7 +60,8 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q7_bination_volume"    -> 2,
     "sketch_count_min"      -> 3,
     "etl_snapshot_diff"     -> 3,
-    "text_winnow_pairs"     -> 2)
+    "text_winnow_pairs"     -> 2,
+    "ann_ivfadc_topk"       -> 9)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
