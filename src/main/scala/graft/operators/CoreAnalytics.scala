@@ -378,7 +378,76 @@ object CoreAnalytics {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** Customer order-count distribution (TPC-H Q13 shape) — the OUTER-
+    * JOIN AGGREGATE tier: customers who never ordered must appear in
+    * the 0-bucket, so the join is LEFT OUTER and the count is over the
+    * nullable right key (`count(col)` skips nulls — the semantics the
+    * histogram depends on). Two aggregations: per-customer counts
+    * shuffle on the customer key, the histogram then runs over
+    * #distinct-counts rows.
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val co = Tables.customer(spark, dir).select("c_custkey")
+      .join(Tables.orders(spark, dir).select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    co.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Top supplier by quarterly revenue (TPC-H Q15 shape) — the ARGMAX-
+    * VIA-SCALAR tier: the max revenue is a 1-row aggregate joined back
+    * by EQUALITY (ties all surface, no arbitrary winner), never a sort
+    * of the whole revenue relation. Revenue is rounded before the max
+    * and the equality so both engines compare identical values.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("mx"))
+    rev.join(broadcast(mx), col("total_rev") === col("mx"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Dormant high-balance customers per nation (TPC-H Q22 shape) —
+    * global scalar subquery + NOT EXISTS in one plan: the
+    * above-average-balance cut is a 1-row broadcast aggregate (never a
+    * second scan pass per row), the "no recent orders" condition is a
+    * LEFT ANTI join on the pre-filtered, deduplicated order keys. The
+    * average is rounded before the comparison so both engines cut at
+    * the same value.
+    */
+  def q22DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val avgBal = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 0)
+      .agg(round(avg(col("c_acctbal")), 6).as("abal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("abal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_dormant"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_custdist"         -> (q13CustDist _),
+    "q15_top_supplier"     -> (q15TopSupplier _),
+    "q22_dormant_customers" -> (q22DormantCustomers _),
     "q7_bination_volume"   -> (q7BiNationVolume _),
     "q4_order_priority"    -> (q4OrderPriority _),
     "q_brand_premium"      -> (brandPremium _),
@@ -398,6 +467,39 @@ object CoreAnalytics {
     "q_salted_skew_join"   -> (saltedSkewJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q13_custdist" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q22_dormant_customers" ->
+      """WITH avg_bal AS (
+        |  SELECT round(avg(c_acctbal), 6) AS abal FROM customer WHERE c_acctbal > 0),
+        |recent AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+        |SELECT c_nationkey, count(*) AS n_dormant,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT abal FROM avg_bal)
+        |  AND NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "q7_bination_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INT) AS l_year,

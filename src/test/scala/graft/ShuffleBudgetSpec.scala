@@ -61,7 +61,10 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "sketch_count_min"      -> 3,
     "etl_snapshot_diff"     -> 3,
     "text_winnow_pairs"     -> 2,
-    "ann_ivfadc_topk"       -> 9)
+    "ann_ivfadc_topk"       -> 9,
+    "q13_custdist"          -> 3,
+    "q15_top_supplier"      -> 4,
+    "q22_dormant_customers" -> 4)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
