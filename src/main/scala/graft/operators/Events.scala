@@ -247,6 +247,41 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Resample-to-grid with forward fill — the time-series gap-filling
+    * tier (every dashboard/feature-store hourly series needs it: a
+    * quiet hour must carry the last observation, not vanish). Per
+    * event type: aggregate to hourly points, generate the COMPLETE
+    * hour grid between that type's first and last observation
+    * (`sequence` + explode — plan work, no driver loop), left-join the
+    * observations onto the grid, and fill gaps with
+    * `last(value, ignoreNulls)` over the preceding frame. The window
+    * runs over the AGGREGATED relation (#types × #hours rows) after
+    * one shuffle on the type key, so fill cost is independent of raw
+    * event volume; at calendar-scale grids, range-partition the grid
+    * by (type, day) and carry boundary values with broadcast offsets —
+    * the `etl_batch_assign` two-phase pattern. The first grid point
+    * per type is its first observation, so no leading null survives
+    * the fill.
+    */
+  def eventsResampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum(col("value")), 4).as("sum_value"))
+    val grid = agg.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, INTERVAL 1 HOUR)")).as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid.join(agg, Seq("event_type", "h"), "left")
+      .select(col("event_type"),
+        unix_timestamp(col("h")).as("hour_s"),
+        col("sum_value").isNull.as("was_gap"),
+        coalesce(col("sum_value"),
+          last(col("sum_value"), ignoreNulls = true).over(w)).as("filled"))
+      .orderBy(col("event_type"), col("hour_s"))
+  }
+
   /** Count-min sketch dimensions: d hash rows × w buckets. Error bound
     * ε ≈ e/w of the total stream count with probability 1 − e^−d.
     */
@@ -476,11 +511,31 @@ object Events {
     "events_asof_native"  -> (eventsAsofNative _),
     "sketch_hll_union"    -> (sketchHllUnion _),
     "sketch_count_min"    -> (sketchCountMin _),
+    "events_resample_ffill" -> (eventsResampleFfill _),
     "events_funnel"       -> (eventsFunnel _),
     "events_retention"    -> (eventsRetention _),
     "events_hourly_anomaly" -> (eventsHourlyAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "events_resample_ffill" ->
+      """WITH agg AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    round(sum(value), 4) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM agg GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds),
+        |joined AS (
+        |  SELECT g.event_type, g.h, a.sum_value
+        |  FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.h = g.h)
+        |SELECT event_type, CAST(epoch(h) AS BIGINT) AS hour_s,
+        |  sum_value IS NULL AS was_gap,
+        |  coalesce(sum_value, last_value(sum_value IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS filled
+        |FROM joined
+        |ORDER BY event_type, hour_s""".stripMargin,
     // identical md5-derived integer sketch on both sides: the estimate
     // itself hash-matches, and the one-sided CMS guarantee is a column
     "sketch_count_min" ->

@@ -110,6 +110,23 @@ class GraphOpsSpec extends SparkTestBase {
     d.unpersist()
   }
 
+  test("resample+ffill: contiguous grid per type, no null after fill, gaps carry values") {
+    val r = Events.eventsResampleFfill(spark, sfDir).cache()
+    // grid completeness: rows per type == (max-min)/3600 + 1
+    val spans = r.groupBy("event_type").agg(
+      count(lit(1)).as("n"), min("hour_s").as("lo"), max("hour_s").as("hi"))
+    assert(spans.filter(col("n") =!= (col("hi") - col("lo")) / 3600 + 1).count() == 0)
+    assert(r.filter(col("filled").isNull).count() == 0)
+    // every gap's filled value equals the nearest preceding observation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour_s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val obs = r.withColumn("prev_obs",
+      last(when(!col("was_gap"), col("filled")), ignoreNulls = true).over(w))
+    assert(obs.filter(col("was_gap") && col("filled") =!= col("prev_obs")).count() == 0)
+    r.unpersist()
+  }
+
   test("promo attribution: every window's events fall inside it and users <= events") {
     val r = Events.eventsPromoAttribution(spark, sfDir).collect()
     assert(r.nonEmpty && r.length <= 5)

@@ -64,7 +64,8 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "ann_ivfadc_topk"       -> 9,
     "q13_custdist"          -> 3,
     "q15_top_supplier"      -> 4,
-    "q22_dormant_customers" -> 4)
+    "q22_dormant_customers" -> 4,
+    "events_resample_ffill" -> 3)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
