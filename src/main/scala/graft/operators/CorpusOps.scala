@@ -79,6 +79,40 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Training context length for sequence packing. */
+  private val CtxLen = 256L
+
+  /** GPT-style sequence packing: concatenate each source's documents
+    * in a deterministic order (doc_id) with one EOD token between
+    * them, then split the token stream at fixed `CtxLen` boundaries —
+    * the packing recipe pretraining loaders actually use (documents
+    * span context boundaries; no token is padded or dropped). The
+    * whole assignment is integer window math: a running token total
+    * per source gives each document its stream offset, and its
+    * first/last context ids are floor-divisions of the span ends — no
+    * iteration, no greedy loop, ONE shuffle on source. The per-source
+    * ordered cumsum is the same shape as `corpus_token_budget`; at
+    * 100 TB with few huge sources, the two-phase range-partitioned
+    * numbering (`etl_batch_assign`) replaces the single-source window.
+    * Output: each document's stream placement — packed offset, first /
+    * last context, and offset inside its first context.
+    */
+  def corpusPackContexts(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(split(trim(col("text")), "\\s+")).cast("bigint") + 1L // + EOD
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .withColumn("n_tok", nTok)
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(
+        col("doc_id"), col("source"), col("n_tok"),
+        (col("cum") - col("n_tok")).as("stream_off"),
+        floor((col("cum") - col("n_tok")) / CtxLen).as("ctx_first"),
+        floor((col("cum") - 1) / CtxLen).as("ctx_last"),
+        pmod(col("cum") - col("n_tok"), lit(CtxLen)).as("off_in_ctx"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII patterns, identical semantics in Java regex and RE2. */
   private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[operators] val PhoneRe = "\\+?[0-9][0-9()\\- ]{8,14}[0-9]"
@@ -208,6 +242,7 @@ object CorpusOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_pack_contexts"     -> (corpusPackContexts _),
     "corpus_mix_rebalance"     -> (corpusMixRebalance _),
     "corpus_quality_gate"      -> (corpusQualityGate _),
     "corpus_sample_bottomk"    -> (corpusSampleBottomK _),
@@ -223,6 +258,21 @@ object CorpusOps {
        |       unnest(generate_series(1, len(toks) - ${n - 1})) t(i))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_pack_contexts" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(trim(text), '\s+')) + 1 AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(cum - n_tok AS BIGINT) AS stream_off,
+        |  CAST((cum - n_tok) // 256 AS BIGINT) AS ctx_first,
+        |  CAST((cum - 1) // 256 AS BIGINT) AS ctx_last,
+        |  CAST((cum - n_tok) % 256 AS BIGINT) AS off_in_ctx
+        |FROM c ORDER BY doc_id""".stripMargin,
     "corpus_mix_rebalance" ->
       s"""WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
          |z AS (SELECT sum(pow(n_docs, $MixAlpha)) AS z FROM counts),

@@ -127,6 +127,23 @@ class GraphOpsSpec extends SparkTestBase {
     r.unpersist()
   }
 
+  test("context packing: per-source stream is contiguous and context ids consistent") {
+    val p = graft.operators.CorpusOps.corpusPackContexts(spark, sfDir).cache()
+    assert(p.filter(col("off_in_ctx") < 0 || col("off_in_ctx") >= 256).count() == 0)
+    assert(p.filter(col("ctx_last") < col("ctx_first")).count() == 0)
+    // contiguity: each doc starts exactly where the previous one ended
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val gaps = p.withColumn("prev_end",
+        lag(col("stream_off") + col("n_tok"), 1, 0L).over(w))
+      .filter(col("stream_off") =!= col("prev_end"))
+    assert(gaps.count() == 0)
+    // a doc spans exactly the contexts its token span covers
+    assert(p.filter(col("ctx_last") =!=
+      floor((col("stream_off") + col("n_tok") - 1) / 256L)).count() == 0)
+    p.unpersist()
+  }
+
   test("promo attribution: every window's events fall inside it and users <= events") {
     val r = Events.eventsPromoAttribution(spark, sfDir).collect()
     assert(r.nonEmpty && r.length <= 5)
