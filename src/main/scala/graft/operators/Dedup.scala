@@ -226,12 +226,17 @@ object Dedup {
     * the corpus no longer fits a shingle join.)
     */
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint: both self-join sides read this relation, and without
+    // the materialization each side re-runs the whole fingerprint
+    // aggregation (the token explode + 16 vote sums — the expensive
+    // part) — measured ~2× on the fixed-size corpus
     val bands = simhashFingerprints(spark, dir)
       .select(col("doc_id"), col("simhash"), explode(array(
         (0 until SimhashBands).map(b => struct(
           lit(b).as("band_idx"),
           shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15L)).as("band_bits"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band_idx"), col("bb.band_bits"))
+      .localCheckpoint()
     val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("fa"),
       col("band_idx"), col("band_bits"))
     val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("fb"),
