@@ -214,6 +214,44 @@ object StreamOps {
   /** Open-session accumulator carried in group state (epoch micros). */
   case class SessState(startUs: Long, endUs: Long, n: Long, sum: Double)
 
+  /** The per-user session fold shared by BOTH stateful-API sessionizers
+    * ([[sessionize]] / [[sessionizeTws]]): fold this batch's events
+    * (sorted by time, then id) into the open-session state, emitting
+    * every session a later event closes.
+    *
+    * Full microsecond precision (getTime alone drops sub-ms) and
+    * BigDecimal HALF_UP rounding — both must agree with the batch twin
+    * (`unix_micros` + Spark `round`), or sessions can split and sums
+    * can round differently at sub-ms gap boundaries.
+    */
+  private def foldSessions(userId: Long, it: Iterator[Ev],
+      init: Option[SessState]): (Seq[Session], Option[SessState]) = {
+    def us(e: Ev): Long = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+    def tsOf(micros: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000)
+      t.setNanos((Math.floorMod(micros, 1000000L) * 1000).toInt)
+      t
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val evs = it.toSeq.sortBy(e => (us(e), e.event_id))
+    var cur = init
+    val closed = Seq.newBuilder[Session]
+    evs.foreach { e =>
+      cur match {
+        case Some(s) if us(e) - s.endUs <= SessionGapMicros =>
+          cur = Some(SessState(s.startUs, us(e), s.n + 1, s.sum + e.value))
+        case Some(s) =>
+          closed += Session(userId, tsOf(s.startUs), tsOf(s.endUs), s.n,
+            round6(s.sum))
+          cur = Some(SessState(us(e), us(e), 1, e.value))
+        case None =>
+          cur = Some(SessState(us(e), us(e), 1, e.value))
+      }
+    }
+    (closed.result(), cur)
+  }
+
   /** Streaming sessionization (30-min inactivity gap) via
     * flatMapGroupsWithState: one state object per user, sessions emitted
     * when a later event closes them. The batch twin is
@@ -226,35 +264,43 @@ object StreamOps {
       .flatMapGroupsWithState[SessState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
-          // full microsecond precision (getTime alone drops sub-ms) and
-          // BigDecimal HALF_UP rounding — both must agree with the batch
-          // twin (unix_micros + Spark round), or sessions can split and
-          // sums can round differently at sub-ms gap boundaries
-          def us(e: Ev): Long = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
-          def tsOf(micros: Long): java.sql.Timestamp = {
-            val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000)
-            t.setNanos((Math.floorMod(micros, 1000000L) * 1000).toInt)
-            t
-          }
-          def round6(x: Double): Double =
-            BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          val evs = it.toSeq.sortBy(e => (us(e), e.event_id))
-          var cur = state.getOption
-          val closed = Seq.newBuilder[Session]
-          evs.foreach { e =>
-            cur match {
-              case Some(s) if us(e) - s.endUs <= SessionGapMicros =>
-                cur = Some(SessState(s.startUs, us(e), s.n + 1, s.sum + e.value))
-              case Some(s) =>
-                closed += Session(userId, tsOf(s.startUs), tsOf(s.endUs), s.n,
-                  round6(s.sum))
-                cur = Some(SessState(us(e), us(e), 1, e.value))
-              case None =>
-                cur = Some(SessState(us(e), us(e), 1, e.value))
-            }
-          }
+          val (closed, cur) = foldSessions(userId, it, state.getOption)
           cur.foreach(state.update)
-          closed.result().iterator
+          closed.iterator
       }
+  }
+
+  /** The SAME sessionizer on the `transformWithState` API (Spark 4's
+    * successor to `[flat]mapGroupsWithState`): state lives in named,
+    * individually-encoded handles (`ValueState`/`ListState`/`MapState`
+    * with optional TTL) on a `StatefulProcessor`, instead of one opaque
+    * blob per key — the API new stateful operators should target (it
+    * requires the RocksDB state store, adds timers, and composes
+    * several state variables per key). Session logic is byte-identical
+    * to [[sessionize]] via the shared [[foldSessions]], so StreamingSpec
+    * can assert the two APIs emit identical sessions.
+    */
+  class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Session] {
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[SessState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[SessState]("open",
+        org.apache.spark.sql.Encoders.product[SessState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(userId: Long, it: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Session] = {
+      val init = if (open.exists()) Some(open.get()) else None
+      val (closed, cur) = foldSessions(userId, it, init)
+      cur.foreach(open.update)
+      closed.iterator
+    }
+  }
+
+  def sessionizeTws(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 }

@@ -64,6 +64,46 @@ class StreamingSpec extends SparkTestBase {
     assert(s.sum_value == 3.0)
   }
 
+  test("transformWithState sessionizer emits identical sessions to flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch1 = Seq(
+        Ev(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 00:10:00"), 1, "view", 2.0),
+        Ev(3, ts("2024-01-01 00:02:00"), 2, "click", 9.0))
+      val batch2 = Seq(
+        Ev(4, ts("2024-01-01 01:00:00"), 1, "click", 5.0), // closes user 1's first
+        Ev(5, ts("2024-01-01 02:00:00"), 2, "view", 3.0))  // closes user 2's first
+      val stream = MemoryStream[Ev]
+      val q = StreamOps.sessionizeTws(stream.toDS())
+        .writeStream.format("memory").queryName("sessions_tws").outputMode("append").start()
+      try {
+        stream.addData(batch1); q.processAllAvailable()
+        stream.addData(batch2); q.processAllAvailable()
+      } finally q.stop()
+      val ref = MemoryStream[Ev]
+      val q2 = StreamOps.sessionize(ref.toDS())
+        .writeStream.format("memory").queryName("sessions_ref").outputMode("append").start()
+      try {
+        ref.addData(batch1); q2.processAllAvailable()
+        ref.addData(batch2); q2.processAllAvailable()
+      } finally q2.stop()
+      val got = spark.table("sessions_tws").as[Session].collect().sortBy(s => (s.user_id, s.session_start.getTime))
+      val want = spark.table("sessions_ref").as[Session].collect().sortBy(s => (s.user_id, s.session_start.getTime))
+      assert(got.length == 2)
+      assert(got.toSeq == want.toSeq)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("built-in session_window sessions agree with the custom sessionizer on start/count/sum") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
