@@ -72,6 +72,37 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Target shard size (bytes) for the export packer. */
+  private val ShardBytes = 65536L
+
+  /** Shard packing — the EXPORT step of a multimodal lake (webdataset/
+    * tar-shard creation for dataloaders): assets stream into fixed-size
+    * shards per modality, each asset placed at a byte offset in its
+    * shard sequence. Same integer window math as the text-side
+    * `corpus_pack_contexts` (running byte total per modality →
+    * floor-division shard ids), because stream-concatenation packing IS
+    * the shape: one shuffle on the modality key, no greedy loop, no
+    * driver. An asset whose span crosses a boundary reports both shards
+    * (real tar packers either split there or round the shard up —
+    * either policy reads off these columns). Per-modality ordered
+    * cumsum scales like `corpus_token_budget`; with few huge modalities
+    * use the two-phase `etl_batch_assign` numbering.
+    */
+  def multimodalShardPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("modality")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    metaRows(spark, dir)
+      .select(col("doc_id"), col("modality"), col("n_bytes"))
+      .withColumn("cum", sum(col("n_bytes")).over(w))
+      .select(
+        col("doc_id"), col("modality"), col("n_bytes").cast("bigint").as("n_bytes"),
+        (col("cum") - col("n_bytes")).as("byte_off"),
+        floor((col("cum") - col("n_bytes")) / ShardBytes).as("shard_first"),
+        floor((col("cum") - 1) / ShardBytes).as("shard_last"),
+        pmod(col("cum") - col("n_bytes"), lit(ShardBytes)).as("off_in_shard"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- typed batched-decode plumbing (spec-covered, not oracle-able) ---
 
   case class MediaRow(doc_id: Long, payload: Array[Byte], modality: String)
@@ -171,9 +202,26 @@ object Multimodal {
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_audio_chunks" -> (multimodalAudioChunks _),
-    "multimodal_dedup"  -> (multimodalDedup _))
+    "multimodal_dedup"  -> (multimodalDedup _),
+    "multimodal_shard_pack" -> (multimodalShardPack _))
 
   val oracles: Map[String, String] = Map(
+    "multimodal_shard_pack" ->
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_bytes) OVER (PARTITION BY modality ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM meta)
+        |SELECT doc_id, modality, CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(cum - n_bytes AS BIGINT) AS byte_off,
+        |  CAST((cum - n_bytes) // 65536 AS BIGINT) AS shard_first,
+        |  CAST((cum - 1) // 65536 AS BIGINT) AS shard_last,
+        |  CAST((cum - n_bytes) % 65536 AS BIGINT) AS off_in_shard
+        |FROM c ORDER BY doc_id""".stripMargin,
     "multimodal_dedup" ->
       """WITH meta AS (
         |  SELECT doc_id,

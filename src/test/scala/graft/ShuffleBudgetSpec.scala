@@ -66,7 +66,8 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q15_top_supplier"      -> 4,
     "q22_dormant_customers" -> 4,
     "events_resample_ffill" -> 3,
-    "corpus_pack_contexts"  -> 2)
+    "corpus_pack_contexts"  -> 2,
+    "multimodal_shard_pack" -> 2)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
