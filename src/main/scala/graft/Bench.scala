@@ -69,9 +69,17 @@ object Bench {
       }.sorted
       name -> times(runs / 2)
     }
-    val fw = new java.io.PrintWriter("BENCH_FULL.json")
-    try fw.println(fullLine(results, sfDir))
-    finally fw.close()
+    // the detail file must never cost us the summary line: if the cwd
+    // is unwritable (different launch dir), warn and still print — a
+    // lost BENCH_FULL.json is an inconvenience, a lost summary line is
+    // a round with zero bench signal
+    try {
+      val fw = new java.io.PrintWriter("BENCH_FULL.json")
+      try fw.println(fullLine(results, sfDir))
+      finally fw.close()
+    } catch {
+      case e: Exception => System.err.println(s"[bench] BENCH_FULL.json not written: $e")
+    }
     println(summaryLine(results, sfDir))
     spark.stop()
   }

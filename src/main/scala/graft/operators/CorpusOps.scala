@@ -99,18 +99,36 @@ object CorpusOps {
     */
   def corpusPackContexts(spark: SparkSession, dir: String): DataFrame = {
     val nTok = size(split(trim(col("text")), "\\s+")).cast("bigint") + 1L // + EOD
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .withColumn("n_tok", nTok)
-      .withColumn("cum", sum(col("n_tok")).over(w))
-      .select(
-        col("doc_id"), col("source"), col("n_tok"),
-        (col("cum") - col("n_tok")).as("stream_off"),
-        floor((col("cum") - col("n_tok")) / CtxLen).as("ctx_first"),
-        floor((col("cum") - 1) / CtxLen).as("ctx_last"),
-        pmod(col("cum") - col("n_tok"), lit(CtxLen)).as("off_in_ctx"))
+    packStream(
+      Tables.documents(spark, dir).withColumn("n_tok", nTok),
+      partCol = "source", sizeCol = "n_tok", unit = CtxLen,
+      outPrefix = "ctx", offCols = ("stream_off", "off_in_ctx"))
+      .select("doc_id", "source", "n_tok", "stream_off",
+        "ctx_first", "ctx_last", "off_in_ctx")
       .orderBy(col("doc_id"))
+  }
+
+  /** The stream-concatenation packing window shared by
+    * [[corpusPackContexts]] (tokens → contexts) and
+    * [[Multimodal.multimodalShardPack]] (bytes → shards): per-partition
+    * running size total → start offset, floor-division first/last unit
+    * ids, offset inside the first unit. `greatest` clamps the last id
+    * for ZERO-size items landing exactly on a unit boundary (there
+    * `floor((cum−1)/unit)` would précede the first id); nonzero sizes
+    * are unaffected. Ordered by `doc_id` within the partition key.
+    */
+  private[operators] def packStream(df: DataFrame, partCol: String,
+      sizeCol: String, unit: Long, outPrefix: String,
+      offCols: (String, String)): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val first = floor((col("cum") - col(sizeCol)) / unit)
+    df.withColumn("cum", sum(col(sizeCol)).over(w))
+      .withColumn(offCols._1, col("cum") - col(sizeCol))
+      .withColumn(s"${outPrefix}_first", first)
+      .withColumn(s"${outPrefix}_last",
+        greatest(floor((col("cum") - 1) / unit), first))
+      .withColumn(offCols._2, pmod(col("cum") - col(sizeCol), lit(unit)))
   }
 
   /** PII patterns, identical semantics in Java regex and RE2. */
@@ -270,7 +288,7 @@ object CorpusOps {
         |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
         |  CAST(cum - n_tok AS BIGINT) AS stream_off,
         |  CAST((cum - n_tok) // 256 AS BIGINT) AS ctx_first,
-        |  CAST((cum - 1) // 256 AS BIGINT) AS ctx_last,
+        |  CAST(greatest((cum - 1) // 256, (cum - n_tok) // 256) AS BIGINT) AS ctx_last,
         |  CAST((cum - n_tok) % 256 AS BIGINT) AS off_in_ctx
         |FROM c ORDER BY doc_id""".stripMargin,
     "corpus_mix_rebalance" ->

@@ -466,10 +466,9 @@ object Dedup {
   }
 
   /** The jaccard pair relation as reusable CTEs ending in `jpairs` —
-    * shared by the pair oracle, the connected-components oracle, and
-    * the [[GraphOps]] oracles built over the same pair graph.
+    * shared by the pair oracle and the connected-components oracle.
     */
-  private[operators] val jaccardCtes: String = {
+  private val jaccardCtes: String = {
     s"""$cpairsCtes,
        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
        |inter AS (

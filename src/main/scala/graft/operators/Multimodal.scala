@@ -88,20 +88,15 @@ object Multimodal {
     * cumsum scales like `corpus_token_budget`; with few huge modalities
     * use the two-phase `etl_batch_assign` numbering.
     */
-  def multimodalShardPack(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("modality")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    metaRows(spark, dir)
-      .select(col("doc_id"), col("modality"), col("n_bytes"))
-      .withColumn("cum", sum(col("n_bytes")).over(w))
-      .select(
-        col("doc_id"), col("modality"), col("n_bytes").cast("bigint").as("n_bytes"),
-        (col("cum") - col("n_bytes")).as("byte_off"),
-        floor((col("cum") - col("n_bytes")) / ShardBytes).as("shard_first"),
-        floor((col("cum") - 1) / ShardBytes).as("shard_last"),
-        pmod(col("cum") - col("n_bytes"), lit(ShardBytes)).as("off_in_shard"))
+  def multimodalShardPack(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.packStream(
+      metaRows(spark, dir)
+        .select(col("doc_id"), col("modality"), col("n_bytes").cast("bigint").as("n_bytes")),
+      partCol = "modality", sizeCol = "n_bytes", unit = ShardBytes,
+      outPrefix = "shard", offCols = ("byte_off", "off_in_shard"))
+      .select("doc_id", "modality", "n_bytes", "byte_off",
+        "shard_first", "shard_last", "off_in_shard")
       .orderBy(col("doc_id"))
-  }
 
   // --- typed batched-decode plumbing (spec-covered, not oracle-able) ---
 
@@ -219,7 +214,7 @@ object Multimodal {
         |SELECT doc_id, modality, CAST(n_bytes AS BIGINT) AS n_bytes,
         |  CAST(cum - n_bytes AS BIGINT) AS byte_off,
         |  CAST((cum - n_bytes) // 65536 AS BIGINT) AS shard_first,
-        |  CAST((cum - 1) // 65536 AS BIGINT) AS shard_last,
+        |  CAST(greatest((cum - 1) // 65536, (cum - n_bytes) // 65536) AS BIGINT) AS shard_last,
         |  CAST((cum - n_bytes) % 65536 AS BIGINT) AS off_in_shard
         |FROM c ORDER BY doc_id""".stripMargin,
     "multimodal_dedup" ->
