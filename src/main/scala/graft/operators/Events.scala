@@ -282,6 +282,29 @@ object Events {
       .orderBy(col("event_type"), col("hour_s"))
   }
 
+  /** Event-type transition statistics — the sequence-model view of the
+    * stream (what follows what, per user): consecutive event pairs via
+    * `lag` over per-user time order, then transition counts and the
+    * row-normalized probability P(next | prev). One shuffle on user_id
+    * for the lag window (raw-volume work), then an aggregation whose
+    * output is #types² rows — the normalizing window runs over THAT
+    * tiny relation, never the stream. Probabilities are rounded so
+    * both engines emit identical matrices.
+    */
+  def eventsMarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val perPrev = Window.partitionBy(col("prev_type"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p", round(
+        col("n_transitions") / sum(col("n_transitions")).over(perPrev), 6))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   /** Count-min sketch dimensions: d hash rows × w buckets. Error bound
     * ε ≈ e/w of the total stream count with probability 1 − e^−d.
     */
@@ -512,11 +535,24 @@ object Events {
     "sketch_hll_union"    -> (sketchHllUnion _),
     "sketch_count_min"    -> (sketchCountMin _),
     "events_resample_ffill" -> (eventsResampleFfill _),
+    "events_markov_transitions" -> (eventsMarkovTransitions _),
     "events_funnel"       -> (eventsFunnel _),
     "events_retention"    -> (eventsRetention _),
     "events_hourly_anomaly" -> (eventsHourlyAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "events_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |t AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+        |  FROM seq WHERE prev_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n_transitions,
+        |  round(n_transitions / sum(n_transitions) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM t ORDER BY prev_type, next_type""".stripMargin,
     "events_resample_ffill" ->
       """WITH agg AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h,

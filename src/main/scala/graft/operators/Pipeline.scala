@@ -203,7 +203,31 @@ object Pipeline {
     "corpus_prep_e2e"   -> (corpusPrep _),
     "corpus_curate_e2e" -> (corpusCurate _),
     "corpus_split"      -> (corpusSplit _),
+    "corpus_split_leakage" -> (corpusSplitLeakage _),
     "corpus_report"     -> (corpusReport _))
+
+  /** Cross-split leakage audit — the eval-integrity check every corpus
+    * release runs: NEAR-duplicate pairs (shared winnowing fingerprints,
+    * [[TextAnalysis.winnowPairs]]) whose two members landed in
+    * DIFFERENT splits. Exact duplicates would be caught by dedup before
+    * splitting; near-duplicates are the leak that survives — a test doc
+    * paraphrasing a train doc inflates eval. Composes the fingerprint
+    * pair graph with the one split definition ([[splitBucket]]): two
+    * dimension-attach joins on doc id over the (tiny) pair relation.
+    * At 100 TB the pair relation comes from the same fingerprint index,
+    * so this audit costs one extra broadcast join per side, not a
+    * corpus pass.
+    */
+  def corpusSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"), splitName(splitBucket).as("split"))
+    TextAnalysis.winnowPairs(spark, dir)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "split_a", "doc_b", "split_b", "n_shared")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** SQL twin of [[splitBucket]]/[[splitName]] — one definition for
     * every oracle that mentions the split.
@@ -318,5 +342,22 @@ object Pipeline {
       s"""SELECT doc_id,
          |  $splitBucketSql AS bucket,
          |  $splitCaseSql AS split
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_split_leakage" ->
+      s"""WITH ${TextAnalysis.winnowCtes},
+         |fp AS (
+         |  SELECT DISTINCT doc_id, k // 1048576 AS fp_hash
+         |  FROM sel WHERE pos <= n_grams - 4),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= 3),
+         |spl AS (SELECT doc_id, $splitCaseSql AS split FROM documents)
+         |SELECT p.doc_a, sa.split AS split_a, p.doc_b, sb.split AS split_b, p.n_shared
+         |FROM pairs p
+         |JOIN spl sa ON sa.doc_id = p.doc_a
+         |JOIN spl sb ON sb.doc_id = p.doc_b
+         |WHERE sa.split <> sb.split
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin)
 }

@@ -199,7 +199,13 @@ object TextAnalysis {
     * several positions and pair evidence counts distinct CONTENT, not
     * repeats.
     */
-  def textWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+  def textWinnowPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowPairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The pair relation without the presentation sort — composition
+    * point for [[Pipeline.corpusSplitLeakage]].
+    */
+  private[operators] def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
     val MinShared = 3
     val fp = winnowSelections(spark, dir)
       .select(col("doc_id"), col("fp_hash")).distinct()
@@ -210,7 +216,6 @@ object TextAnalysis {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= MinShared)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Corpus-wide top-k bigrams: explode → count → top-k. Map-side
@@ -467,9 +472,10 @@ object TextAnalysis {
   }
 
   /** Winnowing selection as CTEs ending in `sel` — shared by the
-    * fingerprint dump and the pair-search oracle.
+    * fingerprint dump, the pair-search oracle, and the split-leakage
+    * oracle in [[Pipeline]].
     */
-  private val winnowCtes: String =
+  private[operators] val winnowCtes: String =
     """wtoks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
       |grams AS (

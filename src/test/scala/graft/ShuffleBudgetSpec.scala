@@ -67,7 +67,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q22_dormant_customers" -> 4,
     "events_resample_ffill" -> 3,
     "corpus_pack_contexts"  -> 2,
-    "multimodal_shard_pack" -> 2)
+    "multimodal_shard_pack" -> 2,
+    "events_markov_transitions" -> 4,
+    "corpus_split_leakage"  -> 2)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
