@@ -79,6 +79,28 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Importance resampling — the continuous-weight sampling knob next
+    * to the per-group rates (`corpus_sample_stratified`) and
+    * temperature mixing (`corpus_mix_rebalance`): each document is
+    * kept with probability equal to its own quality score, decided by
+    * comparing the score against a deterministic per-doc uniform
+    * (md5-derived, in [0, 1)). Hash-based like every sampler here, so
+    * the decision is reproducible across runs/engines/reshards and
+    * never flips as the corpus grows; map-only, no shuffle. Every row
+    * is emitted with its verdict so the result is robust at any scale
+    * factor and the selection rate is auditable downstream.
+    */
+  def corpusImportanceResample(spark: SparkSession, dir: String): DataFrame = {
+    val u = round((h32(concat(lit("imp:"), col("doc_id"))) % 1000000L) / 1000000.0, 6)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"),
+        u.as("hash_u"))
+      .withColumn("is_kept", col("hash_u") < col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Training context length for sequence packing. */
   private val CtxLen = 256L
 
@@ -260,6 +282,7 @@ object CorpusOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_importance_resample" -> (corpusImportanceResample _),
     "corpus_pack_contexts"     -> (corpusPackContexts _),
     "corpus_mix_rebalance"     -> (corpusMixRebalance _),
     "corpus_quality_gate"      -> (corpusQualityGate _),
@@ -276,6 +299,13 @@ object CorpusOps {
        |       unnest(generate_series(1, len(toks) - ${n - 1})) t(i))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_importance_resample" ->
+      s"""SELECT doc_id,
+         |  ${TextAnalysis.qualityScoreSql("text")} AS quality_score,
+         |  round((${h32Sql("'imp:' || doc_id")} % 1000000) / 1000000.0, 6) AS hash_u,
+         |  round((${h32Sql("'imp:' || doc_id")} % 1000000) / 1000000.0, 6)
+         |    < ${TextAnalysis.qualityScoreSql("text")} AS is_kept
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_pack_contexts" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -282,6 +282,38 @@ object Events {
       .orderBy(col("event_type"), col("hour_s"))
   }
 
+  /** Equi-HEIGHT histogram of event values per type (quartile buckets)
+    * — the distribution profile next to the equi-width one
+    * (`text_length_hist`): bucket edges are the exact interpolated
+    * quartiles (rounded so both engines cut at identical values,
+    * the `events_quantiles` parity), computed in a #types-row
+    * aggregate and broadcast back onto the stream; each event then
+    * lands in a bucket via three comparisons. Two passes over events
+    * (edges + counts), both map-side combined; the 100 TB swap-in for
+    * the edge pass is `approx_percentile`, same contract as
+    * `events_quantiles_approx`. Bucket populations come out ~equal by
+    * construction — the point of equi-height bins under skew.
+    */
+  def eventsEquiheightHist(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val edges = ev.groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 6).as("e1"),
+        round(expr("percentile(value, 0.5)"), 6).as("e2"),
+        round(expr("percentile(value, 0.75)"), 6).as("e3"))
+    ev.join(broadcast(edges), "event_type")
+      .withColumn("bucket",
+        when(col("value") <= col("e1"), 0)
+          .when(col("value") <= col("e2"), 1)
+          .when(col("value") <= col("e3"), 2)
+          .otherwise(3).cast("int"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        round(min(col("value")), 6).as("lo"),
+        round(max(col("value")), 6).as("hi"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** Event-type transition statistics — the sequence-model view of the
     * stream (what follows what, per user): consecutive event pairs via
     * `lag` over per-user time order, then transition counts and the
@@ -536,11 +568,31 @@ object Events {
     "sketch_count_min"    -> (sketchCountMin _),
     "events_resample_ffill" -> (eventsResampleFfill _),
     "events_markov_transitions" -> (eventsMarkovTransitions _),
+    "events_equiheight_hist" -> (eventsEquiheightHist _),
     "events_funnel"       -> (eventsFunnel _),
     "events_retention"    -> (eventsRetention _),
     "events_hourly_anomaly" -> (eventsHourlyAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "events_equiheight_hist" ->
+      """WITH edges AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.25), 6) AS e1,
+        |    round(quantile_cont(value, 0.5), 6) AS e2,
+        |    round(quantile_cont(value, 0.75), 6) AS e3
+        |  FROM events GROUP BY 1),
+        |bucketed AS (
+        |  SELECT ev.event_type,
+        |    CASE WHEN value <= e1 THEN 0
+        |         WHEN value <= e2 THEN 1
+        |         WHEN value <= e3 THEN 2
+        |         ELSE 3 END AS bucket, value
+        |  FROM events ev JOIN edges USING (event_type))
+        |SELECT event_type, CAST(bucket AS INT) AS bucket,
+        |  count(*) AS n_events,
+        |  round(min(value), 6) AS lo, round(max(value), 6) AS hi
+        |FROM bucketed GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin,
     "events_markov_transitions" ->
       """WITH seq AS (
         |  SELECT event_type,

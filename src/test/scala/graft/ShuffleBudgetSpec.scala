@@ -69,7 +69,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "corpus_pack_contexts"  -> 2,
     "multimodal_shard_pack" -> 2,
     "events_markov_transitions" -> 4,
-    "corpus_split_leakage"  -> 2)
+    "corpus_split_leakage"  -> 2,
+    "corpus_importance_resample" -> 1,
+    "events_equiheight_hist" -> 3)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
