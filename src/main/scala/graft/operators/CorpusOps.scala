@@ -299,12 +299,13 @@ object CorpusOps {
        |       unnest(generate_series(1, len(toks) - ${n - 1})) t(i))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // lateral alias refs: is_kept reads the emitted columns, so the
+    // hash/score expressions exist exactly once and cannot drift
     "corpus_importance_resample" ->
       s"""SELECT doc_id,
          |  ${TextAnalysis.qualityScoreSql("text")} AS quality_score,
          |  round((${h32Sql("'imp:' || doc_id")} % 1000000) / 1000000.0, 6) AS hash_u,
-         |  round((${h32Sql("'imp:' || doc_id")} % 1000000) / 1000000.0, 6)
-         |    < ${TextAnalysis.qualityScoreSql("text")} AS is_kept
+         |  hash_u < quality_score AS is_kept
          |FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_pack_contexts" ->
       """WITH t AS (

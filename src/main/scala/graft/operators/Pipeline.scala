@@ -344,15 +344,7 @@ object Pipeline {
          |  $splitCaseSql AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_split_leakage" ->
-      s"""WITH ${TextAnalysis.winnowCtes},
-         |fp AS (
-         |  SELECT DISTINCT doc_id, k // 1048576 AS fp_hash
-         |  FROM sel WHERE pos <= n_grams - 4),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-         |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |  HAVING count(*) >= 3),
+      s"""WITH ${TextAnalysis.winnowPairCtes},
          |spl AS (SELECT doc_id, $splitCaseSql AS split FROM documents)
          |SELECT p.doc_a, sa.split AS split_a, p.doc_b, sb.split AS split_b, p.n_shared
          |FROM pairs p

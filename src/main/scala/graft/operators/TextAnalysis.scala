@@ -492,6 +492,22 @@ object TextAnalysis {
       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS k
       |  FROM keyed)""".stripMargin
 
+  /** Winnowing fingerprint PAIRS as CTEs ending in `pairs` — the SQL
+    * twin of [[winnowPairs]] (one definition of the window size and
+    * the MinShared threshold), shared by the pair-search oracle and
+    * the [[Pipeline]] split-leakage oracle.
+    */
+  private[operators] val winnowPairCtes: String =
+    s"""$winnowCtes,
+       |fp AS (
+       |  SELECT DISTINCT doc_id, k // 1048576 AS fp_hash
+       |  FROM sel WHERE pos <= n_grams - 4),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= 3)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_winnowing" ->
       s"""WITH $winnowCtes
@@ -501,14 +517,8 @@ object TextAnalysis {
         |FROM sel WHERE pos <= n_grams - 4
         |ORDER BY doc_id, fp_pos""".stripMargin,
     "text_winnow_pairs" ->
-      s"""WITH $winnowCtes,
-        |fp AS (
-        |  SELECT DISTINCT doc_id, k // 1048576 AS fp_hash
-        |  FROM sel WHERE pos <= n_grams - 4)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-        |FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2
-        |HAVING count(*) >= 3
+      s"""WITH $winnowPairCtes
+        |SELECT doc_a, doc_b, n_shared FROM pairs
         |ORDER BY doc_a, doc_b""".stripMargin,
     // CAST(sum(...) AS BIGINT): DuckDB sum(BIGINT) returns HUGEINT,
     // which the driver's pandas bridge floatifies (the round-1 lesson)
