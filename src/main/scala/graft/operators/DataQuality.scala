@@ -76,10 +76,73 @@ object DataQuality {
       .orderBy(col("constraint_name"))
   }
 
+  /** Statistical DRIFT report between two snapshots of the same table
+    * — the monitoring companion to [[dqChecks]] (static constraints)
+    * and [[EtlCleaning.snapshotDiff]] (row-level changes): per metric,
+    * the old value, new value, and delta, in long format so adding a
+    * metric adds a row, not a schema change. Each side is ONE
+    * aggregation pass collapsed to a single row; the join of the two
+    * 1-row frames is trivially broadcast — drift over 100 TB snapshots
+    * costs two scans and moves ~10 numbers. Averages are rounded
+    * in-query (both engines agree) and counts are cast to double so
+    * one typed value column carries every metric.
+    */
+  def dqSnapshotDrift(spark: SparkSession, dir: String): DataFrame = {
+    def stats(df: DataFrame, key: String, price: String): DataFrame =
+      df.agg(
+        count(lit(1)).cast("double").as("n_rows"),
+        countDistinct(col(key)).cast("double").as("n_keys"),
+        round(avg(col(price)), 6).as("avg_price"),
+        round(min(col(price)), 6).as("min_price"),
+        round(max(col(price)), 6).as("max_price"))
+    val o = stats(EtlCleaning.oldSnapshot(spark, dir), "old_key", "old_price")
+    val n = stats(EtlCleaning.newSnapshot(spark, dir), "new_key", "new_price")
+    val metrics = Seq("n_rows", "n_keys", "avg_price", "min_price", "max_price")
+    val long = metrics.map { m =>
+      struct(lit(m).as("metric"), col(m).as("old_value"), col(s"${m}_new").as("new_value"))
+    }
+    o.crossJoin(broadcast(n.select(metrics.map(m => col(m).as(s"${m}_new")): _*)))
+      .select(explode(array(long: _*)).as("r"))
+      .select(col("r.metric"), col("r.old_value"), col("r.new_value"))
+      .withColumn("delta", round(col("new_value") - col("old_value"), 6))
+      .orderBy(col("metric"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dq_checks" -> (dqChecks _))
+    "dq_checks" -> (dqChecks _),
+    "dq_snapshot_drift" -> (dqSnapshotDrift _))
 
   val oracles: Map[String, String] = Map(
+    "dq_snapshot_drift" ->
+      """WITH old AS (
+        |  SELECT p_partkey AS k, p_retailprice AS p
+        |  FROM part WHERE p_partkey % 89 <> 0),
+        |new AS (
+        |  SELECT p_partkey AS k,
+        |    CASE WHEN p_partkey % 10 = 3 THEN round(p_retailprice * 1.1, 2)
+        |         ELSE p_retailprice END AS p
+        |  FROM part WHERE p_partkey % 97 <> 0),
+        |os AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+        |    CAST(count(DISTINCT k) AS DOUBLE) AS n_keys,
+        |    round(avg(p), 6) AS avg_price,
+        |    round(min(p), 6) AS min_price, round(max(p), 6) AS max_price
+        |  FROM old),
+        |ns AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+        |    CAST(count(DISTINCT k) AS DOUBLE) AS n_keys,
+        |    round(avg(p), 6) AS avg_price,
+        |    round(min(p), 6) AS min_price, round(max(p), 6) AS max_price
+        |  FROM new),
+        |long AS (
+        |  SELECT 'n_rows' AS metric, os.n_rows AS old_value, ns.n_rows AS new_value FROM os, ns
+        |  UNION ALL SELECT 'n_keys', os.n_keys, ns.n_keys FROM os, ns
+        |  UNION ALL SELECT 'avg_price', os.avg_price, ns.avg_price FROM os, ns
+        |  UNION ALL SELECT 'min_price', os.min_price, ns.min_price FROM os, ns
+        |  UNION ALL SELECT 'max_price', os.max_price, ns.max_price FROM os, ns)
+        |SELECT metric, old_value, new_value,
+        |  round(new_value - old_value, 6) AS delta
+        |FROM long ORDER BY metric""".stripMargin,
     "dq_checks" ->
       """WITH part_checks AS (
         |  SELECT * FROM (

@@ -237,15 +237,25 @@ object EtlCleaning {
     * doubles, and the bumped side rounds in-query identically in both
     * engines.
     */
-  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val old = Tables.part(spark, dir)
+  /** The two deterministic snapshot derivations — shared with
+    * [[DataQuality.dqSnapshotDrift]] so the diff and the drift report
+    * audit the SAME churn.
+    */
+  private[operators] def oldSnapshot(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
       .filter(col("p_partkey") % 89 =!= 0)
       .select(col("p_partkey").as("old_key"), col("p_retailprice").as("old_price"))
-    val nw = Tables.part(spark, dir)
+
+  private[operators] def newSnapshot(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
       .filter(col("p_partkey") % 97 =!= 0)
       .select(col("p_partkey").as("new_key"),
         when(col("p_partkey") % 10 === 3, round(col("p_retailprice") * 1.1, 2))
           .otherwise(col("p_retailprice")).as("new_price"))
+
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val old = oldSnapshot(spark, dir)
+    val nw = newSnapshot(spark, dir)
     old.join(nw, col("old_key") === col("new_key"), "full_outer")
       .select(
         coalesce(col("old_key"), col("new_key")).as("p_partkey"),

@@ -24,6 +24,7 @@ class PlanGuardSpec extends SparkTestBase {
     "dedup_semantic", // embeds the k-means assign (same K-constant loop)
     "corpus_quality_gate", "corpus_mix_rebalance", "text_tfidf_topk",
     "q22_dormant_customers", // 1-row broadcast average-balance cutoff
+    "dq_snapshot_drift", // crossJoin of two 1-row stat aggregates
     "graph_pagerank") // 1-row broadcast node count joined per iteration
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

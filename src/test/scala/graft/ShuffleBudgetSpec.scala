@@ -71,7 +71,8 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "events_markov_transitions" -> 4,
     "corpus_split_leakage"  -> 2,
     "corpus_importance_resample" -> 1,
-    "events_equiheight_hist" -> 3)
+    "events_equiheight_hist" -> 3,
+    "dq_snapshot_drift"     -> 4)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
