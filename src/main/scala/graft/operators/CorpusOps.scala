@@ -58,22 +58,20 @@ object CorpusOps {
   /** Per-source token budget: order each source's documents by length
     * (longest first, id tie-break) and keep documents while the running
     * token total stays within the budget — the "data mixture" cut that
-    * caps each source's contribution. One shuffle on source. Source
-    * cardinality bounds parallelism here; at 100 TB with few huge
-    * sources, switch to the two-phase range-partitioned numbering used
-    * by `etl_batch_assign` (per-partition windows + broadcast offsets)
-    * — same output, no single-task source.
+    * caps each source's contribution. The running total is the
+    * two-phase [[keyedCumsum]], so parallelism scales with data size,
+    * not with the handful of distinct sources.
     */
   private val TokenBudget = 1000L
 
   def corpusTokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val nTok = size(split(trim(col("text")), "\\s+")).cast("bigint")
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("n_tokens").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    val sized = Tables.documents(spark, dir)
       .withColumn("n_tokens", nTok)
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select("doc_id", "source", "n_tokens") // prune text off the shuffle
+    keyedCumsum(sized, key = "source",
+        order = Seq(col("n_tokens").desc, col("doc_id")),
+        sizeCol = "n_tokens", out = "cum_tokens")
       .filter(col("cum_tokens") <= TokenBudget)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("doc_id"))
@@ -112,17 +110,16 @@ object CorpusOps {
     * whole assignment is integer window math: a running token total
     * per source gives each document its stream offset, and its
     * first/last context ids are floor-divisions of the span ends — no
-    * iteration, no greedy loop, ONE shuffle on source. The per-source
-    * ordered cumsum is the same shape as `corpus_token_budget`; at
-    * 100 TB with few huge sources, the two-phase range-partitioned
-    * numbering (`etl_batch_assign`) replaces the single-source window.
-    * Output: each document's stream placement — packed offset, first /
-    * last context, and offset inside its first context.
+    * iteration, no greedy loop. The running total is the two-phase
+    * [[keyedCumsum]], so a 3-source corpus does not collapse to 3
+    * tasks. Output: each document's stream placement — packed offset,
+    * first / last context, and offset inside its first context.
     */
   def corpusPackContexts(spark: SparkSession, dir: String): DataFrame = {
     val nTok = size(split(trim(col("text")), "\\s+")).cast("bigint") + 1L // + EOD
     packStream(
-      Tables.documents(spark, dir).withColumn("n_tok", nTok),
+      Tables.documents(spark, dir).withColumn("n_tok", nTok)
+        .select("doc_id", "source", "n_tok"), // prune text off the shuffle
       partCol = "source", sizeCol = "n_tok", unit = CtxLen,
       outPrefix = "ctx", offCols = ("stream_off", "off_in_ctx"))
       .select("doc_id", "source", "n_tok", "stream_off",
@@ -130,22 +127,59 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
-  /** The stream-concatenation packing window shared by
+  /** Two-phase per-key running total — the `etl_batch_assign` recipe
+    * (EtlCleaning.batchAssign) generalized to keyed cumsums, so the
+    * parallelism of an ordered prefix-sum scales with DATA SIZE instead
+    * of partition-key cardinality (3 sources / 3 modalities ≠ 3 tasks):
+    *
+    *  1. range-partition on (key, order…) — physical partitions are
+    *     contiguous slices of each key's globally-ordered stream;
+    *  2. cumsum locally within (partition, key) — every task sums only
+    *     its own slice;
+    *  3. per-(partition, key) slice totals roll up into start offsets
+    *     via a window over the tiny (≤ #partitions × keys-per-partition
+    *     rows) aggregate, broadcast back onto the slices.
+    *
+    * The only windows in the plan run over one partition's slice of one
+    * key or over the broadcast offsets relation — no per-key window
+    * ever sees a key's full stream. `order` must be a total order
+    * within each key (include a unique tie-break) or the numbering is
+    * nondeterministic.
+    */
+  private[graft] def keyedCumsum(df: DataFrame, key: String,
+      order: Seq[Column], sizeCol: String, out: String): DataFrame = {
+    val base = df.repartitionByRange((col(key) +: order): _*)
+      .withColumn("_pid", spark_partition_id())
+    val localW = Window.partitionBy(col("_pid"), col(key)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("_lcum", sum(col(sizeCol)).over(localW))
+    val offsets = local.groupBy(col("_pid"), col(key))
+      .agg(max(col("_lcum")).as("_slice_total"))
+      .withColumn("_off", coalesce(
+        sum(col("_slice_total")).over(Window.partitionBy(col(key))
+          .orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("_pid"), col(key), col("_off"))
+    local.join(broadcast(offsets), Seq("_pid", key))
+      .withColumn(out, col("_lcum") + col("_off"))
+      .drop("_pid", "_lcum")
+  }
+
+  /** The stream-concatenation packing math shared by
     * [[corpusPackContexts]] (tokens → contexts) and
-    * [[Multimodal.multimodalShardPack]] (bytes → shards): per-partition
-    * running size total → start offset, floor-division first/last unit
-    * ids, offset inside the first unit. `greatest` clamps the last id
-    * for ZERO-size items landing exactly on a unit boundary (there
-    * `floor((cum−1)/unit)` would précede the first id); nonzero sizes
-    * are unaffected. Ordered by `doc_id` within the partition key.
+    * [[Multimodal.multimodalShardPack]] (bytes → shards): two-phase
+    * running size total ([[keyedCumsum]]) → start offset,
+    * floor-division first/last unit ids, offset inside the first unit.
+    * `greatest` clamps the last id for ZERO-size items landing exactly
+    * on a unit boundary (there `floor((cum−1)/unit)` would précede the
+    * first id); nonzero sizes are unaffected. Ordered by `doc_id`
+    * within the partition key.
     */
   private[operators] def packStream(df: DataFrame, partCol: String,
       sizeCol: String, unit: Long, outPrefix: String,
       offCols: (String, String)): DataFrame = {
-    val w = Window.partitionBy(col(partCol)).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val first = floor((col("cum") - col(sizeCol)) / unit)
-    df.withColumn("cum", sum(col(sizeCol)).over(w))
+    keyedCumsum(df, partCol, Seq(col("doc_id")), sizeCol, out = "cum")
       .withColumn(offCols._1, col("cum") - col(sizeCol))
       .withColumn(s"${outPrefix}_first", first)
       .withColumn(s"${outPrefix}_last",

@@ -139,16 +139,17 @@ object GraphOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Per-node triangle count + local clustering coefficient. With every
-    * edge oriented low-key → high-key, each triangle {a<b<c} is found
-    * EXACTLY once as e(a,b) ⋈ e(b,c) ⋈ e(a,c) — two equi-joins on
-    * vertex keys, no distinct, no double counting. Each found triangle
-    * then credits its three corners (explode) and a groupBy counts per
-    * node. Cost is Σ deg²(v) candidate wedges — at skewed scale, the
-    * standard fix is re-orienting edges from lower- to higher-DEGREE
-    * endpoint (bounds wedge count by arboricity), same plan shape with
-    * a degree join up front. Clustering = 2·tri / (deg·(deg−1)),
-    * rounded; degree-1 nodes get 0.
+  /** Per-node triangle count + local clustering coefficient, via
+    * DEGREE-ordered edge orientation: each edge points at its
+    * higher-(degree, id) endpoint, every triangle is found exactly once
+    * as the two out-edges of its (degree, id)-minimal corner closed by
+    * the oriented third edge. Out-degrees under this orientation are
+    * bounded by the graph's arboricity (O(√m) worst case), so the wedge
+    * join cannot blow up on a hub — key-orientation can leave a low-id
+    * hub with ALL its edges outgoing and Σ outdeg² = deg(hub)². Each
+    * found triangle credits its three corners (explode) and a groupBy
+    * counts per node. Clustering = 2·tri / (deg·(deg−1)), rounded;
+    * degree-1 nodes get 0.
     */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame =
     trianglesOf(knnEdges(spark, dir))
@@ -158,16 +159,33 @@ object GraphOps {
     */
   def trianglesOf(pairs: DataFrame): DataFrame = {
     val e = pairs.toDF("key_a", "key_b")
-    val e1 = e.select(col("key_a").as("a"), col("key_b").as("b"))
-    val e2 = e.select(col("key_a").as("b"), col("key_b").as("c"))
-    val e3 = e.select(col("key_a").as("a"), col("key_b").as("c"))
-    val tris = e1.join(e2, "b").join(e3, Seq("a", "c"))
-    val triPerNode = tris
-      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
     val deg = e.select(col("key_a").as("node"))
       .union(e.select(col("key_b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    // orient toward the higher-(degree, id) endpoint — a strict total
+    // order (id breaks degree ties), so exactly one orientation of any
+    // edge exists and the oriented graph is acyclic
+    val withDeg = e
+      .join(deg.select(col("node").as("key_a"), col("degree").as("deg_a")), "key_a")
+      .join(deg.select(col("node").as("key_b"), col("degree").as("deg_b")), "key_b")
+    val aFirst = (col("deg_a") < col("deg_b")) ||
+      (col("deg_a") === col("deg_b") && col("key_a") < col("key_b"))
+    // materialize once: the oriented relation feeds both wedge sides and
+    // the closing join (same trade as the knnEdges checkpoint)
+    val oriented = withDeg.select(
+      when(aFirst, col("key_a")).otherwise(col("key_b")).as("src"),
+      when(aFirst, col("key_b")).otherwise(col("key_a")).as("dst"))
+      .localCheckpoint()
+    // wedges out of each node's arboricity-bounded out-neighborhood,
+    // closed by the oriented third edge: exactly one of (b→c, c→b)
+    // exists, so each triangle surfaces exactly once
+    val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = oriented.select(col("src").as("a"), col("dst").as("c"))
+    val tris = e1.join(e2, "a").filter(col("b") =!= col("c"))
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    val triPerNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
     deg.join(triPerNode, Seq("node"), "left")
       .select(
         col("node"), col("degree"),

@@ -81,12 +81,11 @@ object Multimodal {
     * shard sequence. Same integer window math as the text-side
     * `corpus_pack_contexts` (running byte total per modality →
     * floor-division shard ids), because stream-concatenation packing IS
-    * the shape: one shuffle on the modality key, no greedy loop, no
-    * driver. An asset whose span crosses a boundary reports both shards
-    * (real tar packers either split there or round the shard up —
-    * either policy reads off these columns). Per-modality ordered
-    * cumsum scales like `corpus_token_budget`; with few huge modalities
-    * use the two-phase `etl_batch_assign` numbering.
+    * the shape: no greedy loop, no driver. An asset whose span crosses
+    * a boundary reports both shards (real tar packers either split
+    * there or round the shard up — either policy reads off these
+    * columns). The running byte total is the two-phase
+    * [[CorpusOps.keyedCumsum]], so 3 modalities does not mean 3 tasks.
     */
   def multimodalShardPack(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.packStream(

@@ -45,6 +45,38 @@ class GraphOpsSpec extends SparkTestBase {
     assert(t.forall(r => r.getDouble(3) == 0.0))
   }
 
+  test("degree orientation: star+triangle counts match, hub keeps one wedge") {
+    // hub 0 (degree 10, HIGHEST id-order but highest degree) with leaves
+    // 1..10, plus edge (1,2) closing triangle {0,1,2}: under degree
+    // orientation the hub is every edge's HEAD, so its out-degree is 0
+    // — the Σ outdeg² hot task the key orientation would create (hub
+    // out-degree 10) provably cannot exist
+    val star = ((1L to 10L).map(l => (0L, l)) :+ (1L, 2L)).toDF("a", "b")
+    val t = GraphOps.trianglesOf(star).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(t(0L) == (10L, 1L))
+    assert(t(1L) == (2L, 1L) && t(2L) == (2L, 1L))
+    (3L to 10L).foreach(l => assert(t(l) == (1L, 0L)))
+  }
+
+  test("degree orientation matches a brute-force triangle count on a pseudo-random graph") {
+    // deterministic Erdős–Rényi-ish graph on 30 nodes
+    val edges = (for {
+      a <- 0L until 30L; b <- (a + 1) until 30L
+      if (a * 31 + b * 17 + a * b) % 5 == 0
+    } yield (a, b)).toSeq
+    val adj = edges.toSet
+    val expected = (for {
+      a <- 0L until 30L; b <- (a + 1) until 30L; c <- (b + 1) until 30L
+      if adj((a, b)) && adj((b, c)) && adj((a, c))
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = GraphOps.trianglesOf(edges.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (node, n) => assert(n == expected.getOrElse(node, 0L), s"node $node") }
+    assert(expected.keySet.subsetOf(got.keySet))
+  }
+
   test("graph_triangles invariants on the mutual-kNN price graph") {
     val t = GraphOps.graphTriangles(spark, sfDir).cache()
     assert(t.count() > 0)

@@ -1,10 +1,16 @@
 package graft
 
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.window.WindowExec
+
 /** Fleet-wide physical-plan guards: no registered query may plan a
-  * Cartesian product, and only the brute-force ANN baseline may use a
+  * Cartesian product, only the brute-force ANN baseline may use a
   * broadcast nested loop (its non-equi self-comparison is the point —
   * every scale-path operator must block/band/bucket its way to an
-  * equi-join instead).
+  * equi-join instead), and no query may run an unpartitioned window
+  * over a data relation (a global window is a single-task sort of
+  * everything — the `WindowExec: No Partition Defined` warning class).
   */
 class PlanGuardSpec extends SparkTestBase {
 
@@ -37,5 +43,30 @@ class PlanGuardSpec extends SparkTestBase {
       else None
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  private def windowsOf(p: SparkPlan): Seq[WindowExec] = {
+    val self = p match { case w: WindowExec => Seq(w); case _ => Seq.empty }
+    self ++ p.children.flatMap(windowsOf) ++ p.subqueries.flatMap(windowsOf)
+  }
+
+  test("no unpartitioned window runs over a data relation") {
+    // The only legitimate global windows in the fleet roll per-partition
+    // slice totals into offsets (etl_batch_assign and the two-phase
+    // keyedCumsum): they sit ABOVE an aggregation, so their input is
+    // bounded by the shuffle-partition count, never by the data. A
+    // global window directly over a data relation funnels the whole
+    // input through one task — exactly what this guard exists to catch.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        windowsOf(fn(spark, sfDir).queryExecution.executedPlan)
+          .filter(_.partitionSpec.isEmpty)
+          .filterNot(_.child.collect { case a: BaseAggregateExec => a }.nonEmpty)
+          .map(w => s"$name: unpartitioned window over a data relation: $w")
+      }
+      assert(offenders.isEmpty, offenders.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 }

@@ -66,8 +66,13 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q15_top_supplier"      -> 4,
     "q22_dormant_customers" -> 4,
     "events_resample_ffill" -> 3,
-    "corpus_pack_contexts"  -> 2,
-    "multimodal_shard_pack" -> 2,
+    // the packers pay 2 extra exchanges for the two-phase cumsum
+    // (range + local-window hash + tiny offsets + output sort) — the
+    // price of parallelism that scales with data instead of with the
+    // 3-value partition key (PackingSpec pins the equivalence + reuse)
+    "corpus_pack_contexts"  -> 4,
+    "multimodal_shard_pack" -> 4,
+    "corpus_token_budget"   -> 4,
     "events_markov_transitions" -> 4,
     "corpus_split_leakage"  -> 2,
     "corpus_importance_resample" -> 1,
