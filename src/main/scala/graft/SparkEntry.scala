@@ -23,6 +23,7 @@ object SparkEntry {
       (EtlMatching.queries, EtlMatching.oracles),
       (EtlEnrichment.queries, EtlEnrichment.oracles),
       (EtlTemplates.queries, EtlTemplates.oracles),
+      (EtlScheduling.queries, EtlScheduling.oracles),
       (Dedup.queries, Dedup.oracles),
       (GraphOps.queries, GraphOps.oracles),
       (CorpusOps.queries, CorpusOps.oracles),
