@@ -70,10 +70,71 @@ object DataQuality {
         count(lit(1)), lit(null).cast("long")).as("r"))
       .select(col("r"))
 
-    partChecks.unionByName(liChecks).unionByName(refChecks)
+    val models = modelChecks(
+      EtlCleaning.articlesIngest(spark, dir),
+      EtlEnrichment.contentDefaults(spark, dir),
+      EtlEnrichment.taxSlab(spark, dir))
+
+    partChecks.unionByName(liChecks).unionByName(refChecks).unionByName(models)
       .select(col("r.constraint_name"), col("r.target"),
         col("r.n_violations"), col("r.n_rows"), col("r.pass"))
       .orderBy(col("constraint_name"))
+  }
+
+  /** Per-field model-contract rows mirroring the reference's dataclass
+    * models (beforeaddingtemplatecreation/models/product_models.py):
+    * `MDBProduct` (required name, optional nonnegative price/quantity,
+    * 12-digit article id — lines 10-23) over the parsed MDB articles,
+    * `ProcessedProduct`/`GeneratedProductContent` (complete name/
+    * description/brand/subcategory after defaulting, closed match_type
+    * — lines 62-100) over the stage-3 content output, and the
+    * `tax_slab` ↔ `is_tax` consistency the tax mapping guarantees.
+    * Exposed with injectable relations so the spec can prove each
+    * constraint actually fires on violating rows; one aggregation pass
+    * per relation, same cost shape as the table checks above.
+    */
+  private[graft] def modelChecks(articles: DataFrame, content: DataFrame,
+      slab: DataFrame): DataFrame = {
+    val mdb = articles.agg(
+      result("model_mdb_article_id_12_digits", "articles.article_id",
+        sum(when(col("article_id").isNull ||
+          !col("article_id").rlike("^[0-9]{12}$"), 1).otherwise(0)),
+        count(lit(1))).as("c1"),
+      result("model_mdb_name_required", "articles.product_name",
+        sum(when(col("product_name").isNull ||
+          length(trim(col("product_name"))) === 0, 1).otherwise(0)),
+        count(lit(1))).as("c2"),
+      result("model_mdb_price_nonneg", "articles.price",
+        sum(when(col("price") < 0, 1).otherwise(0)), count(lit(1))).as("c3"),
+      result("model_mdb_quantity_nonneg", "articles.quantity",
+        sum(when(col("quantity") < 0, 1).otherwise(0)), count(lit(1))).as("c4"))
+      .select(explode(array(col("c1"), col("c2"), col("c3"), col("c4"))).as("r"))
+    val processed = content.agg(
+      result("model_content_brand_complete", "content.brand_name",
+        sum(when(col("brand_name").isNull ||
+          length(col("brand_name")) === 0, 1).otherwise(0)),
+        count(lit(1))).as("c1"),
+      result("model_content_description_complete", "content.description",
+        sum(when(col("description").isNull ||
+          length(col("description")) === 0, 1).otherwise(0)),
+        count(lit(1))).as("c2"),
+      result("model_content_subcategory_complete", "content.subcategory_name",
+        sum(when(col("subcategory_name").isNull ||
+          length(col("subcategory_name")) === 0, 1).otherwise(0)),
+        count(lit(1))).as("c3"),
+      result("model_content_match_type_domain", "content.match_type",
+        sum(when(col("match_type").isin("mapped", "generated"), 0).otherwise(1)),
+        count(lit(1))).as("c4"))
+      .select(explode(array(col("c1"), col("c2"), col("c3"), col("c4"))).as("r"))
+    val tax = slab.agg(
+      result("model_tax_slab_consistent", "tax.tax_slab",
+        sum(when(
+          (col("is_tax") && col("tax_slab") =!= "TAX_SLAB_TRUE") ||
+            (!col("is_tax") && col("tax_slab") =!= "TAX_SLAB_FALSE"), 1)
+          .otherwise(0)),
+        count(lit(1))).as("r"))
+      .select(col("r"))
+    mdb.unionByName(processed).unionByName(tax)
   }
 
   /** Statistical DRIFT report between two snapshots of the same table
@@ -171,11 +232,75 @@ object DataQuality {
         |    (SELECT count(*) FROM lineitem l
         |     WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
         |      AS n_violations,
-        |    CAST(NULL AS BIGINT) AS n_rows)
+        |    CAST(NULL AS BIGINT) AS n_rows),
+        |articles AS (
+        |  SELECT lpad(CAST(p_partkey * 777371 % 1000000000000 AS VARCHAR), 12, '0') AS article_id,
+        |    p_name || ', ' || p_brand AS product_name,
+        |    CASE WHEN p_size % 5 = 0 THEN NULL
+        |         ELSE CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) END AS price,
+        |    CAST(p_size AS DOUBLE) AS quantity
+        |  FROM part),
+        |content AS (
+        |  SELECT
+        |    coalesce(CASE WHEN p_size % 4 = 0 THEN NULL ELSE p_brand END,
+        |             CASE WHEN p_size % 2 = 0 THEN 'House Special' ELSE 'Generic' END) AS brand_name,
+        |    coalesce(CASE WHEN p_size % 5 = 0 THEN NULL ELSE 'Tasty ' || p_name END, p_name) AS description,
+        |    coalesce(CASE WHEN p_size % 7 = 0 THEN NULL ELSE p_brand END,
+        |             'miscellaneous items') AS subcategory_name,
+        |    CASE WHEN p_size % 4 <> 0 AND p_size % 6 <> 0
+        |          AND p_size % 7 <> 0 AND p_size % 5 <> 0
+        |         THEN 'mapped' ELSE 'generated' END AS match_type
+        |  FROM part),
+        |slab AS (
+        |  SELECT l_tax > 0.04 AS is_tax,
+        |    CASE WHEN l_tax > 0.04 THEN 'TAX_SLAB_TRUE' ELSE 'TAX_SLAB_FALSE' END AS tax_slab
+        |  FROM lineitem),
+        |model_checks AS (
+        |  SELECT * FROM (
+        |    SELECT 'model_mdb_article_id_12_digits' AS constraint_name,
+        |      'articles.article_id' AS target,
+        |      CAST(sum(CASE WHEN article_id IS NULL
+        |        OR NOT regexp_matches(article_id, '^[0-9]{12}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |      count(*) AS n_rows FROM articles
+        |    UNION ALL
+        |    SELECT 'model_mdb_name_required', 'articles.product_name',
+        |      CAST(sum(CASE WHEN product_name IS NULL
+        |        OR length(trim(product_name)) = 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |      count(*) FROM articles
+        |    UNION ALL
+        |    SELECT 'model_mdb_price_nonneg', 'articles.price',
+        |      CAST(sum(CASE WHEN price < 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |      count(*) FROM articles
+        |    UNION ALL
+        |    SELECT 'model_mdb_quantity_nonneg', 'articles.quantity',
+        |      CAST(sum(CASE WHEN quantity < 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |      count(*) FROM articles
+        |    UNION ALL
+        |    SELECT 'model_content_brand_complete', 'content.brand_name',
+        |      CAST(sum(CASE WHEN brand_name IS NULL OR length(brand_name) = 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |      count(*) FROM content
+        |    UNION ALL
+        |    SELECT 'model_content_description_complete', 'content.description',
+        |      CAST(sum(CASE WHEN description IS NULL OR length(description) = 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |      count(*) FROM content
+        |    UNION ALL
+        |    SELECT 'model_content_subcategory_complete', 'content.subcategory_name',
+        |      CAST(sum(CASE WHEN subcategory_name IS NULL OR length(subcategory_name) = 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |      count(*) FROM content
+        |    UNION ALL
+        |    SELECT 'model_content_match_type_domain', 'content.match_type',
+        |      CAST(sum(CASE WHEN match_type IN ('mapped', 'generated') THEN 0 ELSE 1 END) AS BIGINT),
+        |      count(*) FROM content
+        |    UNION ALL
+        |    SELECT 'model_tax_slab_consistent', 'tax.tax_slab',
+        |      CAST(sum(CASE WHEN (is_tax AND tax_slab <> 'TAX_SLAB_TRUE')
+        |        OR (NOT is_tax AND tax_slab <> 'TAX_SLAB_FALSE') THEN 1 ELSE 0 END) AS BIGINT),
+        |      count(*) FROM slab))
         |SELECT constraint_name, target, n_violations, n_rows,
         |  (n_violations = 0) AS pass
         |FROM (SELECT * FROM part_checks UNION ALL
         |      SELECT * FROM li_checks UNION ALL
-        |      SELECT * FROM ref_checks)
+        |      SELECT * FROM ref_checks UNION ALL
+        |      SELECT * FROM model_checks)
         |ORDER BY constraint_name""".stripMargin)
 }

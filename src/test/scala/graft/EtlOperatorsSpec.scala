@@ -191,17 +191,43 @@ class EtlOperatorsSpec extends SparkTestBase {
     assert(fallback.getAs[String]("header_text") == "Explore Our ECONOMY!")
   }
 
-  test("dq_checks: six constraints, pass flags consistent, driver data is clean") {
+  test("dq_checks: fifteen constraints, pass flags consistent, driver data is clean") {
     val df = DataQuality.dqChecks(spark, sfDir).cache()
-    assert(df.count() == 6)
+    assert(df.count() == 15)
     assert(df.filter(col("pass") =!= (col("n_violations") === 0)).count() == 0)
-    // the generated tables satisfy every declared constraint
+    // the generated tables satisfy every declared constraint — the
+    // pipeline's own outputs meet the reference model contract
     assert(df.filter(!col("pass")).count() == 0)
     // counted over the full tables, not a sample
     val nPart = Tables.part(spark, sfDir).count()
     assert(df.filter(col("target").startsWith("part.") && col("n_rows") =!= nPart)
       .count() == 0)
     df.unpersist()
+  }
+
+  test("model-contract rows fire on violating input (product_models.py per-field constraints)") {
+    import spark.implicits._
+    // one violation per MDBProduct field + each content/tax constraint
+    val badArticles = Seq(
+      ("123", "ok name", 1.0, 1.0),        // article_id not 12 digits
+      ("123456789012", "  ", 1.0, 1.0),    // blank name
+      ("123456789012", "ok", -5.0, 1.0),   // negative price
+      ("123456789012", "ok", 1.0, -2.0))   // negative quantity
+      .toDF("article_id", "product_name", "price", "quantity")
+    val badContent = Seq(
+      (null.asInstanceOf[String], "d", "s", "mapped"),   // null brand
+      ("b", "", "s", "generated"),                       // empty description
+      ("b", "d", null.asInstanceOf[String], "mapped"),   // null subcategory
+      ("b", "d", "s", "upc"))                            // match_type outside domain
+      .toDF("brand_name", "description", "subcategory_name", "match_type")
+    val badSlab = Seq((true, "TAX_SLAB_FALSE"), (false, "TAX_SLAB_FALSE"))
+      .toDF("is_tax", "tax_slab")
+    val r = DataQuality.modelChecks(badArticles, badContent, badSlab)
+      .select(col("r.constraint_name"), col("r.n_violations")).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.size == 9)
+    // every constraint sees EXACTLY its one planted violation
+    r.foreach { case (name, v) => assert(v == 1L, s"$name counted $v") }
   }
 
   test("quarantine: every reason fires, verdict matches the reason list") {

@@ -37,7 +37,7 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "corpus_sample_bottomk" -> 2,
     "etl_incremental_agg"   -> 3,
     "text_tokens"           -> 1,
-    "dq_checks"             -> 4,
+    "dq_checks"             -> 7, // +3 single-row aggs: the model-contract families
     "dedup_chunks"          -> 2,
     "multimodal_dedup"      -> 2,
     "corpus_report"         -> 2,
