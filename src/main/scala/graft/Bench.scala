@@ -69,16 +69,22 @@ object Bench {
       }.sorted
       name -> times(runs / 2)
     }
-    // the detail file must never cost us the summary line: if the cwd
-    // is unwritable (different launch dir), warn and still print — a
-    // lost BENCH_FULL.json is an inconvenience, a lost summary line is
-    // a round with zero bench signal
+    // the detail file must never cost us the summary line: if the path
+    // is unwritable, warn and still print — a lost BENCH_FULL.json is
+    // an inconvenience, a lost summary line is a round with zero bench
+    // signal. The path is pinned (env-overridable) rather than cwd-
+    // relative, so launching from another directory can't silently
+    // strand the file where nobody reads it.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json"))
+      .toAbsolutePath
     try {
-      val fw = new java.io.PrintWriter("BENCH_FULL.json")
+      val fw = new java.io.PrintWriter(outPath.toFile)
       try fw.println(fullLine(results, sfDir))
       finally fw.close()
+      System.err.println(s"[bench] full per-query medians: $outPath")
     } catch {
-      case e: Exception => System.err.println(s"[bench] BENCH_FULL.json not written: $e")
+      case e: Exception => System.err.println(s"[bench] $outPath not written: $e")
     }
     println(summaryLine(results, sfDir))
     spark.stop()

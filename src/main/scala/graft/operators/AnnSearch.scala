@@ -281,9 +281,16 @@ object AnnSearch {
     * with `Dedup.dedupSemantic`, which blocks its pair search on the
     * learned clusters.
     */
-  private[operators] def kmeansAssignments(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  private[operators] def kmeansAssignments(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssignmentsOver(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+
+  /** The Lloyd loop over any (vec_id, v) relation — raw vectors for
+    * `ann_kmeans_train`/`dedup_semantic`, L2-NORMALIZED ones for the
+    * IVFADC coarse quantizer (which must live in the same metric space
+    * as the PQ codes it prunes for).
+    */
+  private def kmeansAssignmentsOver(e: DataFrame): DataFrame = {
     var cent = e.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cl"), col("v").as("cv"))
     var assigned = kmAssign(e, cent)
@@ -293,6 +300,13 @@ object AnnSearch {
     }
     assigned
   }
+
+  /** Embeddings L2-normalized onto the unit sphere — the space PQ
+    * encodes in ([[pqSubvectors]] divides by the same norm).
+    */
+  private def normVecs(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("v"))
 
   /** Product-quantization parameters: M subspaces of Sub dims, Ks
     * codewords per subspace, trained with `PqIters` Lloyd rounds.
@@ -408,17 +422,22 @@ object AnnSearch {
     * cost = nprobe/K of the code relation per query, and the code
     * relation is already 32× smaller than the vectors — the two
     * multiplicative reductions every billion-scale deployment stacks.
-    * Probing uses the same rounded-L2 argmin as list assignment, on
-    * centroids recomputed from the final assignment (a valid quantizer
-    * on both sides — the oracle recomputes identically). One corpus
-    * shuffle joins codes to list ids on vec_id; probes and the ADC
-    * table are broadcast.
+    * The coarse quantizer trains on the SAME L2-normalized vectors the
+    * PQ codes encode (the published IVFADC setup): lists, probes and
+    * ADC ranking then share one metric space, so list pruning keeps
+    * the neighbors ADC would rank highest — training it on raw vectors
+    * measured ~2× worse recall (ADVICE r4). Probing uses the same
+    * rounded-L2 argmin as list assignment, on centroids recomputed
+    * from the final assignment (a valid quantizer on both sides — the
+    * oracle recomputes identically). One corpus shuffle joins codes to
+    * list ids on vec_id; probes and the ADC table are broadcast.
     */
   def annIvfadcTopk(spark: SparkSession, dir: String): DataFrame = {
     val (codes, cb) = pqModel(spark, dir)
-    val lists = kmeansAssignments(spark, dir)
+    val nv = normVecs(spark, dir)
+    val lists = kmeansAssignmentsOver(nv)
     val cent = kmCentroids(lists.select(col("cl"), col("v")))
-    val q = vecs(spark, dir).filter(expr(QueryFilter))
+    val q = nv.filter(expr(QueryFilter))
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdist2"), col("cl"))
     val probes = q.crossJoin(broadcast(cent))
@@ -474,7 +493,7 @@ object AnnSearch {
     */
   private[operators] def kmeansFinalCte: String = s"a${KmeansIters - 1}"
 
-  private[operators] val kmeansCtes: String = {
+  private def kmeansCtesOver(eDef: String): String = {
     def assign(cent: String, out: String) =
       s"""$out AS (
          |  SELECT vec_id, cl, dist2, v FROM (
@@ -495,11 +514,21 @@ object AnnSearch {
       Seq(update(s"a${i - 1}", s"c$i"), assign(s"c$i", s"a$i"))
     }
     val ctes = Seq(
-      s"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+      s"e AS ($eDef)",
       s"c0 AS (SELECT vec_id AS cl, v AS cv FROM e WHERE vec_id < $KmeansK)",
       assign("c0", "a0")) ++ iters
     ctes.mkString(",\n")
   }
+
+  /** Raw-vector chain (ann_kmeans_train, dedup_semantic). */
+  private[operators] val kmeansCtes: String =
+    kmeansCtesOver("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")
+
+  /** Normalized-vector chain — the IVFADC coarse quantizer's space. */
+  private val kmeansCtesNorm: String = kmeansCtesOver(
+    "SELECT vec_id, list_transform(embedding::DOUBLE[], " +
+      "x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v " +
+      "FROM embeddings")
 
   private val kmeansSql: String =
     s"""WITH $kmeansCtes
@@ -561,13 +590,14 @@ object AnnSearch {
        |SELECT q_id, vec_id AS neighbor_id, adist2, rank FROM ranked
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
-  /** IVFADC oracle: the full-vector k-means chain (`kmeansCtes`, lists
-    * in `a1`) composed with the PQ chain (`pqCtes`): centroids
-    * recomputed from the final assignment exactly as the Spark side,
-    * probes by rounded-L2 argmin, ADC restricted to probed lists.
+  /** IVFADC oracle: the NORMALIZED-vector k-means chain
+    * (`kmeansCtesNorm`, lists in `a1`) composed with the PQ chain
+    * (`pqCtes`): centroids recomputed from the final assignment exactly
+    * as the Spark side, probes by rounded-L2 argmin in the same metric
+    * space PQ encodes, ADC restricted to probed lists.
     */
   private val ivfadcSql: String =
-    s"""WITH $kmeansCtes,
+    s"""WITH $kmeansCtesNorm,
        |$pqCtes,
        |cent AS (
        |  SELECT cl, list(c ORDER BY d) AS cv FROM (

@@ -298,9 +298,12 @@ object Events {
     val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
     val edges = ev.groupBy(col("event_type"))
       .agg(
-        round(expr("percentile(value, 0.25)"), 6).as("e1"),
-        round(expr("percentile(value, 0.5)"), 6).as("e2"),
-        round(expr("percentile(value, 0.75)"), 6).as("e3"))
+        // percentile over PRE-ROUNDED values: the interpolation inputs
+        // are then bit-identical across engines, so a last-ulp
+        // difference cannot flip the rounded edge (ADVICE r4)
+        round(expr("percentile(round(value, 6), 0.25)"), 6).as("e1"),
+        round(expr("percentile(round(value, 6), 0.5)"), 6).as("e2"),
+        round(expr("percentile(round(value, 6), 0.75)"), 6).as("e3"))
     ev.join(broadcast(edges), "event_type")
       .withColumn("bucket",
         when(col("value") <= col("e1"), 0)
@@ -577,9 +580,9 @@ object Events {
     "events_equiheight_hist" ->
       """WITH edges AS (
         |  SELECT event_type,
-        |    round(quantile_cont(value, 0.25), 6) AS e1,
-        |    round(quantile_cont(value, 0.5), 6) AS e2,
-        |    round(quantile_cont(value, 0.75), 6) AS e3
+        |    round(quantile_cont(round(value, 6), 0.25), 6) AS e1,
+        |    round(quantile_cont(round(value, 6), 0.5), 6) AS e2,
+        |    round(quantile_cont(round(value, 6), 0.75), 6) AS e3
         |  FROM events GROUP BY 1),
         |bucketed AS (
         |  SELECT ev.event_type,

@@ -128,14 +128,18 @@ object GraphOps {
     var ranks = deg.crossJoin(broadcast(nRel))
       .select(col("src").as("doc_id"), (lit(1.0) / col("n_nodes")).as("r"))
     for (_ <- 1 to Iters) {
+      // ranks are re-rounded to 6dp EVERY iteration (both engines): the
+      // per-node contribution sums accumulate in engine-specific order,
+      // and without the per-round re-convergence the ulp drift compounds
+      // until a value lands on a final-round boundary (ADVICE r4)
       ranks = weighted.join(ranks, weighted("src") === ranks("doc_id"))
         .groupBy(col("dst"))
         .agg(sum(col("r") / col("d")).as("contrib"))
         .crossJoin(broadcast(nRel))
         .select(col("dst").as("doc_id"),
-          (lit(Teleport) / col("n_nodes") + lit(Damping) * col("contrib")).as("r"))
+          round(lit(Teleport) / col("n_nodes") + lit(Damping) * col("contrib"), 6).as("r"))
     }
-    ranks.select(col("doc_id"), round(col("r"), 6).as("pagerank"))
+    ranks.select(col("doc_id"), col("r").as("pagerank"))
       .orderBy(col("doc_id"))
   }
 
@@ -204,7 +208,7 @@ object GraphOps {
   private def prIter(prev: String, out: String): String =
     s"""$out AS (
        |  SELECT we.dst AS doc_id,
-       |    (SELECT $Teleport / n_nodes FROM n) + $Damping * sum(r.r / we.d) AS r
+       |    round((SELECT $Teleport / n_nodes FROM n) + $Damping * sum(r.r / we.d), 6) AS r
        |  FROM we JOIN $prev r ON r.doc_id = we.src GROUP BY we.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -217,7 +221,7 @@ object GraphOps {
          |n AS (SELECT count(*) AS n_nodes FROM deg),
          |r0 AS (SELECT src AS doc_id, 1.0 / n_nodes AS r FROM deg, n),
          |${(1 to Iters).map(i => prIter(s"r${i - 1}", s"r$i")).mkString(",\n")}
-         |SELECT doc_id, round(r, 6) AS pagerank FROM r$Iters
+         |SELECT doc_id, r AS pagerank FROM r$Iters
          |ORDER BY doc_id""".stripMargin,
     "graph_triangles" ->
       s"""WITH $knnEdgesCte,

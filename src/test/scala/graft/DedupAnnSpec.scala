@@ -229,8 +229,11 @@ class DedupAnnSpec extends SparkTestBase {
       .join(bf, Seq("q_id", "neighbor_id")).count()
     val recall = hit.toDouble / bf.count()
     // IVFADC = PQ quantization error ∩ IVF list pruning: recall is
-    // bounded above by both stages'; assert well above chance
-    assert(recall >= 0.15, f"IVFADC recall collapsed: $recall%.3f")
+    // bounded above by both stages'. With the coarse quantizer trained
+    // on the same normalized vectors PQ encodes (the published setup)
+    // it measures 0.42 here / 0.38 at sf0.01 — level with PQ alone;
+    // the r4 raw-vector quantizer measured ~2× worse and fails this
+    assert(recall >= 0.30, f"IVFADC recall collapsed: $recall%.3f")
     r.unpersist()
   }
 
