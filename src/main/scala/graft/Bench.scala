@@ -45,7 +45,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver parses the bench JSON from the LAST
+    // ~2000 chars of combined output, and r4's line was drowned by
+    // WindowExec partition warnings flushed after the summary
+    // (BENCH_r04.json: "parsed": null, tail all WARN lines). The two
+    // remaining unpartitioned windows in the fleet are the guarded
+    // above-an-aggregate offset rollups (PlanGuardSpec), so the warning
+    // carries no signal here.
+    spark.sparkContext.setLogLevel("ERROR")
     // untimed warmup at the smallest SF: JIT + codegen for the shared
     // operator paths (scan/agg/join/window/exchange), so the first timed
     // query isn't charged for session spin-up
@@ -86,7 +93,10 @@ object Bench {
     } catch {
       case e: Exception => System.err.println(s"[bench] $outPath not written: $e")
     }
-    println(summaryLine(results, sfDir))
+    // stop BEFORE printing: the summary must be the last thing in the
+    // output stream — nothing Spark logs during shutdown may follow it
+    // into the driver's tail capture
     spark.stop()
+    println(summaryLine(results, sfDir))
   }
 }
