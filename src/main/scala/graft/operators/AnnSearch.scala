@@ -462,13 +462,118 @@ object AnnSearch {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** RRF constant (the published default) and per-leg candidate depth. */
+  private val RrfK = 60
+  private val RrfCand = 10
+  private val RrfTopK = 5
+
+  /** Hybrid retrieval: multi-table-LSH vector ranking fused with an
+    * Okapi-BM25 lexical ranking by reciprocal rank fusion —
+    * `rrf = Σ_legs 1/(k + rank_leg)`, k = 60 — the standard
+    * hybrid-search shape (every production vector store pairs its ANN
+    * index with a lexical index exactly this way). Queries are the
+    * `vec_id % 50 = 0` vectors; the corpus text rides the 1:1
+    * doc_id = vec_id correspondence of the `documents`/`embeddings`
+    * tables.
+    *
+    * Each leg is independently the scale path of its family:
+    *  - vector: LSH-bucket candidates only (cost = bucket occupancy ×
+    *    tables, never corpus²), cosine from per-vector precomputed
+    *    norms, per-query top-10 via a q_id-partitioned window
+    *    (WindowGroupLimit forwards ≤ 10 rows per task);
+    *  - lexical: the query docs' term postings pruned map-side by a
+    *    broadcast (q, term) relation (an inverted-index probe — the
+    *    corpus tf relation shuffles once on doc_id and is shared), the
+    *    same order-independent integer-scaled BM25 sum as
+    *    `text_bm25_topk`.
+    * Fusion itself joins two ≤ 10-row-per-query rank relations — at
+    * any corpus size the fused relation is O(#queries · depth), so the
+    * expensive side of hybrid retrieval stays inside the blocked legs.
+    * A candidate found by only one leg keeps its one reciprocal term
+    * (rank columns stay null for the missing leg — exactly how RRF
+    * handles disjoint result lists).
+    */
+  def annRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    // vector leg: LSH candidates → cosine rank ≤ RrfCand per query
+    val all = vecs(spark, dir)
+    val keyed = all
+      .select(col("vec_id"), explode(tableKeys(col("v"))).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val qKeys = keyed.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("t"), col("b"))
+    val vecCand = keyed.join(broadcast(qKeys), Seq("t", "b"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val q = all.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wVec = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val vecRanked = vecCand
+      .join(all, "vec_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("cosine",
+        round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6))
+      .withColumn("vec_rank", row_number().over(wVec))
+      .filter(col("vec_rank") <= RrfCand)
+      .select(col("q_id"), col("vec_id").as("id"), col("vec_rank"))
+
+    // lexical leg: BM25 of each candidate doc against the query doc's
+    // distinct terms (same arithmetic + integer-scaled order-free sum
+    // as TextAnalysis.textBm25Topk)
+    val k1 = 1.2
+    val b = 0.75
+    val terms = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qTerms = tf.filter(expr("doc_id % 50 = 0"))
+      .select(col("doc_id").as("q_id"), col("term"))
+    val wLex = Window.partitionBy(col("q_id"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val lexRanked = tf
+      .join(broadcast(qTerms), "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(df, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(round(col("c") * 1000000, 0).cast("bigint")).as("s6"))
+      .withColumn("bm25", round(col("s6") / 1000000.0, 6))
+      .withColumn("lex_rank", row_number().over(wLex))
+      .filter(col("lex_rank") <= RrfCand)
+      .select(col("q_id"), col("doc_id").as("id"), col("lex_rank"))
+
+    // fusion: two ≤ RrfCand-per-query rank lists, full outer on (q, id)
+    val wFuse = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("id"))
+    vecRanked.join(lexRanked, Seq("q_id", "id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (col("vec_rank") + RrfK), lit(0.0)) +
+          coalesce(lit(1.0) / (col("lex_rank") + RrfK), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(wFuse))
+      .filter(col("rank") <= RrfTopK)
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        col("vec_rank"), col("lex_rank"), col("rrf"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk"     -> (annTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_pq_topk"  -> (annPqTopk _),
     "ann_ivfadc_topk" -> (annIvfadcTopk _),
-    "ann_kmeans_train" -> (annKmeansTrain _))
+    "ann_kmeans_train" -> (annKmeansTrain _),
+    "ann_rrf_fusion" -> (annRrfFusion _))
 
   /** Shared oracle CTE: per-vector LSH bucket via the same md5-derived
     * hyperplanes (DuckDB lists are 1-based like the d index).
@@ -486,6 +591,43 @@ object AnnSearch {
        |buck AS (
        |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
        |  FROM proj GROUP BY vec_id)""".stripMargin
+
+  /** Multi-table LSH candidate generation + cosine ranking as CTEs
+    * ending in `ranked(q_id, neighbor_id, n_shared, cosine, rank)` —
+    * shared by the `ann_lsh_topk` oracle and the vector leg of the
+    * `ann_rrf_fusion` oracle.
+    */
+  private val lshRankedCtes: String =
+    s"""planes AS (
+       |  SELECT p.p, d.d,
+       |    (CAST(('0x' || substr(md5(p.p || ':' || d.d), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS c
+       |  FROM generate_series(0, ${NumTables * PlanesPerTable - 1}) p(p),
+       |       generate_series(1, $Dims) d(d)),
+       |proj AS (
+       |  SELECT e.vec_id, pl.p,
+       |    CASE WHEN sum(e.embedding[pl.d] * pl.c) > 0 THEN '1' ELSE '0' END AS bit
+       |  FROM embeddings e CROSS JOIN planes pl
+       |  GROUP BY e.vec_id, pl.p),
+       |tbuck AS (
+       |  SELECT vec_id, p // $PlanesPerTable AS t,
+       |    string_agg(bit, '' ORDER BY p) AS b
+       |  FROM proj GROUP BY vec_id, p // $PlanesPerTable),
+       |cand AS (
+       |  SELECT bq.vec_id AS q_id, be.vec_id AS neighbor_id,
+       |    count(*) AS n_shared
+       |  FROM tbuck bq
+       |  JOIN tbuck be ON be.t = bq.t AND be.b = bq.b AND be.vec_id <> bq.vec_id
+       |  WHERE bq.vec_id % 50 = 0
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT c.q_id, c.neighbor_id, c.n_shared,
+       |    round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+       |  FROM cand c
+       |  JOIN embeddings q ON q.vec_id = c.q_id
+       |  JOIN embeddings e ON e.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)""".stripMargin
 
   /** Unrolled Lloyd iterations as CTEs — the oracle mirrors the exact
     * arithmetic (same dist² expansion, same left-to-right inner product,
@@ -631,6 +773,57 @@ object AnnSearch {
 
   val oracles: Map[String, String] = Map(
     "ann_kmeans_train" -> kmeansSql,
+    "ann_rrf_fusion" ->
+      s"""WITH $lshRankedCtes,
+         |vecr AS (
+         |  SELECT q_id, neighbor_id AS id, rank AS vec_rank
+         |  FROM ranked WHERE rank <= $RrfCand),
+         |terms AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         |    FROM documents)
+         |  WHERE term <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |qt AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id % 50 = 0),
+         |lexscored AS (
+         |  SELECT qt.q_id, tf.doc_id AS id,
+         |    CAST(sum(CAST(round(
+         |      ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+         |        * (tf.tf * ${1.2 + 1}) /
+         |          (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         |      * 1000000, 0) AS BIGINT)) AS BIGINT) AS s6
+         |  FROM tf
+         |  JOIN qt USING (term)
+         |  JOIN df USING (term)
+         |  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+         |  WHERE tf.doc_id <> qt.q_id
+         |  GROUP BY 1, 2),
+         |lexr AS (
+         |  SELECT q_id, id, lex_rank FROM (
+         |    SELECT q_id, id, row_number() OVER (
+         |      PARTITION BY q_id
+         |      ORDER BY round(s6 / 1000000.0, 6) DESC, id) AS lex_rank
+         |    FROM lexscored) r
+         |  WHERE lex_rank <= $RrfCand),
+         |fused AS (
+         |  SELECT coalesce(v.q_id, l.q_id) AS q_id, coalesce(v.id, l.id) AS id,
+         |    v.vec_rank, l.lex_rank,
+         |    round(coalesce(1.0 / (v.vec_rank + $RrfK), 0.0)
+         |      + coalesce(1.0 / (l.lex_rank + $RrfK), 0.0), 6) AS rrf
+         |  FROM vecr v FULL OUTER JOIN lexr l
+         |    ON l.q_id = v.q_id AND l.id = v.id),
+         |final AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY rrf DESC, id) AS rank
+         |  FROM fused)
+         |SELECT q_id, id AS neighbor_id, vec_rank, lex_rank, rrf, rank
+         |FROM final WHERE rank <= $RrfTopK ORDER BY q_id, rank""".stripMargin,
     "ann_pq_topk" -> pqSql,
     "ann_ivfadc_topk" -> ivfadcSql,
     "ann_topk" ->
@@ -645,36 +838,7 @@ object AnnSearch {
          |SELECT q_id, neighbor_id, cosine, rank FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "ann_lsh_topk" ->
-      s"""WITH planes AS (
-         |  SELECT p.p, d.d,
-         |    (CAST(('0x' || substr(md5(p.p || ':' || d.d), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS c
-         |  FROM generate_series(0, ${NumTables * PlanesPerTable - 1}) p(p),
-         |       generate_series(1, $Dims) d(d)),
-         |proj AS (
-         |  SELECT e.vec_id, pl.p,
-         |    CASE WHEN sum(e.embedding[pl.d] * pl.c) > 0 THEN '1' ELSE '0' END AS bit
-         |  FROM embeddings e CROSS JOIN planes pl
-         |  GROUP BY e.vec_id, pl.p),
-         |tbuck AS (
-         |  SELECT vec_id, p // $PlanesPerTable AS t,
-         |    string_agg(bit, '' ORDER BY p) AS b
-         |  FROM proj GROUP BY vec_id, p // $PlanesPerTable),
-         |cand AS (
-         |  SELECT bq.vec_id AS q_id, be.vec_id AS neighbor_id,
-         |    count(*) AS n_shared
-         |  FROM tbuck bq
-         |  JOIN tbuck be ON be.t = bq.t AND be.b = bq.b AND be.vec_id <> bq.vec_id
-         |  WHERE bq.vec_id % 50 = 0
-         |  GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT c.q_id, c.neighbor_id, c.n_shared,
-         |    round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
-         |  FROM cand c
-         |  JOIN embeddings q ON q.vec_id = c.q_id
-         |  JOIN embeddings e ON e.vec_id = c.neighbor_id),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
-         |  FROM scored)
+      s"""WITH $lshRankedCtes
          |SELECT q_id, neighbor_id, n_shared, cosine, rank FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "ann_ivf_topk" ->

@@ -187,6 +187,45 @@ object CorpusOps {
       .withColumn(offCols._2, pmod(col("cum") - col(sizeCol), lit(unit)))
   }
 
+  /** Epoch seed + docs per output shard for the training-order
+    * shuffle/export.
+    */
+  private val ShuffleSeed = "epoch0"
+  private val ShardDocs = 64L
+
+  /** Deterministic corpus shuffle + shard export — the dataloader-prep
+    * step between curation and training: examples must reach the
+    * trainer in an order DECOUPLED from storage order (storage is
+    * clustered by source/crawl, and per-shard homogeneity is exactly
+    * what harms SGD), yet reproducible run-to-run. Each document's
+    * position is the rank of its seeded hash `md5(seed : doc_id)` —
+    * re-seeding by epoch re-permutes the corpus without touching
+    * payload bytes — and fixed-size output shards are floor-divisions
+    * of that global position.
+    *
+    * The global numbering is the two-phase [[keyedCumsum]] under a
+    * constant key (the `etl_batch_assign` recipe): range-partition on
+    * the hash → local rank per slice → ≤ #partitions-row offsets
+    * relation broadcast back. No single-task global window at any
+    * corpus size; the only global sort is the scalable range exchange.
+    */
+  def corpusShuffleExport(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(lit(s"$ShuffleSeed:"), col("doc_id"))).as("sort_key"))
+      .withColumn("_g", lit(0))
+      .withColumn("one", lit(1L))
+    keyedCumsum(keyed, key = "_g",
+        order = Seq(col("sort_key"), col("doc_id")),
+        sizeCol = "one", out = "cum")
+      .withColumn("global_pos", col("cum") - 1L)
+      .select(
+        col("doc_id"), col("sort_key"), col("global_pos"),
+        expr(s"global_pos DIV $ShardDocs").as("shard_id"),
+        pmod(col("global_pos"), lit(ShardDocs)).as("pos_in_shard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII patterns, identical semantics in Java regex and RE2. */
   private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[operators] val PhoneRe = "\\+?[0-9][0-9()\\- ]{8,14}[0-9]"
@@ -323,6 +362,7 @@ object CorpusOps {
     "corpus_sample_bottomk"    -> (corpusSampleBottomK _),
     "corpus_sample_stratified" -> (corpusSampleStratified _),
     "corpus_token_budget"      -> (corpusTokenBudget _),
+    "corpus_shuffle_export"    -> (corpusShuffleExport _),
     "corpus_pii_scrub"         -> (corpusPiiScrub _),
     "corpus_decontaminate"     -> (corpusDecontaminate _))
 
@@ -400,6 +440,18 @@ object CorpusOps {
          |  FROM sized)
          |SELECT doc_id, source, n_tokens, cum_tokens FROM cum
          |WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""".stripMargin,
+    "corpus_shuffle_export" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, md5('$ShuffleSeed:' || doc_id) AS sort_key
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, sort_key,
+         |    row_number() OVER (ORDER BY sort_key, doc_id) - 1 AS global_pos
+         |  FROM k)
+         |SELECT doc_id, sort_key, global_pos,
+         |  global_pos // $ShardDocs AS shard_id,
+         |  global_pos % $ShardDocs AS pos_in_shard
+         |FROM n ORDER BY doc_id""".stripMargin,
     "corpus_pii_scrub" ->
       s"""WITH raw AS (
          |  SELECT doc_id,

@@ -45,18 +45,25 @@ object Dedup {
     * minhash and jaccard operators.
     */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    shinglesOf(Tables.documents(spark, dir))
+
+  /** The same shingle explode over an arbitrary (doc_id, text) relation
+    * — shared with [[dedupContainment]]'s excerpt-augmented corpus.
+    */
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(toks) - 1)," +
           " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))")).as("gram"))
 
-  private val shinglesCte =
-    """sh AS (
-      |  SELECT DISTINCT doc_id, gram FROM (
-      |    SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
-      |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents) d,
-      |         unnest(generate_series(1, len(toks) - 1)) t(i)))""".stripMargin
+  private def shinglesCteOver(rel: String) =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, gram FROM (
+       |    SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+       |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM $rel) d,
+       |         unnest(generate_series(1, len(toks) - 1)) t(i)))""".stripMargin
+  private val shinglesCte = shinglesCteOver("documents")
 
   /** Universal-hash family over a single md5-derived base hash:
     * h_j(x) = (g(x) * (2j+1) + j*K) mod P — ONE md5 per shingle, 16
@@ -96,18 +103,19 @@ object Dedup {
       .select(col("doc_id") +: (0 until NumHashes).map(j => col(s"m$j")) ++: bands: _*)
   }
 
-  private val minhashCte: String = {
+  private def minhashCteOver(rel: String): String = {
     val mins = (0 until NumHashes)
       .map(j => s"min(${hjSql("g", j)}) AS m$j").mkString(", ")
     val bands = (0 until NumBands).map { b =>
       val parts = (0 until BandSize).map(i => s"CAST(m${b * BandSize + i} AS VARCHAR)")
       s"substr(md5(${parts.mkString(" || ',' || ")}), 1, 16) AS band$b"
     }.mkString(", ")
-    s"""$shinglesCte,
+    s"""${shinglesCteOver(rel)},
        |shg AS (SELECT doc_id, ${h32Sql("gram")} AS g FROM sh),
        |mh AS (SELECT doc_id, $mins FROM shg GROUP BY doc_id),
        |sig AS (SELECT *, $bands FROM mh)""".stripMargin
   }
+  private val minhashCte: String = minhashCteOver("documents")
 
   /** LSH-candidate near-dup pairs verified with exact bigram Jaccard.
     * Candidates = documents sharing any LSH band bucket (union over
@@ -328,6 +336,74 @@ object Dedup {
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(dedupNgramJaccard(spark, dir).select("doc_a", "doc_b"))
 
+  /** Containment detection params: every 31st doc gets a synthetic
+    * 40%-prefix excerpt (id + 100000) injected so the asymmetric case
+    * actually exists in the driver corpus — same synthesis pattern as
+    * `corpus_pii_scrub`'s injected PII. Containment ≥ 0.7 of the
+    * smaller side flags a pair; `is_asymmetric` marks the pairs plain
+    * Jaccard (≥ 0.5) would MISS.
+    */
+  private val ExcerptMod = 31
+  private val ExcerptIdOffset = 100000L
+  private val ContainmentThreshold = 0.7
+
+  /** The corpus plus deterministic prefix-excerpt documents. */
+  private def augmentedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val excerpts = docs.filter(col("doc_id") % ExcerptMod === 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(
+        (col("doc_id") + ExcerptIdOffset).as("doc_id"),
+        concat_ws(" ", expr(
+          "slice(toks, 1, CAST(ceil(size(toks) * 0.4) AS INT))")).as("text"))
+    docs.unionByName(excerpts)
+  }
+
+  /** Shingle-CONTAINMENT near-dup pairs — the asymmetric companion to
+    * [[dedupNgramJaccard]]: `|A∩B| / min(|A|, |B|)` stays high when a
+    * small document is quoted/excerpted inside a much larger one,
+    * exactly the case symmetric Jaccard dilutes below threshold
+    * (J = |∩|/|∪| → small for very unequal sizes). This is how corpus
+    * curation catches boilerplate-wrapped copies and quoted passages
+    * that survive document-level dedup.
+    *
+    * Same scale shape as the Jaccard operator: banded-LSH candidates
+    * (never all-pairs), the shingle relation materialized once and
+    * shared by signature generation and intersection counting, one
+    * keyed aggregation per relation. Banding recall for a contained
+    * excerpt follows its Jaccard (~size ratio), so containment pairs
+    * surface when any band agrees — the oracle replays identical
+    * banding, and the spec pins the injected excerpts that banding
+    * recalls are flagged `is_asymmetric`.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesOf(augmentedDocs(spark, dir)).localCheckpoint()
+    val sigLong = minhashFromShingles(sh)
+      .select(col("doc_id"), posexplode(
+        array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
+    val pairs = sigLong.select(col("doc_id").as("doc_a"), col("band_idx"), col("bk"))
+      .join(sigLong.select(col("doc_id").as("doc_b"), col("band_idx"), col("bk")),
+        Seq("band_idx", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")), "doc_b")
+      .withColumn("containment",
+        round(col("n_inter") / least(col("na"), col("nb")), 6))
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6))
+      .filter(col("containment") >= ContainmentThreshold)
+      .withColumn("is_asymmetric", col("jaccard") < JaccardThreshold)
+      .select("doc_a", "doc_b", "n_inter", "containment", "jaccard", "is_asymmetric")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Min-label propagation over an undirected pair graph
     * (doc_a, doc_b). Exposed separately from `dedupComponents` so the
     * loop is testable on degenerate graphs (empty, single edge) without
@@ -446,6 +522,7 @@ object Dedup {
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_minhash_est"   -> (dedupMinhashEst _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_embedding"     -> (dedupEmbedding _),
@@ -454,15 +531,35 @@ object Dedup {
   /** Signatures + LSH candidate pairs as CTEs ending in `cpairs` —
     * shared by the estimate, exact-jaccard, and components oracles.
     */
-  private val cpairsCtes: String = {
+  private def cpairsCtesOver(rel: String): String = {
     val bandUnion = (0 until NumBands)
       .map(b => s"SELECT doc_id, band$b AS bk FROM sig").mkString(" UNION ALL ")
-    s"""$minhashCte,
+    s"""${minhashCteOver(rel)},
        |cpairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM ($bandUnion) a
        |  JOIN ($bandUnion) b
        |    ON a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+  }
+  /** Recursive-CTE connected components over the Jaccard pair graph,
+    * ending in `comp(doc_id, component)` — the oracle twin of
+    * [[connectedComponents]], shared by the components/keep-best
+    * oracles here and `Pipeline`'s group-aware split oracle. Must sit
+    * inside a `WITH RECURSIVE`.
+    */
+  private[operators] lazy val componentsCtes: String =
+    s"""$jaccardCtes,
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+       |  UNION ALL SELECT doc_b, doc_a FROM jpairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)""".stripMargin
+
+  private val cpairsCtes: String = {
+    cpairsCtesOver("documents")
   }
 
   /** The jaccard pair relation as reusable CTEs ending in `jpairs` —
@@ -529,6 +626,34 @@ object Dedup {
     },
     "dedup_ngram_jaccard" ->
       s"WITH $jaccardCtes SELECT * FROM jpairs ORDER BY doc_a, doc_b",
+    "dedup_containment" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $ExcerptIdOffset,
+         |    array_to_string(list_slice(toks, 1, CAST(ceil(len(toks) * 0.4) AS INT)), ' ')
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |        FROM documents)
+         |  WHERE doc_id % $ExcerptMod = 0),
+         |${cpairsCtesOver("docs")},
+         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+         |  FROM cpairs p
+         |  JOIN sh sa ON sa.doc_id = p.doc_a
+         |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.gram = sa.gram
+         |  GROUP BY p.doc_a, p.doc_b)
+         |SELECT doc_a, doc_b, n_inter,
+         |  round(n_inter * 1.0 / least(za.n_grams, zb.n_grams), 6) AS containment,
+         |  round(n_inter * 1.0 / (za.n_grams + zb.n_grams - n_inter), 6) AS jaccard,
+         |  round(n_inter * 1.0 / (za.n_grams + zb.n_grams - n_inter), 6)
+         |    < $JaccardThreshold AS is_asymmetric
+         |FROM inter
+         |JOIN sizes za ON za.doc_id = doc_a
+         |JOIN sizes zb ON zb.doc_id = doc_b
+         |WHERE round(n_inter * 1.0 / least(za.n_grams, zb.n_grams), 6)
+         |  >= $ContainmentThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $jaccardCtes,
          |edges AS (
@@ -573,17 +698,10 @@ object Dedup {
          |FROM docstats JOIN estats USING (component)
          |ORDER BY component""".stripMargin,
     "dedup_components" ->
-      s"""WITH RECURSIVE $jaccardCtes,
-         |edges AS (
-         |  SELECT doc_a AS u, doc_b AS v FROM jpairs
-         |  UNION ALL SELECT doc_b, doc_a FROM jpairs),
-         |reach(u, v) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-         |SELECT u AS doc_id, min(v) AS component,
-         |  count(*) OVER (PARTITION BY min(v)) AS component_size
-         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $componentsCtes
+         |SELECT doc_id, component,
+         |  count(*) OVER (PARTITION BY component) AS component_size
+         |FROM comp ORDER BY doc_id""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" ->
       s"""WITH $simhashCtes,

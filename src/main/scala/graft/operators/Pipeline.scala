@@ -203,6 +203,7 @@ object Pipeline {
     "corpus_prep_e2e"   -> (corpusPrep _),
     "corpus_curate_e2e" -> (corpusCurate _),
     "corpus_split"      -> (corpusSplit _),
+    "corpus_group_split" -> (corpusGroupSplit _),
     "corpus_split_leakage" -> (corpusSplitLeakage _),
     "corpus_report"     -> (corpusReport _))
 
@@ -227,6 +228,32 @@ object Pipeline {
       .filter(col("split_a") =!= col("split_b"))
       .select("doc_a", "split_a", "doc_b", "split_b", "n_shared")
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Group-aware (leakage-safe) split: the assignment unit is the
+    * NEAR-DUP CLUSTER, not the document — every member of a connected
+    * component of the Jaccard pair graph (`Dedup.dedupComponents`)
+    * lands in the same split, so near-duplicates can never straddle
+    * train/test (the leakage class `corpus_split_leakage` exists to
+    * audit; a per-doc hash split cannot prevent it — two near-dups
+    * hash independently). Unclustered documents are their own group.
+    * The split decision hashes the group key with the same 80/10/10
+    * bucketing as `corpus_split`: deterministic, growth-stable, and
+    * map-only once the cluster labelling exists; the labelling itself
+    * is the bounded min-label fixpoint (one keyed shuffle per round).
+    */
+  def corpusGroupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.dedupComponents(spark, dir).select(col("doc_id"), col("component"))
+    val bucket = conv(substring(
+        md5(concat(lit("gsplit:"), col("group_key"))), 1, 8), 16, 10)
+      .cast("bigint") % 100
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce(col("component"), col("doc_id")))
+      .withColumn("bucket", bucket)
+      .withColumn("split", splitName(col("bucket")))
+      .select("doc_id", "group_key", "bucket", "split")
+      .orderBy("doc_id")
   }
 
   /** SQL twin of [[splitBucket]]/[[splitName]] — one definition for
@@ -343,6 +370,21 @@ object Pipeline {
          |  $splitBucketSql AS bucket,
          |  $splitCaseSql AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_group_split" ->
+      s"""WITH RECURSIVE ${Dedup.componentsCtes},
+         |g AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_key
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |b AS (
+         |  SELECT doc_id, group_key,
+         |    CAST(('0x' || substr(md5('gsplit:' || group_key), 1, 8)) AS BIGINT)
+         |      % 100 AS bucket
+         |  FROM g)
+         |SELECT doc_id, group_key, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
     "corpus_split_leakage" ->
       s"""WITH ${TextAnalysis.winnowPairCtes},
          |spl AS (SELECT doc_id, $splitCaseSql AS split FROM documents)

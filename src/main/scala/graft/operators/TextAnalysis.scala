@@ -409,6 +409,70 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Okapi BM25 parameters — the textbook defaults. */
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25QueryTerms = 3
+  private val Bm25TopK = 10
+
+  /** Okapi BM25 document ranking — the lexical-retrieval scorer the
+    * reference's stage-2 name search approximates with a similarity
+    * API (batch_processor.py:477-556), expressed as the standard
+    * inverted-index ranking function. Query terms are selected FROM
+    * the corpus deterministically (the `Bm25QueryTerms` rarest terms
+    * by document frequency — rare terms are what real queries are made
+    * of); each matching document scores
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * `idf = ln(1 + (N−df+0.5)/(df+0.5))`.
+    *
+    * Plan shape at 100 TB: one corpus shuffle builds the (doc, term)
+    * tf relation; df and the 1-row (N, avgdl) stats are model-sized
+    * aggregates over it; the query-term relation (3 rows) broadcasts
+    * into a map-side semi-join that prunes the tf relation BEFORE the
+    * per-doc rollup, so the scoring pass touches only postings of the
+    * query terms — exactly an inverted-index probe. The final top-10
+    * is `orderBy…limit` (TakeOrdered: each partition forwards ≤ 10
+    * rows, never a global sort).
+    *
+    * Engine parity: per-(doc, term) contributions are identical IEEE
+    * arithmetic in both engines (avgdl is an explicit exact
+    * sum/count division, not an engine-specific streaming mean), and
+    * the per-doc sum is made ORDER-INDEPENDENT by summing the
+    * contributions as 6-decimal-scaled integers — no float-summation
+    * drift for a value landing on a rounding boundary.
+    */
+  def textBm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = df.orderBy(col("df").asc, col("term")).limit(Bm25QueryTerms)
+    val contrib = tf
+      .join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("c",
+        col("idf") * (col("tf") * (Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0) - Bm25B + lit(Bm25B) * col("dl") / col("avgdl"))))
+    contrib
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(
+        count(lit(1)).as("n_terms_hit"),
+        sum(round(col("c") * 1000000, 0).cast("bigint")).as("s6"))
+      .select(col("doc_id"), col("n_terms_hit"), col("dl"),
+        round(col("s6") / 1000000.0, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
   /** Token-distribution (Shannon) entropy per document — the quality
     * signal that separates natural prose from gibberish and keyboard
     * mash (low entropy = heavy repetition, high ≈ ln(n_distinct) =
@@ -440,6 +504,7 @@ object TextAnalysis {
     "text_winnow_pairs" -> (textWinnowPairs _),
     "text_entropy"     -> (textEntropy _),
     "text_tfidf_topk"  -> (textTfidfTopk _),
+    "text_bm25_topk"   -> (textBm25Topk _),
     "text_repetition"  -> (textRepetition _),
     "doc_chunks"       -> (docChunks _),
     "dedup_chunks"     -> (dedupChunks _),
@@ -552,6 +617,29 @@ object TextAnalysis {
          |  FROM scored)
          |SELECT doc_id, rank, term, tf, tfidf FROM ranked
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_bm25_topk" ->
+      s"""WITH terms AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents)
+         |  WHERE term <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |q AS (SELECT term, df FROM df ORDER BY df ASC, term LIMIT $Bm25QueryTerms),
+         |contrib AS (
+         |  SELECT tf.doc_id, dl.dl,
+         |    ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+         |      * (tf.tf * ${Bm25K1 + 1}) /
+         |        (tf.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl.dl / s.avgdl)) AS c
+         |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id), stats s)
+         |SELECT doc_id, count(*) AS n_terms_hit, dl,
+         |  round(CAST(sum(CAST(round(c * 1000000, 0) AS BIGINT)) AS BIGINT)
+         |    / 1000000.0, 6) AS score
+         |FROM contrib GROUP BY doc_id, dl
+         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin,
     "text_repetition" ->
       s"""WITH t AS (
          |  SELECT doc_id, ${toksSql("text")} AS toks FROM documents),

@@ -42,6 +42,23 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(bad.count() == 0)
   }
 
+  test("corpus_shuffle_export: a deterministic permutation into fixed shards, decoupled from storage order") {
+    val df = CorpusOps.corpusShuffleExport(spark, sfDir).cache()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(df.count() == n)
+    // global positions are exactly 0..n-1 (a permutation, no gap/dup)
+    assert(df.select("global_pos").distinct().count() == n)
+    val mm = df.agg(min("global_pos"), max("global_pos")).head()
+    assert(mm.getLong(0) == 0L && mm.getLong(1) == n - 1)
+    // shard arithmetic is consistent
+    assert(df.filter(col("shard_id") =!= expr("global_pos DIV 64") ||
+      col("pos_in_shard") =!= pmod(col("global_pos"), lit(64L))).count() == 0)
+    // the shuffle actually shuffles: storage order is not preserved
+    assert(df.filter(col("global_pos") =!= col("doc_id")).count() > 0)
+    // and it is reproducible
+    assert(CorpusOps.corpusShuffleExport(spark, sfDir).exceptAll(df).count() == 0)
+  }
+
   test("pii scrub: injected emails/phones are found and redacted") {
     val df = CorpusOps.corpusPiiScrub(spark, sfDir).cache()
     val injected = df.filter(col("doc_id") % 7 === 0)

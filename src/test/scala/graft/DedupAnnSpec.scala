@@ -36,6 +36,35 @@ class DedupAnnSpec extends SparkTestBase {
     assert(df.filter(col("jaccard") < 0.5).count() == 0)
   }
 
+  test("dedup_containment: catches contained excerpts that Jaccard misses") {
+    val df = Dedup.dedupContainment(spark, sfDir).cache()
+    assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(df.filter(col("containment") < 0.7).count() == 0)
+    // containment dominates jaccard by definition (min ≤ union)
+    assert(df.filter(col("containment") < col("jaccard")).count() == 0)
+    // the injected prefix excerpts ARE the asymmetric case: every
+    // asymmetric pair links a document to its synthetic excerpt, with
+    // full containment (excerpt shingles ⊂ original shingles) and
+    // sub-threshold jaccard — the pair class plain Jaccard dedup drops
+    val asym = df.filter(col("is_asymmetric")).cache()
+    assert(asym.count() > 0, "no asymmetric pairs surfaced")
+    // every asymmetric pair involves an injected excerpt (directly of
+    // its source doc, or contained in a near-duplicate of the source —
+    // both are the real quoted-passage case), and by definition sits
+    // below the Jaccard threshold
+    assert(asym.filter(col("doc_b") < 100000L).count() == 0)
+    assert(asym.filter(col("jaccard") >= 0.5).count() == 0)
+    // at least one direct (source, its-own-excerpt) pair is recalled
+    // by the banding and flagged with FULL containment
+    val direct = asym.filter(col("doc_b") === col("doc_a") + 100000L)
+    assert(direct.count() > 0, "no direct excerpt pair recalled")
+    assert(direct.filter(col("containment") < 1.0).count() == 0)
+    // and the symmetric survivors are exactly the Jaccard pairs
+    val jac = Dedup.dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    assert(df.filter(!col("is_asymmetric")).select("doc_a", "doc_b")
+      .exceptAll(jac).count() == 0)
+  }
+
   test("dedup_components: labels are component minima and edges never cross components") {
     val comp = Dedup.dedupComponents(spark, sfDir).cache()
     assert(comp.count() > 0)
@@ -235,6 +264,26 @@ class DedupAnnSpec extends SparkTestBase {
     // the r4 raw-vector quantizer measured ~2× worse and fails this
     assert(recall >= 0.30, f"IVFADC recall collapsed: $recall%.3f")
     r.unpersist()
+  }
+
+  test("ann_rrf_fusion: bounded per-query output, rrf arithmetic consistent, both legs contribute") {
+    val df = AnnSearch.annRrfFusion(spark, sfDir).cache()
+    // ≤ 5 fused results per query, ranks 1..5 without gaps
+    val perQ = df.groupBy("q_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+    assert(perQ.filter(col("n") =!= col("mx")).count() == 0)
+    assert(df.filter(col("rank") > 5).count() == 0)
+    // rrf = sum of the reciprocal terms that exist
+    val bad = df.filter(abs(col("rrf") -
+      (coalesce(lit(1.0) / (col("vec_rank") + 60), lit(0.0)) +
+        coalesce(lit(1.0) / (col("lex_rank") + 60), lit(0.0)))) > 1e-6)
+    assert(bad.count() == 0)
+    // a candidate ranked by BOTH legs outranks one ranked by a single
+    // leg at the same per-leg positions — double evidence must fuse
+    // higher than either single term alone
+    assert(df.filter(col("vec_rank").isNotNull && col("lex_rank").isNotNull)
+      .count() > 0, "fusion never saw agreement between the legs")
+    // ranks within each leg are ≤ the candidate depth
+    assert(df.filter(col("vec_rank") > 10 || col("lex_rank") > 10).count() == 0)
   }
 
   test("kmeans training: total assignment, bounded K, deterministic, cost improves") {

@@ -46,6 +46,27 @@ class PipelineSpec extends SparkTestBase {
     assert(shares.keySet == Set("train", "val", "test"))
   }
 
+  test("corpus_group_split: near-dup clusters never straddle splits") {
+    import graft.operators.Dedup
+    val gs = Pipeline.corpusGroupSplit(spark, sfDir).cache()
+    // exhaustive over the corpus, closed split domain
+    assert(gs.count() == Tables.documents(spark, sfDir).count())
+    val splits = gs.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    // one split per component — the defining property
+    val comp = Dedup.dedupComponents(spark, sfDir).select("doc_id", "component")
+    val perCluster = gs.join(comp, "doc_id")
+      .groupBy("component").agg(countDistinct("split").as("n_splits"))
+    assert(perCluster.filter(col("n_splits") =!= 1).count() == 0)
+    // therefore zero leakage across the Jaccard pair relation
+    val pairs = Dedup.dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val leaked = pairs
+      .join(gs.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(gs.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+    assert(leaked.count() == 0)
+  }
+
   test("events json kpis: parsed counts never exceed totals") {
     val df = graft.operators.Events.eventsJsonKpis(spark, sfDir)
     assert(df.filter(col("n_parsed") > col("n_events")).count() == 0)

@@ -29,6 +29,8 @@ class PlanGuardSpec extends SparkTestBase {
     "ann_ivfadc_topk", // k-means assign + K-constant centroid probe
     "dedup_semantic", // embeds the k-means assign (same K-constant loop)
     "corpus_quality_gate", "corpus_mix_rebalance", "text_tfidf_topk",
+    "text_bm25_topk", // 1-row broadcast (N, avgdl) stats relation
+    "ann_rrf_fusion", // same 1-row stats relation under its BM25 leg
     "q22_dormant_customers", // 1-row broadcast average-balance cutoff
     "dq_snapshot_drift", // crossJoin of two 1-row stat aggregates
     "graph_pagerank") // 1-row broadcast node count joined per iteration

