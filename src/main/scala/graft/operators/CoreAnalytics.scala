@@ -444,9 +444,81 @@ object CoreAnalytics {
       .orderBy(col("c_nationkey"))
   }
 
+  /** TPC-H Q21 shape — the hardest subquery tier: an EXISTS and a NOT
+    * EXISTS that BOTH correlate back into the fact table itself
+    * ("suppliers who were the SOLE late shipper of a multi-supplier
+    * order"; late = shipped > 60 days after the order date, on this
+    * schema). Decorrelation is structural, not expression-level:
+    *  - EXISTS (another supplier in the order) → a pre-aggregated
+    *    multi-supplier order keyset equi-joined in (the semi join);
+    *  - NOT EXISTS (another LATE supplier in the order) → a LEFT ANTI
+    *    self-join of the late relation on the order key with a
+    *    supplier inequality.
+    * Everything downstream of the two DISTINCT projections runs on
+    * (order, supplier) relations — order-of-magnitude smaller than the
+    * fact table — and every join is keyed on l_orderkey: one shuffle
+    * family, no nested loops, AQE-splittable if an order is hot. The
+    * top-10 is TakeOrdered over the ≤ #suppliers aggregate.
+    */
+  def q21SoleLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ls = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val multi = ls.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_sup")).filter(col("n_sup") > 1)
+      .select("l_orderkey")
+    val late = li
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val sole = late.join(multi, "l_orderkey").as("c")
+      .join(late.as("x"),
+        col("c.l_orderkey") === col("x.l_orderkey") &&
+          col("c.l_suppkey") =!= col("x.l_suppkey"),
+        "left_anti")
+    sole
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  /** TPC-H Q2 shape — the per-GROUP correlated-minimum tier (Q17/
+    * q_brand_premium decorrelates a scalar per bounded dim; Q15/
+    * q15_top_supplier a single global extreme; this one needs the
+    * minimum PER PART joined back by equality, ties surfacing):
+    * "each part's cheapest supplier" by observed unit price. The
+    * correlated `= (SELECT min ...)` decorrelates into a two-level
+    * aggregate — per-(part, supplier) minima (one shuffle), per-part
+    * best (partial agg on the SAME partitioning — no second exchange)
+    * — equi-joined back on (part, price). Supplier names attach by a
+    * bounded-dim join the cost model broadcasts while it fits.
+    */
+  def q2MinPriceSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val unit = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") / col("l_quantity"), 6).as("unit_price"))
+    val perSupp = unit.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit_price")).as("supp_min"))
+    val perPart = perSupp.groupBy(col("l_partkey"))
+      .agg(min(col("supp_min")).as("best_price"))
+    perSupp
+      .join(perPart, "l_partkey")
+      .filter(col("supp_min") === col("best_price"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+        col("s_name"), col("best_price"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_custdist"         -> (q13CustDist _),
     "q15_top_supplier"     -> (q15TopSupplier _),
+    "q21_sole_late_supplier" -> (q21SoleLateSupplier _),
+    "q2_min_price_supplier" -> (q2MinPriceSupplier _),
     "q22_dormant_customers" -> (q22DormantCustomers _),
     "q7_bination_volume"   -> (q7BiNationVolume _),
     "q4_order_priority"    -> (q4OrderPriority _),
@@ -467,6 +539,43 @@ object CoreAnalytics {
     "q_salted_skew_join"   -> (saltedSkewJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q21_sole_late_supplier" ->
+      """WITH ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |multi AS (SELECT l_orderkey FROM ls GROUP BY 1 HAVING count(*) > 1),
+        |late AS (
+        |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+        |cand AS (
+        |  SELECT late.l_orderkey, late.l_suppkey
+        |  FROM late JOIN multi USING (l_orderkey)),
+        |sole AS (
+        |  SELECT c.l_orderkey, c.l_suppkey FROM cand c
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM late x
+        |    WHERE x.l_orderkey = c.l_orderkey
+        |      AND x.l_suppkey <> c.l_suppkey))
+        |SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+        |FROM sole JOIN supplier s ON s.s_suppkey = sole.l_suppkey
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+    "q2_min_price_supplier" ->
+      """WITH unit AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    round(l_extendedprice / l_quantity, 6) AS unit_price
+        |  FROM lineitem),
+        |per_supp AS (
+        |  SELECT l_partkey, l_suppkey, min(unit_price) AS supp_min
+        |  FROM unit GROUP BY 1, 2),
+        |per_part AS (
+        |  SELECT l_partkey, min(supp_min) AS best_price
+        |  FROM per_supp GROUP BY 1)
+        |SELECT ps.l_partkey AS p_partkey, s.s_suppkey, s.s_name,
+        |  pp.best_price
+        |FROM per_supp ps
+        |JOIN per_part pp
+        |  ON pp.l_partkey = ps.l_partkey AND ps.supp_min = pp.best_price
+        |JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
     "q13_custdist" ->
       """WITH co AS (
         |  SELECT c_custkey, count(o_orderkey) AS c_count

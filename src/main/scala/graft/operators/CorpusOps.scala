@@ -187,6 +187,44 @@ object CorpusOps {
       .withColumn(offCols._2, pmod(col("cum") - col(sizeCol), lit(unit)))
   }
 
+  /** Reservoir size per language for the weighted sample. */
+  private val ReservoirK = 10
+
+  /** WEIGHTED reservoir sampling without replacement (Efraimidis-
+    * Spirakis): each language keeps the `ReservoirK` documents winning
+    * an exponential race — priority `e = −ln(u)/w`, u a deterministic
+    * per-doc uniform, w the doc's own quality score; the k SMALLEST e
+    * win, which samples without replacement with probability
+    * proportional to weight. This is the quality-weighted counterpart
+    * of the uniform `corpus_sample_bottomk`, and it COMPOSES the same
+    * native bounded aggregate: the race key is encoded as a
+    * fixed-width zero-padded integer string so `bottom_k_by_key`'s
+    * string order IS the numeric order, every map task reduces its
+    * slice to ≤ k rows per language before the shuffle, and membership
+    * is partitioning- and corpus-growth-independent (hash-derived u,
+    * no RNG). The window formulation this replaces sorts the whole
+    * corpus per language.
+    */
+  def corpusWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("weight"))
+    val u = (h32(concat(lit("res:"), col("doc_id"))) % 1000000L + 0.5) / 1000000.0
+    val ekey = lpad(
+      round(-log(u) / col("weight") * 1000000, 0).cast("bigint").cast("string"),
+      12, "0")
+    scored
+      .withColumn("ekey", ekey)
+      .groupBy(col("lang"))
+      .agg(call_function("bottom_k_by_key",
+        col("ekey"), col("doc_id"), lit(ReservoirK)).as("sample"))
+      .select(col("lang"), posexplode(col("sample")).as(Seq("pos", "doc_id")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("sample_rank"), col("doc_id"))
+      .join(scored.select(col("doc_id"), col("weight")), "doc_id")
+      .select(col("lang"), col("sample_rank"), col("doc_id"), col("weight"))
+      .orderBy(col("lang"), col("sample_rank"))
+  }
+
   /** Epoch seed + docs per output shard for the training-order
     * shuffle/export.
     */
@@ -363,6 +401,7 @@ object CorpusOps {
     "corpus_sample_stratified" -> (corpusSampleStratified _),
     "corpus_token_budget"      -> (corpusTokenBudget _),
     "corpus_shuffle_export"    -> (corpusShuffleExport _),
+    "corpus_weighted_sample"   -> (corpusWeightedSample _),
     "corpus_pii_scrub"         -> (corpusPiiScrub _),
     "corpus_decontaminate"     -> (corpusDecontaminate _))
 
@@ -452,6 +491,24 @@ object CorpusOps {
          |  global_pos // $ShardDocs AS shard_id,
          |  global_pos % $ShardDocs AS pos_in_shard
          |FROM n ORDER BY doc_id""".stripMargin,
+    "corpus_weighted_sample" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    ${TextAnalysis.qualityScoreSql("text")} AS weight
+         |  FROM documents),
+         |keyed AS (
+         |  SELECT doc_id, lang, weight,
+         |    lpad(CAST(CAST(round(
+         |      -ln((${h32Sql("'res:' || doc_id")} % 1000000 + 0.5) / 1000000.0)
+         |        / weight * 1000000, 0) AS BIGINT) AS VARCHAR), 12, '0') AS ekey
+         |  FROM scored),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY lang ORDER BY ekey, doc_id) AS sample_rank
+         |  FROM keyed)
+         |SELECT lang, CAST(sample_rank AS INT) AS sample_rank, doc_id, weight
+         |FROM ranked WHERE sample_rank <= $ReservoirK
+         |ORDER BY lang, sample_rank""".stripMargin,
     "corpus_pii_scrub" ->
       s"""WITH raw AS (
          |  SELECT doc_id,

@@ -12,6 +12,46 @@ class CoreAnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("q21 shape: winners are sole late suppliers of multi-supplier orders") {
+    import graft.Tables
+    val df = CoreAnalytics.q21SoleLateSupplier(spark, sfDir).cache()
+    assert(df.count() <= 10 && df.count() > 0)
+    // recompute the sole-late relation directly and cross-check one
+    // winner's count
+    val li = Tables.lineitem(spark, sfDir)
+    val late = li.join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("l_orderkey", "l_suppkey").distinct().cache()
+    val soloCnt = late.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_late"), min("l_suppkey").as("only_supp"))
+      .filter(col("n_late") === 1)
+    val multi = li.select("l_orderkey", "l_suppkey").distinct()
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n_sup"))
+      .filter(col("n_sup") > 1).select("l_orderkey")
+    val expected = soloCnt.join(multi, "l_orderkey")
+      .groupBy(col("only_supp").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait_expected"))
+    val off = df.join(expected, "s_suppkey")
+      .filter(col("numwait") =!= col("numwait_expected"))
+    assert(off.count() == 0)
+  }
+
+  test("q2 shape: every part appears, winners achieve the per-part minimum") {
+    import graft.Tables
+    val df = CoreAnalytics.q2MinPriceSupplier(spark, sfDir).cache()
+    // every traded part has at least one cheapest supplier
+    val traded = Tables.lineitem(spark, sfDir).select("l_partkey").distinct().count()
+    assert(df.select("p_partkey").distinct().count() == traded)
+    // no supplier row beats its part's published best price
+    val unit = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("l_extendedprice") / col("l_quantity"), 6).as("u"))
+    val trueMin = unit.groupBy("p_partkey").agg(min("u").as("true_min"))
+    assert(df.join(trueMin, "p_partkey")
+      .filter(col("best_price") =!= col("true_min")).count() == 0)
+  }
+
   test("q1 groups are the distinct flag/status pairs") {
     val df = CoreAnalytics.q1PricingSummary(spark, sfDir)
     val pairs = df.select("l_returnflag", "l_linestatus").collect().toSet

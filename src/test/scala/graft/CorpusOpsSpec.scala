@@ -59,6 +59,40 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(CorpusOps.corpusShuffleExport(spark, sfDir).exceptAll(df).count() == 0)
   }
 
+  test("corpus_weighted_sample: weighted reservoir favors quality, matches the window form") {
+    import graft.operators.TextAnalysis
+    val s = CorpusOps.corpusWeightedSample(spark, sfDir).cache()
+    // bounded per group, contiguous ranks
+    val perLang = s.groupBy("lang").agg(count(lit(1)).as("n"), max("sample_rank").as("mx"))
+    assert(perLang.filter(col("n") =!= col("mx") || col("n") > 10).count() == 0)
+    // membership equals the window-form Efraimidis-Spirakis definition
+    // (k smallest exponential-race keys per language), recomputed from
+    // the operator's own published weights — the bounded aggregate may
+    // never change WHO wins, only how many rows reach the shuffle
+    val keyed = TextAnalysis.textQuality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score").as("w"))
+      .join(Tables.documents(spark, sfDir).select("doc_id", "lang"), "doc_id")
+      .withColumn("u",
+        (conv(substring(md5(concat(lit("res:"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("bigint") % 1000000L + 0.5) / 1000000.0)
+      .withColumn("ekey", lpad(
+        round(-log(col("u")) / col("w") * 1000000, 0).cast("bigint").cast("string"),
+        12, "0"))
+    val expected = keyed
+      .withColumn("sample_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("ekey"), col("doc_id"))).cast("int"))
+      .filter(col("sample_rank") <= 10)
+      .select("lang", "sample_rank", "doc_id")
+    assert(s.select("lang", "sample_rank", "doc_id").exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(s.select("lang", "sample_rank", "doc_id")).count() == 0)
+    // the weight column is the doc's own quality score, verbatim
+    assert(s.join(TextAnalysis.textQuality(spark, sfDir), "doc_id")
+      .filter(col("weight") =!= col("quality_score")).count() == 0)
+    // deterministic
+    assert(CorpusOps.corpusWeightedSample(spark, sfDir).exceptAll(s).count() == 0)
+  }
+
   test("pii scrub: injected emails/phones are found and redacted") {
     val df = CorpusOps.corpusPiiScrub(spark, sfDir).cache()
     val injected = df.filter(col("doc_id") % 7 === 0)
