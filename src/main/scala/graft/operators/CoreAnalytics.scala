@@ -466,11 +466,16 @@ object CoreAnalytics {
     val multi = ls.groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_sup")).filter(col("n_sup") > 1)
       .select("l_orderkey")
+    // late is read twice (candidate side + anti side); localCheckpoint
+    // materializes the deduplicated (order, supplier) relation once —
+    // one fact-table pass instead of two (same rationale as the shared
+    // shingle relation in Dedup; reliable checkpoint() on a cluster)
     val late = li
       .join(Tables.orders(spark, dir),
         col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .localCheckpoint()
     val sole = late.join(multi, "l_orderkey").as("c")
       .join(late.as("x"),
         col("c.l_orderkey") === col("x.l_orderkey") &&
@@ -490,11 +495,14 @@ object CoreAnalytics {
     * q15_top_supplier a single global extreme; this one needs the
     * minimum PER PART joined back by equality, ties surfacing):
     * "each part's cheapest supplier" by observed unit price. The
-    * correlated `= (SELECT min ...)` decorrelates into a two-level
-    * aggregate — per-(part, supplier) minima (one shuffle), per-part
-    * best (partial agg on the SAME partitioning — no second exchange)
-    * — equi-joined back on (part, price). Supplier names attach by a
-    * bounded-dim join the cost model broadcasts while it fits.
+    * correlated `= (SELECT min ...)` decorrelates into the
+    * per-(part, supplier) minima aggregate (one shuffle) topped by a
+    * part-partitioned `rank() = 1` window — rank, not row_number, so
+    * price ties surface exactly like an equality join-back, but the
+    * fact table is scanned ONCE (the join-back formulation reads it
+    * twice) and InferWindowGroupLimit turns the rank filter into a
+    * partial group limit. Supplier names attach by a bounded-dim join
+    * the cost model broadcasts while it fits.
     */
   def q2MinPriceSupplier(spark: SparkSession, dir: String): DataFrame = {
     val unit = Tables.lineitem(spark, dir)
@@ -502,15 +510,14 @@ object CoreAnalytics {
         round(col("l_extendedprice") / col("l_quantity"), 6).as("unit_price"))
     val perSupp = unit.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("unit_price")).as("supp_min"))
-    val perPart = perSupp.groupBy(col("l_partkey"))
-      .agg(min(col("supp_min")).as("best_price"))
+    val w = Window.partitionBy(col("l_partkey")).orderBy(col("supp_min"))
     perSupp
-      .join(perPart, "l_partkey")
-      .filter(col("supp_min") === col("best_price"))
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") === 1)
       .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
-        col("s_name"), col("best_price"))
+        col("s_name"), col("supp_min").as("best_price"))
       .orderBy(col("p_partkey"), col("s_suppkey"))
   }
 
@@ -566,15 +573,15 @@ object CoreAnalytics {
         |per_supp AS (
         |  SELECT l_partkey, l_suppkey, min(unit_price) AS supp_min
         |  FROM unit GROUP BY 1, 2),
-        |per_part AS (
-        |  SELECT l_partkey, min(supp_min) AS best_price
-        |  FROM per_supp GROUP BY 1)
-        |SELECT ps.l_partkey AS p_partkey, s.s_suppkey, s.s_name,
-        |  pp.best_price
-        |FROM per_supp ps
-        |JOIN per_part pp
-        |  ON pp.l_partkey = ps.l_partkey AND ps.supp_min = pp.best_price
-        |JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        |ranked AS (
+        |  SELECT *, rank() OVER (
+        |    PARTITION BY l_partkey ORDER BY supp_min) AS rk
+        |  FROM per_supp)
+        |SELECT r.l_partkey AS p_partkey, s.s_suppkey, s.s_name,
+        |  r.supp_min AS best_price
+        |FROM ranked r
+        |JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        |WHERE r.rk = 1
         |ORDER BY p_partkey, s_suppkey""".stripMargin,
     "q13_custdist" ->
       """WITH co AS (

@@ -77,7 +77,19 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "corpus_split_leakage"  -> 2,
     "corpus_importance_resample" -> 1,
     "events_equiheight_hist" -> 3,
-    "dq_snapshot_drift"     -> 4)
+    "dq_snapshot_drift"     -> 4,
+    // agg + window-limit hash + output sort; the supplier dim is a
+    // broadcast (rank()=1 keeps the fact table to ONE scan)
+    "q2_min_price_supplier" -> 3,
+    // two (order,supplier) DISTINCTs + multi-keyset agg + anti join +
+    // final agg; late relation checkpointed once
+    "q21_sole_late_supplier" -> 5,
+    // tf/df/dl/stats model branches over the one posting relation
+    "text_bm25_topk"        -> 7,
+    // the two-phase-cumsum family price (see the packers above)
+    "corpus_shuffle_export" -> 4,
+    // bounded-aggregate partial pass + weight join-back/output sort
+    "corpus_weighted_sample" -> 2)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
