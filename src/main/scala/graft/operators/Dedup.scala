@@ -458,6 +458,97 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR edge
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the EXTREME-SCALE alternative to [[connectedComponents]]'s
+    * min-label propagation, which needs O(graph diameter) rounds: a
+    * 100 TB near-dup graph can carry chains thousands of hops long,
+    * while star-contraction converges in O(log n) rounds regardless of
+    * diameter. Each round is two keyed aggregations + projections:
+    *  - large-star: every node points its LARGER neighbors at the
+    *    minimum of its neighborhood (min computed once per node via
+    *    groupBy — a hub's min is found by ONE aggregation, never a
+    *    per-edge join);
+    *  - small-star: every node and its smaller-or-equal neighbors
+    *    contract onto that sub-neighborhood's minimum.
+    * Edges are localCheckpoint'd per round (constant-depth lineage,
+    * same discipline as the label loop; reliable checkpoint() on a
+    * real cluster), convergence probed by an Observation riding the
+    * checkpoint job. Returns the same (doc_id, component,
+    * component_size) labelling — component = min member id —
+    * spec-pinned equal to min-label propagation on chains, cliques,
+    * stars, and the corpus pair graph.
+    */
+  def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    val jp = pairs.toDF("doc_a", "doc_b").filter(col("doc_a") =!= col("doc_b"))
+    val obs0 = new org.apache.spark.sql.Observation("cc_star_init")
+    var edges = jp
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .distinct()
+      .observe(obs0, sum(col("u") + col("v")).as("edge_sum"),
+        count(lit(1)).as("n_edges"))
+      .localCheckpoint()
+    var prevSum = Option(obs0.get("edge_sum")).fold(0L)(_.asInstanceOf[Long])
+    var prevCnt = obs0.get("n_edges").asInstanceOf[Long]
+    if (prevCnt == 0L) {
+      return edges.select(col("u").as("doc_id"), col("v").as("component"),
+        lit(0L).as("component_size"))
+    }
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 32) {
+      // LARGE-STAR: symmetrize, then each node points its LARGER
+      // neighbors at min(Γ(u) ∪ {u}) — a hub's min via ONE aggregation
+      val sym = edges
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val afterLarge = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // SMALL-STAR: orient each edge large→small, then the node and
+      // all its smaller neighbors contract onto that set's minimum
+      val oriented = afterLarge
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val ssMin = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val obs = new org.apache.spark.sql.Observation(s"cc_star_$iter")
+      val next = oriented.join(ssMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .observe(obs, sum(col("u") + col("v")).as("edge_sum"),
+          count(lit(1)).as("n_edges"))
+        .localCheckpoint()
+      // per-round checkpoint: constant lineage depth, and the
+      // convergence probe (Σ(u+v) + edge count stable — both can only
+      // contract as endpoints move down to component minima) rides the
+      // materialization job, same discipline as the min-label loop
+      val s = Option(obs.get("edge_sum")).fold(0L)(_.asInstanceOf[Long])
+      val c = obs.get("n_edges").asInstanceOf[Long]
+      converged = s == prevSum && c == prevCnt
+      prevSum = s
+      prevCnt = c
+      edges = next
+      iter += 1
+    }
+    // post-fixpoint the edge set is the star forest (child → component
+    // minimum): children label with their root, roots label themselves
+    val labels = edges.groupBy(col("u")).agg(min(col("v")).as("component"))
+      .select(col("u").as("doc_id"),
+        least(col("component"), col("u")).as("component"))
+      .union(edges.select(col("v")).distinct()
+        .join(edges.select(col("u")).distinct(),
+          col("v") === col("u"), "left_anti")
+        .select(col("v").as("doc_id"), col("v").as("component")))
+    val w = Window.partitionBy(col("component"))
+    labels
+      .withColumn("component_size", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-cluster statistics over the near-dup component graph — the
     * dedup AUDIT view (cluster-size distribution, edge density) a
     * curation run publishes before committing deletions: component id

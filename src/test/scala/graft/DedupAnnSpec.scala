@@ -149,6 +149,36 @@ class DedupAnnSpec extends SparkTestBase {
     assert(comp.filter(col("component") === 1L).head().getAs[Long]("component_size") == 4L)
   }
 
+  test("star-contraction components equal min-label propagation on every graph shape") {
+    import spark.implicits._
+    // long chain (diameter stress — the case star-contraction exists
+    // for), clique, hub star, two components, reversed/duplicated edges
+    val shapes = Seq(
+      (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq,          // chain
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)), // K4
+      (2L to 9L).map(i => (i, 1L)),                                  // hub (reversed)
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (2L, 1L)),     // 2 comps + dup
+      Seq((5L, 9L)))                                                 // single edge
+    shapes.zipWithIndex.foreach { case (edges, i) =>
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val viaLabels = Dedup.connectedComponents(pairs)
+        .select("doc_id", "component", "component_size")
+      val viaStars = Dedup.connectedComponentsStar(pairs)
+        .select("doc_id", "component", "component_size")
+      assert(viaStars.exceptAll(viaLabels).count() == 0 &&
+        viaLabels.exceptAll(viaStars).count() == 0,
+        s"shape $i: star contraction disagrees with min-label propagation")
+    }
+    // empty graph: empty labelling, no NPE
+    assert(Dedup.connectedComponentsStar(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+    // and on the real corpus pair graph
+    val corpus = Dedup.dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val a = Dedup.connectedComponents(corpus).select("doc_id", "component", "component_size")
+    val b = Dedup.connectedComponentsStar(corpus).select("doc_id", "component", "component_size")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("dedup operators leave no dangling cache entries in the session") {
     // the multi-read intermediates use localCheckpoint (context-cleaner
     // reclaimable), never cache(): a long-lived session running many
