@@ -336,6 +336,14 @@ object Dedup {
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(dedupNgramJaccard(spark, dir).select("doc_a", "doc_b"))
 
+  /** The same cluster assignment through the star-contraction engine
+    * path ([[connectedComponentsStar]]) — both paths are oracle-checked
+    * against the identical recursive CTE, the same two-paths-one-oracle
+    * pattern as `events_asof_join` / `events_asof_native`.
+    */
+  def dedupComponentsStar(spark: SparkSession, dir: String): DataFrame =
+    connectedComponentsStar(dedupNgramJaccard(spark, dir).select("doc_a", "doc_b"))
+
   /** Containment detection params: every 31st doc gets a synthetic
     * 40%-prefix excerpt (id + 100000) injected so the asymmetric case
     * actually exists in the driver corpus — same synthesis pattern as
@@ -614,6 +622,7 @@ object Dedup {
     "dedup_minhash_est"   -> (dedupMinhashEst _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_containment" -> (dedupContainment _),
+    "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_embedding"     -> (dedupEmbedding _),
@@ -789,6 +798,13 @@ object Dedup {
          |FROM docstats JOIN estats USING (component)
          |ORDER BY component""".stripMargin,
     "dedup_components" ->
+      s"""WITH RECURSIVE $componentsCtes
+         |SELECT doc_id, component,
+         |  count(*) OVER (PARTITION BY component) AS component_size
+         |FROM comp ORDER BY doc_id""".stripMargin,
+    // identical oracle on purpose: the star-contraction path must
+    // reproduce min-label propagation's labelling exactly
+    "dedup_components_star" ->
       s"""WITH RECURSIVE $componentsCtes
          |SELECT doc_id, component,
          |  count(*) OVER (PARTITION BY component) AS component_size
