@@ -496,9 +496,12 @@ object AnnSearch {
   def annRrfFusion(spark: SparkSession, dir: String): DataFrame = {
     // vector leg: LSH candidates → cosine rank ≤ RrfCand per query
     val all = vecs(spark, dir)
+    // bucket keys read twice (corpus side + query side): checkpoint so
+    // the 16 hyperplane projections per vector run once
     val keyed = all
       .select(col("vec_id"), explode(tableKeys(col("v"))).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+      .localCheckpoint()
     val qKeys = keyed.filter(expr(QueryFilter))
       .select(col("vec_id").as("q_id"), col("t"), col("b"))
     val vecCand = keyed.join(broadcast(qKeys), Seq("t", "b"))
@@ -525,7 +528,12 @@ object AnnSearch {
     val terms = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
+    // the tf posting relation feeds FOUR derived relations (df, dl,
+    // stats, the query-term probe) plus the scoring join — checkpoint
+    // it so the corpus explode+aggregate runs once, not five times
+    // (same shared-relation discipline as the Dedup shingle relation)
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(

@@ -386,9 +386,12 @@ object Dedup {
     */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
     val sh = shinglesOf(augmentedDocs(spark, dir)).localCheckpoint()
+    // banded signatures checkpointed like the Jaccard twin: the self-
+    // join reads this relation twice
     val sigLong = minhashFromShingles(sh)
       .select(col("doc_id"), posexplode(
         array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
+      .localCheckpoint()
     val pairs = sigLong.select(col("doc_id").as("doc_a"), col("band_idx"), col("bk"))
       .join(sigLong.select(col("doc_id").as("doc_b"), col("band_idx"), col("bk")),
         Seq("band_idx", "bk"))

@@ -445,7 +445,11 @@ object TextAnalysis {
     val terms = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .filter(col("term") =!= "")
+    // the tf posting relation feeds df, dl, the (N, avgdl) stats, and
+    // the scoring join — checkpoint so the corpus explode+aggregate
+    // runs once (same shared-relation discipline as Dedup's shingles)
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(
