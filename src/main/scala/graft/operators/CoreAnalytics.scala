@@ -521,8 +521,284 @@ object CoreAnalytics {
       .orderBy(col("p_partkey"), col("s_suppkey"))
   }
 
+  /** TPC-H Q6 shape — pure scan-side aggregation: every predicate
+    * (date range, discount band, quantity cap) sits directly on the
+    * lineitem scan, so the whole query is a parquet scan with pushed
+    * filters feeding one partial+final agg — zero joins, one exchange
+    * (the final 1-row agg). At 100 TB this is the cheapest possible
+    * full-table query: min/max page statistics skip whole row groups
+    * outside the ship-date year.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+
+  /** TPC-H Q8 shape — market-share-by-year: the numerator is a
+    * conditional slice of the denominator, so ONE aggregation computes
+    * both (sum(when(...)) / sum(...)) instead of two query trees.
+    * Customer-side nation/region restrict the orders; the supplier's
+    * nation feeds the share condition. Bounded dims (nation, region)
+    * broadcast; the scaling joins (orders, customer, supplier) shuffle
+    * on their keys.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val amer = Tables.region(spark, dir)
+      .filter(col("r_name") === "AMERICA").select("r_regionkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("cn_key"),
+        col("n_regionkey"))), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(amer), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_5", col("volume")).otherwise(0))
+          / sum(col("volume")), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape — profit by supplier nation × year for one product
+    * type. The part filter (p_type) prunes the fact early via the
+    * partkey join; nation is bounded → broadcast; supplier/orders
+    * shuffle. (This schema has no partsupp/supplycost, so "profit" is
+    * the discounted revenue — the join/agg topology is Q9's.)
+    */
+  def q9ProfitByNation(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(Tables.part(spark, dir).filter(col("p_type") === "STANDARD")
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** TPC-H Q10 shape — returned-item reporting: top-20 customers by
+    * revenue lost to returns in one quarter. The quarter filter prunes
+    * orders on the scan; the R-flag filter prunes lineitem; top-20 is
+    * TakeOrdered (no global sort materialization).
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q11 shape — grouped value filtered by a scalar fraction of
+    * the GLOBAL total: per-part shipped value from one REGION's
+    * suppliers, kept only when it exceeds 0.1% of that region's total.
+    * The correlated HAVING decorrelates into a 1-row total aggregate
+    * cross-broadcast onto the grouped relation — the grouped agg is
+    * computed ONCE and reused for the total (no second fact pass).
+    * (This schema has no partsupp; shipped value stands in for stock
+    * value — the grouped-vs-global-scalar topology is Q11's. A region,
+    * not a nation, keeps the supplier slice non-empty at every SF.)
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val euro = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")
+        .select("r_regionkey"), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val perPart = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(euro), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("l_partkey"))
+      // rounded BEFORE the threshold compare (q22's discipline): both
+      // engines then filter the same 4-decimal values
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("part_value"))
+      .localCheckpoint() // feeds the total AND the filtered output
+    val total = perPart.agg(round(sum(col("part_value")) * 0.001, 6).as("thresh"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("part_value") > col("thresh"))
+      .select(col("l_partkey").as("p_partkey"), col("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12 shape — conditional (pivot-style) aggregation over a
+    * derived dimension: ship-delay bands × order-priority class, both
+    * computed row-side so the whole query is one join + one grouped agg
+    * with two conditional sums. (This schema has no shipmode/commit
+    * date; the delay band replaces shipmode as the Q12 bucket.)
+    */
+  def q12ShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_band",
+        when(delay <= 30, "0-30").when(delay <= 60, "31-60")
+          .when(delay <= 90, "61-90").otherwise("90+"))
+      .groupBy(col("delay_band"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+          .otherwise(0)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+          .otherwise(1)).as("low_line_count"))
+      .orderBy(col("delay_band"))
+  }
+
+  /** TPC-H Q14 shape — promo revenue share in one month: numerator is
+    * a conditional slice of the denominator (one agg, like Q8), and the
+    * part join carries only (p_partkey, p_type).
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-10-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(Tables.part(spark, dir).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .agg(round(
+        lit(100) * sum(when(col("p_type") === "PROMO", col("volume")).otherwise(0))
+          / sum(col("volume")), 6).as("promo_revenue_pct"))
+
+  /** TPC-H Q16 shape — supplier variety per (brand, type, size) with a
+    * NOT-IN supplier exclusion. The (part, supplier) relation is the
+    * deduplicated fact projection (this schema's partsupp surrogate);
+    * the exclusion list (negative-balance suppliers) decorrelates to a
+    * LEFT ANTI join; count(DISTINCT) runs with partial aggregation.
+    */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val excl = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val ps = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    ps.join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q17 shape — small-quantity revenue against a per-part
+    * correlated average. Decorrelated as a part-partitioned window avg
+    * over the (already part-filtered) fact slice: ONE shuffle computes
+    * the threshold and filters against it (the agg+join-back form would
+    * shuffle twice). Quantities are integer-valued doubles, so the avg
+    * is bit-identical across engines and the 0.2× threshold is safe to
+    * compare unrounded; only the money sum is rounded.
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#3" && col("p_type") === "MEDIUM")
+      .select("p_partkey")
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .withColumn("qty_thresh", avg(col("l_quantity")).over(w) * 0.2)
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive join predicates: the partkey
+    * equi-key is extractable from every OR branch, so Catalyst plans a
+    * hash join with the (brand, size, quantity) disjunction as a
+    * residual filter — NOT a nested loop. PlanGuardSpec pins that.
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    li.join(p, col("l_partkey") === col("p_partkey") && (
+        (col("p_brand") === "Brand#3"  && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#14" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#25" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+  }
+
+  /** TPC-H Q20 shape — suppliers concentrating a part's flow: the
+    * per-(part, supplier) aggregate feeds BOTH the per-part total (a
+    * second, much smaller agg over it) and the threshold join, so it is
+    * localCheckpoint'd once (reliable checkpoint on a cluster); the
+    * fact table is scanned a single time. Quantities are integer-valued
+    * doubles → the 0.3× threshold compares identically across engines.
+    */
+  def q20TopPartSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val promo = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val perSupp = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(promo, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("supp_qty"))
+      .localCheckpoint()
+    val perPart = perSupp.groupBy(col("l_partkey"))
+      .agg(sum(col("supp_qty")).as("part_qty"))
+    perSupp.join(perPart, "l_partkey")
+      .filter(col("supp_qty") > col("part_qty") * 0.3)
+      .select("l_suppkey").distinct()
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name")
+      .orderBy(col("s_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_custdist"         -> (q13CustDist _),
+    "q6_forecast_revenue"  -> (q6ForecastRevenue _),
+    "q8_market_share"      -> (q8MarketShare _),
+    "q9_profit_by_nation"  -> (q9ProfitByNation _),
+    "q10_returned_items"   -> (q10ReturnedItems _),
+    "q11_important_parts"  -> (q11ImportantParts _),
+    "q12_ship_priority"    -> (q12ShipPriority _),
+    "q14_promo_share"      -> (q14PromoShare _),
+    "q16_supplier_variety" -> (q16SupplierVariety _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
+    "q20_top_part_suppliers" -> (q20TopPartSuppliers _),
     "q15_top_supplier"     -> (q15TopSupplier _),
     "q21_sole_late_supplier" -> (q21SoleLateSupplier _),
     "q2_min_price_supplier" -> (q2MinPriceSupplier _),
@@ -546,6 +822,134 @@ object CoreAnalytics {
     "q_salted_skew_join"   -> (saltedSkewJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  round(sum(CASE WHEN sn.n_name = 'NATION_5'
+        |              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |        / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE r_name = 'AMERICA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "q9_profit_by_nation" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_type = 'STANDARD'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q11_important_parts" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS part_value
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |  GROUP BY 1)
+        |SELECT l_partkey AS p_partkey, part_value
+        |FROM per_part
+        |WHERE part_value > (
+        |  SELECT round(sum(part_value) * 0.001, 6) FROM per_part)
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+    "q12_ship_priority" ->
+      """WITH banded AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN '0-30'
+        |         WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN '31-60'
+        |         WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN '61-90'
+        |         ELSE '90+' END AS delay_band
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT delay_band,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM banded GROUP BY delay_band ORDER BY delay_band""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+    "q16_supplier_variety" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH sel AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3' AND p_type = 'MEDIUM')
+        |SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM (SELECT *, avg(l_quantity) OVER (PARTITION BY l_partkey) * 0.2
+        |        AS qty_thresh FROM sel) t
+        |WHERE l_quantity < qty_thresh""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q20_top_part_suppliers" ->
+      """WITH per_supp AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |per_part AS (
+        |  SELECT l_partkey, sum(supp_qty) AS part_qty
+        |  FROM per_supp GROUP BY 1),
+        |heavy AS (
+        |  SELECT DISTINCT l_suppkey
+        |  FROM per_supp JOIN per_part USING (l_partkey)
+        |  WHERE supp_qty > part_qty * 0.3)
+        |SELECT s_suppkey, s_name
+        |FROM heavy JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
     "q21_sole_late_supplier" ->
       """WITH ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         |multi AS (SELECT l_orderkey FROM ls GROUP BY 1 HAVING count(*) > 1),

@@ -32,6 +32,7 @@ class PlanGuardSpec extends SparkTestBase {
     "text_bm25_topk", // 1-row broadcast (N, avgdl) stats relation
     "ann_rrf_fusion", // same 1-row stats relation under its BM25 leg
     "q22_dormant_customers", // 1-row broadcast average-balance cutoff
+    "q11_important_parts", // 1-row broadcast global-total threshold
     "dq_snapshot_drift", // crossJoin of two 1-row stat aggregates
     "graph_pagerank") // 1-row broadcast node count joined per iteration
 

@@ -89,7 +89,29 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // the two-phase-cumsum family price (see the packers above)
     "corpus_shuffle_export" -> 4,
     // bounded-aggregate partial pass + weight join-back/output sort
-    "corpus_weighted_sample" -> 2)
+    "corpus_weighted_sample" -> 2,
+    // scan-side filters + one final 1-row agg — the floor for a
+    // full-table query; q14/q19's single exchange is the same shape
+    // (their part join broadcasts at spec scale)
+    "q6_forecast_revenue"   -> 1,
+    "q8_market_share"       -> 2,
+    "q9_profit_by_nation"   -> 2,
+    "q10_returned_items"    -> 1,
+    // grouped agg (checkpointed, reused for the 1-row total) + output
+    // sort; the scalar threshold joins back as a broadcast
+    "q11_important_parts"   -> 2,
+    "q12_ship_priority"     -> 2,
+    "q14_promo_share"       -> 1,
+    // distinct (partsupp surrogate) + two-phase countDistinct expand +
+    // output sort
+    "q16_supplier_variety"  -> 4,
+    // ONE part-partitioned window computes and applies the per-part
+    // threshold (agg+join-back would add an exchange)
+    "q17_small_qty_revenue" -> 2,
+    "q19_disjunctive_revenue" -> 1,
+    // per-(part,supp) agg + per-part rollup + distinct + output sort;
+    // fact scanned once (checkpointed)
+    "q20_top_part_suppliers" -> 4)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
