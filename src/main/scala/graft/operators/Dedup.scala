@@ -615,7 +615,68 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Fraction of documents treated as the incoming batch: doc_id % 4
+    * == 0 (~25%); the rest are the already-admitted corpus.
+    */
+  private val NewMod = 4
+
+  /** Incremental near-dup admission — the streaming-ingest shape of
+    * MinHash dedup: an incoming batch is checked against the EXISTING
+    * corpus's signature index plus its own earlier arrivals, and
+    * old-vs-old pairs are never re-examined. At 100 TB this is the
+    * operating mode that matters: the corpus signature index (16
+    * longs + 8 band keys per doc) is maintained as a table, and each
+    * ingest batch joins its band keys against it — work proportional
+    * to the batch and the touched buckets, not the corpus. Batch
+    * membership here is derived (doc_id mod 4) so the oracle can see
+    * the same split; arrival order within the batch = doc_id order.
+    * Output: one admission verdict per new doc, with its best
+    * surviving match (highest verified Jaccard, ties to the smallest
+    * doc_id).
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).localCheckpoint()
+    val sigLong = minhashFromShingles(sh)
+      .select(col("doc_id"), posexplode(
+        array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
+      .withColumn("is_new", col("doc_id") % NewMod === 0)
+      .localCheckpoint() // read twice: probe side + index side
+    val newKeys = sigLong.filter(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("band_idx"), col("bk"))
+    val candidates = newKeys
+      .join(sigLong.select(col("doc_id").as("cand_id"), col("band_idx"),
+        col("bk"), col("is_new").as("cand_new")), Seq("band_idx", "bk"))
+      .filter(!col("cand_new") || col("cand_id") < col("new_id"))
+      .select("new_id", "cand_id").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val inter = candidates
+      .join(sh.select(col("doc_id").as("new_id"), col("gram")), "new_id")
+      .join(sh.select(col("doc_id").as("cand_id"), col("gram")), Seq("cand_id", "gram"))
+      .groupBy("new_id", "cand_id").agg(count(lit(1)).as("n_inter"))
+    val jac = inter
+      .join(sizes.select(col("doc_id").as("new_id"), col("n_grams").as("na")), "new_id")
+      .join(sizes.select(col("doc_id").as("cand_id"), col("n_grams").as("nb")), "cand_id")
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+    // windows only the matched relation (tiny), same discipline as
+    // dedupKeepBest — never the whole batch
+    val w = Window.partitionBy(col("new_id"))
+      .orderBy(col("jaccard").desc, col("cand_id"))
+    val best = jac.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("new_id"), col("cand_id").as("match_id"),
+        col("jaccard").as("match_jaccard"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") % NewMod === 0)
+      .join(best, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"), col("match_id"), col("match_jaccard"),
+        when(col("match_id").isNotNull, lit("drop")).otherwise(lit("admit"))
+          .as("action"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental"   -> (dedupIncremental _),
     "dedup_exact"         -> (dedupExact _),
     "dedup_components"    -> (dedupComponents _),
     "dedup_cluster_stats" -> (dedupClusterStats _),
@@ -729,6 +790,46 @@ object Dedup {
     },
     "dedup_ngram_jaccard" ->
       s"WITH $jaccardCtes SELECT * FROM jpairs ORDER BY doc_a, doc_b",
+    "dedup_incremental" -> {
+      val bandUnion = (0 until NumBands)
+        .map(b => s"SELECT doc_id, $b AS bi, band$b AS bk FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH $minhashCte,
+         |bands AS ($bandUnion),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS cand_id
+         |  FROM bands n JOIN bands c ON n.bi = c.bi AND n.bk = c.bk
+         |  WHERE n.doc_id % $NewMod = 0
+         |    AND (c.doc_id % $NewMod <> 0 OR c.doc_id < n.doc_id)),
+         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.new_id, p.cand_id, count(*) AS n_inter
+         |  FROM cand p
+         |  JOIN sh sa ON sa.doc_id = p.new_id
+         |  JOIN sh sb ON sb.doc_id = p.cand_id AND sb.gram = sa.gram
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT i.new_id, i.cand_id,
+         |    round(n_inter * 1.0 / (za.n_grams + zb.n_grams - n_inter), 6)
+         |      AS jaccard
+         |  FROM inter i
+         |  JOIN sizes za ON za.doc_id = i.new_id
+         |  JOIN sizes zb ON zb.doc_id = i.cand_id
+         |  WHERE round(n_inter * 1.0 / (za.n_grams + zb.n_grams - n_inter), 6)
+         |    >= $JaccardThreshold),
+         |best AS (
+         |  SELECT new_id, cand_id AS match_id, jaccard AS match_jaccard,
+         |    row_number() OVER (PARTITION BY new_id
+         |      ORDER BY jaccard DESC, cand_id) AS rk
+         |  FROM jac)
+         |SELECT d.doc_id, b.match_id, b.match_jaccard,
+         |  CASE WHEN b.match_id IS NOT NULL THEN 'drop' ELSE 'admit' END
+         |    AS action
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.new_id = d.doc_id
+         |WHERE d.doc_id % $NewMod = 0
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "dedup_containment" ->
       s"""WITH docs AS (
          |  SELECT doc_id, text FROM documents

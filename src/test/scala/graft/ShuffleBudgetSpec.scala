@@ -111,7 +111,11 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q19_disjunctive_revenue" -> 1,
     // per-(part,supp) agg + per-part rollup + distinct + output sort;
     // fact scanned once (checkpointed)
-    "q20_top_part_suppliers" -> 4)
+    "q20_top_part_suppliers" -> 4,
+    // candidate distinct + verify agg + size join + batch left-join/sort
+    // over the CHECKPOINTED shingle/signature relations (the corpus
+    // explode and index build run once, not per reader)
+    "dedup_incremental"     -> 4)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
