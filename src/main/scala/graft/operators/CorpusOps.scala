@@ -392,7 +392,44 @@ object CorpusOps {
       .orderBy(col("lang"))
   }
 
+  /** Model-based quality filtering — the fasttext-classifier shape
+    * every production corpus pipeline runs (CCNet-style): each doc's
+    * DISTINCT unigram+bigram features hash into a weight table, the
+    * scaled-integer weight sum is the linear margin, and a sigmoid maps
+    * it to a keep-probability. The weights here are md5-derived
+    * stand-ins in [-1, 1] (a TRAINED model would broadcast its weight
+    * table; lookup-by-hash, feature extraction, and the order-free
+    * integer margin sum — the parts that matter at 100 TB — are
+    * identical). Map-side explode + one doc_id shuffle; the keep
+    * verdict compares the EXACT integer margin sign, not the rounded
+    * sigmoid, so the cut is engine-exact.
+    */
+  def corpusModelQuality(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(concat(toks, CASE WHEN size(toks) >= 2 THEN " +
+          "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), '_', element_at(toks, i + 1))) " +
+          "ELSE array() END))")).as("feat"))
+      .filter(col("feat") =!= "")
+    feats
+      .select(col("doc_id"), (h32(col("feat")) % 2001 - 1000).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("sw"), count(lit(1)).as("nf"))
+      .withColumn("margin_raw", col("sw") / (col("nf") * lit(1000.0)))
+      .select(
+        col("doc_id"),
+        round(col("margin_raw"), 6).as("margin"),
+        round(lit(1.0) / (lit(1.0) + exp(lit(-4.0) * col("margin_raw"))), 6)
+          .as("model_score"),
+        (col("sw") >= 0).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_model_quality"     -> (corpusModelQuality _),
     "corpus_importance_resample" -> (corpusImportanceResample _),
     "corpus_pack_contexts"     -> (corpusPackContexts _),
     "corpus_mix_rebalance"     -> (corpusMixRebalance _),
@@ -412,6 +449,26 @@ object CorpusOps {
        |       unnest(generate_series(1, len(toks) - ${n - 1})) t(i))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_model_quality" ->
+      s"""WITH feats AS (
+         |  SELECT DISTINCT doc_id, f FROM (
+         |    SELECT doc_id, unnest(list_concat(toks,
+         |      list_transform(generate_series(1, len(toks) - 1),
+         |        i -> toks[i] || '_' || toks[i + 1]))) AS f
+         |    FROM (SELECT doc_id,
+         |            string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |          FROM documents))
+         |  WHERE f <> ''),
+         |agg AS (
+         |  SELECT doc_id,
+         |    sum(${h32Sql("f")} % 2001 - 1000) AS sw, count(*) AS nf
+         |  FROM feats GROUP BY doc_id)
+         |SELECT doc_id,
+         |  round(sw / (nf * 1000.0), 6) AS margin,
+         |  round(1.0 / (1.0 + exp(-4.0 * (sw / (nf * 1000.0)))), 6)
+         |    AS model_score,
+         |  sw >= 0 AS is_kept
+         |FROM agg ORDER BY doc_id""".stripMargin,
     // lateral alias refs: is_kept reads the emitted columns, so the
     // hash/score expressions exist exactly once and cannot drift
     "corpus_importance_resample" ->

@@ -115,7 +115,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // candidate distinct + verify agg + size join + batch left-join/sort
     // over the CHECKPOINTED shingle/signature relations (the corpus
     // explode and index build run once, not per reader)
-    "dedup_incremental"     -> 4)
+    "dedup_incremental"     -> 4,
+    // feature explode is map-side; one doc_id agg + output sort
+    "corpus_model_quality"  -> 2)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
