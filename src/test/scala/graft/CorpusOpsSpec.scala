@@ -175,4 +175,19 @@ class CorpusOpsSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("model quality: verdict equals the margin sign, scores are calibrated probabilities") {
+    val df = CorpusOps.corpusModelQuality(spark, sfDir).cache()
+    // sigmoid range and monotone consistency with the margin
+    assert(df.filter(col("model_score") <= 0 || col("model_score") >= 1).count() == 0)
+    assert(df.filter((col("margin") > 0) && col("model_score") < 0.5).count() == 0)
+    assert(df.filter((col("margin") < 0) && col("model_score") > 0.5).count() == 0)
+    // the cut is the exact integer margin sign (never the rounded score)
+    assert(df.filter(col("is_kept") =!= (col("margin") >= 0)).count() == 0)
+    // hash-derived weights are zero-mean: the filter must not collapse
+    // to keep-everything or drop-everything
+    val kept = df.filter(col("is_kept")).count()
+    assert(kept > 0 && kept < df.count())
+    df.unpersist()
+  }
+
 }

@@ -359,4 +359,25 @@ class DedupAnnSpec extends SparkTestBase {
     pairs.unpersist()
   }
 
+  test("dedup_incremental: verdicts consistent, batch complete, old-vs-old never examined") {
+    val df = Dedup.dedupIncremental(spark, sfDir).cache()
+    // one verdict per new-batch doc, and only new-batch docs
+    assert(df.filter(col("doc_id") % 4 =!= 0).count() == 0)
+    val batch = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 4 === 0).count()
+    assert(df.count() == batch, "one verdict per new doc")
+    // drop ⇔ a verified match above threshold; admit ⇔ no match
+    assert(df.filter(col("action") === "drop" &&
+      (col("match_id").isNull || col("match_jaccard") < 0.5)).count() == 0)
+    assert(df.filter(col("action") === "admit" && col("match_id").isNotNull)
+      .count() == 0)
+    // matches drawn from the index: existing docs, or EARLIER new docs
+    // (arrival order = id order) — a new-batch match with id ≥ the doc
+    // would mean the batch compared against later arrivals
+    assert(df.filter(col("match_id").isNotNull &&
+      col("match_id") % 4 === 0 && col("match_id") >= col("doc_id"))
+      .count() == 0)
+    df.unpersist()
+  }
+
 }
