@@ -503,7 +503,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM perplexity — the CCNet/Wikipedia-LM filter shape every
+    * corpus pipeline runs: score each document by the cross-entropy of
+    * its token stream under a language model (here a corpus-trained
+    * add-½-smoothed bigram model — a KenLM would broadcast its ARPA
+    * table; the scoring join topology is identical). The model
+    * relations (bigram counts, context totals derived FROM the bigram
+    * relation, successor-vocabulary size) are vocabulary-bounded; the
+    * token-pair relation shuffles once and is checkpointed (read for
+    * counts and for scoring). Per-pair -log₂p contributions are
+    * integer-scaled before the order-free per-doc sum (the BM25
+    * discipline), so only the final single-evaluation 2^H rounds.
+    */
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint() // model training + scoring read it
+    val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbg"))
+    val ctx = bg.groupBy(col("w1")).agg(sum(col("cbg")).as("cctx"))
+    val vocab = pairs.agg(countDistinct(col("w2")).as("vs"))
+    pairs
+      .join(bg, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll6", round(-log(2.0,
+        (col("cbg") + 0.5) / (col("cctx") + lit(0.5) * col("vs"))) * 1000000, 0)
+        .cast("bigint"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("nll6")).as("s6"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("s6") / (col("n_grams") * lit(1000000.0)), 6).as("cross_entropy"),
+        round(pow(lit(2.0), col("s6") / (col("n_grams") * lit(1000000.0))), 6)
+          .as("perplexity"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_perplexity"     -> (textPerplexity _),
     "text_winnowing"   -> (textWinnowing _),
     "text_winnow_pairs" -> (textWinnowPairs _),
     "text_entropy"     -> (textEntropy _),
@@ -578,6 +620,27 @@ object TextAnalysis {
        |  HAVING count(*) >= 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_perplexity" ->
+      s"""WITH pr AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents) d,
+         |       unnest(generate_series(1, len(toks) - 1)) t(i)
+         |  WHERE len(toks) >= 2),
+         |bg AS (SELECT w1, w2, count(*) AS cbg FROM pr GROUP BY 1, 2),
+         |ctx AS (SELECT w1, sum(cbg) AS cctx FROM bg GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w2) AS vs FROM pr),
+         |sc AS (
+         |  SELECT p.doc_id,
+         |    CAST(round(-log2((cbg + 0.5) / (cctx + 0.5 * vs)) * 1000000, 0)
+         |      AS BIGINT) AS nll6
+         |  FROM pr p JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_grams, sum(nll6) AS s6
+         |  FROM sc GROUP BY 1)
+         |SELECT doc_id, n_grams,
+         |  round(s6 / (n_grams * 1000000.0), 6) AS cross_entropy,
+         |  round(pow(2.0, s6 / (n_grams * 1000000.0)), 6) AS perplexity
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "text_winnowing" ->
       s"""WITH $winnowCtes
         |SELECT DISTINCT doc_id,

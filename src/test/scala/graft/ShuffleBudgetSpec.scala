@@ -117,7 +117,11 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // explode and index build run once, not per reader)
     "dedup_incremental"     -> 4,
     // feature explode is map-side; one doc_id agg + output sort
-    "corpus_model_quality"  -> 2)
+    "corpus_model_quality"  -> 2,
+    // LM branches (bigram/context/vocab) over the one checkpointed
+    // pair relation + scoring join + doc agg + sort — same shape and
+    // budget as text_bm25_topk's model branches
+    "text_perplexity"       -> 7)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a

@@ -392,4 +392,28 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("text_perplexity: perplexity = 2^H, bounded by the smoothed model, dups score identically") {
+    val df = TextAnalysis.textPerplexity(spark, sfDir).cache()
+    // every multi-token doc is scored
+    val multi = Tables.documents(spark, sfDir)
+      .filter(size(split(lower(trim(col("text"))), "\\s+")) >= 2).count()
+    assert(df.count() == multi)
+    // cross-entropy positive (smoothing keeps every p < 1), and
+    // perplexity is its exponential (recompute within rounding slack)
+    assert(df.filter(col("cross_entropy") <= 0).count() == 0)
+    assert(df.filter(abs(pow(lit(2.0), col("cross_entropy")) - col("perplexity"))
+      > col("perplexity") * 1e-4).count() == 0)
+    // exact-duplicate docs share the same token stream → same score
+    val dups = Dedup.dedupExact(spark, sfDir)
+      .select(col("doc_id"), col("canonical_id"))
+      .filter(col("doc_id") =!= col("canonical_id"))
+    val mismatch = dups
+      .join(df.select(col("doc_id"), col("perplexity").as("p1")), "doc_id")
+      .join(df.select(col("doc_id").as("canonical_id"), col("perplexity").as("p2")),
+        "canonical_id")
+      .filter(col("p1") =!= col("p2"))
+    assert(mismatch.count() == 0)
+    df.unpersist()
+  }
+
 }
