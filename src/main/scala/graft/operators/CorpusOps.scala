@@ -148,8 +148,16 @@ object CorpusOps {
     */
   private[graft] def keyedCumsum(df: DataFrame, key: String,
       order: Seq[Column], sizeCol: String, out: String): DataFrame = {
+    // materialized ONCE: the slices and the offsets aggregate both read
+    // this relation, and `_pid` is only meaningful if both sides see the
+    // SAME physical range exchange — exchange reuse makes that true in
+    // practice, but it is an optimizer behavior, not a contract
+    // (ADVICE r5). The checkpoint makes the slice boundaries structural:
+    // each reader starts from the one materialized partitioning, the
+    // discipline used everywhere else a relation is read twice.
     val base = df.repartitionByRange((col(key) +: order): _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val localW = Window.partitionBy(col("_pid"), col(key)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = base.withColumn("_lcum", sum(col(sizeCol)).over(localW))

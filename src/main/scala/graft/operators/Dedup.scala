@@ -493,14 +493,22 @@ object Dedup {
   def connectedComponentsStar(pairs: DataFrame): DataFrame = {
     val jp = pairs.toDF("doc_a", "doc_b").filter(col("doc_a") =!= col("doc_b"))
     val obs0 = new org.apache.spark.sql.Observation("cc_star_init")
+    // convergence fingerprint: (Σ(u+v), count, XOR of per-edge xxhash64).
+    // Sum+count alone admit collisions (two distinct edge sets agreeing
+    // on both statistics could end a round early and emit a non-fixpoint
+    // labelling — ADVICE r5); the xor of a 64-bit content hash is
+    // order-insensitive over the DISTINCT edge relation and cannot
+    // overflow, pushing a silent collision to ~2^-64
+    val edgeHash = expr("bit_xor(xxhash64(u, v))").as("edge_hash")
     var edges = jp
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .distinct()
       .observe(obs0, sum(col("u") + col("v")).as("edge_sum"),
-        count(lit(1)).as("n_edges"))
+        count(lit(1)).as("n_edges"), edgeHash)
       .localCheckpoint()
     var prevSum = Option(obs0.get("edge_sum")).fold(0L)(_.asInstanceOf[Long])
     var prevCnt = obs0.get("n_edges").asInstanceOf[Long]
+    var prevHash = Option(obs0.get("edge_hash")).fold(0L)(_.asInstanceOf[Long])
     if (prevCnt == 0L) {
       return edges.select(col("u").as("doc_id"), col("v").as("component"),
         lit(0L).as("component_size"))
@@ -531,20 +539,28 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
         .observe(obs, sum(col("u") + col("v")).as("edge_sum"),
-          count(lit(1)).as("n_edges"))
+          count(lit(1)).as("n_edges"), edgeHash)
         .localCheckpoint()
       // per-round checkpoint: constant lineage depth, and the
-      // convergence probe (Σ(u+v) + edge count stable — both can only
-      // contract as endpoints move down to component minima) rides the
-      // materialization job, same discipline as the min-label loop
+      // convergence probe (Σ(u+v) + edge count + content-hash xor
+      // stable — a round that changes ANY edge changes the xor) rides
+      // the materialization job, same discipline as the min-label loop
       val s = Option(obs.get("edge_sum")).fold(0L)(_.asInstanceOf[Long])
       val c = obs.get("n_edges").asInstanceOf[Long]
-      converged = s == prevSum && c == prevCnt
+      val h = Option(obs.get("edge_hash")).fold(0L)(_.asInstanceOf[Long])
+      converged = s == prevSum && c == prevCnt && h == prevHash
       prevSum = s
       prevCnt = c
+      prevHash = h
       edges = next
       iter += 1
     }
+    // the 32-round cap is ~2^32 nodes' worth of O(log n) contraction —
+    // falling through it means the loop did NOT reach a fixpoint, and
+    // labeling a non-fixpoint edge set would silently emit wrong
+    // components (ADVICE r5): fail loudly instead
+    require(converged,
+      s"star-contraction did not converge within $iter rounds")
     // post-fixpoint the edge set is the star forest (child → component
     // minimum): children label with their root, roots label themselves
     val labels = edges.groupBy(col("u")).agg(min(col("v")).as("component"))
@@ -696,14 +712,20 @@ object Dedup {
     * shared by the estimate, exact-jaccard, and components oracles.
     */
   private def cpairsCtesOver(rel: String): String = {
+    // the band key carries its band INDEX and the join matches on
+    // (bi, bk) exactly like every Spark-side candidate join — on bk
+    // alone a cross-band md5-prefix collision would create an
+    // oracle-only candidate pair (ADVICE r5; probability ~2^-64, but
+    // the two sides should express the same relation, not nearly)
     val bandUnion = (0 until NumBands)
-      .map(b => s"SELECT doc_id, band$b AS bk FROM sig").mkString(" UNION ALL ")
+      .map(b => s"SELECT doc_id, $b AS bi, band$b AS bk FROM sig")
+      .mkString(" UNION ALL ")
     s"""${minhashCteOver(rel)},
        |cpairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM ($bandUnion) a
        |  JOIN ($bandUnion) b
-       |    ON a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+       |    ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
   }
   /** Recursive-CTE connected components over the Jaccard pair graph,
     * ending in `comp(doc_id, component)` — the oracle twin of

@@ -294,8 +294,13 @@ object Events {
     * `events_quantiles_approx`. Bucket populations come out ~equal by
     * construction — the point of equi-height bins under skew.
     */
-  def eventsEquiheightHist(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+  def eventsEquiheightHist(spark: SparkSession, dir: String): DataFrame =
+    equiheightOf(Tables.events(spark, dir).select(col("event_type"), col("value")))
+
+  /** The histogram over any (event_type, value) relation — exposed so
+    * specs can drive hand-built distributions at the rounding boundary.
+    */
+  private[graft] def equiheightOf(ev: DataFrame): DataFrame = {
     val edges = ev.groupBy(col("event_type"))
       .agg(
         // percentile over PRE-ROUNDED values: the interpolation inputs

@@ -23,6 +23,39 @@ class GraphOpsSpec extends SparkTestBase {
     Seq(1L, 2L, 3L).foreach(l => assert(math.abs(r(l) - 0.12639583) < 2e-6))
   }
 
+  test("pagerank re-rounds ranks every iteration, not only at the end") {
+    // P3 path 1-2-3 distinguishes the two semantics at the 6th decimal:
+    // per-iteration rounding -> center 0.580541; rounding only at the
+    // end -> 0.580542 (exact iter-3 center = 0.05 + 0.85*2*r1 where
+    // unrounded r1 = 0.31208333... vs rounded r1 = 0.312083). The
+    // oracle CTE rounds every round, so the Spark loop must too — this
+    // pins the cross-engine re-convergence contract (VERDICT r5 #3).
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = GraphOps.pagerankOf(path).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(2L) == 0.580541, s"center ${r(2L)}: per-iteration rounding regressed")
+    assert(r(1L) == 0.209729 && r(3L) == 0.209729)
+    // every emitted rank is an exact 6-dp value (no unrounded tail)
+    r.values.foreach(v => assert((v * 1e6).round / 1e6 == v, s"unrounded rank $v"))
+  }
+
+  test("equi-height edges interpolate over PRE-rounded values") {
+    // raw median of [2.0000001, 2.0000007] is 2.0000004 -> rounds DOWN
+    // to 2.000000; the contract interpolates over round(value, 6) =
+    // [2.000000, 2.000001], median 2.0000005 -> rounds UP to 2.000001.
+    // The oracle uses quantile_cont(round(value, 6), ...), so a
+    // regression to raw-value interpolation here would flip the edge
+    // and cost a parity round on boundary data (VERDICT r5 #4).
+    val ev = Seq(("x", 1.0), ("x", 2.0000001), ("x", 2.0000007), ("x", 3.0))
+      .toDF("event_type", "value")
+    // bucket 1 is (e1, e2]: with e2 = 2.000001 BOTH noise values land in
+    // bucket 1 — under the raw-median semantics e2 = 2.000000 would push
+    // both to bucket 2
+    val h = Events.equiheightOf(ev).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(h.getOrElse(1, 0L) == 2L,
+      s"bucket populations $h: median edge not computed over pre-rounded values")
+  }
+
   test("pagerank preserves unit rank mass") {
     val g = GraphOps.graphPagerank(spark, sfDir)
     val total = g.agg(sum(col("pagerank"))).head().getDouble(0)
