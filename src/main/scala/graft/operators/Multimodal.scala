@@ -97,6 +97,103 @@ object Multimodal {
         "shard_first", "shard_last", "off_in_shard")
       .orderBy(col("doc_id"))
 
+  /** Perceptual-fingerprint parameters: 4-byte feature windows at
+    * stride 1, 16-bit fingerprint, 4 bands of 4 bits, Hamming radius 3
+    * (pigeonhole: any pair within the radius agrees on a whole band —
+    * the same banding guarantee as `dedup_simhash_pairs`).
+    */
+  private val PhashWindow = 4
+  private val PhashBands = 4
+  private val PhashRadius = 3
+
+  /** 16-bit perceptual fingerprint over the BINARY payload — the
+    * near-dup pass byte-exact `multimodal_dedup` cannot make: a
+    * re-encoded thumbnail or a clip with retouched metadata changes its
+    * md5 but not most of its content. Features are deterministic
+    * sliding byte windows (`PhashWindow` bytes, stride 1, the
+    * codec-free stand-in for pHash's DCT blocks — a real image
+    * pipeline swaps the window hash for a frequency-domain feature at
+    * the `decodeBatched` seam, the banding machinery is identical);
+    * each window hashes to 16 bits and the fingerprint is the per-bit
+    * MAJORITY over all windows, so flipping a few bytes flips a few
+    * window votes, not the fingerprint. Map-side explode + one
+    * aggregation per payload — work ∝ total payload bytes, the scan
+    * cost any fingerprint pass pays.
+    */
+  def multimodalPhash(spark: SparkSession, dir: String): DataFrame =
+    phashFingerprints(phashMeta(spark, dir)).orderBy(col("doc_id"))
+
+  /** Banded perceptual near-dup PAIRS within each modality: candidates
+    * from a self-equi-join on (modality, band, band bits) — cost scales
+    * with band-bucket occupancy, never payloads² — verified by one
+    * `bit_count(xor)` per candidate. `byte_identical` separates the
+    * md5-equal copies (which `multimodal_dedup` already catches) from
+    * the PERCEPTUAL-only matches that survive byte-exact dedup.
+    */
+  def multimodalPhashPairs(spark: SparkSession, dir: String): DataFrame =
+    phashPairsOver(phashMeta(spark, dir))
+
+  /** The (doc_id, modality, payload_hex, payload_md5) projection the
+    * perceptual pass consumes.
+    */
+  private def phashMeta(spark: SparkSession, dir: String): DataFrame =
+    metaRows(spark, dir)
+      .select(col("doc_id"), col("modality"), col("payload_hex"), col("payload_md5"))
+
+  /** Fingerprints over any (doc_id, modality, payload_hex, payload_md5)
+    * relation — exposed so specs can plant near-identical payloads.
+    */
+  private[graft] def phashFingerprints(meta: DataFrame): DataFrame = {
+    val nWins = greatest(lit(1), length(col("payload_hex")) / 2 - (PhashWindow - 1))
+    val wins = meta
+      .select(col("doc_id"), col("modality"), col("payload_md5"),
+        col("payload_hex"),
+        explode(sequence(lit(1), nWins.cast("int"))).as("s"))
+      // window s covers bytes [s, s+3] = hex chars [(s-1)*2+1, +8);
+      // md5 decorrelates the window bytes into a uniform 16-bit hash
+      .withColumn("h", conv(
+        substring(md5(expr(s"substring(payload_hex, (s - 1) * 2 + 1, ${PhashWindow * 2})")), 1, 4),
+        16, 10).cast("int"))
+    val votes = (0 until 16).map { b =>
+      sum(when(floor(col("h") / math.pow(2, b).toLong) % 2 === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val fp = (0 until 16).map { b =>
+      when(col(s"s$b") > 0, math.pow(2, b).toLong).otherwise(0L)
+    }.reduce(_ + _)
+    wins.groupBy(col("doc_id"), col("modality"), col("payload_md5"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), col("modality"), col("payload_md5"), fp.as("phash"))
+  }
+
+  /** The banded pair search over any phash-able meta relation. */
+  private[graft] def phashPairsOver(meta: DataFrame): DataFrame = {
+    // both self-join sides read the fingerprints: checkpoint so the
+    // per-byte window explode + 16 vote sums run once (the
+    // dedup_simhash_pairs discipline)
+    val bands = phashFingerprints(meta)
+      .select(col("doc_id"), col("modality"), col("payload_md5"), col("phash"),
+        explode(array((0 until PhashBands).map(b => struct(
+          lit(b).as("band_idx"),
+          shiftright(col("phash"), 4 * b).bitwiseAND(lit(15L)).as("band_bits"))): _*)).as("bb"))
+      .select(col("doc_id"), col("modality"), col("payload_md5"), col("phash"),
+        col("bb.band_idx"), col("bb.band_bits"))
+      .localCheckpoint()
+    val a = bands.select(col("modality"), col("doc_id").as("doc_a"),
+      col("phash").as("fa"), col("payload_md5").as("ma"),
+      col("band_idx"), col("band_bits"))
+    val b = bands.select(col("modality"), col("doc_id").as("doc_b"),
+      col("phash").as("fb"), col("payload_md5").as("mb"),
+      col("band_idx"), col("band_bits"))
+    a.join(b, Seq("modality", "band_idx", "band_bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("modality", "doc_a", "doc_b", "fa", "fb", "ma", "mb").distinct()
+      .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
+      .filter(col("hamming") <= PhashRadius)
+      .select(col("modality"), col("doc_a"), col("doc_b"), col("hamming"),
+        (col("ma") === col("mb")).as("byte_identical"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // --- typed batched-decode plumbing (spec-covered, not oracle-able) ---
 
   case class MediaRow(doc_id: Long, payload: Array[Byte], modality: String)
@@ -197,9 +294,59 @@ object Multimodal {
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_audio_chunks" -> (multimodalAudioChunks _),
     "multimodal_dedup"  -> (multimodalDedup _),
+    "multimodal_phash"  -> (multimodalPhash _),
+    "multimodal_phash_pairs" -> (multimodalPhashPairs _),
     "multimodal_shard_pack" -> (multimodalShardPack _))
 
+  /** Fingerprint CTEs ending in `ph(doc_id, modality, payload_md5,
+    * phash)` — shared by the fingerprint and pair oracles. Mirrors
+    * [[phashFingerprints]] term for term.
+    */
+  private val phashCtes: String = {
+    val votes = (0 until 16).map { b =>
+      s"sum(CASE WHEN CAST(floor(h / ${math.pow(2, b).toLong}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(", ")
+    val fp = (0 until 16).map { b =>
+      s"CASE WHEN s$b > 0 THEN ${math.pow(2, b).toLong} ELSE 0 END"
+    }.mkString(" + ")
+    s"""meta AS (
+       |  SELECT doc_id,
+       |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+       |    lower(hex(encode(text))) AS payload_hex,
+       |    octet_length(encode(text)) AS n_bytes,
+       |    md5(text) AS payload_md5
+       |  FROM documents),
+       |wins AS (
+       |  SELECT doc_id, modality, payload_md5,
+       |    CAST(('0x' || substr(md5(substr(payload_hex, (s.s - 1) * 2 + 1, ${PhashWindow * 2})), 1, 4)) AS INT) AS h
+       |  FROM meta, unnest(generate_series(1, greatest(1, n_bytes - ${PhashWindow - 1}))) s(s)),
+       |v AS (SELECT doc_id, modality, payload_md5, $votes FROM wins GROUP BY 1, 2, 3),
+       |ph AS (SELECT doc_id, modality, payload_md5, $fp AS phash FROM v)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "multimodal_phash" ->
+      s"""WITH $phashCtes
+         |SELECT doc_id, modality, payload_md5, phash FROM ph
+         |ORDER BY doc_id""".stripMargin,
+    "multimodal_phash_pairs" ->
+      s"""WITH $phashCtes,
+         |bands AS (
+         |  SELECT doc_id, modality, payload_md5, phash,
+         |    b.b AS band_idx, (phash >> (4 * b.b)) & 15 AS band_bits
+         |  FROM ph, generate_series(0, ${PhashBands - 1}) b(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.modality, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.phash AS fa, b.phash AS fb,
+         |    a.payload_md5 AS ma, b.payload_md5 AS mb
+         |  FROM bands a JOIN bands b
+         |    ON a.modality = b.modality AND a.band_idx = b.band_idx
+         |    AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id)
+         |SELECT modality, doc_a, doc_b,
+         |  CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming,
+         |  (ma = mb) AS byte_identical
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= $PhashRadius
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "multimodal_shard_pack" ->
       """WITH meta AS (
         |  SELECT doc_id,

@@ -236,6 +236,47 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(bad.count() == 0)
   }
 
+  test("perceptual phash catches a near-identical payload byte-exact dedup misses") {
+    import spark.implicits._
+    // two payloads differing in ONE byte out of ~600: different md5
+    // (byte-exact multimodal_dedup sees two distinct blobs) but the
+    // flipped byte only perturbs PhashWindow overlapping feature
+    // windows' votes, so the perceptual fingerprints stay within the
+    // Hamming radius — the re-encoded-thumbnail class of duplicate
+    val base = (1 to 100).map(i => s"tile$i").mkString(" ")
+    val tweak = base.replace("tile50", "tilf50")
+    val meta = Seq((1L, "image", base), (2L, "image", tweak),
+        (3L, "image", (1 to 100).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "modality", "text")
+      .select(col("doc_id"), col("modality"),
+        lower(hex(encode(col("text"), "UTF-8"))).as("payload_hex"),
+        md5(col("text")).as("payload_md5"))
+    // byte-exact pass: 3 distinct md5s, no duplicate to find
+    assert(meta.select("payload_md5").distinct().count() == 3)
+    val pairs = Multimodal.phashPairsOver(meta).collect()
+    val caught = pairs.find(r => r.getLong(1) == 1L && r.getLong(2) == 2L)
+    assert(caught.isDefined, s"near-identical pair not recalled: ${pairs.mkString(";")}")
+    assert(!caught.get.getBoolean(4), "pair wrongly marked byte_identical")
+    // the unrelated payload must not pair with either original
+    assert(!pairs.exists(r => r.getLong(2) == 3L), s"false positive: ${pairs.mkString(";")}")
+  }
+
+  test("multimodal_phash_pairs invariants on the corpus: radius, modality blocking, md5 consistency") {
+    val pairs = Multimodal.multimodalPhashPairs(spark, sfDir).cache()
+    assert(pairs.filter(col("hamming") > 3).count() == 0)
+    assert(pairs.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    // byte-identical copies (same text => same payload) MUST be caught
+    // with hamming 0 — phash subsumes the exact pass within a modality
+    val md = Multimodal.multimodalDedup(spark, sfDir)
+      .filter(!col("is_kept")).select(col("modality"), col("payload_md5"))
+    val exactPairs = md.distinct().count()
+    if (exactPairs > 0) {
+      val h0 = pairs.filter(col("byte_identical") && col("hamming") === 0).count()
+      assert(h0 > 0, "byte-identical copies not recalled by the perceptual pass")
+    }
+    pairs.unpersist()
+  }
+
   test("decodeBatched: stub decoder is deterministic, batch-bounded, and covers every row") {
     import spark.implicits._
     val media = Tables.documents(spark, sfDir)
