@@ -544,7 +544,74 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Number of BPE merge-training rounds for the corpus query. */
+  private val BpeMergeRounds = 8
+
+  /** BPE merge-table TRAINING (the Sennrich et al. subword-units
+    * recipe) — the tokenizer-side op of the training-data story: learn
+    * the first `BpeMergeRounds` merges over the corpus vocabulary.
+    * Each round is ONE adjacent-symbol-pair count aggregation over the
+    * vocabulary-bounded word relation, a deterministic 1-row argmax
+    * (count desc, then pair lexicographic — `limit(1)`, a TakeOrdered,
+    * never a collect), and a broadcast merge application — the
+    * `ann_kmeans_train` discipline applied to subword merges: the
+    * driver loop only unrolls the plan, data never leaves the cluster,
+    * per-round localCheckpoint keeps lineage flat.
+    *
+    * Words are space-delimited symbol strings (" l o w ") and a merge
+    * is ONE engine-level `replace(" l r ", " lr ")` — left-to-right,
+    * non-overlapping: exactly BPE's greedy within-word merge rule, and
+    * replayable in DuckDB as the same k unrolled CTEs. Per-round work
+    * ∝ vocabulary size, not corpus size: the corpus is scanned once
+    * for weighted word counts; at 100 TB the vocabulary relation the
+    * rounds iterate on is millions of rows, not billions.
+    */
+  def textBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesOver(
+      Tables.documents(spark, dir)
+        .select(explode(toks(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("n")),
+      BpeMergeRounds)
+
+  /** The unrolled merge loop over any weighted word relation (w, n) —
+    * exposed for the hand-computed spec corpus.
+    */
+  private[graft] def bpeMergesOver(wordCounts: DataFrame, rounds: Int): DataFrame = {
+    // " a b c ": boundary spaces make every symbol exactly " sym "-
+    // delimited, so the merge rewrite cannot match inside a symbol
+    var words = wordCounts
+      .withColumn("seq", concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
+      .localCheckpoint()
+    var merges = Seq.empty[DataFrame]
+    for (i <- 1 to rounds) {
+      val pairs = words
+        .select(col("n"), split(trim(col("seq")), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> struct(element_at(toks, i) AS l, element_at(toks, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("pair_count"))
+      // 1 row, read twice (merge table + rewrite): checkpoint so the
+      // pair aggregation runs once per round
+      val winner = pairs
+        .orderBy(col("pair_count").desc, col("l"), col("r"))
+        .limit(1)
+        .localCheckpoint()
+      merges = merges :+ winner.select(lit(i).as("merge_rank"),
+        col("l").as("left_sym"), col("r").as("right_sym"), col("pair_count"))
+      words = words.crossJoin(broadcast(winner))
+        .withColumn("seq", expr(
+          "replace(seq, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ')"))
+        .select("w", "n", "seq")
+        .localCheckpoint()
+    }
+    merges.reduce(_ union _).orderBy(col("merge_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_merges"     -> (textBpeMerges _),
     "text_perplexity"     -> (textPerplexity _),
     "text_winnowing"   -> (textWinnowing _),
     "text_winnow_pairs" -> (textWinnowPairs _),
@@ -619,7 +686,40 @@ object TextAnalysis {
        |  GROUP BY 1, 2
        |  HAVING count(*) >= 3)""".stripMargin
 
+  /** The BPE training oracle: the SAME k unrolled rounds as CTEs —
+    * DuckDB's `replace` shares the left-to-right non-overlapping
+    * greedy semantics the Spark side relies on.
+    */
+  private def bpeMergesOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS (
+         |  SELECT t.toks[j.j] AS l, t.toks[j.j + 1] AS r, sum(t.n) AS pair_count
+         |  FROM (SELECT n, string_split(trim(seq), ' ') AS toks FROM $prev) t,
+         |       unnest(generate_series(1, len(t.toks) - 1)) j(j)
+         |  GROUP BY 1, 2),
+         |win$i AS (SELECT l, r, pair_count FROM p$i
+         |  ORDER BY pair_count DESC, l, r LIMIT 1),
+         |w$i AS (
+         |  SELECT w, n,
+         |    replace(seq, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS seq
+         |  FROM $prev, win$i)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds)
+      .map(i => s"SELECT $i AS merge_rank, l AS left_sym, r AS right_sym, CAST(pair_count AS BIGINT) AS pair_count FROM win$i")
+      .mkString("\n UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT unnest(${toksSql("text")}) AS w FROM documents),
+       |w0 AS (
+       |  SELECT w, count(*) AS n,
+       |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
+       |  FROM tok WHERE w <> '' GROUP BY w),
+       |$roundCtes
+       |$unions ORDER BY merge_rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_bpe_merges" -> bpeMergesOracle(BpeMergeRounds),
     "text_perplexity" ->
       s"""WITH pr AS (
          |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2

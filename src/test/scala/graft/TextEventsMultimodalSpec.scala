@@ -236,6 +236,30 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(bad.count() == 0)
   }
 
+  test("bpe merge training reproduces a hand-computed merge sequence") {
+    import spark.implicits._
+    // corpus {aaab x3, ab x2}: round 1 counts (a,a)=6 > (a,b)=5 -> merge
+    // (a,a); "aaab" becomes [aa,a,b] (greedy non-overlap: the third 'a'
+    // does NOT merge with the new 'aa'); round 2 (a,b)=3+2=5 > (aa,a)=3;
+    // round 3 only (aa,ab)=3 remains
+    val words = Seq(("aaab", 3L), ("ab", 2L)).toDF("w", "n")
+    val m = TextAnalysis.bpeMergesOver(words, 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(m == Seq((1, "a", "a", 6L), (2, "a", "b", 5L), (3, "aa", "ab", 3L)), m.toString)
+  }
+
+  test("bpe merges on the corpus: dense ranks, counts positive and non-increasing") {
+    val m = TextAnalysis.textBpeMerges(spark, sfDir).collect()
+    assert(m.length == 8)
+    assert(m.map(_.getInt(0)).toSeq == (1 to 8))
+    val counts = m.map(_.getLong(3))
+    assert(counts.forall(_ > 0))
+    // non-increasing is a BPE theorem: a new pair (x, lr) existed
+    // before the merge as (x, l) adjacencies, so its count is bounded
+    // by the previous round's maximum
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, counts.mkString(","))
+  }
+
   test("perceptual phash catches a near-identical payload byte-exact dedup misses") {
     import spark.implicits._
     // two payloads differing in ONE byte out of ~600: different md5
