@@ -121,7 +121,35 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // LM branches (bigram/context/vocab) over the one checkpointed
     // pair relation + scoring join + doc agg + sort — same shape and
     // budget as text_bm25_topk's model branches
-    "text_perplexity"       -> 7)
+    "text_perplexity"       -> 7,
+    // two independent retrieval legs (LSH candidate distinct + cosine
+    // window; BM25's tf/df/dl/stats branches) + the rank fusion join —
+    // each leg alone matches its standalone query's budget
+    "ann_rrf_fusion"        -> 12,
+    // same banded-candidate + intersection shape as dedup_ngram_jaccard;
+    // signature/shingle relations checkpointed once
+    "dedup_containment"     -> 2,
+    // POST-FIXPOINT labeling plan only (per-round contraction plans are
+    // materialized behind checkpoints): star-forest groupBy + root
+    // anti-join + size window + sort
+    "dedup_components_star" -> 5,
+    // component labels (checkpointed) join + hash-bucket split decision
+    "corpus_group_split"    -> 2,
+    // the Dagster-style schedule allocator: per-(job, window) expansion
+    // windows + cumulative-capacity rollup
+    "etl_job_allocation"    -> 8,
+    // keyset paging: page-boundary window + per-page offset join-backs
+    "etl_products_page"     -> 6,
+    // per-byte window explode is map-side; one (doc, modality, md5)
+    // agg + output sort
+    "multimodal_phash"      -> 2,
+    // banded self-join over the CHECKPOINTED fingerprints + distinct;
+    // windowless verification (bit_count on the pair row)
+    "multimodal_phash_pairs" -> 1,
+    // final plan reads k checkpointed 1-row winners: the per-round pair
+    // aggregations live behind the checkpoints, the merge table itself
+    // is union + sort over k rows
+    "text_bpe_merges"       -> 1)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
