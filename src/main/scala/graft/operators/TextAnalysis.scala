@@ -577,7 +577,14 @@ object TextAnalysis {
   /** The unrolled merge loop over any weighted word relation (w, n) —
     * exposed for the hand-computed spec corpus.
     */
-  private[graft] def bpeMergesOver(wordCounts: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def bpeMergesOver(wordCounts: DataFrame, rounds: Int): DataFrame =
+    bpeChain(wordCounts, rounds)._1
+
+  /** The training chain: returns (merge table, final per-word symbol
+    * sequences) — the second half is the trained tokenizer state
+    * `text_bpe_encode` applies.
+    */
+  private def bpeChain(wordCounts: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     // " a b c ": boundary spaces make every symbol exactly " sym "-
     // delimited, so the merge rewrite cannot match inside a symbol
     var words = wordCounts
@@ -607,11 +614,43 @@ object TextAnalysis {
         .select("w", "n", "seq")
         .localCheckpoint()
     }
-    merges.reduce(_ union _).orderBy(col("merge_rank"))
+    (merges.reduce(_ union _).orderBy(col("merge_rank")), words)
+  }
+
+  /** BPE ENCODING — the inference side of [[textBpeMerges]]: tokenize
+    * every document with the trained merge table. Because BPE merges
+    * apply per WORD, the encoded corpus is the trained per-word symbol
+    * state joined back onto the corpus token stream: the vocabulary
+    * relation (tiny — it already fit every training round) broadcasts,
+    * the corpus explode is map-side, and one doc_id aggregation emits
+    * per-document piece statistics. This is how a trained tokenizer
+    * deploys at 100 TB: the merge chain is ~30k rules resolved ONCE
+    * into a word → pieces table, and encoding is a broadcast-join scan,
+    * never a per-document merge loop.
+    */
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeChain(
+      Tables.documents(spark, dir)
+        .select(explode(toks(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("n")),
+      BpeMergeRounds)._2
+      .withColumn("n_sym", size(split(trim(col("seq")), " ")))
+      .select(col("w"), col("n_sym"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(vocab), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_pieces"))
+      .withColumn("pieces_per_word",
+        round(col("n_pieces") / col("n_words"), 6))
+      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merges"     -> (textBpeMerges _),
+    "text_bpe_encode"     -> (textBpeEncode _),
     "text_perplexity"     -> (textPerplexity _),
     "text_winnowing"   -> (textWinnowing _),
     "text_winnow_pairs" -> (textWinnowPairs _),
@@ -690,7 +729,7 @@ object TextAnalysis {
     * DuckDB's `replace` shares the left-to-right non-overlapping
     * greedy semantics the Spark side relies on.
     */
-  private def bpeMergesOracle(rounds: Int): String = {
+  private def bpeChainCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
       val prev = s"w${i - 1}"
       s"""p$i AS (
@@ -705,21 +744,39 @@ object TextAnalysis {
          |    replace(seq, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS seq
          |  FROM $prev, win$i)""".stripMargin
     }.mkString(",\n")
-    val unions = (1 to rounds)
-      .map(i => s"SELECT $i AS merge_rank, l AS left_sym, r AS right_sym, CAST(pair_count AS BIGINT) AS pair_count FROM win$i")
-      .mkString("\n UNION ALL ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT unnest(${toksSql("text")}) AS w FROM documents),
        |w0 AS (
        |  SELECT w, count(*) AS n,
        |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
        |  FROM tok WHERE w <> '' GROUP BY w),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private def bpeMergesOracle(rounds: Int): String = {
+    val unions = (1 to rounds)
+      .map(i => s"SELECT $i AS merge_rank, l AS left_sym, r AS right_sym, CAST(pair_count AS BIGINT) AS pair_count FROM win$i")
+      .mkString("\n UNION ALL ")
+    s"""WITH ${bpeChainCtes(rounds)}
        |$unions ORDER BY merge_rank""".stripMargin
   }
 
+  private def bpeEncodeOracle(rounds: Int): String =
+    s"""WITH ${bpeChainCtes(rounds)},
+       |enc AS (
+       |  SELECT w, len(string_split(trim(seq), ' ')) AS n_sym FROM w$rounds),
+       |dtok AS (
+       |  SELECT doc_id, unnest(${toksSql("text")}) AS w FROM documents)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(n_sym) AS BIGINT) AS n_pieces,
+       |  round(sum(n_sym) * 1.0 / count(*), 6) AS pieces_per_word
+       |FROM dtok JOIN enc USING (w)
+       |WHERE w <> ''
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_bpe_merges" -> bpeMergesOracle(BpeMergeRounds),
+    "text_bpe_encode" -> bpeEncodeOracle(BpeMergeRounds),
     "text_perplexity" ->
       s"""WITH pr AS (
          |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2

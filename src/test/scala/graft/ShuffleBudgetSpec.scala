@@ -149,7 +149,10 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // final plan reads k checkpointed 1-row winners: the per-round pair
     // aggregations live behind the checkpoints, the merge table itself
     // is union + sort over k rows
-    "text_bpe_merges"       -> 1)
+    "text_bpe_merges"       -> 1,
+    // corpus explode is map-side, trained vocab broadcasts, one doc_id
+    // agg + output sort — the deployed-tokenizer scan shape
+    "text_bpe_encode"       -> 2)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a

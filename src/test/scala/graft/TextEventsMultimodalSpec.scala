@@ -260,6 +260,25 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, counts.mkString(","))
   }
 
+  test("bpe encoding: pieces bounded by chars below and words above, merges actually compress") {
+    val enc = TextAnalysis.textBpeEncode(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("nw"),
+        length(regexp_replace(lower(trim(col("text"))), "\\s+", "")).as("nc"))
+    val j = enc.join(docs, "doc_id").cache()
+    // every word is >= 1 piece; no word splits below 1 symbol and none
+    // exceeds its character count
+    assert(j.filter(col("n_pieces") < col("n_words")).count() == 0)
+    assert(j.filter(col("n_pieces") > col("nc")).count() == 0)
+    assert(j.filter(col("n_words") =!= col("nw")).count() == 0)
+    // 8 merges over a 31-term vocabulary must compress SOMETHING:
+    // corpus-wide pieces strictly below corpus-wide characters
+    val t = j.agg(sum("n_pieces"), sum("nc")).head()
+    assert(t.getLong(0) < t.getLong(1), s"no compression: $t")
+    enc.unpersist(); j.unpersist()
+  }
+
   test("perceptual phash catches a near-identical payload byte-exact dedup misses") {
     import spark.implicits._
     // two payloads differing in ONE byte out of ~600: different md5
