@@ -433,6 +433,19 @@ object AnnSearch {
     * list ids on vec_id; probes and the ADC table are broadcast.
     */
   def annIvfadcTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist2"), col("vec_id"))
+    ivfadcAdcScores(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adist2"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The ADC-scored candidate relation (q_id, vec_id, adist2) within
+    * probed IVF lists — shared by the plain top-k cut and the
+    * exact-re-ranked variant.
+    */
+  private def ivfadcAdcScores(spark: SparkSession, dir: String): DataFrame = {
     val (codes, cb) = pqModel(spark, dir)
     val nv = normVecs(spark, dir)
     val lists = kmeansAssignmentsOver(nv)
@@ -448,7 +461,6 @@ object AnnSearch {
       .filter(col("pr") <= NProbe)
       .select(col("q_id"), col("cl"))
     val dt = pqDistanceTable(spark, dir, cb)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adist2"), col("vec_id"))
     lists.select(col("vec_id"), col("cl"))
       .join(broadcast(probes), "cl")
       .filter(col("vec_id") =!= col("q_id"))
@@ -456,9 +468,42 @@ object AnnSearch {
       .join(broadcast(dt), Seq("q_id", "m", "code"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(round(sum(col("dsub")), 6).as("adist2"))
-      .withColumn("rank", row_number().over(w))
+  }
+
+  /** ADC shortlist depth for the exact re-ranking stage. */
+  private val RerankR = 20
+
+  /** IVFADC + EXACT RE-RANKING — the two-stage retrieval every
+    * production PQ deployment runs (FAISS's `IndexRefine`): ADC ranks a
+    * shortlist of `RerankR` candidates per query from the compressed
+    * codes, then ONLY those ≤ R rows fetch their full vectors and are
+    * re-scored with exact L2 in the normalized space. Quantization
+    * error then affects which candidates make the shortlist, never the
+    * final order — recall(k) can only improve over raw ADC at the cost
+    * of R exact distance evaluations per query (R · #queries vector
+    * fetches — independent of corpus size, the property that makes
+    * refinement affordable at 100 TB where the full vectors live on
+    * cold storage and only the codes stay hot).
+    */
+  def annIvfadcRerank(spark: SparkSession, dir: String): DataFrame = {
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adist2"), col("vec_id"))
+    val shortlist = ivfadcAdcScores(spark, dir)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= RerankR)
+    val nv = normVecs(spark, dir)
+    val q = nv.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wExact = Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("vec_id"))
+    shortlist
+      .join(nv, "vec_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("dist2", round(
+        dot(col("v"), col("v")) - lit(2) * dot(col("qv"), col("v"))
+          + dot(col("qv"), col("qv")), 6))
+      .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adist2"), col("rank"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("adist2"), col("dist2"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -580,6 +625,7 @@ object AnnSearch {
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_pq_topk"  -> (annPqTopk _),
     "ann_ivfadc_topk" -> (annIvfadcTopk _),
+    "ann_ivfadc_rerank" -> (annIvfadcRerank _),
     "ann_kmeans_train" -> (annKmeansTrain _),
     "ann_rrf_fusion" -> (annRrfFusion _))
 
@@ -746,8 +792,8 @@ object AnnSearch {
     * as the Spark side, probes by rounded-L2 argmin in the same metric
     * space PQ encodes, ADC restricted to probed lists.
     */
-  private val ivfadcSql: String =
-    s"""WITH $kmeansCtesNorm,
+  private val ivfadcChainCtes: String =
+    s"""$kmeansCtesNorm,
        |$pqCtes,
        |cent AS (
        |  SELECT cl, list(c ORDER BY d) AS cv FROM (
@@ -771,11 +817,38 @@ object AnnSearch {
        |  FROM cand cd
        |  JOIN pa1 c ON c.vec_id = cd.vec_id
        |  JOIN pdt t ON t.q_id = cd.q_id AND t.m = c.m AND t.code = c.code
-       |  GROUP BY cd.q_id, cd.vec_id),
+       |  GROUP BY cd.q_id, cd.vec_id)""".stripMargin
+
+  private val ivfadcSql: String =
+    s"""WITH $ivfadcChainCtes,
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist2, vec_id) AS rank
        |  FROM adc)
        |SELECT q_id, vec_id AS neighbor_id, adist2, rank FROM ranked
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
+  /** Rerank oracle: the same chain, shortlist at `RerankR` by ADC, then
+    * exact L2 in the normalized space (`e` is the normalized relation)
+    * with the identical term order and rounding as the Spark side.
+    */
+  private val ivfadcRerankSql: String =
+    s"""WITH $ivfadcChainCtes,
+       |shortlist AS (
+       |  SELECT q_id, vec_id, adist2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist2, vec_id) AS adc_rank
+       |    FROM adc) s
+       |  WHERE adc_rank <= $RerankR),
+       |exact AS (
+       |  SELECT s.q_id, s.vec_id, s.adist2,
+       |    round(list_inner_product(n.v, n.v) - 2 * list_inner_product(q.v, n.v)
+       |      + list_inner_product(q.v, q.v), 6) AS dist2
+       |  FROM shortlist s
+       |  JOIN e n ON n.vec_id = s.vec_id
+       |  JOIN qf q ON q.q_id = s.q_id),
+       |reranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist2, vec_id) AS rank
+       |  FROM exact)
+       |SELECT q_id, vec_id AS neighbor_id, adist2, dist2, rank FROM reranked
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
 
@@ -834,6 +907,7 @@ object AnnSearch {
          |FROM final WHERE rank <= $RrfTopK ORDER BY q_id, rank""".stripMargin,
     "ann_pq_topk" -> pqSql,
     "ann_ivfadc_topk" -> ivfadcSql,
+    "ann_ivfadc_rerank" -> ivfadcRerankSql,
     "ann_topk" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,

@@ -296,6 +296,27 @@ class DedupAnnSpec extends SparkTestBase {
     r.unpersist()
   }
 
+  test("ann_ivfadc_rerank: exact re-scoring never loses recall vs raw ADC") {
+    val rr = AnnSearch.annIvfadcRerank(spark, sfDir).cache()
+    assert(rr.groupBy("q_id").count().agg(max("count")).head().getLong(0) <= 5)
+    // exact distances are rounded true squared L2 on unit vectors:
+    // within [0, 4] up to rounding
+    assert(rr.filter(col("dist2") < -4e-6 || col("dist2") > 4.000004).count() == 0)
+    val bf = AnnSearch.annTopk(spark, sfDir).select(col("q_id"), col("neighbor_id"))
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select(col("q_id"), col("neighbor_id"))
+        .join(bf, Seq("q_id", "neighbor_id")).count().toDouble / bf.count()
+    val adcRecall = recall(AnnSearch.annIvfadcTopk(spark, sfDir))
+    val rrRecall = recall(rr)
+    // the refinement theorem this operator exists for: quantization
+    // error now only decides the R-shortlist, the final order is exact
+    // — so recall(k) can only improve over raw ADC (measured: it does)
+    assert(rrRecall >= adcRecall,
+      f"re-ranking LOST recall: $rrRecall%.3f < $adcRecall%.3f")
+    assert(rrRecall >= 0.30, f"reranked recall collapsed: $rrRecall%.3f")
+    rr.unpersist()
+  }
+
   test("ann_rrf_fusion: bounded per-query output, rrf arithmetic consistent, both legs contribute") {
     val df = AnnSearch.annRrfFusion(spark, sfDir).cache()
     // ≤ 5 fused results per query, ranks 1..5 without gaps

@@ -152,7 +152,11 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "text_bpe_merges"       -> 1,
     // corpus explode is map-side, trained vocab broadcasts, one doc_id
     // agg + output sort — the deployed-tokenizer scan shape
-    "text_bpe_encode"       -> 2)
+    "text_bpe_encode"       -> 2,
+    // the ivfadc chain (9) + the shortlist window; the exact re-scoring
+    // joins ride the shortlist's partitioning and the ≤ R-per-query
+    // relation broadcasts
+    "ann_ivfadc_rerank"     -> 10)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
