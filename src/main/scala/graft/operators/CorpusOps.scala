@@ -77,6 +77,36 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Length-bucket width (tokens) for the batch-formation planner. */
+  private val LenBucket = 64L
+
+  /** LENGTH-BUCKETED batching plan — the padding-waste audit every
+    * training pipeline runs before choosing its batch-formation
+    * strategy: documents grouped into fixed 64-token length bins (per
+    * source), each bin reporting document count, real token mass, the
+    * padded mass a naive pad-to-bin-edge batcher would ship to the
+    * accelerator, and the waste fraction. All-integer math up to the
+    * final rounded ratio, map-side bucket assignment + ONE keyed
+    * aggregation — at 100 TB this is a single scan whose output is
+    * #sources × #bins rows, the table a batch scheduler reads to pick
+    * bucket boundaries.
+    */
+  def corpusLengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(split(trim(col("text")), "\\s+")).cast("bigint")
+    Tables.documents(spark, dir)
+      .select(col("source"), nTok.as("n_tokens"))
+      // ceil to the bin edge in integer math: ((n-1) div W + 1) * W —
+      // `div`, not `/` (Spark's `/` on bigints is double division)
+      .withColumn("bucket_len",
+        expr(s"((n_tokens - 1) div $LenBucket + 1) * $LenBucket"))
+      .groupBy(col("source"), col("bucket_len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("bucket_len") * col("n_docs"))
+      .withColumn("waste_frac",
+        round(lit(1.0) - col("sum_tokens") / col("padded_tokens"), 6))
+      .orderBy(col("source"), col("bucket_len"))
+  }
+
   /** Importance resampling — the continuous-weight sampling knob next
     * to the per-group rates (`corpus_sample_stratified`) and
     * temperature mixing (`corpus_mix_rebalance`): each document is
@@ -448,6 +478,7 @@ object CorpusOps {
     "corpus_shuffle_export"    -> (corpusShuffleExport _),
     "corpus_weighted_sample"   -> (corpusWeightedSample _),
     "corpus_pii_scrub"         -> (corpusPiiScrub _),
+    "corpus_length_buckets"    -> (corpusLengthBuckets _),
     "corpus_decontaminate"     -> (corpusDecontaminate _))
 
   private def gramsCte(src: String, n: Int) =
@@ -457,6 +488,22 @@ object CorpusOps {
        |       unnest(generate_series(1, len(toks) - ${n - 1})) t(i))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_length_buckets" ->
+      """WITH sized AS (
+        |  SELECT source,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |binned AS (
+        |  SELECT source, ((n_tokens - 1) // 64 + 1) * 64 AS bucket_len, n_tokens
+        |  FROM sized)
+        |SELECT source, CAST(bucket_len AS BIGINT) AS bucket_len,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(bucket_len * count(*) AS BIGINT) AS padded_tokens,
+        |  round(1.0 - sum(n_tokens) * 1.0 / (bucket_len * count(*)), 6)
+        |    AS waste_frac
+        |FROM binned GROUP BY source, bucket_len
+        |ORDER BY source, bucket_len""".stripMargin,
     "corpus_model_quality" ->
       s"""WITH feats AS (
          |  SELECT DISTINCT doc_id, f FROM (

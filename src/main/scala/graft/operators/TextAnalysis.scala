@@ -544,6 +544,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-doc span width (tokens) for the repeated-gram audit. */
+  private val SpanGram = 5
+
+  /** Cross-document REPEATED-SPAN audit (the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" exact-substring view):
+    * for every document, what fraction of its `SpanGram`-token spans
+    * also appears verbatim in ANOTHER document — the memorization-risk
+    * measure document-level dedup (which only scores whole-doc
+    * similarity) cannot see. Position-level: each span POSITION counts,
+    * so a boilerplate sentence pasted into 50 docs marks every copy.
+    * Plan: one corpus explode into (doc, pos, gram) — checkpointed,
+    * read by the document-frequency aggregation and the join-back —
+    * then gram df ≥ 2 (distinct docs) marks repeated positions, one
+    * doc_id aggregation emits the stats. Two keyed aggregations + one
+    * join over the gram relation; at 100 TB the gram key is the
+    * shuffle — exactly the suffix-array workload's distributed shape.
+    */
+  def textRepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    repeatedSpansOver(Tables.documents(spark, dir))
+
+  /** The audit over any (doc_id, text) relation — exposed so specs can
+    * plant verbatim cross-doc spans.
+    */
+  private[graft] def repeatedSpansOver(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= SpanGram)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${SpanGram - 1})," +
+          s" i -> struct(i AS pos, array_join(slice(toks, i, $SpanGram), ' ') AS g))")).as("s"))
+      .select(col("doc_id"), col("s.pos"), col("s.g"))
+      .localCheckpoint() // df aggregation + join-back both read it
+    val df = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    grams.join(df, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("n_repeated"))
+      .withColumn("repeated_frac", round(col("n_repeated") / col("n_spans"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** Number of BPE merge-training rounds for the corpus query. */
   private val BpeMergeRounds = 8
 
@@ -651,6 +693,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merges"     -> (textBpeMerges _),
     "text_bpe_encode"     -> (textBpeEncode _),
+    "text_repeated_spans" -> (textRepeatedSpans _),
     "text_perplexity"     -> (textPerplexity _),
     "text_winnowing"   -> (textWinnowing _),
     "text_winnow_pairs" -> (textWinnowPairs _),
@@ -777,6 +820,22 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "text_bpe_merges" -> bpeMergesOracle(BpeMergeRounds),
     "text_bpe_encode" -> bpeEncodeOracle(BpeMergeRounds),
+    "text_repeated_spans" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id, i.i AS pos,
+         |    array_to_string(toks[i.i : i.i + ${SpanGram - 1}], ' ') AS g
+         |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents) d,
+         |       unnest(generate_series(1, len(toks) - ${SpanGram - 1})) i(i)
+         |  WHERE len(toks) >= $SpanGram),
+         |gdf AS (
+         |  SELECT g, count(*) AS gdf FROM (SELECT DISTINCT doc_id, g FROM grams)
+         |  GROUP BY g)
+         |SELECT doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+         |  round(sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         |    AS repeated_frac
+         |FROM grams JOIN gdf USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_perplexity" ->
       s"""WITH pr AS (
          |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2

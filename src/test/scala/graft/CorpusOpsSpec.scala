@@ -190,4 +190,49 @@ class CorpusOpsSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("length buckets: integer-exact bin edges, waste bounded by one bin width") {
+    val b = graft.operators.CorpusOps.corpusLengthBuckets(spark, sfDir).cache()
+    assert(b.count() > 0)
+    assert(b.filter(col("bucket_len") % 64 =!= 0).count() == 0)
+    // every doc's tokens fit its bin: sum <= padded, and per-doc padding
+    // is < 64 so waste_frac < 64 * n_docs / padded
+    assert(b.filter(col("sum_tokens") > col("padded_tokens")).count() == 0)
+    assert(b.filter(col("waste_frac") < 0 || col("waste_frac") >= 1).count() == 0)
+    assert(b.filter(col("sum_tokens") <= col("padded_tokens") - lit(64L) * col("n_docs"))
+      .count() == 0, "a doc was binned above its minimal bin")
+    // bucket populations cover the corpus exactly once
+    val total = b.agg(sum("n_docs")).head().getLong(0)
+    assert(total == Tables.documents(spark, sfDir).count())
+    b.unpersist()
+  }
+
+  test("repeated spans: exact-duplicate docs are 100% repeated, fractions consistent") {
+    val r = graft.operators.TextAnalysis.textRepeatedSpans(spark, sfDir).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("n_repeated") > col("n_spans")).count() == 0)
+    assert(r.filter(col("repeated_frac") < 0 || col("repeated_frac") > 1).count() == 0)
+    r.unpersist()
+    // planted semantics: doc 2 quotes doc 1's middle sentence verbatim
+    // — exactly those span positions (and only those) are repeated; the
+    // identical twins 3/4 are 100% repeated; the unrelated doc 5 is 0%
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon" // 5 tokens = 1 span
+    val planted = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight nine ten $shared eleven"),
+      (3L, "same text in both places here now"),
+      (4L, "same text in both places here now"),
+      (5L, "nothing here repeats anywhere at all ever")
+    ).toDF("doc_id", "text")
+    val p = graft.operators.TextAnalysis.repeatedSpansOver(planted).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    // doc 1 has 11 tokens -> 7 spans, doc 2 has 10 -> 6; in each,
+    // exactly ONE span (the quoted sentence at its position) is
+    // cross-doc — the flanking windows differ
+    assert(p(1L) == ((7L, 1L, 0.142857)), s"doc1 ${p(1L)}")
+    assert(p(2L) == ((6L, 1L, 0.166667)), s"doc2 ${p(2L)}")
+    assert(p(3L)._3 == 1.0 && p(4L)._3 == 1.0, "identical twins not 100% repeated")
+    assert(p(5L)._2 == 0L && p(5L)._3 == 0.0, "unrelated doc marked repeated")
+  }
+
 }

@@ -156,7 +156,11 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // the ivfadc chain (9) + the shortlist window; the exact re-scoring
     // joins ride the shortlist's partitioning and the ≤ R-per-query
     // relation broadcasts
-    "ann_ivfadc_rerank"     -> 10)
+    "ann_ivfadc_rerank"     -> 10,
+    // map-side bucket assignment + one keyed agg + output sort
+    "corpus_length_buckets" -> 2,
+    // gram relation (checkpointed) -> distinct + df agg + doc agg + sort
+    "text_repeated_spans"   -> 4)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
