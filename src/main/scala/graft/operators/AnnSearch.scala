@@ -369,8 +369,14 @@ object AnnSearch {
     * codebook (m, code, cv) — shared by `ann_pq_topk` (full ADC scan)
     * and `ann_ivfadc_topk` (ADC within probed IVF lists).
     */
-  private def pqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val sub = pqSubvectors(spark, dir)
+  private def pqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    pqModelOverSub(pqSubvectors(spark, dir))
+
+  /** The PQ training loop over ANY (vec_id, m, sv) subvector relation —
+    * normalized subvectors for the plain PQ/IVFADC paths, RESIDUAL
+    * subvectors for `ann_ivfpq_residual`.
+    */
+  private def pqModelOverSub(sub: DataFrame): (DataFrame, DataFrame) = {
     // one Lloyd assignment over ALL subspaces at once: the codebook is
     // M×Ks rows → broadcast; argmin per (vector, subspace)
     def assign(cb: DataFrame): DataFrame = {
@@ -507,6 +513,75 @@ object AnnSearch {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVFPQ with RESIDUAL encoding — the EXACT published IVFADC recipe
+    * (Jégou et al. §III: "the residual vector r(x) = x − q1(x) is
+    * quantized by the product quantizer"): PQ codebooks train on the
+    * residuals LEFT OVER after the coarse quantizer, not on the raw
+    * vectors, so the 8-bit-per-subspace budget models the within-list
+    * displacement instead of re-spending it on the list position the
+    * coarse quantizer already encodes — the reason every production
+    * IVFPQ index encodes residuals. Consequences in the plan:
+    *  - the corpus residual relation is one broadcast-join subtraction
+    *    (zip_with) over the assignment — map-side;
+    *  - the query ADC table becomes per-(query, PROBED LIST): the query
+    *    residual differs per list, so the table is #queries × nprobe ×
+    *    M × Ks rows — still broadcast (nprobe and M·Ks are constants);
+    *  - scoring is unchanged: table lookups summed per candidate, one
+    *    (q, vec) aggregation, rank window.
+    */
+  def annIvfpqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val nv = normVecs(spark, dir)
+    val lists = kmeansAssignmentsOver(nv)
+    // centroids read by the corpus residuals, the probes AND the query
+    // residuals: one materialization (K rows)
+    val cent = kmCentroids(lists.select(col("cl"), col("v"))).localCheckpoint()
+    // corpus residuals → PQ training subvectors
+    val rsub = lists.select(col("vec_id"), col("cl"), col("v"))
+      .join(broadcast(cent.select(col("cl"), col("cv"))), "cl")
+      .select(col("vec_id"), col("cl"),
+        expr("zip_with(v, cv, (a, b) -> a - b)").as("rv"))
+      .select(col("vec_id"), col("cl"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> slice(rv, m * $PqSub + 1, $PqSub))"))
+        .as(Seq("m", "sv")))
+    val (codes, cb) = pqModelOverSub(rsub.select("vec_id", "m", "sv"))
+    // probes: same rounded-L2 argmin as the ivfadc chain
+    val q = nv.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdist2"), col("cl"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("cdist2", round(
+        dot(col("qv"), col("qv")) - lit(2) * dot(col("qv"), col("cv"))
+          + dot(col("cv"), col("cv")), 6))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= NProbe)
+      .select(col("q_id"), col("cl"), col("qv"))
+    // per-(query, probed list) residual ADC table
+    val qrsub = probes
+      .join(broadcast(cent.select(col("cl"), col("cv"))), "cl")
+      .select(col("q_id"), col("cl"),
+        expr("zip_with(qv, cv, (a, b) -> a - b)").as("rq"))
+      .select(col("q_id"), col("cl"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> slice(rq, m * $PqSub + 1, $PqSub))"))
+        .as(Seq("m", "qs")))
+    val dt = qrsub.join(broadcast(cb), "m")
+      .withColumn("dsub", round(
+        dot(col("qs"), col("qs")) - lit(2) * dot(col("qs"), col("cv"))
+          + dot(col("cv"), col("cv")), 6))
+      .select(col("q_id"), col("cl"), col("m"), col("code"), col("dsub"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist2"), col("vec_id"))
+    lists.select(col("vec_id"), col("cl"))
+      .join(broadcast(probes.select("q_id", "cl")), "cl")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(codes, "vec_id")
+      .join(broadcast(dt), Seq("q_id", "cl", "m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("dsub")), 6).as("adist2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adist2"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** RRF constant (the published default) and per-leg candidate depth. */
   private val RrfK = 60
   private val RrfCand = 10
@@ -626,6 +701,7 @@ object AnnSearch {
     "ann_pq_topk"  -> (annPqTopk _),
     "ann_ivfadc_topk" -> (annIvfadcTopk _),
     "ann_ivfadc_rerank" -> (annIvfadcRerank _),
+    "ann_ivfpq_residual" -> (annIvfpqResidual _),
     "ann_kmeans_train" -> (annKmeansTrain _),
     "ann_rrf_fusion" -> (annRrfFusion _))
 
@@ -737,7 +813,12 @@ object AnnSearch {
     * rounding points as the Spark side (round before every
     * argmin/rank).
     */
-  private val pqCtes: String = {
+  /** The 2-round PQ training chain over ANY (vec_id, m, sv) relation,
+    * emitting `{pfx}cb0 → {pfx}a0 → {pfx}cb1 → {pfx}a1` — normalized
+    * subvectors for the plain PQ path, residual subvectors for
+    * `ann_ivfpq_residual`. Mirrors [[pqModelOverSub]] term for term.
+    */
+  private def pqTrainCtes(subRel: String, pfx: String): String = {
     def assign(cb: String, out: String) =
       s"""$out AS (
          |  SELECT vec_id, m, code, sv FROM (
@@ -745,23 +826,27 @@ object AnnSearch {
          |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
          |        round(list_inner_product(s.sv, s.sv) - 2 * list_inner_product(s.sv, c.cv)
          |          + list_inner_product(c.cv, c.cv), 6), c.code) AS rn
-         |    FROM psub s JOIN $cb c ON c.m = s.m) r
+         |    FROM $subRel s JOIN $cb c ON c.m = s.m) r
          |  WHERE rn = 1)""".stripMargin
+    s"""${pfx}cb0 AS (SELECT m, CAST(vec_id AS INT) AS code, sv AS cv FROM $subRel WHERE vec_id < $PqKs),
+       |${assign(s"${pfx}cb0", s"${pfx}a0")},
+       |${pfx}cb1 AS (
+       |  SELECT m, code, list(c ORDER BY d) AS cv FROM (
+       |    SELECT a.m, a.code, d.d, round(avg(a.sv[d.d]), 6) AS c
+       |    FROM ${pfx}a0 a, generate_series(1, $PqSub) d(d)
+       |    GROUP BY a.m, a.code, d.d) x
+       |  GROUP BY m, code),
+       |${assign(s"${pfx}cb1", s"${pfx}a1")}""".stripMargin
+  }
+
+  private val pqCtes: String = {
     s"""pe AS (
        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
        |    x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
        |  FROM embeddings),
        |psub AS (SELECT vec_id, mm.m, v[mm.m*$PqSub+1 : mm.m*$PqSub+$PqSub] AS sv
        |        FROM pe, generate_series(0, ${PqM - 1}) mm(m)),
-       |pcb0 AS (SELECT m, CAST(vec_id AS INT) AS code, sv AS cv FROM psub WHERE vec_id < $PqKs),
-       |${assign("pcb0", "pa0")},
-       |pcb1 AS (
-       |  SELECT m, code, list(c ORDER BY d) AS cv FROM (
-       |    SELECT a.m, a.code, d.d, round(avg(a.sv[d.d]), 6) AS c
-       |    FROM pa0 a, generate_series(1, $PqSub) d(d)
-       |    GROUP BY a.m, a.code, d.d) x
-       |  GROUP BY m, code),
-       |${assign("pcb1", "pa1")},
+       |${pqTrainCtes("psub", "p")},
        |pqsub AS (SELECT vec_id AS q_id, m, sv AS qs FROM psub WHERE vec_id % 50 = 0),
        |pdt AS (
        |  SELECT q.q_id, c.m, c.code,
@@ -792,10 +877,13 @@ object AnnSearch {
     * as the Spark side, probes by rounded-L2 argmin in the same metric
     * space PQ encodes, ADC restricted to probed lists.
     */
-  private val ivfadcChainCtes: String =
-    s"""$kmeansCtesNorm,
-       |$pqCtes,
-       |cent AS (
+  /** Coarse-quantizer query side (centroids from the final assignment,
+    * query subset, nprobe probes) — shared by the IVFADC chain and the
+    * residual-PQ oracle. Depends on `e` / `$kmeansFinalCte` from
+    * [[kmeansCtesNorm]].
+    */
+  private val ivfCoarseCtes: String =
+    s"""cent AS (
        |  SELECT cl, list(c ORDER BY d) AS cv FROM (
        |    SELECT a.cl, d.d, round(avg(a.v[d.d]), 6) AS c
        |    FROM $kmeansFinalCte a, generate_series(1, $Dims) d(d)
@@ -808,7 +896,12 @@ object AnnSearch {
        |      round(list_inner_product(q.v, q.v) - 2 * list_inner_product(q.v, c.cv)
        |        + list_inner_product(c.cv, c.cv), 6), c.cl) AS pr
        |    FROM qf q CROSS JOIN cent c) z
-       |  WHERE pr <= $NProbe),
+       |  WHERE pr <= $NProbe)""".stripMargin
+
+  private val ivfadcChainCtes: String =
+    s"""$kmeansCtesNorm,
+       |$pqCtes,
+       |$ivfCoarseCtes,
        |cand AS (
        |  SELECT p.q_id, a.vec_id FROM probes p JOIN $kmeansFinalCte a ON a.cl = p.cl
        |  WHERE a.vec_id <> p.q_id),
@@ -818,6 +911,47 @@ object AnnSearch {
        |  JOIN pa1 c ON c.vec_id = cd.vec_id
        |  JOIN pdt t ON t.q_id = cd.q_id AND t.m = c.m AND t.code = c.code
        |  GROUP BY cd.q_id, cd.vec_id)""".stripMargin
+
+  /** Residual-PQ oracle: the same coarse chain, PQ trained on the
+    * residual subvectors, per-(query, probed list) residual ADC tables.
+    */
+  private val ivfpqResidualSql: String =
+    s"""WITH $kmeansCtesNorm,
+       |$ivfCoarseCtes,
+       |rres AS (
+       |  SELECT a.vec_id, a.cl,
+       |    list_transform(generate_series(1, $Dims), i -> a.v[i] - c.cv[i]) AS rv
+       |  FROM $kmeansFinalCte a JOIN cent c USING (cl)),
+       |rsub AS (
+       |  SELECT vec_id, cl, mm.m, rv[mm.m*$PqSub+1 : mm.m*$PqSub+$PqSub] AS sv
+       |  FROM rres, generate_series(0, ${PqM - 1}) mm(m)),
+       |${pqTrainCtes("rsub", "r")},
+       |qres AS (
+       |  SELECT p.q_id, p.cl,
+       |    list_transform(generate_series(1, $Dims), i -> q.v[i] - c.cv[i]) AS rq
+       |  FROM probes p JOIN qf q ON q.q_id = p.q_id JOIN cent c ON c.cl = p.cl),
+       |qrsub AS (
+       |  SELECT q_id, cl, mm.m, rq[mm.m*$PqSub+1 : mm.m*$PqSub+$PqSub] AS qs
+       |  FROM qres, generate_series(0, ${PqM - 1}) mm(m)),
+       |rdt AS (
+       |  SELECT s.q_id, s.cl, c.m, c.code,
+       |    round(list_inner_product(s.qs, s.qs) - 2 * list_inner_product(s.qs, c.cv)
+       |      + list_inner_product(c.cv, c.cv), 6) AS dsub
+       |  FROM qrsub s JOIN rcb1 c ON c.m = s.m),
+       |rcand AS (
+       |  SELECT p.q_id, p.cl, a.vec_id FROM probes p JOIN $kmeansFinalCte a ON a.cl = p.cl
+       |  WHERE a.vec_id <> p.q_id),
+       |radc AS (
+       |  SELECT cd.q_id, cd.vec_id, round(sum(t.dsub), 6) AS adist2
+       |  FROM rcand cd
+       |  JOIN ra1 c ON c.vec_id = cd.vec_id
+       |  JOIN rdt t ON t.q_id = cd.q_id AND t.cl = cd.cl AND t.m = c.m AND t.code = c.code
+       |  GROUP BY cd.q_id, cd.vec_id),
+       |rranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist2, vec_id) AS rank
+       |  FROM radc)
+       |SELECT q_id, vec_id AS neighbor_id, adist2, rank FROM rranked
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
   private val ivfadcSql: String =
     s"""WITH $ivfadcChainCtes,
@@ -908,6 +1042,7 @@ object AnnSearch {
     "ann_pq_topk" -> pqSql,
     "ann_ivfadc_topk" -> ivfadcSql,
     "ann_ivfadc_rerank" -> ivfadcRerankSql,
+    "ann_ivfpq_residual" -> ivfpqResidualSql,
     "ann_topk" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,

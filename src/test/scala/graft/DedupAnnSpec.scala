@@ -317,6 +317,30 @@ class DedupAnnSpec extends SparkTestBase {
     rr.unpersist()
   }
 
+  test("ann_ivfpq_residual: published residual recipe, recall measured against raw-vector ADC") {
+    val res = AnnSearch.annIvfpqResidual(spark, sfDir).cache()
+    assert(res.groupBy("q_id").count().agg(max("count")).head().getLong(0) <= 5)
+    assert(res.filter(col("adist2") < -4e-6).count() == 0)
+    val bf = AnnSearch.annTopk(spark, sfDir).select(col("q_id"), col("neighbor_id"))
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select(col("q_id"), col("neighbor_id"))
+        .join(bf, Seq("q_id", "neighbor_id")).count().toDouble / bf.count()
+    val rawRecall = recall(AnnSearch.annIvfadcTopk(spark, sfDir))
+    val resRecall = recall(res)
+    // Same lists/probes/code budget; the only change is WHAT the 16×32
+    // codebook models. On THIS corpus residuals measure 0.28 vs 0.42
+    // raw — the instructive worst case: the vectors are structureless
+    // (near-uniform on the sphere), so the coarse centroids sit near 0,
+    // explain almost no variance, and the residual r = v − ĉ is the
+    // vector plus centroid-estimation noise — the published residual
+    // gain REQUIRES the coarse quantizer to capture real cluster
+    // structure (PLANS.md "Residual PQ"). Floor pins the measured
+    // level; the relative comparison is informational, not asserted.
+    assert(resRecall >= 0.20, f"residual recall collapsed: $resRecall%.3f")
+    assert(rawRecall >= 0.30, f"raw IVFADC recall collapsed: $rawRecall%.3f")
+    res.unpersist()
+  }
+
   test("ann_rrf_fusion: bounded per-query output, rrf arithmetic consistent, both legs contribute") {
     val df = AnnSearch.annRrfFusion(spark, sfDir).cache()
     // ≤ 5 fused results per query, ranks 1..5 without gaps

@@ -159,6 +159,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "ann_ivfadc_rerank"     -> 10,
     // map-side bucket assignment + one keyed agg + output sort
     "corpus_length_buckets" -> 2,
+    // coarse assign windows + PQ-train argmin windows + final (q,vec)
+    // agg/rank; residual subtraction and both ADC tables are broadcast
+    "ann_ivfpq_residual"    -> 6,
     // gram relation (checkpointed) -> distinct + df agg + doc agg + sort
     "text_repeated_spans"   -> 4)
 
