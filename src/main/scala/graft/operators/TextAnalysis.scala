@@ -544,6 +544,53 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus LEXICAL PROFILE — the Zipf diagnostics a pipeline reads
+    * before trusting its text statistics: token/type counts, hapax
+    * share (freq-1 types — the OOV pressure signal), and the fitted
+    * Zipf exponent (closed-form least squares of ln freq on ln rank
+    * — natural text sits near −1; synthetic or templated corpora
+    * betray themselves with a flat slope, exactly the 31-term-vocab
+    * artifact PLANS.md documents for this testbed). One token
+    * aggregation; the rank window runs over the VOCABULARY relation
+    * (already aggregated — #types rows, not corpus rows; at extreme
+    * vocab sizes swap in the two-phase cumsum's range-partition rank).
+    * The regression is sums of logs — order-free after 6-dp rounding
+    * of each term's contribution, so both engines agree exactly.
+    */
+  def textZipfProfile(spark: SparkSession, dir: String): DataFrame =
+    zipfProfileOver(Tables.documents(spark, dir))
+
+  /** The profile over any (text) relation — exposed for the
+    * hand-computed spec corpus.
+    */
+  private[graft] def zipfProfileOver(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .select(explode(toks(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val wRank = Window.orderBy(col("f").desc, col("w"))
+    val ranked = vocab
+      .withColumn("r", row_number().over(wRank))
+      // integer-scaled log terms: the later sums must not depend on
+      // accumulation order (the BM25 discipline)
+      .select(col("f"),
+        round(log(col("r").cast("double")) * 1000000, 0).cast("bigint").as("x6"),
+        round(log(col("f").cast("double")) * 1000000, 0).cast("bigint").as("y6"))
+    ranked.agg(
+        count(lit(1)).as("n_types"),
+        sum(col("f")).as("n_tokens"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("hapax_types"),
+        sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+        sum(col("x6") * col("y6")).as("sxy"), sum(col("x6") * col("x6")).as("sxx"))
+      .select(
+        col("n_types"), col("n_tokens"), col("hapax_types"),
+        round(col("hapax_types") / col("n_types"), 6).as("hapax_frac"),
+        // slope in the original ln space: the 1e6 scaling cancels in
+        // the ratio ((n·Σxy − ΣxΣy) / (n·Σxx − Σx²))
+        round((col("n_types") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_types") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+  }
+
   /** Cross-doc span width (tokens) for the repeated-gram audit. */
   private val SpanGram = 5
 
@@ -694,6 +741,7 @@ object TextAnalysis {
     "text_bpe_merges"     -> (textBpeMerges _),
     "text_bpe_encode"     -> (textBpeEncode _),
     "text_repeated_spans" -> (textRepeatedSpans _),
+    "text_zipf_profile"   -> (textZipfProfile _),
     "text_perplexity"     -> (textPerplexity _),
     "text_winnowing"   -> (textWinnowing _),
     "text_winnow_pairs" -> (textWinnowPairs _),
@@ -820,6 +868,25 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "text_bpe_merges" -> bpeMergesOracle(BpeMergeRounds),
     "text_bpe_encode" -> bpeEncodeOracle(BpeMergeRounds),
+    "text_zipf_profile" ->
+      s"""WITH vocab AS (
+         |  SELECT w, count(*) AS f
+         |  FROM (SELECT unnest(${toksSql("text")}) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY w),
+         |ranked AS (
+         |  SELECT f,
+         |    CAST(round(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x6,
+         |    CAST(round(ln(CAST(f AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y6
+         |  FROM (SELECT f, w, row_number() OVER (ORDER BY f DESC, w) AS r
+         |        FROM vocab))
+         |SELECT count(*) AS n_types,
+         |  CAST(sum(f) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_types,
+         |  round(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         |    AS hapax_frac,
+         |  round((count(*) * sum(x6 * y6) - sum(x6) * sum(y6)) * 1.0
+         |    / (count(*) * sum(x6 * x6) - sum(x6) * sum(x6)), 6) AS zipf_slope
+         |FROM ranked""".stripMargin,
     "text_repeated_spans" ->
       s"""WITH grams AS (
          |  SELECT doc_id, i.i AS pos,

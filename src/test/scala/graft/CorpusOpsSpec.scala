@@ -190,6 +190,22 @@ class CorpusOpsSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("zipf profile: hand-computed 2-type slope of exactly -1, corpus invariants hold") {
+    import spark.implicits._
+    // corpus "a a b": ranks (a=1, f=2), (b=2, f=1) -> fit through
+    // (ln 1, ln 2) and (ln 2, ln 1) = (0, ln2), (ln2, 0): slope -1
+    val tiny = Seq("a a b").toDF("text")
+    val t = graft.operators.TextAnalysis.zipfProfileOver(tiny).head()
+    assert(t.getLong(0) == 2 && t.getLong(1) == 3 && t.getLong(2) == 1)
+    assert(t.getDouble(3) == 0.5)
+    assert(t.getDouble(4) == -1.0, s"slope ${t.getDouble(4)}")
+    // corpus invariants: freq non-increasing in rank forces slope <= 0
+    val c = graft.operators.TextAnalysis.textZipfProfile(spark, sfDir).head()
+    assert(c.getLong(1) >= c.getLong(0))       // tokens >= types
+    assert(c.getLong(2) <= c.getLong(0))       // hapax <= types
+    assert(c.getDouble(4) <= 0.0, s"corpus slope ${c.getDouble(4)}")
+  }
+
   test("length buckets: integer-exact bin edges, waste bounded by one bin width") {
     val b = graft.operators.CorpusOps.corpusLengthBuckets(spark, sfDir).cache()
     assert(b.count() > 0)

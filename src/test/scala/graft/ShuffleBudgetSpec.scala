@@ -165,6 +165,8 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // 64-row range agg + (q,vec) term agg + rank + output sort; the
     // range model and the query relation broadcast
     "ann_sq8_topk"          -> 4,
+    // vocab agg + the rank window over the AGGREGATED vocab relation
+    "text_zipf_profile"     -> 2,
     // gram relation (checkpointed) -> distinct + df agg + doc agg + sort
     "text_repeated_spans"   -> 4)
 
