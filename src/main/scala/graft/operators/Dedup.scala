@@ -103,6 +103,16 @@ object Dedup {
       .select(col("doc_id") +: (0 until NumHashes).map(j => col(s"m$j")) ++: bands: _*)
   }
 
+  /** Banded signature keys (doc_id, band_idx, bk) over any (doc_id,
+    * text) relation — the probe relation shared by the incremental
+    * admission operator and the streaming admission path
+    * ([[graft.streaming.StreamOps.nearDupAdmissionStream]]).
+    */
+  private[graft] def bandKeysOf(docs: DataFrame): DataFrame =
+    minhashFromShingles(shinglesOf(docs))
+      .select(col("doc_id"), posexplode(
+        array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
+
   private def minhashCteOver(rel: String): String = {
     val mins = (0 until NumHashes)
       .map(j => s"min(${hjSql("g", j)}) AS m$j").mkString(", ")

@@ -107,6 +107,46 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming NEAR-DUP admission — the continuous twin of
+    * `dedup_incremental`: each micro-batch of arriving documents
+    * computes its banded MinHash signature keys (the same
+    * [[graft.operators.Dedup.bandKeysOf]] banding as the batch path)
+    * and probes the corpus SIGNATURE INDEX — a static relation of
+    * (cand_id, band_idx, bk) — via a stream-static equi-join on the
+    * band key. A doc whose bands hit nothing is admitted immediately;
+    * a doc with candidate partners is routed to review (where the
+    * batch-side exact-Jaccard verification of `dedup_incremental`
+    * takes over). Old-vs-old pairs are structurally impossible: only
+    * the batch side of the join is new data, so steady-state work per
+    * interval ∝ batch size + touched buckets — the property that
+    * makes continuous ingest dedup affordable at 100 TB. foreachBatch
+    * keeps the signature aggregation off the streaming state store
+    * (it is a per-batch batch job, checkpoint-recoverable and
+    * idempotent: re-running a batch reproduces identical verdicts).
+    */
+  def nearDupAdmissionStream(docs: DataFrame, index: DataFrame,
+      checkpoint: String)(onBatch: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val probes = graft.operators.Dedup.bandKeysOf(
+          batch.select(col("doc_id"), col("text")))
+        val hits = probes
+          .join(index, Seq("band_idx", "bk"))
+          .filter(col("doc_id") =!= col("cand_id"))
+          .select(col("doc_id"), col("cand_id")).distinct()
+        val verdicts = batch.select(col("doc_id")).distinct()
+          .join(hits.groupBy(col("doc_id"))
+            .agg(countDistinct(col("cand_id")).as("n_candidates")),
+            Seq("doc_id"), "left")
+          .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+          .withColumn("action",
+            when(col("n_candidates") > 0, "review").otherwise("admit"))
+        onBatch(verdicts)
+      }
+      .start()
+
   /** Streaming materialized view — the continuous twin of
     * `etl_incremental_agg`: each micro-batch is reduced to its (small)
     * mergeable aggregate and MERGED into the stored state via

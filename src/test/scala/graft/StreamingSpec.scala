@@ -237,6 +237,54 @@ class StreamingSpec extends SparkTestBase {
     assert(ids.contains(1L) && ids.contains(4L) && !ids.contains(3L))
   }
 
+  test("streaming near-dup admission flags a near-copy against the corpus index and admits novel docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the corpus signature index: a static band-key relation, as the
+    // incremental batch path builds it
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "completely different content about databases and query planning"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.bandKeysOf(corpus)
+      .withColumnRenamed("doc_id", "cand_id")
+      .localCheckpoint()
+    val stream = MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup_ckpt").toString
+    val q = StreamOps.nearDupAdmissionStream(
+      stream.toDF().toDF("doc_id", "text"), index, ckpt) { verdicts =>
+      results ++= verdicts.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    }
+    try {
+      // doc 1: near-copy of corpus doc 100 (one word changed); doc 2: novel
+      stream.addData(
+        (1L, "the quick brown fox jumps over the lazy cat again and again"),
+        (2L, "entirely unrelated text mentioning spark catalyst and tungsten"))
+      q.processAllAvailable()
+      // second batch: replays nothing, admits another novel doc
+      stream.addData((3L, "yet more novel material with no shared shingles at all"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byId = results.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(1L)._2 == "review" && byId(1L)._1 >= 1L,
+      s"near-copy not flagged: ${byId(1L)}")
+    assert(byId(2L) == ((0L, "admit")), s"novel doc 2 ${byId(2L)}")
+    assert(byId(3L) == ((0L, "admit")), s"novel doc 3 ${byId(3L)}")
+    // semantics cross-check: the streaming probe's candidate set equals
+    // the BATCH banding candidates for the same (new, corpus) split
+    val batchCands = graft.operators.Dedup.bandKeysOf(
+        Seq((1L, "the quick brown fox jumps over the lazy cat again and again"),
+            (2L, "entirely unrelated text mentioning spark catalyst and tungsten"),
+            (3L, "yet more novel material with no shared shingles at all"))
+          .toDF("doc_id", "text"))
+      .join(index, Seq("band_idx", "bk"))
+      .select("doc_id", "cand_id").distinct().count()
+    val streamCands = results.map(_._2).sum
+    assert(streamCands == batchCands,
+      s"stream candidates $streamCands != batch banding $batchCands")
+  }
+
   test("streaming sessionization handles out-of-order events within a batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
