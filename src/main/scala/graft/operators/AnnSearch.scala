@@ -627,6 +627,44 @@ object AnnSearch {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** BINARY quantization ANN — the 1-bit tier that completes the
+    * compression ladder (BQ 256× / SQ8 8× / PQ 32× / IVFADC): each
+    * dimension keeps only its SIGN, the 64-bit pattern packs into two
+    * 32-bit halves (sign-safe in BIGINT on both engines), and distance
+    * is pure bit arithmetic — `bit_count(xor)` per half, summed. The
+    * sign estimator ranks by the hyperplane-crossing count (E[hamming]
+    * = 64·θ/π), reported alongside the implied cosine cos(π·h/64).
+    * This is the scan modern vector stores run FIRST (16 B/vector,
+    * SIMD-popcount speed) before refining survivors with a
+    * higher-fidelity tier — compose with `ann_ivfadc_rerank`'s exact
+    * stage for that shape. The scan is a broadcast of the (tiny) query
+    * code relation against the corpus codes — deliberately a full
+    * compressed linear scan, like ADC.
+    */
+  def annBqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val bits = normVecs(spark, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+      .withColumn("b", col("x") > 0)
+    val codes = bits.groupBy(col("vec_id")).agg(
+      sum(when(col("d") < 32 && col("b"), expr("shiftleft(CAST(1 AS BIGINT), d)"))
+        .otherwise(0L)).as("lo"),
+      sum(when(col("d") >= 32 && col("b"), expr("shiftleft(CAST(1 AS BIGINT), d - 32)"))
+        .otherwise(0L)).as("hi"))
+    val q = codes.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("hamming"), col("vec_id"))
+    codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("hamming",
+        (expr("bit_count(lo ^ qlo)") + expr("bit_count(hi ^ qhi)")).cast("long"))
+      .withColumn("est_cosine",
+        round(cos(col("hamming") * math.Pi / Dims), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("hamming"), col("est_cosine"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** RRF constant (the published default) and per-leg candidate depth. */
   private val RrfK = 60
   private val RrfCand = 10
@@ -748,6 +786,7 @@ object AnnSearch {
     "ann_ivfadc_rerank" -> (annIvfadcRerank _),
     "ann_ivfpq_residual" -> (annIvfpqResidual _),
     "ann_sq8_topk" -> (annSq8Topk _),
+    "ann_bq_topk" -> (annBqTopk _),
     "ann_kmeans_train" -> (annKmeansTrain _),
     "ann_rrf_fusion" -> (annRrfFusion _))
 
@@ -1089,6 +1128,29 @@ object AnnSearch {
     "ann_ivfadc_topk" -> ivfadcSql,
     "ann_ivfadc_rerank" -> ivfadcRerankSql,
     "ann_ivfpq_residual" -> ivfpqResidualSql,
+    "ann_bq_topk" ->
+      s"""WITH nv AS (
+         |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+         |    x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+         |  FROM embeddings),
+         |bits AS (SELECT vec_id, d.d - 1 AS d, v[d.d] > 0 AS b
+         |         FROM nv, generate_series(1, $Dims) d(d)),
+         |codes AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN d < 32 AND b THEN (CAST(1 AS BIGINT) << d) ELSE 0 END) AS BIGINT) AS lo,
+         |    CAST(sum(CASE WHEN d >= 32 AND b THEN (CAST(1 AS BIGINT) << (d - 32)) ELSE 0 END) AS BIGINT) AS hi
+         |  FROM bits GROUP BY vec_id),
+         |q AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM codes WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.q_id, c.vec_id,
+         |    CAST(bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi)) AS BIGINT) AS hamming
+         |  FROM codes c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT *, round(cos(hamming * pi() / $Dims), 6) AS est_cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, vec_id AS neighbor_id, hamming, est_cosine, rank FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "ann_sq8_topk" ->
       s"""WITH nv AS (
          |  SELECT vec_id, list_transform(embedding::DOUBLE[],

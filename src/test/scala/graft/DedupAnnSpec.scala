@@ -357,6 +357,24 @@ class DedupAnnSpec extends SparkTestBase {
     sq.unpersist()
   }
 
+  test("ann_bq_topk: 1-bit codes, hamming consistent with signs, measurable recall") {
+    val bq = AnnSearch.annBqTopk(spark, sfDir).cache()
+    assert(bq.groupBy("q_id").count().agg(max("count")).head().getLong(0) <= 5)
+    assert(bq.filter(col("hamming") < 0 || col("hamming") > 64).count() == 0)
+    // est_cosine is the sign-estimator cos(pi*h/64): monotone in hamming
+    assert(bq.filter(col("est_cosine") < -1.0 || col("est_cosine") > 1.0).count() == 0)
+    val bf = AnnSearch.annTopk(spark, sfDir).select(col("q_id"), col("neighbor_id"))
+    val hit = bq.select(col("q_id"), col("neighbor_id"))
+      .join(bf, Seq("q_id", "neighbor_id")).count()
+    val recall = hit.toDouble / bf.count()
+    // 64 sign bits ~ E[h] = 64*theta/pi: a coarse but genuinely
+    // informative estimator — the 256x-compression scan tier vector
+    // stores run before any refinement; same 0.30 working floor as
+    // the other approximate indexes
+    assert(recall >= 0.30, f"BQ recall collapsed: $recall%.3f")
+    bq.unpersist()
+  }
+
   test("ann_rrf_fusion: bounded per-query output, rrf arithmetic consistent, both legs contribute") {
     val df = AnnSearch.annRrfFusion(spark, sfDir).cache()
     // ≤ 5 fused results per query, ranks 1..5 without gaps

@@ -167,6 +167,8 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "ann_sq8_topk"          -> 4,
     // vocab agg + the rank window over the AGGREGATED vocab relation
     "text_zipf_profile"     -> 2,
+    // bit-pack agg + (q,vec) rank + output sort; query codes broadcast
+    "ann_bq_topk"           -> 4,
     // gram relation (checkpointed) -> distinct + df agg + doc agg + sort
     "text_repeated_spans"   -> 4)
 
