@@ -466,7 +466,91 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Token budget and repeat cap for the epoch schedule. */
+  private val EpochTokenBudget = 60000L
+  private val EpochAlpha = 0.5
+  private val MaxEpochs = 4L
+
+  /** EPOCH SCHEDULE — the data-mixture table a training run is loaded
+    * from: how many passes ("epochs") each source contributes toward a
+    * global token budget. Weights are temperature-flattened available
+    * token counts (`pow(tokens, α) / Σ`, the standard mixture knob:
+    * α < 1 boosts small sources), each source's target token share is
+    * its weight times the budget, and the repeat factor is
+    * target / available, capped at `MaxEpochs` passes — the published
+    * guidance that repeating data beyond ~4 epochs stops helping. A
+    * source whose target exceeds the cap reports the unmet remainder
+    * as `deficit_tokens`, the number the mixture designer re-balances
+    * against. One scan → per-source aggregate (#sources rows) → 1-row
+    * broadcast normalizer: cost is a single map-side-combined
+    * aggregation at any corpus size.
+    */
+  def corpusEpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(split(trim(col("text")), "\\s+")).cast("bigint")
+    val avail = Tables.documents(spark, dir)
+      .select(col("source"), nTok.as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("avail_tokens"))
+    val z = avail.agg(sum(pow(col("avail_tokens"), EpochAlpha)).as("z"))
+    avail.crossJoin(broadcast(z))
+      .withColumn("weight",
+        round(pow(col("avail_tokens"), EpochAlpha) / col("z"), 6))
+      .withColumn("target_tokens",
+        floor(col("weight") * EpochTokenBudget).cast("bigint"))
+      .withColumn("epochs",
+        round(col("target_tokens") / col("avail_tokens"), 6))
+      .withColumn("epochs_capped",
+        round(least(col("epochs"), lit(MaxEpochs.toDouble)), 6))
+      .withColumn("deficit_tokens",
+        greatest(lit(0L), col("target_tokens") - lit(MaxEpochs) * col("avail_tokens")))
+      .select("source", "n_docs", "avail_tokens", "weight", "target_tokens",
+        "epochs", "epochs_capped", "deficit_tokens")
+      .orderBy(col("source"))
+  }
+
+  /** Pair-bin capacity for the complement packing. */
+  private val PairCap = 128L
+
+  /** COMPLEMENT-PAIRING sequence packing — the sorted-histogram trick
+    * (shortest-pack-first family) for filling fixed batches without a
+    * sequential first-fit pass: rank documents by length (longest
+    * first), then pair rank r with rank n+1−r, so the longest doc
+    * shares a bin with the shortest, the 2nd-longest with the
+    * 2nd-shortest, … For length distributions a near-optimal 2-per-bin
+    * packing, and — unlike true best-fit-decreasing, which is
+    * inherently sequential — every step here is relational: the global
+    * rank is the two-phase range-partitioned cumsum (parallelism ∝
+    * data, no unpartitioned window), the pairing is integer arithmetic
+    * on the rank, and the bin totals are one groupBy. Emits each doc's
+    * rank, bin, bin total, and the fit/waste verdict against the
+    * `PairCap` batch size.
+    */
+  def corpusPackPairs(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(split(trim(col("text")), "\\s+")).cast("bigint")
+    val ranked = keyedCumsum(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), nTok.as("n_tok"))
+        .withColumn("_g", lit(0)).withColumn("_one", lit(1L)),
+      key = "_g", order = Seq(col("n_tok").desc, col("doc_id")),
+      sizeCol = "_one", out = "pack_rank")
+      .drop("_g", "_one")
+      .localCheckpoint() // bin totals + final join both read it
+    val n = ranked.agg(count(lit(1)).as("n"))
+    val binned = ranked.crossJoin(broadcast(n))
+      .withColumn("bin_id", least(col("pack_rank"), col("n") + 1 - col("pack_rank")))
+    val binTotals = binned.groupBy(col("bin_id"))
+      .agg(sum(col("n_tok")).as("bin_tokens"))
+    binned.join(binTotals, Seq("bin_id"))
+      .withColumn("fits", col("bin_tokens") <= PairCap)
+      .withColumn("waste", greatest(lit(0L), lit(PairCap) - col("bin_tokens")))
+      .select("doc_id", "n_tok", "pack_rank", "bin_id", "bin_tokens",
+        "fits", "waste")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_epoch_plan"        -> (corpusEpochPlan _),
+    "corpus_pack_pairs"        -> (corpusPackPairs _),
     "corpus_model_quality"     -> (corpusModelQuality _),
     "corpus_importance_resample" -> (corpusImportanceResample _),
     "corpus_pack_contexts"     -> (corpusPackContexts _),
@@ -488,6 +572,50 @@ object CorpusOps {
        |       unnest(generate_series(1, len(toks) - ${n - 1})) t(i))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_epoch_plan" ->
+      s"""WITH avail AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |      AS avail_tokens
+         |  FROM documents GROUP BY source),
+         |z AS (SELECT sum(pow(avail_tokens, $EpochAlpha)) AS z FROM avail),
+         |w AS (
+         |  SELECT source, n_docs, avail_tokens,
+         |    round(pow(avail_tokens, $EpochAlpha) / z, 6) AS weight
+         |  FROM avail CROSS JOIN z),
+         |t AS (
+         |  SELECT *, CAST(floor(weight * $EpochTokenBudget) AS BIGINT)
+         |    AS target_tokens
+         |  FROM w)
+         |SELECT source, n_docs, avail_tokens, weight, target_tokens,
+         |  round(target_tokens * 1.0 / avail_tokens, 6) AS epochs,
+         |  round(least(target_tokens * 1.0 / avail_tokens, $MaxEpochs.0), 6)
+         |    AS epochs_capped,
+         |  CAST(greatest(0, target_tokens - $MaxEpochs * avail_tokens) AS BIGINT)
+         |    AS deficit_tokens
+         |FROM t ORDER BY source""".stripMargin,
+    "corpus_pack_pairs" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |r AS (
+         |  SELECT *,
+         |    CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id) AS BIGINT)
+         |      AS pack_rank,
+         |    count(*) OVER () AS n
+         |  FROM sized),
+         |b AS (
+         |  SELECT *, CAST(least(pack_rank, n + 1 - pack_rank) AS BIGINT)
+         |    AS bin_id
+         |  FROM r),
+         |bt AS (
+         |  SELECT bin_id, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+         |  FROM b GROUP BY bin_id)
+         |SELECT doc_id, n_tok, pack_rank, bin_id, bin_tokens,
+         |  bin_tokens <= $PairCap AS fits,
+         |  CAST(greatest(0, $PairCap - bin_tokens) AS BIGINT) AS waste
+         |FROM b JOIN bt USING (bin_id) ORDER BY doc_id""".stripMargin,
     "corpus_length_buckets" ->
       """WITH sized AS (
         |  SELECT source,

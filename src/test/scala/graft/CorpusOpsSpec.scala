@@ -30,6 +30,55 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(sample.exceptAll(CorpusOps.corpusSampleStratified(spark, sfDir)).count() == 0)
   }
 
+  test("epoch plan: weights normalize, caps bind, deficit only past the cap") {
+    val df = CorpusOps.corpusEpochPlan(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+    assert(df.count() == docs.select("source").distinct().count())
+    // temperature weights sum to ~1 (6-dp rounding slack per source)
+    val wsum = df.agg(sum("weight")).head().getDouble(0)
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    // the cap binds: epochs_capped == min(epochs, 4)
+    assert(df.filter(col("epochs_capped") > 4.0).count() == 0)
+    assert(df.filter(col("epochs") <= 4.0 &&
+      col("epochs_capped") =!= col("epochs")).count() == 0)
+    // deficit is nonzero exactly when the target exceeds 4 full passes
+    assert(df.filter((col("deficit_tokens") > 0) =!=
+      (col("target_tokens") > col("avail_tokens") * 4)).count() == 0)
+    // targets track the budget: within one floor-rounding per source
+    val tsum = df.agg(sum("target_tokens")).head().getLong(0)
+    assert(tsum <= 60000L && tsum > 60000L - 10 * df.count(), s"targets sum to $tsum")
+  }
+
+  test("pack pairs: rank is a permutation, bins pair longest with shortest") {
+    val df = CorpusOps.corpusPackPairs(spark, sfDir).cache()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(df.count() == n)
+    // pack_rank is exactly 1..n
+    assert(df.select("pack_rank").distinct().count() == n)
+    val mm = df.agg(min("pack_rank"), max("pack_rank")).head()
+    assert(mm.getLong(0) == 1L && mm.getLong(1) == n)
+    // every bin holds 1 or 2 docs; exactly ceil(n/2) bins
+    val sizes = df.groupBy("bin_id").count().cache()
+    assert(sizes.filter(col("count") > 2).count() == 0)
+    assert(sizes.count() == (n + 1) / 2)
+    // complement pairing: partner ranks sum to n+1 in every 2-doc bin
+    val bad = df.groupBy("bin_id")
+      .agg(sum("pack_rank").as("rs"), count(lit(1)).as("c"))
+      .filter(col("c") === 2 && col("rs") =!= n + 1)
+    assert(bad.count() == 0)
+    // bin totals account for every token
+    val tok = df.agg(sum("n_tok")).head().getLong(0)
+    val binTok = df.select("bin_id", "bin_tokens").distinct()
+      .agg(sum("bin_tokens")).head().getLong(0)
+    assert(tok == binTok)
+    // the longest doc shares its bin with the shortest
+    val r1 = df.filter(col("pack_rank") === 1).select("bin_id").head().getLong(0)
+    val rn = df.filter(col("pack_rank") === n).select("bin_id").head().getLong(0)
+    assert(r1 == rn && r1 == 1L)
+    // deterministic on rerun
+    assert(CorpusOps.corpusPackPairs(spark, sfDir).exceptAll(df).count() == 0)
+  }
+
   test("token budget: per-source cumulative totals never exceed the budget, longest first") {
     val df = CorpusOps.corpusTokenBudget(spark, sfDir).cache()
     assert(df.filter(col("cum_tokens") > 1000L).count() == 0)
