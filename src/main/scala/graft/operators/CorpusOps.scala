@@ -548,7 +548,46 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style PERPLEXITY BUCKETS: score every document with the
+    * corpus bigram LM (one definition — TextAnalysis.perplexityAgg),
+    * rank within its language by cross-entropy (most-fluent first,
+    * doc_id tie-break), and cut each language into head / middle /
+    * tail thirds — the published CCNet recipe for choosing which slice
+    * of a crawl to train on. The tercile is pure integer arithmetic on
+    * the rank (`(rank−1)·3 div n + 1`), NOT an engine ntile builtin
+    * (remainder placement differs across engines), and the rank is the
+    * two-phase range-partitioned cumsum, so no per-language window
+    * ever sees a language's full stream. Ordering compares the same
+    * IEEE double (integer s6 / integer n_grams) on both engines —
+    * engine-exact. Docs under 2 tokens have no bigram score and are
+    * excluded, as in text_perplexity.
+    */
+  def corpusPplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.perplexityAgg(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .withColumn("ce", col("s6") / col("n_grams"))
+      .withColumn("_one", lit(1L))
+    val ranked = keyedCumsum(scored, key = "lang",
+      order = Seq(col("ce"), col("doc_id")), sizeCol = "_one",
+      out = "ppl_rank")
+      .drop("_one")
+      .localCheckpoint() // per-lang counts + final projection both read it
+    val counts = ranked.groupBy(col("lang")).agg(count(lit(1)).as("lang_docs"))
+    ranked.join(broadcast(counts), Seq("lang"))
+      .withColumn("bucket_idx",
+        expr("((ppl_rank - 1) * 3) div lang_docs + 1").cast("int"))
+      .withColumn("bucket",
+        when(col("bucket_idx") === 1, "head")
+          .when(col("bucket_idx") === 2, "middle").otherwise("tail"))
+      .select(col("doc_id"), col("lang"),
+        round(col("ce") / 1000000.0, 6).as("cross_entropy"),
+        col("ppl_rank"), col("lang_docs"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_ppl_buckets"       -> (corpusPplBuckets _),
     "corpus_epoch_plan"        -> (corpusEpochPlan _),
     "corpus_pack_pairs"        -> (corpusPackPairs _),
     "corpus_model_quality"     -> (corpusModelQuality _),
@@ -572,6 +611,23 @@ object CorpusOps {
        |       unnest(generate_series(1, len(toks) - ${n - 1})) t(i))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_ppl_buckets" ->
+      s"""WITH ${TextAnalysis.perplexityCtes},
+         |scored AS (
+         |  SELECT a.doc_id, d.lang, a.n_grams, a.s6,
+         |    a.s6 * 1.0 / a.n_grams AS ce
+         |  FROM agg a JOIN documents d ON a.doc_id = d.doc_id),
+         |ranked AS (
+         |  SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY ce, doc_id) AS BIGINT) AS ppl_rank,
+         |    count(*) OVER (PARTITION BY lang) AS lang_docs
+         |  FROM scored)
+         |SELECT doc_id, lang, round(ce / 1000000.0, 6) AS cross_entropy,
+         |  ppl_rank, lang_docs,
+         |  CASE ((ppl_rank - 1) * 3) // lang_docs + 1
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM ranked ORDER BY doc_id""".stripMargin,
     "corpus_epoch_plan" ->
       s"""WITH avail AS (
          |  SELECT source, count(*) AS n_docs,

@@ -515,7 +515,13 @@ object TextAnalysis {
     * integer-scaled before the order-free per-doc sum (the BM25
     * discipline), so only the final single-evaluation 2^H rounds.
     */
-  def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document bigram-LM aggregate — doc_id, n_grams, s6 (the
+    * 6-dp-integer-scaled negative-log-likelihood sum). Shared by
+    * [[textPerplexity]] and the CCNet-style bucket assignment
+    * (CorpusOps.corpusPplBuckets): one definition of the model so the
+    * score and the bucketing cannot drift.
+    */
+  private[operators] def perplexityAgg(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -537,6 +543,10 @@ object TextAnalysis {
         .cast("bigint"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("nll6")).as("s6"))
+  }
+
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    perplexityAgg(spark, dir)
       .select(col("doc_id"), col("n_grams"),
         round(col("s6") / (col("n_grams") * lit(1000000.0)), 6).as("cross_entropy"),
         round(pow(lit(2.0), col("s6") / (col("n_grams") * lit(1000000.0))), 6)
@@ -779,6 +789,28 @@ object TextAnalysis {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  /** Bigram-LM per-document aggregate as CTEs ending in `agg`
+    * (doc_id, n_grams, s6) — the SQL twin of [[perplexityAgg]],
+    * shared by the perplexity dump and the CCNet-bucket oracle.
+    */
+  private[operators] val perplexityCtes: String =
+    s"""pr AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents) d,
+       |       unnest(generate_series(1, len(toks) - 1)) t(i)
+       |  WHERE len(toks) >= 2),
+       |bg AS (SELECT w1, w2, count(*) AS cbg FROM pr GROUP BY 1, 2),
+       |ctx AS (SELECT w1, sum(cbg) AS cctx FROM bg GROUP BY 1),
+       |v AS (SELECT count(DISTINCT w2) AS vs FROM pr),
+       |sc AS (
+       |  SELECT p.doc_id,
+       |    CAST(round(-log2((cbg + 0.5) / (cctx + 0.5 * vs)) * 1000000, 0)
+       |      AS BIGINT) AS nll6
+       |  FROM pr p JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_grams, sum(nll6) AS s6
+       |  FROM sc GROUP BY 1)""".stripMargin
+
   /** Winnowing selection as CTEs ending in `sel` — shared by the
     * fingerprint dump, the pair-search oracle, and the split-leakage
     * oracle in [[Pipeline]].
@@ -904,22 +936,7 @@ object TextAnalysis {
          |FROM grams JOIN gdf USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_perplexity" ->
-      s"""WITH pr AS (
-         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-         |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents) d,
-         |       unnest(generate_series(1, len(toks) - 1)) t(i)
-         |  WHERE len(toks) >= 2),
-         |bg AS (SELECT w1, w2, count(*) AS cbg FROM pr GROUP BY 1, 2),
-         |ctx AS (SELECT w1, sum(cbg) AS cctx FROM bg GROUP BY 1),
-         |v AS (SELECT count(DISTINCT w2) AS vs FROM pr),
-         |sc AS (
-         |  SELECT p.doc_id,
-         |    CAST(round(-log2((cbg + 0.5) / (cctx + 0.5 * vs)) * 1000000, 0)
-         |      AS BIGINT) AS nll6
-         |  FROM pr p JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
-         |agg AS (
-         |  SELECT doc_id, count(*) AS n_grams, sum(nll6) AS s6
-         |  FROM sc GROUP BY 1)
+      s"""WITH $perplexityCtes
          |SELECT doc_id, n_grams,
          |  round(s6 / (n_grams * 1000000.0), 6) AS cross_entropy,
          |  round(pow(2.0, s6 / (n_grams * 1000000.0)), 6) AS perplexity

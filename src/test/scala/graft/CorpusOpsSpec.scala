@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.CorpusOps
+import graft.operators.{CorpusOps, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class CorpusOpsSpec extends SparkTestBase {
@@ -28,6 +28,34 @@ class CorpusOpsSpec extends SparkTestBase {
     }
     // membership is deterministic: rerun yields the identical sample
     assert(sample.exceptAll(CorpusOps.corpusSampleStratified(spark, sfDir)).count() == 0)
+  }
+
+  test("ppl buckets: per-language terciles, ranked by the shared bigram LM") {
+    val df = CorpusOps.corpusPplBuckets(spark, sfDir).cache()
+    // per language: ranks are 1..lang_docs and terciles differ by <= 1 doc
+    df.groupBy("lang").agg(
+      count(lit(1)).as("n"), max("ppl_rank").as("mr"),
+      countDistinct("ppl_rank").as("dr"), max("lang_docs").as("ld"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("n") == r.getAs[Long]("mr"))
+        assert(r.getAs[Long]("n") == r.getAs[Long]("dr"))
+        assert(r.getAs[Long]("n") == r.getAs[Long]("ld"))
+      }
+    val sizes = df.groupBy("lang", "bucket").count()
+      .groupBy("lang").agg((max("count") - min("count")).as("spread"))
+    assert(sizes.filter(col("spread") > 1).count() == 0)
+    // bucket order is the score order: every head doc is at most as
+    // perplexed as every tail doc of the same language
+    val headMax = df.filter(col("bucket") === "head")
+      .groupBy("lang").agg(max("cross_entropy").as("h"))
+    val tailMin = df.filter(col("bucket") === "tail")
+      .groupBy("lang").agg(min("cross_entropy").as("t"))
+    assert(headMax.join(tailMin, Seq("lang")).filter(col("h") > col("t")).count() == 0)
+    // same model as text_perplexity: scores agree doc-for-doc
+    val ppl = TextAnalysis.textPerplexity(spark, sfDir)
+      .select(col("doc_id"), col("cross_entropy").as("ce2"))
+    assert(df.join(ppl, Seq("doc_id"))
+      .filter(col("cross_entropy") =!= col("ce2")).count() == 0)
   }
 
   test("epoch plan: weights normalize, caps bind, deficit only past the cap") {
