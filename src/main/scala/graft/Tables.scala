@@ -23,15 +23,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy flag) and surface a
-    * proper microsecond TimestampType `ts` — same truncation DuckDB
-    * applies, so oracles stay comparable.
+  /** The physical type of events.parquet's `ts` column has varied across
+    * driver testdata generations: TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read nanos as long via the legacy flag
+    * and truncate to micros, matching DuckDB) vs plain timestamp[us]
+    * (TIMESTAMP_NTZ). Dispatch on the schema actually present so both
+    * vintages yield the identical session-zone TimestampType `ts`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already session-zone TimestampType
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

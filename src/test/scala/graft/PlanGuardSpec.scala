@@ -38,7 +38,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q22_dormant_customers", // 1-row broadcast average-balance cutoff
     "q11_important_parts", // 1-row broadcast global-total threshold
     "dq_snapshot_drift", // crossJoin of two 1-row stat aggregates
-    "graph_pagerank") // 1-row broadcast node count joined per iteration
+    "graph_pagerank", // 1-row broadcast node count joined per iteration
+    "corpus_epoch_plan", // 1-row broadcast mixture normalizer Z
+    "corpus_pack_pairs") // 1-row broadcast corpus count for rank pairing
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
