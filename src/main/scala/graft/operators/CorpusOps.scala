@@ -362,6 +362,46 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** BLOOM-PREFILTERED decontamination — the 100 TB shape of
+    * [[corpusDecontaminate]]. The exact version ships EVERY corpus
+    * n-gram into the join against the benchmark set; at web-crawl scale
+    * that shuffle (corpus grams ≈ tokens × n) dwarfs the benchmark side
+    * by many orders of magnitude. Here the benchmark grams are first
+    * folded into a bloom filter (Spark's own mergeable
+    * `BloomFilterAggregate` sketch — partial-aggregated map-side,
+    * merged like any agg), delivered to every scan task as a scalar
+    * subquery, and the corpus gram stream is dropped to bloom
+    * candidates INSIDE the scan stage — before any exchange. The exact
+    * confirm join then runs only on the survivors, so bloom false
+    * positives are removed and the result is bit-identical to the
+    * exact operator (the oracle IS the exact definition); the bloom
+    * only decides how much data reaches the shuffle. False-positive
+    * rate at these capacities ≈ 0.03%: the prefilter passes
+    * essentially only true hits.
+    */
+  /** Test hook: the shared n-gram relation at the decontamination N. */
+  private[graft] def gramsForTest(df: DataFrame): DataFrame = grams(df, ContamN)
+
+  def corpusDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = grams(docs.filter(col("doc_id") < 20), ContamN)
+      .select(col("gram")).distinct()
+    val bloom = bench
+      .agg(call_function("bloom_agg", xxhash64(col("gram")), lit(100000L)).as("bf"))
+      .scalar()
+    val candidates = grams(docs.filter(col("doc_id") >= 20), ContamN)
+      .filter(call_function("bloom_contains", bloom, xxhash64(col("gram"))))
+    val contaminated = candidates.join(broadcast(bench), "gram")
+      .select(col("doc_id")).distinct()
+      .withColumn("is_contaminated", lit(true))
+    docs.filter(col("doc_id") >= 20)
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("source"),
+        coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fixed-size per-group sample through the NATIVE bounded aggregate
     * ([[graft.functions.BottomKByKey]], session-registered): the 10
     * docs with the smallest md5 per language — a deterministic uniform
@@ -602,7 +642,8 @@ object CorpusOps {
     "corpus_weighted_sample"   -> (corpusWeightedSample _),
     "corpus_pii_scrub"         -> (corpusPiiScrub _),
     "corpus_length_buckets"    -> (corpusLengthBuckets _),
-    "corpus_decontaminate"     -> (corpusDecontaminate _))
+    "corpus_decontaminate"     -> (corpusDecontaminate _),
+    "corpus_decontaminate_bloom" -> (corpusDecontaminateBloom _))
 
   private def gramsCte(src: String, n: Int) =
     s"""SELECT DISTINCT doc_id, gram FROM (
@@ -819,16 +860,22 @@ object CorpusOps {
          |  md5(regexp_replace(regexp_replace(raw, '$EmailRe', '<EMAIL>', 'g'),
          |      '$PhoneRe', '<PHONE>', 'g')) AS scrubbed_hash
          |FROM raw ORDER BY doc_id""".stripMargin,
-    "corpus_decontaminate" ->
-      s"""WITH bench AS (
-         |  SELECT DISTINCT gram FROM (${gramsCte("SELECT * FROM documents WHERE doc_id < 20", ContamN)})
-         |), corpus_grams AS (
-         |  ${gramsCte("SELECT * FROM documents WHERE doc_id >= 20", ContamN)}
-         |), contaminated AS (
-         |  SELECT DISTINCT cg.doc_id FROM corpus_grams cg JOIN bench b ON cg.gram = b.gram)
-         |SELECT d.doc_id, d.source,
-         |  (c.doc_id IS NOT NULL) AS is_contaminated
-         |FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
-         |WHERE d.doc_id >= 20
-         |ORDER BY d.doc_id""".stripMargin)
+    "corpus_decontaminate" -> decontaminateSql,
+    // The bloom prefilter is result-invisible by construction (exact
+    // confirm join removes false positives), so the scale variant is
+    // checked against the SAME declarative definition.
+    "corpus_decontaminate_bloom" -> decontaminateSql)
+
+  private lazy val decontaminateSql =
+    s"""WITH bench AS (
+       |  SELECT DISTINCT gram FROM (${gramsCte("SELECT * FROM documents WHERE doc_id < 20", ContamN)})
+       |), corpus_grams AS (
+       |  ${gramsCte("SELECT * FROM documents WHERE doc_id >= 20", ContamN)}
+       |), contaminated AS (
+       |  SELECT DISTINCT cg.doc_id FROM corpus_grams cg JOIN bench b ON cg.gram = b.gram)
+       |SELECT d.doc_id, d.source,
+       |  (c.doc_id IS NOT NULL) AS is_contaminated
+       |FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+       |WHERE d.doc_id >= 20
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -44,6 +44,10 @@ object Dedup {
     * (doc_id, gram). The shingle relation is the shared input of the
     * minhash and jaccard operators.
     */
+  /** Test hook: the shared shingle relation. */
+  private[graft] def shinglesForTest(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir)
+
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     shinglesOf(Tables.documents(spark, dir))
 
@@ -156,6 +160,52 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
 
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** PREFIX-FILTERED exact Jaccard pairs — the AllPairs/PPJoin
+    * candidate principle (Chaudhuri et al. SSJoin 2006; Xiao et al.
+    * PPJoin 2008) as the LOSSLESS alternative to MinHash-LSH
+    * candidates: order every doc's shingles by global rarity
+    * (document frequency, gram tie-break), keep only each doc's
+    * (|A| − ⌈t·|A|⌉ + 1)-prefix, and self-join on the prefix grams.
+    * The prefix lemma guarantees every pair with Jaccard ≥ t shares a
+    * gram inside both prefixes, so — unlike LSH banding, which is
+    * probabilistic recall — the candidates provably contain EVERY
+    * qualifying pair, and the oracle is the pure declarative all-pairs
+    * definition (the driver check IS the losslessness proof). Rare
+    * grams lead the order, so the join keys are the corpus's most
+    * selective values: candidate volume tracks shared-rare-gram mass,
+    * not corpus size. Exact verification then mirrors
+    * [[dedupNgramJaccard]]'s confirm join.
+    */
+  def dedupPrefixFilter(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).localCheckpoint()
+    val dfreq = sh.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+    val perDoc = Window.partitionBy(col("doc_id"))
+    val prefix = sh.join(dfreq, "gram")
+      .withColumn("pos", row_number().over(byDoc))
+      .withColumn("n_grams", count(lit(1)).over(perDoc))
+      .filter(col("pos") <=
+        col("n_grams") - ceil(col("n_grams") * JaccardThreshold) + 1)
+      .select(col("doc_id"), col("gram"))
+    val pairs = prefix.select(col("doc_id").as("doc_a"), col("gram"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("gram")), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
@@ -711,6 +761,7 @@ object Dedup {
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_minhash_est"   -> (dedupMinhashEst _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_prefix_filter" -> (dedupPrefixFilter _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_simhash"       -> (dedupSimhash _),
@@ -822,6 +873,24 @@ object Dedup {
     },
     "dedup_ngram_jaccard" ->
       s"WITH $jaccardCtes SELECT * FROM jpairs ORDER BY doc_a, doc_b",
+    // Pure all-pairs definition, NO candidate mechanism mirrored: the
+    // prefix filter is lossless, so the driver compare doubles as the
+    // losslessness proof.
+    "dedup_prefix_filter" ->
+      s"""WITH $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_inter,
+         |  round(n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE round(n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter), 6)
+         |  >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_incremental" -> {
       val bandUnion = (0 until NumBands)
         .map(b => s"SELECT doc_id, $b AS bi, band$b AS bk FROM sig")

@@ -170,11 +170,69 @@ object EtlMatching {
       .orderBy(col("p_partkey"))
   }
 
+  /** Lower-case diacritic fold table (NFD-ish strip for the Latin-1/
+    * Latin-Extended letters a feed actually sends). `foldAccents` is the
+    * single canonicalization both sides of the accent-tolerant match
+    * use; it lowers first so only the lowercase forms need mapping.
+    */
+  private[operators] val AccentFrom = "àáâãäåçèéêëìíîïñòóôõöøùúûüýÿ"
+  private[operators] val AccentTo   = "aaaaaaceeeeiiiinoooooouuuuyy"
+
+  /** Locale-stable canonical form: lower + 1:1 diacritic strip. Pure
+    * codegen'd built-ins (`lower`/`translate`), so the fold runs inside
+    * whole-stage codegen on the scan — no shuffle, no UDF.
+    */
+  def foldAccents(c: Column): Column = translate(lower(c), AccentFrom, AccentTo)
+  private[operators] def foldAccentsSql(e: String): String =
+    s"translate(lower($e), '$AccentFrom', '$AccentTo')"
+
+  /** Accent-tolerant name matching — the reference's name-similarity
+    * stage folds case only (batch_processor.py:491 lowercases before
+    * comparing), so `Café` from an accent-preserving locale feed never
+    * matches its `cafe` master. This op canonicalizes BOTH sides with
+    * [[foldAccents]] and equi-joins on the folded key, so accent
+    * variants land in the same join partition (same blocking bucket)
+    * as their plain-ASCII masters.
+    *
+    * The incoming feed is simulated deterministically from the catalog:
+    * a third of non-PROMO names arrive with lowercase accents, a third
+    * uppercased with accented vowels, a third clean — covering the
+    * fold + case paths in one query. Scale shape: one equi-join keyed
+    * on the folded name (never a fuzzy comparison), master side
+    * grouped-distinct first, so the join key count is the catalog
+    * vocabulary, not the feed size.
+    */
+  def accentFoldMatch(spark: SparkSession, dir: String): DataFrame = {
+    val masters = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO")
+      .groupBy(col("p_name").as("master_name"))
+      .agg(min(col("p_partkey")).as("master_id"))
+      .withColumn("fold_key", foldAccents(col("master_name")))
+    val incoming = Tables.part(spark, dir)
+      .filter(col("p_type") =!= "PROMO")
+      .select(col("p_partkey"),
+        when(col("p_partkey") % 3 === 0,
+            translate(col("p_name"), "aeiou", "àéîöú"))
+          .when(col("p_partkey") % 3 === 1,
+            translate(upper(col("p_name")), "AEIOU", "ÀÉÎÖÚ"))
+          .otherwise(col("p_name")).as("name_src"))
+      .withColumn("fold_key", foldAccents(col("name_src")))
+    incoming.join(masters, Seq("fold_key"))
+      .select(
+        col("p_partkey"), col("name_src"),
+        col("fold_key").as("name_folded"),
+        col("master_id"), col("master_name"),
+        (col("name_src") =!= col("name_folded")).as("needed_fold"),
+        lit("accent_fold").as("match_type"))
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_precheck_antijoin" -> (precheckAntijoin _),
     "etl_upc_validate"      -> (upcValidate _),
     "etl_upc_match"         -> (upcMatch _),
-    "etl_similarity_match"  -> (similarityMatch _))
+    "etl_similarity_match"  -> (similarityMatch _),
+    "etl_accent_fold_match" -> (accentFoldMatch _))
 
   private val rawSql =
     s"""CASE WHEN p_size % 3 = 0 THEN '`' || ${digits12Sql("p_partkey")}
@@ -230,5 +288,26 @@ object EtlMatching {
         |    ORDER BY distance, master_name, master_id) AS rnk FROM scored)
         |SELECT p_partkey, product_name, master_id, master_name, distance,
         |  'similarity' AS match_type
-        |FROM ranked WHERE rnk = 1 ORDER BY p_partkey""".stripMargin)
+        |FROM ranked WHERE rnk = 1 ORDER BY p_partkey""".stripMargin,
+    "etl_accent_fold_match" ->
+      s"""WITH masters AS (
+         |  SELECT master_name, min(p_partkey) AS master_id,
+         |    ${foldAccentsSql("master_name")} AS fold_key
+         |  FROM (SELECT p_name AS master_name, p_partkey FROM part
+         |        WHERE p_type = 'PROMO')
+         |  GROUP BY master_name
+         |), incoming AS (
+         |  SELECT p_partkey,
+         |    CASE WHEN p_partkey % 3 = 0 THEN translate(p_name, 'aeiou', 'àéîöú')
+         |         WHEN p_partkey % 3 = 1 THEN translate(upper(p_name), 'AEIOU', 'ÀÉÎÖÚ')
+         |         ELSE p_name END AS name_src
+         |  FROM part WHERE p_type <> 'PROMO')
+         |SELECT i.p_partkey, i.name_src,
+         |  ${foldAccentsSql("i.name_src")} AS name_folded,
+         |  m.master_id, m.master_name,
+         |  i.name_src <> ${foldAccentsSql("i.name_src")} AS needed_fold,
+         |  'accent_fold' AS match_type
+         |FROM incoming i JOIN masters m
+         |  ON ${foldAccentsSql("i.name_src")} = m.fold_key
+         |ORDER BY i.p_partkey""".stripMargin)
 }

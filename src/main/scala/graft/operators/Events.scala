@@ -345,6 +345,82 @@ object Events {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** MATCH_RECOGNIZE-style complex-event pattern detection — the
+    * SQL-standard row-pattern feature (Flink CEP / Trino
+    * MATCH_RECOGNIZE) re-expressed as relational ops Spark already
+    * has: per user, the ordered event-type stream collapses to a
+    * symbol string (one grouped aggregation — the only shuffle), and
+    * the PATTERN clause becomes a regex over that string, counted with
+    * non-overlapping leftmost-match semantics — exactly
+    * MATCH_RECOGNIZE's AFTER MATCH SKIP PAST LAST ROW. Patterns:
+    * `vc*p` (view, any clicks, purchase — the conversion) and `ee+`
+    * (an error burst). Per-user state is the user's own event string,
+    * bounded by per-user activity, never by the corpus — the same
+    * grouped-state contract as the sessionizers. Symbols are the
+    * event-type initials (click/error/purchase/signup/view →
+    * c/e/p/s/v).
+    */
+  def eventsCepPattern(spark: SparkSession, dir: String): DataFrame =
+    cepPatternOver(Tables.events(spark, dir))
+
+  /** The pattern matcher over any (user_id, ts, event_id, event_type)
+    * relation — exposed so specs can plant hand-built sequences.
+    */
+  private[graft] def cepPatternOver(events: DataFrame): DataFrame = {
+    val ev = struct(col("ts"), col("event_id"),
+      substring(col("event_type"), 1, 1).as("sym"))
+    events
+      .select(col("user_id"), ev.as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .select(col("user_id"),
+        concat_ws("", expr("transform(es, x -> x.sym)")).as("seq"))
+      .select(
+        col("user_id"),
+        length(col("seq")).cast("long").as("seq_len"),
+        regexp_count(col("seq"), lit("vc*p")).cast("long").as("n_conversions"),
+        regexp_count(col("seq"), lit("ee+")).cast("long").as("n_error_bursts"))
+      .withColumn("converted", col("n_conversions") > 0)
+      .orderBy(col("user_id"))
+  }
+
+  /** Exponential decay weights for the trailing EMA: β = 3/4 so every
+    * power is an exact dyadic-rational double (3^k / 4^k, k < 33 fits
+    * the mantissa) with a FINITE decimal expansion — the Scala-side
+    * repeated product and the oracle's decimal literals denote the
+    * identical IEEE value, so the weighted sums are bit-equal across
+    * engines with no pow() library in sight.
+    */
+  private val EmaBeta = 0.75
+  private val EmaK = 8
+  private[operators] val emaWeights: Seq[Double] =
+    Seq.iterate(1.0, EmaK)(_ * EmaBeta)
+
+  /** Trailing exponentially-weighted moving average of event values per
+    * user — the K-term truncated EMA (weights β^0..β^{K-1} over the
+    * last K events, normalized by the weights actually present, so the
+    * first rows of a stream are unbiased). The recursive EMA is
+    * inherently sequential; truncating at K makes it a fixed set of
+    * `lag` reads over one user-partitioned window — one shuffle on
+    * user_id, K-row bounded state per key, whole-stage codegen'd
+    * arithmetic, and the same fixed-K state contract a streaming
+    * `mapGroupsWithState` twin would keep.
+    */
+  def eventsEma(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    def lagV(k: Int): Column = lag(col("value"), k).over(byUser)
+    val num = emaWeights.zipWithIndex
+      .map { case (w, k) => coalesce(lagV(k) * lit(w), lit(0.0)) }
+      .reduce(_ + _)
+    val den = emaWeights.zipWithIndex
+      .map { case (w, k) => when(lagV(k).isNotNull, lit(w)).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("ema", round(num / den, 6))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   /** Count-min sketch dimensions: d hash rows × w buckets. Error bound
     * ε ≈ e/w of the total stream count with probability 1 − e^−d.
     */
@@ -579,7 +655,9 @@ object Events {
     "events_equiheight_hist" -> (eventsEquiheightHist _),
     "events_funnel"       -> (eventsFunnel _),
     "events_retention"    -> (eventsRetention _),
-    "events_hourly_anomaly" -> (eventsHourlyAnomaly _))
+    "events_hourly_anomaly" -> (eventsHourlyAnomaly _),
+    "events_cep_pattern"  -> (eventsCepPattern _),
+    "events_ema"          -> (eventsEma _))
 
   val oracles: Map[String, String] = Map(
     "events_equiheight_hist" ->
@@ -839,5 +917,40 @@ object Events {
         |  count(*) FILTER (event_type = 'purchase') AS purchase,
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'error') AS error
-        |FROM events GROUP BY 1 ORDER BY day""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "events_cep_pattern" ->
+      """WITH seq AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, length(seq) AS seq_len,
+        |  len(regexp_extract_all(seq, 'vc*p')) AS n_conversions,
+        |  len(regexp_extract_all(seq, 'ee+')) AS n_error_bursts,
+        |  len(regexp_extract_all(seq, 'vc*p')) > 0 AS converted
+        |FROM seq ORDER BY user_id""".stripMargin,
+    "events_ema" -> emaOracleSql)
+
+  /** Oracle rendering of [[eventsEma]], generated from the SAME
+    * [[emaWeights]] so both engines evaluate the identical weighted sum
+    * term by term (Double.toString round-trips each exact weight).
+    */
+  private lazy val emaOracleSql: String = {
+    val lags = (1 until EmaK)
+      .map(k => s"lag(value, $k) OVER w AS v$k").mkString(", ")
+    def term(k: Int): String =
+      if (k == 0) s"coalesce(value * ${emaWeights(k)}, 0.0)"
+      else s"coalesce(v$k * ${emaWeights(k)}, 0.0)"
+    def present(k: Int): String =
+      if (k == 0) s"CASE WHEN value IS NOT NULL THEN ${emaWeights(k)} ELSE 0.0 END"
+      else s"CASE WHEN v$k IS NOT NULL THEN ${emaWeights(k)} ELSE 0.0 END"
+    val num = (0 until EmaK).map(term).mkString(" + ")
+    val den = (0 until EmaK).map(present).mkString(" + ")
+    s"""WITH l AS (
+       |  SELECT user_id, ts, event_id, value, $lags
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, ts, event_id, value,
+       |  round(($num) / ($den), 6) AS ema
+       |FROM l ORDER BY user_id, ts, event_id""".stripMargin
+  }
 }

@@ -104,7 +104,7 @@ object Multimodal {
     */
   private val PhashWindow = 4
   private val PhashBands = 4
-  private val PhashRadius = 3
+  private[graft] val PhashRadius = 3
 
   /** 16-bit perceptual fingerprint over the BINARY payload — the
     * near-dup pass byte-exact `multimodal_dedup` cannot make: a
@@ -166,18 +166,26 @@ object Multimodal {
   }
 
   /** The banded pair search over any phash-able meta relation. */
-  private[graft] def phashPairsOver(meta: DataFrame): DataFrame = {
-    // both self-join sides read the fingerprints: checkpoint so the
-    // per-byte window explode + 16 vote sums run once (the
-    // dedup_simhash_pairs discipline)
-    val bands = phashFingerprints(meta)
+  /** Banded fingerprint keys over any phash-able meta relation: each
+    * fingerprint unpivots to its `PhashBands` 4-bit band keys — the
+    * probe/index relation both the batch pair search and the streaming
+    * admission path share (pigeonhole: any pair within `PhashRadius`
+    * agrees on at least one whole band).
+    */
+  private[graft] def phashBandKeysOf(meta: DataFrame): DataFrame =
+    phashFingerprints(meta)
       .select(col("doc_id"), col("modality"), col("payload_md5"), col("phash"),
         explode(array((0 until PhashBands).map(b => struct(
           lit(b).as("band_idx"),
           shiftright(col("phash"), 4 * b).bitwiseAND(lit(15L)).as("band_bits"))): _*)).as("bb"))
       .select(col("doc_id"), col("modality"), col("payload_md5"), col("phash"),
         col("bb.band_idx"), col("bb.band_bits"))
-      .localCheckpoint()
+
+  private[graft] def phashPairsOver(meta: DataFrame): DataFrame = {
+    // both self-join sides read the fingerprints: checkpoint so the
+    // per-byte window explode + 16 vote sums run once (the
+    // dedup_simhash_pairs discipline)
+    val bands = phashBandKeysOf(meta).localCheckpoint()
     val a = bands.select(col("modality"), col("doc_id").as("doc_a"),
       col("phash").as("fa"), col("payload_md5").as("ma"),
       col("band_idx"), col("band_bits"))

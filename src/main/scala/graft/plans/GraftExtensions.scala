@@ -3,7 +3,8 @@ package graft.plans
 import graft.functions.{BottomKByKey, DotProduct, UpcValid}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Session extension wiring for the engine's native pieces:
@@ -56,6 +57,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"bottom_k_by_key: k must be a foldable integral expression, got $other")
         }
         BottomKByKey(exprs(0), exprs(1), k)
+      }))
+    // Spark's own bloom-filter sketch pair (the machinery behind
+    // runtime row-level filtering), surfaced as callable functions so
+    // operators can build EXPLICIT semi-join prefilters: aggregate the
+    // small side's keys into a bloom (mergeable, partial-aggregated),
+    // ship it as a scalar subquery, and drop non-candidate rows
+    // map-side before a shuffle. `bloom_agg(xxhash64(k)[, n_items[,
+    // n_bits]])` → binary; `bloom_contains(bf, xxhash64(k))` → bool.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c)       => new BloomFilterAggregate(c)
+        case Seq(c, n)    => new BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+        case other => throw new IllegalArgumentException(
+          s"bloom_agg expects 1-3 arguments, got ${other.length}")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "bloom_contains"),
+      (exprs: Seq[Expression]) => {
+        requireArity("bloom_contains", exprs, 2)
+        BloomFilterMightContain(exprs(0), exprs(1))
       }))
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)

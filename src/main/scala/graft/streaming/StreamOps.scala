@@ -147,6 +147,49 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming PERCEPTUAL near-dup admission — the multimodal twin of
+    * [[nearDupAdmissionStream]], closing the batch/streaming symmetry
+    * for the fingerprint family: each micro-batch of arriving media
+    * rows (doc_id, modality, payload_hex, payload_md5) computes its
+    * banded perceptual fingerprints (the same
+    * [[graft.operators.Multimodal.phashBandKeysOf]] banding as the
+    * batch pair search) and probes the corpus FINGERPRINT INDEX — a
+    * static (cand_id, modality, band_idx, band_bits, cand_phash)
+    * relation — via a stream-static equi-join on (modality, band key).
+    * Band hits are then Hamming-verified against the candidate's full
+    * fingerprint (`bit_count(xor) <= PhashRadius`), so a re-encoded
+    * thumbnail lands in review while byte-novel AND perceptually-novel
+    * payloads are admitted immediately. Only the batch side is new
+    * data — old-vs-old comparisons are structurally impossible, and
+    * per-interval work ∝ batch payload bytes + touched buckets.
+    */
+  def phashAdmissionStream(media: DataFrame, index: DataFrame,
+      checkpoint: String)(onBatch: DataFrame => Unit): StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val probes = graft.operators.Multimodal.phashBandKeysOf(
+          batch.select(col("doc_id"), col("modality"),
+            col("payload_hex"), col("payload_md5")))
+        val hits = probes
+          .join(index, Seq("modality", "band_idx", "band_bits"))
+          .filter(col("doc_id") =!= col("cand_id"))
+          .withColumn("hamming",
+            expr("bit_count(phash ^ cand_phash)").cast("long"))
+          .filter(col("hamming") <= graft.operators.Multimodal.PhashRadius)
+          .select(col("doc_id"), col("cand_id")).distinct()
+        val verdicts = batch.select(col("doc_id")).distinct()
+          .join(hits.groupBy(col("doc_id"))
+            .agg(countDistinct(col("cand_id")).as("n_candidates")),
+            Seq("doc_id"), "left")
+          .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+          .withColumn("action",
+            when(col("n_candidates") > 0, "review").otherwise("admit"))
+        onBatch(verdicts)
+      }
+      .start()
+
   /** Streaming materialized view — the continuous twin of
     * `etl_incremental_agg`: each micro-batch is reduced to its (small)
     * mergeable aggregate and MERGED into the stored state via

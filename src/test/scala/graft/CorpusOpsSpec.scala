@@ -237,6 +237,37 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(missed.count() == 0)
   }
 
+  test("bloom decontamination: bit-identical to exact, bloom inside the plan, prefilter prunes") {
+    val exact = CorpusOps.corpusDecontaminate(spark, sfDir)
+    val bloom = CorpusOps.corpusDecontaminateBloom(spark, sfDir)
+    assert(bloom.exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(bloom).count() == 0)
+    // the sketch pair is actually in the plan: the aggregate builds it
+    // in a subquery, the scan-side filter probes it (formatted explain
+    // is the mode that renders subquery plans)
+    val plan = bloom.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("bloom_agg") || plan.contains("bloom_filter_agg") ||
+      plan.contains("BloomFilterAggregate"),
+      "bloom aggregate missing from plan")
+    assert(plan.contains("might_contain") || plan.contains("bloom_contains"),
+      "bloom probe missing from plan")
+    // and it prunes: candidates surviving the bloom are a strict subset
+    // of the corpus gram stream (non-contaminated grams dominate)
+    val docs = Tables.documents(spark, sfDir)
+    val corpusGrams = CorpusOps.gramsForTest(docs.filter(col("doc_id") >= 20))
+    val bench = CorpusOps.gramsForTest(docs.filter(col("doc_id") < 20))
+      .select(col("gram")).distinct()
+    val bloomCol = bench
+      .agg(call_function("bloom_agg", xxhash64(col("gram")), lit(100000L)).as("bf"))
+      .scalar()
+    val kept = corpusGrams
+      .filter(call_function("bloom_contains", bloomCol, xxhash64(col("gram")))).count()
+    val total = corpusGrams.count()
+    assert(kept < total / 2,
+      s"bloom prefilter kept $kept of $total grams - not pruning")
+  }
+
   test("mix rebalance: weights normalize, budget respected, tail upweighted") {
     val df = CorpusOps.corpusMixRebalance(spark, sfDir).cache()
     val wsum = df.agg(sum("weight")).head().getDouble(0)

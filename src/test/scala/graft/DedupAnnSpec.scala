@@ -36,6 +36,29 @@ class DedupAnnSpec extends SparkTestBase {
     assert(df.filter(col("jaccard") < 0.5).count() == 0)
   }
 
+  test("dedup_prefix_filter: lossless vs all-pairs definition, candidates pruned") {
+    val df = Dedup.dedupPrefixFilter(spark, sfDir).cache()
+    assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(df.filter(col("jaccard") < 0.5).count() == 0)
+    // LOSSLESS: the prefix-filtered result must equal the declarative
+    // all-pairs definition computed independently (no candidate step)
+    val sh = Dedup.shinglesForTest(spark, sfDir).localCheckpoint()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val allPairs = sh.select(col("doc_id").as("doc_a"), col("gram"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("gram")), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+    assert(df.exceptAll(allPairs).count() == 0, "prefix filter invented pairs")
+    assert(allPairs.exceptAll(df).count() == 0, "prefix filter LOST qualifying pairs")
+    df.unpersist()
+  }
+
   test("dedup_containment: catches contained excerpts that Jaccard misses") {
     val df = Dedup.dedupContainment(spark, sfDir).cache()
     assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)

@@ -107,6 +107,33 @@ class EtlOperatorsSpec extends SparkTestBase {
       banded.select("p_partkey", "master_id", "master_name", "distance")).count() == 0)
   }
 
+  test("accent folding makes accent-variant names block together") {
+    // Without folding, the mutated feed's equality join finds only the
+    // rows that were left clean; the folded join recovers the accented
+    // two-thirds as well.
+    val p = Tables.part(spark, sfDir)
+    val masters = p.filter(col("p_type") === "PROMO")
+      .select(col("p_name").as("master_name")).distinct()
+    val mutated = p.filter(col("p_type") =!= "PROMO")
+      .select(col("p_partkey"),
+        when(col("p_partkey") % 3 === 0, translate(col("p_name"), "aeiou", "àéîöú"))
+          .when(col("p_partkey") % 3 === 1, translate(upper(col("p_name")), "AEIOU", "ÀÉÎÖÚ"))
+          .otherwise(col("p_name")).as("name_src"))
+    val unfoldedHits = mutated
+      .join(masters, col("name_src") === col("master_name")).count()
+    val df = EtlMatching.accentFoldMatch(spark, sfDir)
+    assert(df.count() > unfoldedHits,
+      "folding must recover matches plain equality misses")
+    assert(df.filter(col("needed_fold")).count() > 0)
+    // the folded key is accent- and case-free
+    assert(df.filter(col("name_folded").rlike("[^a-z0-9 ]")).count() == 0)
+    // folding is canonical: folded names joined a master whose own fold
+    // equals them
+    assert(df.filter(
+      EtlMatching.foldAccents(col("master_name")) =!= col("name_folded"))
+      .count() == 0)
+  }
+
   test("content defaults fill every taxonomy field") {
     val df = EtlEnrichment.contentDefaults(spark, sfDir)
     Seq("brand_name", "category_name", "subcategory_name", "description").foreach { c =>

@@ -285,6 +285,49 @@ class StreamingSpec extends SparkTestBase {
       s"stream candidates $streamCands != batch banding $batchCands")
   }
 
+  test("streaming phash admission flags a perceptual near-copy payload and admits novel media") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def hexed(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "modality", "text")
+        .select(col("doc_id"), col("modality"),
+          lower(hex(encode(col("text"), "UTF-8"))).as("payload_hex"),
+          md5(col("text")).as("payload_md5"))
+    val base = (1 to 100).map(i => s"tile$i").mkString(" ")
+    // corpus fingerprint index, as the batch path builds it
+    val index = graft.operators.Multimodal.phashBandKeysOf(hexed(Seq(
+        (100L, "image", base),
+        (101L, "image", (1 to 100).map(i => s"corpus$i").mkString(" ")))))
+      .select(col("doc_id").as("cand_id"), col("modality"),
+        col("band_idx"), col("band_bits"), col("phash").as("cand_phash"))
+      .localCheckpoint()
+    val stream = MemoryStream[(Long, String, String)]
+    val streamed = stream.toDF().toDF("doc_id", "modality", "text")
+      .select(col("doc_id"), col("modality"),
+        lower(hex(encode(col("text"), "UTF-8"))).as("payload_hex"),
+        md5(col("text")).as("payload_md5"))
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("phash_ckpt").toString
+    val q = StreamOps.phashAdmissionStream(streamed, index, ckpt) { verdicts =>
+      results ++= verdicts.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    }
+    try {
+      // doc 1: one byte flipped vs corpus doc 100 — different md5, same
+      // perceptual neighborhood; doc 2: novel payload
+      stream.addData(
+        (1L, "image", base.replace("tile50", "tilf50")),
+        (2L, "image", (1 to 100).map(i => s"novel$i").mkString(" ")))
+      q.processAllAvailable()
+      stream.addData((3L, "image", (1 to 100).map(i => s"fresh$i").mkString(" ")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byId = results.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(1L)._2 == "review" && byId(1L)._1 >= 1L,
+      s"perceptual near-copy not flagged: ${byId(1L)}")
+    assert(byId(2L) == ((0L, "admit")), s"novel doc 2 ${byId(2L)}")
+    assert(byId(3L) == ((0L, "admit")), s"novel doc 3 ${byId(3L)}")
+  }
+
   test("streaming sessionization handles out-of-order events within a batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -194,6 +194,64 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(n("reached_purchase") > 0)
   }
 
+  test("events_cep_pattern: counts agree with funnel reachability and hand-built sequences") {
+    val cep = Events.eventsCepPattern(spark, sfDir).cache()
+    // one row per user, string length = user's event count
+    val perUser = Tables.events(spark, sfDir).groupBy("user_id").count()
+    assert(cep.count() == perUser.count())
+    assert(cep.join(perUser, "user_id")
+      .filter(col("seq_len") =!= col("count")).count() == 0)
+    // a conversion needs a purchase: converted users have >= 1 'p'
+    val nPurch = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id").count().withColumnRenamed("count", "n_p")
+    assert(cep.join(nPurch, Seq("user_id"), "left")
+      .filter(col("n_conversions") > coalesce(col("n_p"), lit(0L)))
+      .count() == 0, "more conversions than purchases")
+    assert(cep.filter(col("n_conversions") > 0).count() ==
+      cep.filter(col("converted")).count())
+    cep.unpersist()
+    // hand-built sequences: non-overlapping leftmost-match semantics
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    // user 1: v c c p v p  -> vc*p at 1, vp at 5  => 2 conversions
+    // user 2: p v c        -> purchase BEFORE the view: 0 conversions
+    // user 3: e e e e      -> one maximal burst (greedy ee+)     => 1
+    val planted = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "click", 3L),
+      (1L, "purchase", 4L), (1L, "view", 5L), (1L, "purchase", 6L),
+      (2L, "purchase", 1L), (2L, "view", 2L), (2L, "click", 3L),
+      (3L, "error", 1L), (3L, "error", 2L), (3L, "error", 3L), (3L, "error", 4L))
+      .map { case (u, t, s) => (u, ts(s), s, t) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val p = Events.cepPatternOver(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(p(1L) == ((6L, 2L, 0L)), s"user1 ${p(1L)}")
+    assert(p(2L) == ((3L, 0L, 0L)), s"user2 ${p(2L)}")
+    assert(p(3L) == ((4L, 0L, 1L)), s"user3 ${p(3L)}")
+  }
+
+  test("events_ema: first row equals its value, ema bounded by trailing window extremes") {
+    val df = Events.eventsEma(spark, sfDir).cache()
+    assert(df.count() == Tables.events(spark, sfDir).count())
+    // per user, the first event's ema is exactly its value (weight 1)
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val first = df.withColumn("rn", row_number().over(byUser)).filter(col("rn") === 1)
+    assert(first.filter(abs(col("ema") - round(col("value"), 6)) > 1e-6).count() == 0)
+    // a weighted mean never escapes the min/max of its window
+    val lo = (0 until 8).map(k => lag(col("value"), k).over(byUser))
+      .reduce((a, b) => least(a, coalesce(b, a)))
+    val hi = (0 until 8).map(k => lag(col("value"), k).over(byUser))
+      .reduce((a, b) => greatest(a, coalesce(b, a)))
+    val bounded = df
+      .withColumn("lo", lo).withColumn("hi", hi)
+      .filter(col("ema") < round(col("lo"), 6) - 1e-6 ||
+        col("ema") > round(col("hi"), 6) + 1e-6)
+    assert(bounded.count() == 0, "ema escaped its trailing window bounds")
+    df.unpersist()
+  }
+
   test("events_retention: day-0 cohort count equals cohort size, offsets non-negative") {
     val r = Events.eventsRetention(spark, sfDir).cache()
     assert(r.filter(col("day_offset") < 0).count() == 0)
