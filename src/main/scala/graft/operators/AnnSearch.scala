@@ -99,6 +99,49 @@ object AnnSearch {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Brute-force MAXIMUM-INNER-PRODUCT top-k — the retrieval objective
+    * recommender / reward-model scoring actually optimizes (un-normalized
+    * dot product, where cosine's normalization would erase magnitude).
+    * MIPS is not a metric search (no triangle inequality), but it
+    * REDUCES to cosine NNS by augmentation (Bachrach et al. RecSys'14 /
+    * Neyshabur & Srebro '15): append sqrt(M² − ‖x‖²) to each corpus
+    * vector and 0 to each query, and cosine rank on the augmented
+    * space equals dot rank on the original — so every cosine tier in
+    * this file (LSH, IVF, PQ, the full ADC ladder) becomes a MIPS
+    * index for free. AnnSearchSpec pins that equivalence; this
+    * operator is the exact baseline those tiers approximate, same
+    * broadcast-query × corpus shape as [[annTopk]].
+    */
+  def annMipsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val q = all.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("ip", round(dot(col("qv"), col("v")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ip").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("ip"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Test hook: the MIPS→cosine augmentation — corpus rows carry the
+    * sqrt(M²−‖x‖²) pad, queries a zero pad.
+    */
+  private[graft] def mipsAugmented(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val all = vecs(spark, dir)
+    val m = all.agg(max(col("nrm")).as("m"))
+    val corpus = all.crossJoin(broadcast(m))
+      .withColumn("va", concat(col("v"),
+        array(sqrt(col("m") * col("m") - col("nrm") * col("nrm")))))
+      .select(col("vec_id"), col("va"))
+    val queries = all.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), concat(col("v"), array(lit(0.0))).as("qa"))
+    (corpus, queries)
+  }
+
   /** Hyperplane coefficients derived from md5("p:d") — reproducible in
     * any engine: first 8 hex chars as int, mapped to [-1, 1].
     */
@@ -779,6 +822,7 @@ object AnnSearch {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk"     -> (annTopk _),
+    "ann_mips_topk" -> (annMipsTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_pq_topk"  -> (annPqTopk _),
@@ -1189,6 +1233,17 @@ object AnnSearch {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM scored)
          |SELECT q_id, neighbor_id, cosine, rank FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "ann_mips_topk" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+         |    round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS ip
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 50 = 0),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, ip, rank FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "ann_lsh_topk" ->
       s"""WITH $lshRankedCtes

@@ -76,6 +76,38 @@ object TextAnalysis {
         size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Feature-hashing dimensionality (2^8 buckets — small enough that
+    * collisions actually occur in the corpus, so the signed-sum
+    * cancellation is exercised, large enough to be a real featurizer).
+    */
+  private val HashDim = 256
+
+  /** The HASHING TRICK (Weinberger et al. 2009) — fixed-dimension
+    * sparse text features with NO vocabulary pass: each token hashes
+    * straight to one of `HashDim` buckets, with a second hash bit
+    * choosing a ±1 sign so colliding tokens cancel in expectation
+    * instead of biasing the bucket upward. This is the featurizer that
+    * scales where TF-IDF cannot: no global vocabulary to build, ship,
+    * or keep consistent — at 100 TB the whole featurization is one
+    * embarrassingly-parallel projection (explode + one grouped count
+    * per (doc, bucket), map-side combined), and two clusters hashing
+    * independently produce the identical feature space. md5-derived
+    * bucket and sign, so the oracle reproduces the features
+    * bit-for-bit.
+    */
+  def textHashingFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("bigint")
+    val sign = when(
+      conv(substring(md5(col("tok")), 9, 1), 16, 10).cast("bigint") % 2 === 0,
+      lit(1L)).otherwise(lit(-1L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"), pmod(h, lit(HashDim)).as("bucket"), sign.as("sign"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("sign")).as("feat"))
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
   /** Quality signals: length, token stats, punctuation / uppercase /
     * stopword ratios, and a composite score in (0, 1).
     */
@@ -767,7 +799,8 @@ object TextAnalysis {
     "text_quality"     -> (textQuality _),
     "text_langid"      -> (textLangid _),
     "text_bigram_familiarity" -> (textBigramFamiliarity _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "text_hashing_features" -> (textHashingFeatures _))
 
   private val langidSelect: String = {
     val hitCols = langOrder
@@ -1116,5 +1149,15 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
         |  CAST(('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fp60
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_hashing_features" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % $HashDim AS bucket,
+         |    CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS BIGINT) % 2 = 0
+         |         THEN 1 ELSE -1 END AS sign
+         |  FROM (SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents))
+         |SELECT doc_id, bucket, count(*) AS n_toks,
+         |  CAST(sum(sign) AS BIGINT) AS feat
+         |FROM t GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin)
 }

@@ -36,6 +36,28 @@ class DedupAnnSpec extends SparkTestBase {
     assert(df.filter(col("jaccard") < 0.5).count() == 0)
   }
 
+  test("ann_mips_topk: the augmentation reduction maps MIPS onto cosine NNS exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val mips = AnnSearch.annMipsTopk(spark, sfDir).cache()
+    assert(mips.count() > 0)
+    assert(mips.filter(col("rank") > 5).count() == 0)
+    // cosine ranking on the augmented space (corpus padded with
+    // sqrt(M^2 - |x|^2), queries zero-padded) must reproduce the dot
+    // ranking on the original space
+    val (corpus, queries) = AnnSearch.mipsAugmented(spark, sfDir)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val viaCos = corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", AnnSearch.cosine(col("qa"), col("va")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+    val mipsPairs = mips.select("q_id", "neighbor_id")
+    assert(mipsPairs.exceptAll(viaCos).count() == 0 &&
+      viaCos.exceptAll(mipsPairs).count() == 0,
+      "augmented-cosine neighbors differ from MIPS neighbors")
+    mips.unpersist()
+  }
+
   test("dedup_prefix_filter: lossless vs all-pairs definition, candidates pruned") {
     val df = Dedup.dedupPrefixFilter(spark, sfDir).cache()
     assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)

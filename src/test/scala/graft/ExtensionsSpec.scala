@@ -101,6 +101,26 @@ class ExtensionsSpec extends SparkTestBase {
     assert(totals == Tables.part(spark, sfDir).count())
   }
 
+  test("bloom_agg / bloom_contains callable from SQL: members hit, probability math holds") {
+    import spark.implicits._
+    (1L to 1000L).toDF("k").createOrReplaceTempView("bloom_members")
+    // every inserted key must hit (no false negatives - the bloom
+    // contract), and non-members mostly miss at these capacities
+    val hits = spark.sql(
+      """SELECT count(*) AS n FROM bloom_members
+        |WHERE bloom_contains(
+        |  (SELECT bloom_agg(xxhash64(k), 2000L) FROM bloom_members),
+        |  xxhash64(k))""".stripMargin).head().getLong(0)
+    assert(hits == 1000L, s"false negatives: only $hits of 1000 members hit")
+    val fp = spark.sql(
+      """SELECT count(*) AS n FROM (SELECT id + 5000 AS k FROM range(10000))
+        |WHERE bloom_contains(
+        |  (SELECT bloom_agg(xxhash64(k), 2000L) FROM bloom_members),
+        |  xxhash64(k))""".stripMargin).head().getLong(0)
+    assert(fp < 500, s"false-positive rate implausibly high: $fp / 10000")
+    spark.catalog.dropTempView("bloom_members")
+  }
+
   test("levenshtein prefilter rule rewrites the similarity-match plan to the banded form") {
     val plan = EtlMatching.similarityMatch(spark, sfDir)
       .queryExecution.optimizedPlan.toString

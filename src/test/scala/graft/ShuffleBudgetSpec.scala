@@ -170,7 +170,23 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // bit-pack agg + (q,vec) rank + output sort; query codes broadcast
     "ann_bq_topk"           -> 4,
     // gram relation (checkpointed) -> distinct + df agg + doc agg + sort
-    "text_repeated_spans"   -> 4)
+    "text_repeated_spans"   -> 4,
+    // masters agg + fold-key join + output sort
+    "etl_accent_fold_match" -> 3,
+    // one grouped symbol-string agg + output sort; regexes are map-side
+    "events_cep_pattern"    -> 2,
+    // one user-partitioned window (all K lags share it) + output sort
+    "events_ema"            -> 2,
+    // token explode is map-side; one (doc, bucket) agg + output sort
+    "text_hashing_features" -> 2,
+    // df agg + rarity join + per-doc prefix window + prefix self-join
+    // distinct + verify intersection/size joins + output sort, over the
+    // CHECKPOINTED shingle relation
+    "dedup_prefix_filter"   -> 8,
+    // bench gram distinct (+ the bloom subquery's own 1-row agg) +
+    // candidate confirm distinct + final left join/sort; corpus grams
+    // die map-side at the bloom probe
+    "corpus_decontaminate_bloom" -> 6)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a

@@ -194,6 +194,23 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(n("reached_purchase") > 0)
   }
 
+  test("text_hashing_features: buckets bounded, signed sums bounded by counts, totals tile") {
+    val f = TextAnalysis.textHashingFeatures(spark, sfDir).cache()
+    assert(f.count() > 0)
+    assert(f.filter(col("bucket") < 0 || col("bucket") >= 256).count() == 0)
+    // each bucket's signed sum moves by ±1 per token: |feat| <= n_toks
+    // and the two always share parity
+    assert(f.filter(abs(col("feat")) > col("n_toks")).count() == 0)
+    assert(f.filter(pmod(col("feat") - col("n_toks"), lit(2)) =!= 0).count() == 0)
+    // bucket counts tile the corpus token count exactly
+    val total = f.agg(sum("n_toks")).head.getLong(0)
+    val toksTotal = Tables.documents(spark, sfDir)
+      .select(size(split(lower(trim(col("text"))), "\\s+")).as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(total == toksTotal, s"bucketed $total tokens of $toksTotal")
+    f.unpersist()
+  }
+
   test("events_cep_pattern: counts agree with funnel reachability and hand-built sequences") {
     val cep = Events.eventsCepPattern(spark, sfDir).cache()
     // one row per user, string length = user's event count
