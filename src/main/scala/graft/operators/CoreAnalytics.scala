@@ -786,7 +786,95 @@ object CoreAnalytics {
       .orderBy(col("s_suppkey"))
   }
 
+  /** RFM customer segmentation — the classic recency/frequency/monetary
+    * quintile scoring behind every CRM audience cut. The engine-exact
+    * part is the QUINTILES: `ntile` differs across engines on remainder
+    * placement, so each score is integer arithmetic on a global rank
+    * (`5 − ((rank−1)·5 div n)`) — and each rank rides the two-phase
+    * range-partitioned cumsum ([[CorpusOps.keyedCumsum]]), so no
+    * unpartitioned window ever sees the customer relation (at 1e8
+    * customers a global `row_number` is a one-task sort; the cumsum's
+    * parallelism scales with data). Three orderings → three cumsums:
+    * the price of engine-exact quintiles on three axes, each shuffle
+    * keyed and bounded by the CUSTOMER aggregate, not raw orders.
+    */
+  def qRfmSegmentation(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val ref = orders.agg(max(col("o_orderdate")).as("ref_date"))
+    val cust = orders.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("o_totalprice")), 2).as("monetary"))
+      .crossJoin(broadcast(ref))
+      .withColumn("recency_days",
+        datediff(col("ref_date"), col("last_order")).cast("long"))
+      .drop("ref_date", "last_order")
+      .withColumn("_one", lit(1L)).withColumn("_g", lit(0))
+    val ranked = Seq[(String, Seq[org.apache.spark.sql.Column])](
+      ("r_rank", Seq(col("recency_days"), col("o_custkey"))),
+      ("f_rank", Seq(col("frequency").desc, col("o_custkey"))),
+      ("m_rank", Seq(col("monetary").desc, col("o_custkey"))))
+      .foldLeft(cust) { case (df, (out, ord)) =>
+        CorpusOps.keyedCumsum(df, "_g", ord, "_one", out)
+      }
+    val n = orders.select(col("o_custkey")).distinct()
+      .agg(count(lit(1)).as("n"))
+    val scored = ranked.crossJoin(broadcast(n))
+      .withColumn("r_score", lit(5) - expr("(r_rank - 1) * 5 div n"))
+      .withColumn("f_score", lit(5) - expr("(f_rank - 1) * 5 div n"))
+      .withColumn("m_score", lit(5) - expr("(m_rank - 1) * 5 div n"))
+    scored.select(
+        col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+            "champion")
+          .when(col("f_score") >= 4 && col("r_score") >= 3, "loyal")
+          .when(col("m_score") >= 4 && col("r_score") >= 3, "big_spender")
+          .when(col("r_score") <= 2 &&
+            (col("f_score") >= 3 || col("m_score") >= 3), "at_risk")
+          .when(col("r_score") <= 2, "hibernating")
+          .otherwise("regular").as("segment"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Market-basket association pairs with support and lift — the
+    * co-occurrence analysis under every "frequently bought together"
+    * feature (Agrawal-style association rules, restricted to pairs).
+    * The pair explosion is bounded by brands-per-order (≤ 25 here, and
+    * small in any real basket), NEVER by catalog × catalog: the
+    * self-join is keyed on the order, so candidate volume is
+    * Σ_orders b·(b−1)/2. Supports and the lift normalizer are grouped
+    * counts plus one 1-row broadcast total.
+    */
+  def qBasketLift(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+      .localCheckpoint() // read 3x: pair join (twice) + brand counts
+    val nOrders = items.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
+    val brandCnt = items.groupBy("brand").agg(count(lit(1)).as("n_brand"))
+    val pairs = items.select(col("okey"), col("brand").as("brand_a"))
+      .join(items.select(col("okey"), col("brand").as("brand_b")), "okey")
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(brandCnt.select(col("brand").as("brand_a"), col("n_brand").as("n_a")),
+        "brand_a")
+      .join(brandCnt.select(col("brand").as("brand_b"), col("n_brand").as("n_b")),
+        "brand_b")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("support", round(col("n_both") / col("n_orders"), 6))
+      .withColumn("lift",
+        round(col("n_both") * col("n_orders") / (col("n_a") * col("n_b")), 6))
+      .select("brand_a", "brand_b", "n_both", "support", "lift")
+      .orderBy("brand_a", "brand_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm_segmentation"   -> (qRfmSegmentation _),
+    "q_basket_lift"        -> (qBasketLift _),
     "q13_custdist"         -> (q13CustDist _),
     "q6_forecast_revenue"  -> (q6ForecastRevenue _),
     "q8_market_share"      -> (q8MarketShare _),
@@ -822,6 +910,54 @@ object CoreAnalytics {
     "q_salted_skew_join"   -> (saltedSkewJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_rfm_segmentation" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', max(o_orderdate),
+        |      (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+        |    count(*) AS frequency,
+        |    round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (ORDER BY recency_days, o_custkey) AS r_rank,
+        |    row_number() OVER (ORDER BY frequency DESC, o_custkey) AS f_rank,
+        |    row_number() OVER (ORDER BY monetary DESC, o_custkey) AS m_rank,
+        |    count(*) OVER () AS n
+        |  FROM cust),
+        |scored AS (
+        |  SELECT o_custkey, recency_days, frequency, monetary,
+        |    5 - ((r_rank - 1) * 5) // n AS r_score,
+        |    5 - ((f_rank - 1) * 5) // n AS f_score,
+        |    5 - ((m_rank - 1) * 5) // n AS m_score
+        |  FROM ranked)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+        |       WHEN f_score >= 4 AND r_score >= 3 THEN 'loyal'
+        |       WHEN m_score >= 4 AND r_score >= 3 THEN 'big_spender'
+        |       WHEN r_score <= 2 AND (f_score >= 3 OR m_score >= 3) THEN 'at_risk'
+        |       WHEN r_score <= 2 THEN 'hibernating'
+        |       ELSE 'regular' END AS segment
+        |FROM scored ORDER BY o_custkey""".stripMargin,
+    "q_basket_lift" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n_orders AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
+        |brand_cnt AS (SELECT brand, count(*) AS n_brand FROM items GROUP BY brand),
+        |pairs AS (
+        |  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_both
+        |  FROM items a JOIN items b ON a.okey = b.okey AND a.brand < b.brand
+        |  GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_both,
+        |  round(n_both / (SELECT n_orders FROM n_orders), 6) AS support,
+        |  round(n_both * (SELECT n_orders FROM n_orders)
+        |    / (ca.n_brand * cb.n_brand), 6) AS lift
+        |FROM pairs
+        |JOIN brand_cnt ca ON brand_a = ca.brand
+        |JOIN brand_cnt cb ON brand_b = cb.brand
+        |ORDER BY brand_a, brand_b""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
         |FROM lineitem

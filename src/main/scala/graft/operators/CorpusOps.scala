@@ -200,7 +200,7 @@ object CorpusOps {
       .select(col("_pid"), col(key), col("_off"))
     local.join(broadcast(offsets), Seq("_pid", key))
       .withColumn(out, col("_lcum") + col("_off"))
-      .drop("_pid", "_lcum")
+      .drop("_pid", "_lcum", "_off") // internals only: callers may chain
   }
 
   /** The stream-concatenation packing math shared by

@@ -95,6 +95,47 @@ class CoreAnalyticsSpec extends SparkTestBase {
   }
 
 
+  test("rfm segmentation: scores quintile-balanced, segments consistent with raw metrics") {
+    val df = CoreAnalytics.qRfmSegmentation(spark, sfDir).cache()
+    val n = df.count()
+    assert(n == Tables.orders(spark, sfDir).select("o_custkey").distinct().count())
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      assert(df.filter(col(c) < 1 || col(c) > 5).count() == 0, s"$c out of range")
+      // integer-rank quintiles: bucket sizes differ by at most 1
+      val sizes = df.groupBy(c).count().collect().map(_.getLong(1))
+      assert(sizes.length == 5 || n < 5, s"$c missing buckets")
+      assert(sizes.max - sizes.min <= 1, s"$c unbalanced: ${sizes.mkString(",")}")
+    }
+    // the label logic follows the scores: champions beat hibernating on
+    // every raw axis on average
+    val avgOf = (seg: String, c: String) => df.filter(col("segment") === seg)
+      .agg(avg(col(c))).head().getDouble(0)
+    if (df.filter(col("segment") === "champion").count() > 0 &&
+        df.filter(col("segment") === "hibernating").count() > 0) {
+      assert(avgOf("champion", "monetary") > avgOf("hibernating", "monetary"))
+      assert(avgOf("champion", "recency_days") < avgOf("hibernating", "recency_days"))
+    }
+    df.unpersist()
+  }
+
+  test("basket lift: supports are probabilities, counts bounded, lift matches independence ratio") {
+    val df = CoreAnalytics.qBasketLift(spark, sfDir).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("support") <= 0 || col("support") > 1).count() == 0)
+    assert(df.filter(col("brand_a") >= col("brand_b")).count() == 0)
+    // recompute one pair end-to-end as ground truth
+    val items = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val top = df.orderBy(col("n_both").desc).head()
+    val (ba, bb) = (top.getString(0), top.getString(1))
+    val nBoth = items.filter(col("p_brand") === ba).select("l_orderkey")
+      .join(items.filter(col("p_brand") === bb).select("l_orderkey"), "l_orderkey")
+      .count()
+    assert(top.getLong(2) == nBoth, s"pair count ${top.getLong(2)} != $nBoth")
+    df.unpersist()
+  }
+
   test("trailing 7d window equals the direct interval self-join") {
     val df = CoreAnalytics.trailingRevenue7d(spark, sfDir).cache()
     val o = Tables.orders(spark, sfDir)

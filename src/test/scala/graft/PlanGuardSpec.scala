@@ -26,6 +26,7 @@ class PlanGuardSpec extends SparkTestBase {
   // scalar-subquery stand-in, not an all-pairs join.
   private val nestedLoopAllowed = Set(
     "ann_topk", "ann_ivf_topk", "ann_kmeans_train",
+    "ann_mips_topk", // the brute-force MIPS baseline IS a non-equi loop
     "ann_ivfadc_topk", // k-means assign + K-constant centroid probe
     "ann_ivfadc_rerank", // same chain: the exact stage itself equi-joins
     "ann_ivfpq_residual", // same K-constant centroid probe
@@ -40,7 +41,9 @@ class PlanGuardSpec extends SparkTestBase {
     "dq_snapshot_drift", // crossJoin of two 1-row stat aggregates
     "graph_pagerank", // 1-row broadcast node count joined per iteration
     "corpus_epoch_plan", // 1-row broadcast mixture normalizer Z
-    "corpus_pack_pairs") // 1-row broadcast corpus count for rank pairing
+    "corpus_pack_pairs", // 1-row broadcast corpus count for rank pairing
+    "q_rfm_segmentation", // 1-row broadcast reference date + customer count
+    "q_basket_lift") // 1-row broadcast order-count lift normalizer
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
