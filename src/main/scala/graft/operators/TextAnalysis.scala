@@ -586,6 +586,77 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Absolute discount for the Kneser-Ney LM — 3/4 (the Chen-Goodman
+    * default neighborhood), an exact dyadic double.
+    */
+  private val KnD = 0.75
+
+  /** The interpolated KNESER-NEY bigram model's component relations:
+    * bigram counts, per-context totals + type counts N1+(w1,·),
+    * continuation counts N1+(·,w2), and the 1-row bigram-type total —
+    * all grouped aggregates over the shared pair relation. Exposed so
+    * the spec can verify the published normalization property
+    * (Σ_w2 P(w2|w1) = 1 over the FULL vocabulary, unseen included).
+    */
+  private[graft] def knComponents(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint() // model training + scoring read it
+    val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbg"))
+    val ctx = bg.groupBy(col("w1"))
+      .agg(sum(col("cbg")).as("cctx"), count(lit(1)).as("n1plus"))
+    val cont = bg.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
+    val tot = bg.agg(count(lit(1)).as("nbt"))
+    (pairs, bg, ctx, cont, tot)
+  }
+
+  /** Per-gram interpolated-KN probability — the single formula both the
+    * scorer and the normalization spec evaluate. `cbgCol` may be a
+    * possibly-NULL join result: unseen bigrams take only the
+    * continuation term, exactly Kneser-Ney's backoff mass.
+    */
+  private[graft] def knP(cbgCol: Column): Column =
+    coalesce((cbgCol - lit(KnD)) / col("cctx"), lit(0.0)) +
+      lit(KnD) * col("n1plus") / col("cctx") * (col("ncont") / col("nbt"))
+
+  /** Document scoring under the INTERPOLATED KNESER-NEY bigram LM
+    * (Kneser & Ney '95; Chen & Goodman '99's interpolated form) — the
+    * published smoothing next to `text_perplexity`'s additive model:
+    * each bigram's probability is its discounted count plus the
+    * context's reserved mass times the CONTINUATION unigram (how many
+    * distinct contexts a word follows — the "San Francisco" fix:
+    * frequent-but-predictable words get small continuation mass).
+    * Same engine-exactness discipline as the additive LM: each gram's
+    * −log₂ p is integer-scaled and rounded BEFORE the per-doc sum, so
+    * summation order cannot move the result between engines. Model =
+    * three grouped aggregates + a 1-row total, all broadcast onto the
+    * scoring pass.
+    */
+  def textPerplexityKn(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, bg, ctx, cont, tot) = knComponents(spark, dir)
+    pairs
+      .join(bg, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("nll6",
+        round(-log(2.0, knP(col("cbg"))) * 1000000, 0).cast("bigint"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("nll6")).as("s6"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("s6") / (col("n_grams") * lit(1000000.0)), 6).as("cross_entropy"),
+        round(pow(lit(2.0), col("s6") / (col("n_grams") * lit(1000000.0))), 6)
+          .as("perplexity"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus LEXICAL PROFILE — the Zipf diagnostics a pipeline reads
     * before trusting its text statistics: token/type counts, hapax
     * share (freq-1 types — the OOV pressure signal), and the fitted
@@ -800,7 +871,8 @@ object TextAnalysis {
     "text_langid"      -> (textLangid _),
     "text_bigram_familiarity" -> (textBigramFamiliarity _),
     "text_fingerprint" -> (textFingerprint _),
-    "text_hashing_features" -> (textHashingFeatures _))
+    "text_hashing_features" -> (textHashingFeatures _),
+    "text_perplexity_kn" -> (textPerplexityKn _))
 
   private val langidSelect: String = {
     val hitCols = langOrder
@@ -840,6 +912,30 @@ object TextAnalysis {
        |    CAST(round(-log2((cbg + 0.5) / (cctx + 0.5 * vs)) * 1000000, 0)
        |      AS BIGINT) AS nll6
        |  FROM pr p JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_grams, sum(nll6) AS s6
+       |  FROM sc GROUP BY 1)""".stripMargin
+
+  /** Interpolated-KN scoring CTEs ending in `agg` — the oracle twin of
+    * [[textPerplexityKn]], discount literal shared via [[KnD]].
+    */
+  private[operators] val knCtes: String =
+    s"""pr AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents) d,
+       |       unnest(generate_series(1, len(toks) - 1)) t(i)
+       |  WHERE len(toks) >= 2),
+       |bg AS (SELECT w1, w2, count(*) AS cbg FROM pr GROUP BY 1, 2),
+       |ctx AS (SELECT w1, sum(cbg) AS cctx, count(*) AS n1plus FROM bg GROUP BY 1),
+       |cont AS (SELECT w2, count(*) AS ncont FROM bg GROUP BY 1),
+       |tot AS (SELECT count(*) AS nbt FROM bg),
+       |sc AS (
+       |  SELECT p.doc_id,
+       |    CAST(round(-log2((cbg - $KnD) / cctx
+       |      + $KnD * n1plus / cctx * (ncont / nbt)) * 1000000, 0)
+       |      AS BIGINT) AS nll6
+       |  FROM pr p JOIN bg USING (w1, w2) JOIN ctx USING (w1)
+       |  JOIN cont USING (w2) CROSS JOIN tot),
        |agg AS (
        |  SELECT doc_id, count(*) AS n_grams, sum(nll6) AS s6
        |  FROM sc GROUP BY 1)""".stripMargin
@@ -970,6 +1066,12 @@ object TextAnalysis {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_perplexity" ->
       s"""WITH $perplexityCtes
+         |SELECT doc_id, n_grams,
+         |  round(s6 / (n_grams * 1000000.0), 6) AS cross_entropy,
+         |  round(pow(2.0, s6 / (n_grams * 1000000.0)), 6) AS perplexity
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    "text_perplexity_kn" ->
+      s"""WITH $knCtes
          |SELECT doc_id, n_grams,
          |  round(s6 / (n_grams * 1000000.0), 6) AS cross_entropy,
          |  round(pow(2.0, s6 / (n_grams * 1000000.0)), 6) AS perplexity

@@ -35,6 +35,7 @@ class PlanGuardSpec extends SparkTestBase {
     "corpus_quality_gate", "corpus_mix_rebalance", "text_tfidf_topk",
     "text_bm25_topk", // 1-row broadcast (N, avgdl) stats relation
     "text_perplexity", // 1-row broadcast vocabulary-size relation
+    "text_perplexity_kn", // 1-row broadcast bigram-type total
     "ann_rrf_fusion", // same 1-row stats relation under its BM25 leg
     "q22_dormant_customers", // 1-row broadcast average-balance cutoff
     "q11_important_parts", // 1-row broadcast global-total threshold

@@ -194,6 +194,27 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(n("reached_purchase") > 0)
   }
 
+  test("text_perplexity_kn: distribution normalizes over the full vocabulary, unseen included") {
+    // The published KN property: for every context w1, discounted seen
+    // mass plus the reserved continuation mass sums to EXACTLY 1 over
+    // the whole vocabulary - the numeric check runs the same knP
+    // formula over the vocab cross product with unseen bigrams NULL.
+    val (_, bg, ctx, cont, tot) = TextAnalysis.knComponents(spark, sfDir)
+    val sums = ctx.crossJoin(cont).crossJoin(broadcast(tot))
+      .join(bg, Seq("w1", "w2"), "left")
+      .withColumn("p", TextAnalysis.knP(col("cbg")))
+      .groupBy("w1").agg(sum(col("p")).as("mass"))
+    assert(sums.filter(abs(col("mass") - 1.0) > 1e-9).count() == 0,
+      "KN mass does not normalize to 1 per context")
+    // probabilities are valid: every scored gram has p in (0, 1], so
+    // cross-entropy is non-negative and finite
+    val scored = TextAnalysis.textPerplexityKn(spark, sfDir)
+    assert(scored.filter(col("cross_entropy") < 0 ||
+      col("cross_entropy").isNull).count() == 0)
+    assert(scored.count() ==
+      TextAnalysis.textPerplexity(spark, sfDir).count())
+  }
+
   test("text_hashing_features: buckets bounded, signed sums bounded by counts, totals tile") {
     val f = TextAnalysis.textHashingFeatures(spark, sfDir).cache()
     assert(f.count() > 0)
