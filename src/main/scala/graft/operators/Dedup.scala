@@ -44,10 +44,6 @@ object Dedup {
     * (doc_id, gram). The shingle relation is the shared input of the
     * minhash and jaccard operators.
     */
-  /** Test hook: the shared shingle relation. */
-  private[graft] def shinglesForTest(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir)
-
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     shinglesOf(Tables.documents(spark, dir))
 
@@ -175,6 +171,30 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Span width for the prefix-filter pass. Prefix filtering REQUIRES
+    * discriminative set elements: on this corpus the bigram vocabulary
+    * collapses to ~1k types across 5000 docs (measured, templated
+    * text), so 63% of ALL doc pairs share a bigram and no exact
+    * candidate scheme can prune — the bigram-set near-dup question is
+    * what MinHash compression (dedupNgramJaccard) is FOR. Five-token
+    * spans are near-unique outside genuine near-dups (the
+    * text_repeated_spans width), so the rarity-ordered prefix join's
+    * keys are actually selective and candidate volume tracks true
+    * near-dup mass.
+    */
+  private val PrefixShingleN = 5
+
+  /** 5-gram shingle relation for the prefix-filter pass (distinct per
+    * doc). Exposed for the spec's independent all-pairs recomputation.
+    */
+  private[graft] def prefixShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= PrefixShingleN)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(toks) - ${PrefixShingleN - 1})," +
+          s" i -> concat_ws(' ', slice(toks, i, $PrefixShingleN))))")).as("gram"))
+
   /** PREFIX-FILTERED exact Jaccard pairs — the AllPairs/PPJoin
     * candidate principle (Chaudhuri et al. SSJoin 2006; Xiao et al.
     * PPJoin 2008) as the LOSSLESS alternative to MinHash-LSH
@@ -185,14 +205,13 @@ object Dedup {
     * gram inside both prefixes, so — unlike LSH banding, which is
     * probabilistic recall — the candidates provably contain EVERY
     * qualifying pair, and the oracle is the pure declarative all-pairs
-    * definition (the driver check IS the losslessness proof). Rare
-    * grams lead the order, so the join keys are the corpus's most
-    * selective values: candidate volume tracks shared-rare-gram mass,
-    * not corpus size. Exact verification then mirrors
-    * [[dedupNgramJaccard]]'s confirm join.
+    * definition (the driver check IS the losslessness proof). Runs at
+    * the [[PrefixShingleN]]-gram span scale where set elements are
+    * selective (see that constant for why bigrams degenerate). Exact
+    * verification then mirrors [[dedupNgramJaccard]]'s confirm join.
     */
   def dedupPrefixFilter(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).localCheckpoint()
+    val sh = prefixShingles(spark, dir).localCheckpoint()
     val dfreq = sh.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
     val perDoc = Window.partitionBy(col("doc_id"))
@@ -202,6 +221,7 @@ object Dedup {
       .filter(col("pos") <=
         col("n_grams") - ceil(col("n_grams") * JaccardThreshold) + 1)
       .select(col("doc_id"), col("gram"))
+      .localCheckpoint() // both self-join sides read it
     val pairs = prefix.select(col("doc_id").as("doc_a"), col("gram"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("gram")), "gram")
       .filter(col("doc_a") < col("doc_b"))
@@ -875,9 +895,15 @@ object Dedup {
       s"WITH $jaccardCtes SELECT * FROM jpairs ORDER BY doc_a, doc_b",
     // Pure all-pairs definition, NO candidate mechanism mirrored: the
     // prefix filter is lossless, so the driver compare doubles as the
-    // losslessness proof.
+    // losslessness proof. 5-token spans (see PrefixShingleN).
     "dedup_prefix_filter" ->
-      s"""WITH $shinglesCte,
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, gram FROM (
+         |    SELECT doc_id, array_to_string(toks[i:i + ${PrefixShingleN - 1}], ' ') AS gram
+         |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |          FROM documents) d,
+         |         unnest(generate_series(1, len(toks) - ${PrefixShingleN - 1})) t(i)
+         |    WHERE len(toks) >= $PrefixShingleN)),
          |sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter

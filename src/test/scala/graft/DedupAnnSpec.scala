@@ -64,7 +64,7 @@ class DedupAnnSpec extends SparkTestBase {
     assert(df.filter(col("jaccard") < 0.5).count() == 0)
     // LOSSLESS: the prefix-filtered result must equal the declarative
     // all-pairs definition computed independently (no candidate step)
-    val sh = Dedup.shinglesForTest(spark, sfDir).localCheckpoint()
+    val sh = Dedup.prefixShingles(spark, sfDir).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val allPairs = sh.select(col("doc_id").as("doc_a"), col("gram"))
       .join(sh.select(col("doc_id").as("doc_b"), col("gram")), "gram")
