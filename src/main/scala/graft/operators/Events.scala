@@ -392,8 +392,8 @@ object Events {
     * engines with no pow() library in sight.
     */
   private val EmaBeta = 0.75
-  private val EmaK = 8
-  private[operators] val emaWeights: Seq[Double] =
+  private[graft] val EmaK = 8
+  private[graft] val emaWeights: Seq[Double] =
     Seq.iterate(1.0, EmaK)(_ * EmaBeta)
 
   /** Trailing exponentially-weighted moving average of event values per
@@ -406,7 +406,14 @@ object Events {
     * arithmetic, and the same fixed-K state contract a streaming
     * `mapGroupsWithState` twin would keep.
     */
-  def eventsEma(spark: SparkSession, dir: String): DataFrame = {
+  def eventsEma(spark: SparkSession, dir: String): DataFrame =
+    emaOver(Tables.events(spark, dir))
+
+  /** The EMA over any (user_id, ts, event_id, value) relation —
+    * exposed so the streaming twin's spec can cross-check on shared
+    * data.
+    */
+  private[graft] def emaOver(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     def lagV(k: Int): Column = lag(col("value"), k).over(byUser)
     val num = emaWeights.zipWithIndex
@@ -415,7 +422,7 @@ object Events {
     val den = emaWeights.zipWithIndex
       .map { case (w, k) => when(lagV(k).isNotNull, lit(w)).otherwise(lit(0.0)) }
       .reduce(_ + _)
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .withColumn("ema", round(num / den, 6))
       .orderBy(col("user_id"), col("ts"), col("event_id"))

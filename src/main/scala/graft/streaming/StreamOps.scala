@@ -353,6 +353,54 @@ object StreamOps {
       }
   }
 
+  case class EmaPoint(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, value: Double, ema: Double)
+  case class RecentEv(tsUs: Long, eventId: Long, value: Double)
+  case class EmaState(recent: Seq[RecentEv])
+
+  /** Streaming trailing EMA — the `flatMapGroupsWithState` twin of
+    * `Events.eventsEma`, realizing the fixed-K state contract that
+    * operator's window formulation promises: per user the state is the
+    * last K (ts, event_id, value) triples and nothing else, so state
+    * size is K rows per key FOREVER, independent of stream length. Each
+    * arrival appends, truncates to K, and evaluates THE SAME weighted
+    * sum, term order and rounding included (shared
+    * `Events.emaWeights`, HALF_UP at 6 dp), so batch and stream agree
+    * bit-for-bit on identically-ordered data. Arrivals are sorted
+    * within each micro-batch; cross-batch late data is subject to the
+    * same arrival-order semantics as every mapGroupsWithState twin
+    * here.
+    */
+  def emaStream(events: Dataset[Ev]): Dataset[EmaPoint] = {
+    import events.sparkSession.implicits._
+    val weights = graft.operators.Events.emaWeights
+    val K = graft.operators.Events.EmaK
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EmaState, EmaPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Ev], state: GroupState[EmaState]) =>
+          var window = state.getOption.map(_.recent).getOrElse(Seq.empty)
+          val arrivals = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = arrivals.map { e =>
+            window = (window :+ RecentEv(e.ts.getTime, e.event_id, e.value))
+              .takeRight(K)
+            val newestFirst = window.reverse
+            // identical term order to the batch lag formulation:
+            // k = 0 (current) .. K-1 (oldest), left-associated sums
+            var num = 0.0; var den = 0.0
+            newestFirst.zipWithIndex.foreach { case (r, k) =>
+              num += r.value * weights(k); den += weights(k)
+            }
+            val ema = BigDecimal(num / den)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            EmaPoint(userId, e.ts, e.event_id, e.value, ema)
+          }
+          state.update(EmaState(window))
+          out.iterator
+      }
+  }
+
   /** The SAME sessionizer on the `transformWithState` API (Spark 4's
     * successor to `[flat]mapGroupsWithState`): state lives in named,
     * individually-encoded handles (`ValueState`/`ListState`/`MapState`

@@ -328,6 +328,38 @@ class StreamingSpec extends SparkTestBase {
     assert(byId(3L) == ((0L, "admit")), s"novel doc 3 ${byId(3L)}")
   }
 
+  test("streaming EMA equals the batch window formulation, K-bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 12 events for user 7 (exceeding K=8, so truncation is exercised),
+    // interleaved with user 8; batch 1 arrives out of order internally
+    val all = (1 to 12).map(i =>
+      StreamOps.Ev(i.toLong, ts(f"2024-01-01 00:$i%02d:00"), 7L, "view", i * 1.5)) ++
+      Seq(StreamOps.Ev(100L, ts("2024-01-01 00:03:30"), 8L, "click", 10.0),
+        StreamOps.Ev(101L, ts("2024-01-01 00:07:30"), 8L, "click", 4.0))
+    val (batch1, batch2) = all.sortBy(e => (e.ts.getTime, e.event_id)).splitAt(7)
+    val stream = MemoryStream[StreamOps.Ev]
+    val q = StreamOps.emaStream(stream.toDS())
+      .writeStream.format("memory").queryName("ema_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(batch1.reverse: _*) // out of order within the batch
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ema_stream")
+    assert(got.count() == all.size)
+    val batch = graft.operators.Events.emaOver(
+      all.toDF().select(col("user_id"), col("ts"), col("event_id"), col("value")))
+    val joined = got.select(col("user_id"), col("event_id"), col("ema").as("s_ema"))
+      .join(batch.select(col("user_id"), col("event_id"), col("ema").as("b_ema")),
+        Seq("user_id", "event_id"))
+    assert(joined.count() == all.size)
+    assert(joined.filter(col("s_ema") =!= col("b_ema")).count() == 0,
+      "stream and batch EMA disagree")
+  }
+
   test("streaming sessionization handles out-of-order events within a batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
