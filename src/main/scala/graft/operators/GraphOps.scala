@@ -39,7 +39,7 @@ object GraphOps {
     * BY CONSTRUCTION at any corpus size. Σ deg² ≤ k²·n — triangle and
     * rank costs stay linear forever.
     */
-  private[operators] def knnEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def knnEdges(spark: SparkSession, dir: String): DataFrame = {
     val cand = CoreAnalytics.priceBandPairs(spark, dir)
       .select(col("key_a").as("u"), col("key_b").as("v"),
         round(abs(col("price_a") - col("price_b")), 6).as("diff"))
@@ -143,6 +143,48 @@ object GraphOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Community detection by synchronous LABEL PROPAGATION (Raghavan et
+    * al. 2007), `Iters` unrolled rounds over the mutual-kNN graph:
+    * every node starts as its own label and each round adopts the most
+    * frequent label among its neighbors (ties → smallest label, so the
+    * update is a deterministic function of the graph — the classic
+    * LPA tie-coin-flip is replaced by a total order, as an oracle-able
+    * operator must). Each round is one keyed aggregation over the
+    * edge relation plus a per-node rank window — all integer
+    * arithmetic, so both engines agree exactly with no rounding
+    * discipline needed. Same fixed-iteration contract as
+    * [[pagerankOf]]: at 100 TB each round is a self-contained
+    * shuffle-on-dst pass; the edge relation is checkpointed once.
+    */
+  def graphLabelPropagation(spark: SparkSession, dir: String): DataFrame =
+    labelPropagationOf(knnEdges(spark, dir))
+
+  /** LPA over any (a, b) pair relation with a < b — exposed for specs
+    * to drive planted community structures.
+    */
+  def labelPropagationOf(pairs: DataFrame): DataFrame = {
+    val jp = pairs.toDF("a", "b")
+    val edges = jp.select(col("a").as("src"), col("b").as("dst"))
+      .union(jp.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to Iters) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dst")).orderBy(col("cnt").desc, col("label"))
+      labels = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("label"))
+    }
+    val bySize = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+    labels
+      .withColumn("community_size", count(lit(1)).over(bySize))
+      .select(col("node"), col("label").as("community"), col("community_size"))
+      .orderBy(col("node"))
+  }
+
   /** Per-node triangle count + local clustering coefficient, via
     * DEGREE-ordered edge orientation: each edge points at its
     * higher-(degree, id) endpoint, every triangle is found exactly once
@@ -203,7 +245,18 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"  -> (graphPagerank _),
-    "graph_triangles" -> (graphTriangles _))
+    "graph_triangles" -> (graphTriangles _),
+    "graph_label_propagation" -> (graphLabelPropagation _))
+
+  private def lpIter(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT node, label FROM (
+       |    SELECT dst AS node, label,
+       |      row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label) AS rn
+       |    FROM (SELECT e.dst, l.label, count(*) AS cnt
+       |          FROM dedges e JOIN $prev l ON l.node = e.src
+       |          GROUP BY 1, 2))
+       |  WHERE rn = 1)""".stripMargin
 
   private def prIter(prev: String, out: String): String =
     s"""$out AS (
@@ -223,6 +276,15 @@ object GraphOps {
          |${(1 to Iters).map(i => prIter(s"r${i - 1}", s"r$i")).mkString(",\n")}
          |SELECT doc_id, r AS pagerank FROM r$Iters
          |ORDER BY doc_id""".stripMargin,
+    "graph_label_propagation" ->
+      s"""WITH $knnEdgesCte,
+         |dedges AS (SELECT a AS src, b AS dst FROM edges
+         |           UNION ALL SELECT b, a FROM edges),
+         |lp0 AS (SELECT DISTINCT src AS node, src AS label FROM dedges),
+         |${(1 to Iters).map(i => lpIter(s"lp${i - 1}", s"lp$i")).mkString(",\n")}
+         |SELECT node, label AS community,
+         |  count(*) OVER (PARTITION BY label) AS community_size
+         |FROM lp$Iters ORDER BY node""".stripMargin,
     "graph_triangles" ->
       s"""WITH $knnEdgesCte,
          |tris AS (

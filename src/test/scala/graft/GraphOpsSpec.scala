@@ -110,6 +110,33 @@ class GraphOpsSpec extends SparkTestBase {
     assert(expected.keySet.subsetOf(got.keySet))
   }
 
+  test("label propagation: disjoint triangles converge to one community each") {
+    import spark.implicits._
+    // two disjoint triangles; sync LPA with min tie-break converges both
+    // to label 1 / label 10 within two rounds (hand-traced)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
+    val lp = GraphOps.labelPropagationOf(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for (n <- Seq(1L, 2L, 3L)) assert(lp(n) == ((1L, 3L)), s"node $n: ${lp(n)}")
+    for (n <- Seq(10L, 11L, 12L)) assert(lp(n) == ((10L, 3L)), s"node $n: ${lp(n)}")
+  }
+
+  test("label propagation invariants on the mutual-kNN price graph") {
+    val lp = GraphOps.graphLabelPropagation(spark, sfDir).cache()
+    // one row per graph node
+    val nodes = GraphOps.knnEdges(spark, sfDir)
+      .select(col("a").as("n")).union(
+        GraphOps.knnEdges(spark, sfDir).select(col("b").as("n")))
+      .distinct().count()
+    assert(lp.count() == nodes)
+    // community sizes are consistent with the labelling itself
+    val sizes = lp.groupBy("community").count()
+    assert(lp.join(sizes, "community")
+      .filter(col("community_size") =!= col("count")).count() == 0)
+    lp.unpersist()
+  }
+
   test("graph_triangles invariants on the mutual-kNN price graph") {
     val t = GraphOps.graphTriangles(spark, sfDir).cache()
     assert(t.count() > 0)
