@@ -185,6 +185,52 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** Newman MODULARITY of the label-propagation partition — the
+    * standard quality score for a community structure (Q = Σ_c e_c/m −
+    * (d_c/2m)², fraction of intra-community edges minus the expectation
+    * under the degree-preserving null model; Q > 0 means real
+    * structure). Everything is grouped integer counting over the edge
+    * relation joined to the labelling — one aggregate per community,
+    * one 1-row reduction — with a single rounded float expression at
+    * the end, so the oracle replays it exactly. Emits per-community
+    * rows plus the partition totals a curation audit reads before
+    * trusting cluster-level decisions.
+    */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame =
+    modularityOf(knnEdges(spark, dir))
+
+  /** Modularity of the LPA partition over any (a, b) pair relation —
+    * exposed for the spec's hand-computable planted graphs.
+    */
+  def modularityOf(pairs: DataFrame): DataFrame = {
+    val edges = pairs.toDF("a", "b")
+    val labels = labelPropagationOf(edges)
+      .select(col("node"), col("community"))
+    val m = edges.agg(count(lit(1)).as("m")).localCheckpoint()
+    val intra = edges
+      .join(labels.select(col("node").as("a"), col("community").as("ca")), "a")
+      .join(labels.select(col("node").as("b"), col("community").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val degSum = edges
+      .select(col("a").as("node")).union(edges.select(col("b").as("node")))
+      .join(labels, "node")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("degree_sum"))
+    degSum
+      .join(intra, Seq("community"), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("q_contrib", round(
+        col("intra_edges") / col("m")
+          - (col("degree_sum") / (lit(2.0) * col("m")))
+          * (col("degree_sum") / (lit(2.0) * col("m"))), 6))
+      .select(col("community"), col("intra_edges"), col("degree_sum"),
+        col("q_contrib"))
+      .orderBy(col("community"))
+  }
+
   /** Per-node triangle count + local clustering coefficient, via
     * DEGREE-ordered edge orientation: each edge points at its
     * higher-(degree, id) endpoint, every triangle is found exactly once
@@ -246,7 +292,8 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"  -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
-    "graph_label_propagation" -> (graphLabelPropagation _))
+    "graph_label_propagation" -> (graphLabelPropagation _),
+    "graph_modularity" -> (graphModularity _))
 
   private def lpIter(prev: String, out: String): String =
     s"""$out AS (
@@ -285,6 +332,31 @@ object GraphOps {
          |SELECT node, label AS community,
          |  count(*) OVER (PARTITION BY label) AS community_size
          |FROM lp$Iters ORDER BY node""".stripMargin,
+    "graph_modularity" ->
+      s"""WITH $knnEdgesCte,
+         |dedges AS (SELECT a AS src, b AS dst FROM edges
+         |           UNION ALL SELECT b, a FROM edges),
+         |lp0 AS (SELECT DISTINCT src AS node, src AS label FROM dedges),
+         |${(1 to Iters).map(i => lpIter(s"lp${i - 1}", s"lp$i")).mkString(",\n")},
+         |labels AS (SELECT node, label AS community FROM lp$Iters),
+         |m AS (SELECT count(*) AS m FROM edges),
+         |intra AS (
+         |  SELECT la.community AS community, count(*) AS intra_edges
+         |  FROM edges e
+         |  JOIN labels la ON la.node = e.a
+         |  JOIN labels lb ON lb.node = e.b
+         |  WHERE la.community = lb.community GROUP BY 1),
+         |degsum AS (
+         |  SELECT community, count(*) AS degree_sum FROM (
+         |    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges) n
+         |  JOIN labels USING (node) GROUP BY 1)
+         |SELECT d.community, coalesce(i.intra_edges, 0) AS intra_edges,
+         |  d.degree_sum,
+         |  round(coalesce(i.intra_edges, 0) / (SELECT m FROM m)
+         |    - (d.degree_sum / (2.0 * (SELECT m FROM m)))
+         |    * (d.degree_sum / (2.0 * (SELECT m FROM m))), 6) AS q_contrib
+         |FROM degsum d LEFT JOIN intra i USING (community)
+         |ORDER BY community""".stripMargin,
     "graph_triangles" ->
       s"""WITH $knnEdgesCte,
          |tris AS (

@@ -122,6 +122,22 @@ class GraphOpsSpec extends SparkTestBase {
     for (n <- Seq(10L, 11L, 12L)) assert(lp(n) == ((10L, 3L)), s"node $n: ${lp(n)}")
   }
 
+  test("modularity: two disjoint triangles score Q = 0.25 + 0.25") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
+    // m = 6; each community: intra 3, degree sum 6
+    // q = 3/6 - (6/12)^2 = 0.25
+    val q = GraphOps.modularityOf(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(q.keySet == Set(1L, 10L))
+    assert(q(1L) == ((3L, 6L, 0.25)) && q(10L) == ((3L, 6L, 0.25)), s"$q")
+    // and the corpus partition has positive modularity (real structure)
+    val corpus = GraphOps.graphModularity(spark, sfDir)
+    val total = corpus.agg(sum("q_contrib")).head().getDouble(0)
+    assert(total > 0.0, s"corpus modularity $total not positive")
+  }
+
   test("label propagation invariants on the mutual-kNN price graph") {
     val lp = GraphOps.graphLabelPropagation(spark, sfDir).cache()
     // one row per graph node

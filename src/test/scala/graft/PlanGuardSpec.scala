@@ -44,7 +44,8 @@ class PlanGuardSpec extends SparkTestBase {
     "corpus_epoch_plan", // 1-row broadcast mixture normalizer Z
     "corpus_pack_pairs", // 1-row broadcast corpus count for rank pairing
     "q_rfm_segmentation", // 1-row broadcast reference date + customer count
-    "q_basket_lift") // 1-row broadcast order-count lift normalizer
+    "q_basket_lift", // 1-row broadcast order-count lift normalizer
+    "graph_modularity") // 1-row broadcast edge-count normalizer
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
