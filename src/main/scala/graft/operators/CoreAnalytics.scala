@@ -847,8 +847,10 @@ object CoreAnalytics {
     * counts plus one 1-row broadcast total.
     */
   def qBasketLift(spark: SparkSession, dir: String): DataFrame = {
+    // no broadcast hint: part scales with SF (same no-hint-on-scaling-dims
+    // discipline as q3/q5 — CBO/AQE picks broadcast while it fits)
     val items = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+      .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
       .distinct()
@@ -866,8 +868,13 @@ object CoreAnalytics {
         "brand_b")
       .crossJoin(broadcast(nOrders))
       .withColumn("support", round(col("n_both") / col("n_orders"), 6))
+      // double-cast BEFORE the products: n_both·n_orders as Long·Long
+      // wraps silently at ~1e11-order scale (DuckDB would error); the
+      // oracle casts at the same spot so both engines evaluate
+      // (double·double)/(double·double)
       .withColumn("lift",
-        round(col("n_both") * col("n_orders") / (col("n_a") * col("n_b")), 6))
+        round(col("n_both").cast("double") * col("n_orders").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")), 6))
       .select("brand_a", "brand_b", "n_both", "support", "lift")
       .orderBy("brand_a", "brand_b")
   }
@@ -952,8 +959,8 @@ object CoreAnalytics {
         |  GROUP BY 1, 2)
         |SELECT brand_a, brand_b, n_both,
         |  round(n_both / (SELECT n_orders FROM n_orders), 6) AS support,
-        |  round(n_both * (SELECT n_orders FROM n_orders)
-        |    / (ca.n_brand * cb.n_brand), 6) AS lift
+        |  round(CAST(n_both AS DOUBLE) * CAST((SELECT n_orders FROM n_orders) AS DOUBLE)
+        |    / (CAST(ca.n_brand AS DOUBLE) * CAST(cb.n_brand AS DOUBLE)), 6) AS lift
         |FROM pairs
         |JOIN brand_cnt ca ON brand_a = ca.brand
         |JOIN brand_cnt cb ON brand_b = cb.brand

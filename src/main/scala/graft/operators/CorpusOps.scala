@@ -362,6 +362,9 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Test hook: the shared n-gram relation at the decontamination N. */
+  private[graft] def gramsForTest(df: DataFrame): DataFrame = grams(df, ContamN)
+
   /** BLOOM-PREFILTERED decontamination — the 100 TB shape of
     * [[corpusDecontaminate]]. The exact version ships EVERY corpus
     * n-gram into the join against the benchmark set; at web-crawl scale
@@ -379,9 +382,6 @@ object CorpusOps {
     * rate at these capacities ≈ 0.03%: the prefilter passes
     * essentially only true hits.
     */
-  /** Test hook: the shared n-gram relation at the decontamination N. */
-  private[graft] def gramsForTest(df: DataFrame): DataFrame = grams(df, ContamN)
-
   def corpusDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val bench = grams(docs.filter(col("doc_id") < 20), ContamN)

@@ -222,12 +222,22 @@ object GraphOps {
       .join(intra, Seq("community"), "left")
       .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
       .crossJoin(broadcast(m))
-      .withColumn("q_contrib", round(
-        col("intra_edges") / col("m")
-          - (col("degree_sum") / (lit(2.0) * col("m")))
-          * (col("degree_sum") / (lit(2.0) * col("m"))), 6))
+      // Exact scaled-integer modularity: intra/m − (deg/2m)² =
+      // (4·m·intra − deg²) / (4·m²). All inputs are bigint counts, so
+      // the 10⁶-scaled contribution is computed entirely in bigint
+      // (`div` truncates toward zero in both Spark and DuckDB) and the
+      // float column is derived from that one integer — bit-exact
+      // across engines, no double-rounding boundary. Magnitudes:
+      // |4·m·intra·10⁶| ≤ 4m²·10⁶, so bigint holds through m ≈ 1.5e6
+      // edges per modularity scope; shard the graph before that.
+      .withColumn("q_num",
+        lit(4L) * col("m") * col("intra_edges") * lit(1000000L)
+          - col("degree_sum") * col("degree_sum") * lit(1000000L))
+      .withColumn("q_den", lit(4L) * col("m") * col("m"))
+      .withColumn("q_ppm", expr("q_num div q_den"))
+      .withColumn("q_contrib", col("q_ppm").cast("double") / lit(1000000.0))
       .select(col("community"), col("intra_edges"), col("degree_sum"),
-        col("q_contrib"))
+        col("q_ppm"), col("q_contrib"))
       .orderBy(col("community"))
   }
 
@@ -350,12 +360,15 @@ object GraphOps {
          |  SELECT community, count(*) AS degree_sum FROM (
          |    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges) n
          |  JOIN labels USING (node) GROUP BY 1)
-         |SELECT d.community, coalesce(i.intra_edges, 0) AS intra_edges,
-         |  d.degree_sum,
-         |  round(coalesce(i.intra_edges, 0) / (SELECT m FROM m)
-         |    - (d.degree_sum / (2.0 * (SELECT m FROM m)))
-         |    * (d.degree_sum / (2.0 * (SELECT m FROM m))), 6) AS q_contrib
-         |FROM degsum d LEFT JOIN intra i USING (community)
+         |SELECT community, intra_edges, degree_sum, q_ppm,
+         |  CAST(q_ppm AS DOUBLE) / 1000000.0 AS q_contrib
+         |FROM (
+         |  SELECT d.community, coalesce(i.intra_edges, 0) AS intra_edges,
+         |    d.degree_sum,
+         |    (4 * (SELECT m FROM m) * coalesce(i.intra_edges, 0) * 1000000
+         |      - d.degree_sum * d.degree_sum * 1000000)
+         |      // (4 * (SELECT m FROM m) * (SELECT m FROM m)) AS q_ppm
+         |  FROM degsum d LEFT JOIN intra i USING (community))
          |ORDER BY community""".stripMargin,
     "graph_triangles" ->
       s"""WITH $knnEdgesCte,

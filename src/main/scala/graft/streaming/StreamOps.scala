@@ -307,9 +307,17 @@ object StreamOps {
     * (`unix_micros` + Spark `round`), or sessions can split and sums
     * can round differently at sub-ms gap boundaries.
     */
+  /** Full-microsecond event time — `getTime` alone truncates to ms;
+    * every stateful twin must key ordering and state on this, or
+    * sub-millisecond ties order differently than the batch operators'
+    * `unix_micros`.
+    */
+  private def evMicros(e: Ev): Long =
+    e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+
   private def foldSessions(userId: Long, it: Iterator[Ev],
       init: Option[SessState]): (Seq[Session], Option[SessState]) = {
-    def us(e: Ev): Long = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+    def us(e: Ev): Long = evMicros(e)
     def tsOf(micros: Long): java.sql.Timestamp = {
       val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000)
       t.setNanos((Math.floorMod(micros, 1000000L) * 1000).toInt)
@@ -381,9 +389,9 @@ object StreamOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, it: Iterator[Ev], state: GroupState[EmaState]) =>
           var window = state.getOption.map(_.recent).getOrElse(Seq.empty)
-          val arrivals = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val arrivals = it.toSeq.sortBy(e => (evMicros(e), e.event_id))
           val out = arrivals.map { e =>
-            window = (window :+ RecentEv(e.ts.getTime, e.event_id, e.value))
+            window = (window :+ RecentEv(evMicros(e), e.event_id, e.value))
               .takeRight(K)
             val newestFirst = window.reverse
             // identical term order to the batch lag formulation:

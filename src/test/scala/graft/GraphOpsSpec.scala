@@ -129,9 +129,25 @@ class GraphOpsSpec extends SparkTestBase {
     // m = 6; each community: intra 3, degree sum 6
     // q = 3/6 - (6/12)^2 = 0.25
     val q = GraphOps.modularityOf(pairs).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
     assert(q.keySet == Set(1L, 10L))
-    assert(q(1L) == ((3L, 6L, 0.25)) && q(10L) == ((3L, 6L, 0.25)), s"$q")
+    assert(q(1L) == ((3L, 6L, 250000L, 0.25)) &&
+      q(10L) == ((3L, 6L, 250000L, 0.25)), s"$q")
+    // negative contribution exercises the bigint `div` truncation path
+    // (toward zero in both Spark and DuckDB): K2 + K3 under LPA gives
+    // the K2 community intra=1, deg=2, m=4 → 1/4 − (2/8)² = 0.1875
+    // and K3 intra=3, deg=6, m=4 → 3/4 − (6/8)² = 0.1875; rig a
+    // negative one instead via a star whose leaves defect: a path
+    // 1-2-3 has LPA communities that can leave a cut edge with
+    // intra=0, deg>0 → strictly negative q_ppm
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val qp = GraphOps.modularityOf(path).collect()
+    qp.foreach { r =>
+      val ppm = r.getLong(3)
+      assert(r.getDouble(4) == ppm.toDouble / 1e6,
+        s"q_contrib must derive exactly from q_ppm: $r")
+    }
     // and the corpus partition has positive modularity (real structure)
     val corpus = GraphOps.graphModularity(spark, sfDir)
     val total = corpus.agg(sum("q_contrib")).head().getDouble(0)

@@ -333,10 +333,19 @@ class StreamingSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     // 12 events for user 7 (exceeding K=8, so truncation is exercised),
     // interleaved with user 8; batch 1 arrives out of order internally
+    // two user-8 events land in the SAME millisecond but different
+    // microseconds, with event_id order OPPOSITE to micros order — the
+    // stream must sort on full micros (like the batch unix_micros) or
+    // its EMA history diverges from the batch twin here
+    def tsUs(base: String, micros: Int): java.sql.Timestamp = {
+      val t = ts(base); t.setNanos(micros * 1000); t
+    }
     val all = (1 to 12).map(i =>
       StreamOps.Ev(i.toLong, ts(f"2024-01-01 00:$i%02d:00"), 7L, "view", i * 1.5)) ++
       Seq(StreamOps.Ev(100L, ts("2024-01-01 00:03:30"), 8L, "click", 10.0),
-        StreamOps.Ev(101L, ts("2024-01-01 00:07:30"), 8L, "click", 4.0))
+        StreamOps.Ev(101L, ts("2024-01-01 00:07:30"), 8L, "click", 4.0),
+        StreamOps.Ev(102L, tsUs("2024-01-01 00:07:31", 500), 8L, "click", 25.0),
+        StreamOps.Ev(103L, tsUs("2024-01-01 00:07:31", 200), 8L, "click", 1.0))
     val (batch1, batch2) = all.sortBy(e => (e.ts.getTime, e.event_id)).splitAt(7)
     val stream = MemoryStream[StreamOps.Ev]
     val q = StreamOps.emaStream(stream.toDS())
