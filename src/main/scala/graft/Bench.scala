@@ -65,7 +65,11 @@ object Bench {
     // execution on every run (eager steps like localCheckpoint belong
     // to the query's cost).
     val runs = 3
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local iteration aid: regex over query names (driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: materializes EVERY output column (count() would let

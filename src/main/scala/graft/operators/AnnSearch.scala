@@ -641,29 +641,36 @@ object AnnSearch {
     * training step to keep fresh.
     */
   def annSq8Topk(spark: SparkSession, dir: String): DataFrame = {
-    val exp = normVecs(spark, dir)
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
-    // 64-row range model (the "training" of a scalar quantizer)
-    val mm = exp.groupBy(col("d"))
+    val nv = normVecs(spark, dir)
+    // 64-row range model (the "training" of a scalar quantizer),
+    // folded to ONE row of d-ordered (lo, hi) arrays so it broadcasts
+    // to every scan task as a single row — array_sort on the (d, …)
+    // structs is the deterministic ordering, collect_list order is not
+    val mm = nv.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d"))
       .agg(round(min(col("x")), 6).as("lo"), round(max(col("x")), 6).as("hi"))
-    // encode: 8-bit level against the dim's range; constant dims → 0
-    val codes = exp.join(broadcast(mm), "d")
-      .withColumn("code", when(col("hi") === col("lo"), 0)
-        .otherwise(round((col("x") - col("lo")) / (col("hi") - col("lo")) * 255, 0)
-          .cast("int")))
-      .select(col("vec_id"), col("d"), col("code"))
-    val qexp = exp.filter(expr("vec_id % 50 = 0"))
-      .select(col("vec_id").as("q_id"), col("d"), col("x").as("qx"))
+    val model = mm.agg(
+      expr("transform(array_sort(collect_list(struct(d, lo))), s -> s.lo)").as("lo_arr"),
+      expr("transform(array_sort(collect_list(struct(d, hi))), s -> s.hi)").as("hi_arr"))
+      .localCheckpoint() // read by encode AND scan; 1 row, one subtree
+    // encode ONCE, array-at-a-time: 64 doubles → array<int> per vector
+    // through the native codegen'd sq8_enc (constant dims → 0). This is
+    // the stored index; the exploded form would be 64 rows/vector.
+    val codes = nv.crossJoin(broadcast(model))
+      .select(col("vec_id"),
+        call_function("sq8_enc", col("v"), col("lo_arr"), col("hi_arr")).as("codes"))
+    val q = nv.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist2"), col("vec_id"))
-    codes.join(broadcast(mm), "d")
-      .withColumn("xhat", col("lo") + col("code") / 255.0 * (col("hi") - col("lo")))
-      .join(broadcast(qexp), "d")
-      .filter(col("vec_id") =!= col("q_id"))
-      // integer-scaled per-dim terms so the 64-term sum is order-free
-      .withColumn("t6", round((col("qx") - col("xhat")) * (col("qx") - col("xhat")) * 1000000, 0)
-        .cast("bigint"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(round(sum(col("t6")) / 1000000.0, 6).as("adist2"))
+    // the scan: pure map over (corpus × queries) — query-exact vs
+    // dequantized codes, the whole 64-term integer-scaled sum inside
+    // one codegen'd expression; NO explode, NO re-aggregation
+    codes.crossJoin(broadcast(model))
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("t6",
+        call_function("sq8_dist", col("qv"), col("codes"),
+          col("lo_arr"), col("hi_arr")))
+      .withColumn("adist2", round(col("t6") / 1000000.0, 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adist2"), col("rank"))

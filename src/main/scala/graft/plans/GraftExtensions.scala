@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BottomKByKey, DotProduct, UpcValid}
+import graft.functions.{BottomKByKey, DotProduct, Sq8Dist, Sq8Encode, UpcValid}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
@@ -57,6 +57,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"bottom_k_by_key: k must be a foldable integral expression, got $other")
         }
         BottomKByKey(exprs(0), exprs(1), k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sq8_enc"),
+      new ExpressionInfo(classOf[Sq8Encode].getName, "sq8_enc"),
+      (exprs: Seq[Expression]) => {
+        requireArity("sq8_enc", exprs, 3)
+        Sq8Encode(exprs(0), exprs(1), exprs(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sq8_dist"),
+      new ExpressionInfo(classOf[Sq8Dist].getName, "sq8_dist"),
+      (exprs: Seq[Expression]) => {
+        requireArity("sq8_dist", exprs, 4)
+        Sq8Dist(exprs(0), exprs(1), exprs(2), exprs(3))
       }))
     // Spark's own bloom-filter sketch pair (the machinery behind
     // runtime row-level filtering), surfaced as callable functions so

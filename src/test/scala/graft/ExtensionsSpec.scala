@@ -156,4 +156,100 @@ class ExtensionsSpec extends SparkTestBase {
     val viaRule = pairs.filter(levenshtein(col("a"), col("b")) <= 3).collect().map(r => (r.getString(0), r.getString(1)))
     assert(viaRule.toSet == Set(("kitten", "sitting"), ("flaw", "lawn")))
   }
+
+  test("sq8 round0 equals Spark round(x, 0) semantics on boundaries and random doubles") {
+    import graft.functions.Sq8
+    def ref(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+    val boundaries = Seq(
+      0.0, 0.5, 1.5, 2.5, -0.5, -1.5, -2.5,
+      0.49999999999999994, -0.49999999999999994,
+      0.9999999999999999, 1.0000000000000002,
+      2251799813685247.5, -2251799813685247.5, // largest .5-representable zone
+      4503599627370495.5, 9.007199254740992e15, // 2^53: all-integer regime
+      1.23456789012345e17, -1.23456789012345e17,
+      1e-300, -1e-300, 255.49999999999997, 254.50000000000003)
+    boundaries.foreach { x =>
+      assert(Sq8.round0(x) == ref(x), s"round0($x): ${Sq8.round0(x)} vs ${ref(x)}")
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 200000).foreach { _ =>
+      // mix of magnitudes: uniform fractions, scaled, and near-.5 ties
+      val x = rnd.nextInt(4) match {
+        case 0 => rnd.nextDouble() * 1000 - 500
+        case 1 => rnd.nextDouble() * 1e12 - 5e11
+        case 2 => rnd.nextInt(2000) - 1000 + 0.5
+        case _ => java.lang.Double.longBitsToDouble(rnd.nextLong()) match {
+          case d if d.isNaN || d.isInfinite => 0.25
+          case d => d
+        }
+      }
+      assert(Sq8.round0(x) == ref(x), s"round0($x) diverges from BigDecimal")
+    }
+  }
+
+  test("sq8_enc / sq8_dist agree with the composed per-dimension SQL formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dims = 16
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(dims)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "v")
+    vecs.createOrReplaceTempView("sq8_vecs")
+    // per-dim range model folded to arrays, exactly as annSq8Topk does
+    val model = spark.sql(
+      """SELECT
+        |  transform(array_sort(collect_list(struct(d, lo))), s -> s.lo) AS lo_arr,
+        |  transform(array_sort(collect_list(struct(d, hi))), s -> s.hi) AS hi_arr
+        |FROM (
+        |  SELECT d, round(min(x), 6) AS lo, round(max(x), 6) AS hi
+        |  FROM (SELECT posexplode(v) AS (d, x) FROM sq8_vecs) GROUP BY d)""".stripMargin)
+    val withModel = vecs.crossJoin(broadcast(model))
+    val enc = withModel.select(col("vec_id"),
+      call_function("sq8_enc", col("v"), col("lo_arr"), col("hi_arr")).as("codes"),
+      col("v"), col("lo_arr"), col("hi_arr"))
+    // composed reference: explode, round per element — Spark's own round
+    val refCodes = withModel
+      .select(col("vec_id"), col("lo_arr"), col("hi_arr"), posexplode(col("v")).as(Seq("d", "x")))
+      .withColumn("lo", expr("lo_arr[d]")).withColumn("hi", expr("hi_arr[d]"))
+      .withColumn("code", when(col("hi") === col("lo"), 0)
+        .otherwise(round((col("x") - col("lo")) / (col("hi") - col("lo")) * 255, 0).cast("int")))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(d, code))), s -> s.code)").as("ref_codes"))
+    assert(enc.join(refCodes, "vec_id")
+      .filter(col("codes") =!= col("ref_codes")).count() == 0,
+      "sq8_enc disagrees with the composed encode")
+    // distance: native vs composed integer-scaled term sum
+    val q = enc.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val nat = enc.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        call_function("sq8_dist", col("qv"), col("codes"),
+          col("lo_arr"), col("hi_arr")).as("t6"))
+    val refT = enc.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("lo_arr"), col("hi_arr"),
+        posexplode(arrays_zip(col("qv"), col("codes"))).as(Seq("d", "z")))
+      // 255.0D: an un-suffixed SQL literal 255.0 is DECIMAL(4,1) and
+      // drags the division to decimal scale 6 — the native expression
+      // (and the operator's DataFrame DSL, and the DuckDB oracle) all
+      // divide in DOUBLE
+      .withColumn("xhat",
+        expr("lo_arr[d] + z.codes / 255.0D * (hi_arr[d] - lo_arr[d])"))
+      .withColumn("t", round((col("z.qv") - col("xhat"))
+        * (col("z.qv") - col("xhat")) * 1000000, 0).cast("bigint"))
+      .groupBy("q_id", "vec_id").agg(sum("t").as("ref_t6"))
+    assert(nat.join(refT, Seq("q_id", "vec_id"))
+      .filter(col("t6") =!= col("ref_t6")).count() == 0,
+      "sq8_dist disagrees with the composed distance")
+    // null / shape semantics
+    val bad = spark.sql(
+      """SELECT sq8_dist(array(1.0d, 2.0d), array(1, 2, 3),
+        |  array(0.0d, 0.0d), array(1.0d, 1.0d)) AS d1,
+        |  sq8_dist(CAST(NULL AS ARRAY<DOUBLE>), array(1, 2),
+        |  array(0.0d, 0.0d), array(1.0d, 1.0d)) AS d2,
+        |  sq8_enc(array(0.25d), array(0.25d), array(0.25d)) AS e1""".stripMargin).head()
+    assert(bad.isNullAt(0), "length mismatch must be null")
+    assert(bad.isNullAt(1), "null input must be null")
+    assert(bad.getSeq[Int](2) == Seq(0), "constant dim must encode to 0")
+  }
 }

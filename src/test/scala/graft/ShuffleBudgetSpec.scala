@@ -162,9 +162,11 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // coarse assign windows + PQ-train argmin windows + final (q,vec)
     // agg/rank; residual subtraction and both ADC tables are broadcast
     "ann_ivfpq_residual"    -> 6,
-    // 64-row range agg + (q,vec) term agg + rank + output sort; the
-    // range model and the query relation broadcast
-    "ann_sq8_topk"          -> 4,
+    // rank window + output sort ONLY: the range model folds behind a
+    // checkpoint, encode and the sq8_dist scoring scan are pure
+    // map-side (array-at-a-time native expressions — no per-dim
+    // explode, no term re-aggregation), model and queries broadcast
+    "ann_sq8_topk"          -> 2,
     // vocab agg + the rank window over the AGGREGATED vocab relation
     "text_zipf_profile"     -> 2,
     // bit-pack agg + (q,vec) rank + output sort; query codes broadcast
