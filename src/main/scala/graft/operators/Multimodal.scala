@@ -142,28 +142,17 @@ object Multimodal {
 
   /** Fingerprints over any (doc_id, modality, payload_hex, payload_md5)
     * relation — exposed so specs can plant near-identical payloads.
+    *
+    * The whole fingerprint is ONE map-side call of the native
+    * [[graft.functions.Phash16]] expression (integer window mixing +
+    * per-bit majority inside a codegen'd loop): scan in, scan out —
+    * no per-byte-offset explode, no 16-column vote aggregation. The
+    * md5-per-window predecessor spent a cryptographic hash per payload
+    * BYTE and was the dominant cost of the multimodal fleet.
     */
-  private[graft] def phashFingerprints(meta: DataFrame): DataFrame = {
-    val nWins = greatest(lit(1), length(col("payload_hex")) / 2 - (PhashWindow - 1))
-    val wins = meta
-      .select(col("doc_id"), col("modality"), col("payload_md5"),
-        col("payload_hex"),
-        explode(sequence(lit(1), nWins.cast("int"))).as("s"))
-      // window s covers bytes [s, s+3] = hex chars [(s-1)*2+1, +8);
-      // md5 decorrelates the window bytes into a uniform 16-bit hash
-      .withColumn("h", conv(
-        substring(md5(expr(s"substring(payload_hex, (s - 1) * 2 + 1, ${PhashWindow * 2})")), 1, 4),
-        16, 10).cast("int"))
-    val votes = (0 until 16).map { b =>
-      sum(when(floor(col("h") / math.pow(2, b).toLong) % 2 === 1, 1).otherwise(-1)).as(s"s$b")
-    }
-    val fp = (0 until 16).map { b =>
-      when(col(s"s$b") > 0, math.pow(2, b).toLong).otherwise(0L)
-    }.reduce(_ + _)
-    wins.groupBy(col("doc_id"), col("modality"), col("payload_md5"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), col("modality"), col("payload_md5"), fp.as("phash"))
-  }
+  private[graft] def phashFingerprints(meta: DataFrame): DataFrame =
+    meta.select(col("doc_id"), col("modality"), col("payload_md5"),
+      call_function("phash16", col("payload_hex")).as("phash"))
 
   /** The banded pair search over any phash-able meta relation. */
   /** Banded fingerprint keys over any phash-able meta relation: each
@@ -307,16 +296,25 @@ object Multimodal {
     "multimodal_shard_pack" -> (multimodalShardPack _))
 
   /** Fingerprint CTEs ending in `ph(doc_id, modality, payload_md5,
-    * phash)` — shared by the fingerprint and pair oracles. Mirrors
-    * [[phashFingerprints]] term for term.
+    * phash)` — shared by the fingerprint and pair oracles. Relational
+    * replay of [[graft.functions.Phash16]] term for term: per-window
+    * 32-bit word → two multiplicative rounds + xor-fold → 16-bit hash
+    * → per-bit majority. All arithmetic is non-negative int64, `//` and
+    * `%` agree with the JVM loop exactly; bytes past the payload end
+    * read as 0 (the `CASE WHEN ... <= n_bytes` guards).
     */
   private val phashCtes: String = {
     val votes = (0 until 16).map { b =>
-      s"sum(CASE WHEN CAST(floor(h / ${math.pow(2, b).toLong}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+      s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
     }.mkString(", ")
     val fp = (0 until 16).map { b =>
-      s"CASE WHEN s$b > 0 THEN ${math.pow(2, b).toLong} ELSE 0 END"
+      s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
     }.mkString(" + ")
+    val bytes = (0 until PhashWindow).map { k =>
+      s"""CASE WHEN s.s + $k <= n_bytes
+         |      THEN CAST(('0x' || substr(payload_hex, (s.s + $k - 1) * 2 + 1, 2)) AS BIGINT)
+         |      ELSE 0 END AS b$k""".stripMargin
+    }.mkString(",\n    ")
     s"""meta AS (
        |  SELECT doc_id,
        |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
@@ -324,10 +322,21 @@ object Multimodal {
        |    octet_length(encode(text)) AS n_bytes,
        |    md5(text) AS payload_md5
        |  FROM documents),
-       |wins AS (
+       |winbytes AS (
        |  SELECT doc_id, modality, payload_md5,
-       |    CAST(('0x' || substr(md5(substr(payload_hex, (s.s - 1) * 2 + 1, ${PhashWindow * 2})), 1, 4)) AS INT) AS h
+       |    $bytes
        |  FROM meta, unnest(generate_series(1, greatest(1, n_bytes - ${PhashWindow - 1}))) s(s)),
+       |mix1 AS (
+       |  SELECT doc_id, modality, payload_md5,
+       |    ((b0 * 16777216 + b1 * 65536 + b2 * 256 + b3) * 49157) % 2147483648 AS h1
+       |  FROM winbytes),
+       |mix2 AS (
+       |  SELECT doc_id, modality, payload_md5,
+       |    (xor(h1, h1 // 32768) * 40503) % 2147483648 AS h3
+       |  FROM mix1),
+       |wins AS (
+       |  SELECT doc_id, modality, payload_md5, (h3 // 32768) % 65536 AS h
+       |  FROM mix2),
        |v AS (SELECT doc_id, modality, payload_md5, $votes FROM wins GROUP BY 1, 2, 3),
        |ph AS (SELECT doc_id, modality, payload_md5, $fp AS phash FROM v)""".stripMargin
   }

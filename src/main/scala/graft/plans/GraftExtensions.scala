@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BottomKByKey, DotProduct, Sq8Dist, Sq8Encode, UpcValid}
+import graft.functions.{BottomKByKey, DotProduct, Phash16, Sq8Dist, Sq8Encode, UpcValid}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
@@ -57,6 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"bottom_k_by_key: k must be a foldable integral expression, got $other")
         }
         BottomKByKey(exprs(0), exprs(1), k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("phash16"),
+      new ExpressionInfo(classOf[Phash16].getName, "phash16"),
+      (exprs: Seq[Expression]) => {
+        requireArity("phash16", exprs, 1)
+        Phash16(exprs.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("sq8_enc"),

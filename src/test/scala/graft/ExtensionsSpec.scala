@@ -252,4 +252,44 @@ class ExtensionsSpec extends SparkTestBase {
     assert(bad.isNullAt(1), "null input must be null")
     assert(bad.getSeq[Int](2) == Seq(0), "constant dim must encode to 0")
   }
+
+  test("phash16: edge cases, eval/codegen agreement, and mixer bit balance") {
+    import graft.functions.Phash16
+    import org.apache.spark.unsafe.types.UTF8String
+    // payloads shorter than one window still fingerprint (padded with 0)
+    val row = spark.sql(
+      """SELECT phash16('') AS empty, phash16('ab') AS one_byte,
+        |  phash16(CAST(NULL AS STRING)) AS nul,
+        |  phash16('deadbeef') AS word""".stripMargin).head()
+    assert(!row.isNullAt(0) && !row.isNullAt(1), "short payloads must hash")
+    assert(row.isNullAt(2), "null in, null out")
+    // SQL (codegen) path agrees with the interpreted helper
+    assert(row.getLong(3) ==
+      Phash16.fingerprint(UTF8String.fromString("deadbeef")).asInstanceOf[Long])
+    assert(row.getLong(0) ==
+      Phash16.fingerprint(UTF8String.fromString("")).asInstanceOf[Long])
+    // near-identical payloads land within the banding radius; distinct
+    // payloads do not collide to the same fingerprint here
+    val base = (1 to 80).map(i => f"$i%02x").mkString
+    val flipped = "ff" + base.drop(2)
+    val fpA = Phash16.fingerprint(UTF8String.fromString(base)).asInstanceOf[Long]
+    val fpB = Phash16.fingerprint(UTF8String.fromString(flipped)).asInstanceOf[Long]
+    assert(java.lang.Long.bitCount(fpA ^ fpB) <= 3,
+      s"one flipped byte moved the fingerprint too far: $fpA vs $fpB")
+    // mixer quality per WINDOW (doc-level majority bits legitimately
+    // correlate across docs sharing vocabulary): a 4-byte payload has
+    // exactly one window, so its fingerprint IS the window hash — each
+    // of the 16 hash bits must be near-balanced over random windows,
+    // or the banded pair search floods
+    val rnd = new scala.util.Random(11)
+    val hs = (1 to 4096).map { _ =>
+      val hex = (1 to 4).map(_ => f"${rnd.nextInt(256)}%02x").mkString
+      Phash16.fingerprint(UTF8String.fromString(hex)).asInstanceOf[Long]
+    }
+    (0 until 16).foreach { b =>
+      val ones = hs.count(h => ((h >> b) & 1L) == 1L)
+      assert(ones > 4096 * 35 / 100 && ones < 4096 * 65 / 100,
+        s"window-hash bit $b biased: $ones of 4096 set")
+    }
+  }
 }
