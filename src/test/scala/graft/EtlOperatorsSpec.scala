@@ -274,4 +274,44 @@ class EtlOperatorsSpec extends SparkTestBase {
     df.unpersist()
   }
 
+
+  test("match waterfall: one planted product resolves through each branch") {
+    import spark.implicits._
+    // masters: M1 has a valid UPC; M2 is name-only (no upc)
+    val masters = Seq(
+      (100L, "almond latte syrup", Some("036000291452")),
+      (200L, "blueberry scone mix", None))
+      .toDF("master_id", "master_name", "master_upc")
+    // four incoming articles, one per decision path:
+    //  1 — valid UPC that HITS M1            => upc (score null)
+    //  2 — no UPC, name 1 edit from M2       => similarity, score 1
+    //  3 — no UPC, name exactly M2           => similarity, score 0
+    //  4 — no UPC, name far from everything  => no_match
+    val incoming = Seq(
+      (1L, "whatever name here", Some("036000291452")),
+      (2L, "blueberry scone mixx", None),
+      (3L, "blueberry scone mix", None),
+      (4L, "zzzzzz qqqqqq kkkkkk", None))
+      .toDF("p_partkey", "product_name", "upc")
+    val out = EtlMatching.waterfallOver(incoming, masters).collect()
+      .map(r => r.getLong(0) -> ((r.getString(4),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Int])))).toMap
+    assert(out.size == 4, s"every article resolves exactly once: $out")
+    assert(out(1L) == (("upc", Some(100L), None)), s"upc branch: ${out(1L)}")
+    assert(out(2L) == (("similarity", Some(200L), Some(1))), s"sim branch: ${out(2L)}")
+    assert(out(3L) == (("similarity", Some(200L), Some(0))), s"sim-exact branch: ${out(3L)}")
+    assert(out(4L) == (("no_match", None, None)), s"no_match branch: ${out(4L)}")
+    // corpus invariants: provenance is total and consistent
+    val corpus = EtlMatching.matchWaterfall(spark, sfDir).cache()
+    assert(corpus.select("p_partkey").distinct().count() == corpus.count(),
+      "one decision per incoming article")
+    assert(corpus.filter(col("match_type") === "upc" && col("master_id").isNull).count() == 0)
+    assert(corpus.filter(col("match_type") === "similarity" &&
+      (col("score").isNull || col("score") > 2)).count() == 0)
+    assert(corpus.filter(col("match_type") === "no_match" &&
+      col("master_id").isNotNull).count() == 0)
+    corpus.unpersist()
+  }
+
 }
