@@ -388,15 +388,37 @@ object AnnSearch {
     val (codes, cb) = pqModel(spark, dir)
     val dt = pqDistanceTable(spark, dir, cb)
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist2"), col("vec_id"))
-    codes.join(broadcast(dt), Seq("m", "code"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(round(sum(col("dsub")), 6).as("adist2"))
-      .filter(col("vec_id") =!= col("q_id"))
+    // array-at-a-time ADC: each candidate row scores via ONE codegen'd
+    // adc_dist6 call against the query's broadcast flattened table —
+    // a pure map (the FAISS scan shape), replacing the M×-per-vector
+    // exploded (m, code) join + (q, vec) re-aggregation
+    foldedCodes(codes).join(broadcast(foldedTables(dt, Seq("q_id"))),
+        col("vec_id") =!= col("q_id"))
+      .withColumn("adist2", round(
+        call_function("adc_dist6", col("codes"), col("dtab")) / 1000000.0, 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adist2"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** Corpus codes folded to one m-ordered array<int> per vector — the
+    * stored PQ index shape (M bytes/vector), and the left side of every
+    * ADC scan.
+    */
+  private def foldedCodes(codes: DataFrame): DataFrame =
+    codes.groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** A query's ADC table folded to ONE flattened array<double> per key
+    * ((m, code)-ordered, entry m·Ks+code) — broadcast to the scan.
+    */
+  private def foldedTables(dt: DataFrame, keys: Seq[String]): DataFrame =
+    dt.groupBy(keys.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("code"), col("dsub")))),
+        s => s.getField("dsub")).as("dtab"))
 
   /** Normalized per-(vector, subspace) subvector relation. */
   private def pqSubvectors(spark: SparkSession, dir: String): DataFrame =
@@ -510,13 +532,17 @@ object AnnSearch {
       .filter(col("pr") <= NProbe)
       .select(col("q_id"), col("cl"))
     val dt = pqDistanceTable(spark, dir, cb)
+    // equi-joins only: probed lists pick candidates, the folded code
+    // array rides the vec_id join, the query's flattened table rides
+    // the q_id join — scoring is one map-side adc_dist6 per candidate
     lists.select(col("vec_id"), col("cl"))
       .join(broadcast(probes), "cl")
       .filter(col("vec_id") =!= col("q_id"))
-      .join(codes, "vec_id")
-      .join(broadcast(dt), Seq("q_id", "m", "code"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(round(sum(col("dsub")), 6).as("adist2"))
+      .join(foldedCodes(codes), "vec_id")
+      .join(broadcast(foldedTables(dt, Seq("q_id"))), "q_id")
+      .withColumn("adist2", round(
+        call_function("adc_dist6", col("codes"), col("dtab")) / 1000000.0, 6))
+      .select(col("q_id"), col("vec_id"), col("adist2"))
   }
 
   /** ADC shortlist depth for the exact re-ranking stage. */
@@ -612,13 +638,15 @@ object AnnSearch {
           + dot(col("cv"), col("cv")), 6))
       .select(col("q_id"), col("cl"), col("m"), col("code"), col("dsub"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist2"), col("vec_id"))
+    // per-(query, probed list) residual tables fold to one flattened
+    // array each; scoring is the same map-side adc_dist6 scan
     lists.select(col("vec_id"), col("cl"))
       .join(broadcast(probes.select("q_id", "cl")), "cl")
       .filter(col("vec_id") =!= col("q_id"))
-      .join(codes, "vec_id")
-      .join(broadcast(dt), Seq("q_id", "cl", "m", "code"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(round(sum(col("dsub")), 6).as("adist2"))
+      .join(foldedCodes(codes), "vec_id")
+      .join(broadcast(foldedTables(dt, Seq("q_id", "cl"))), Seq("q_id", "cl"))
+      .withColumn("adist2", round(
+        call_function("adc_dist6", col("codes"), col("dtab")) / 1000000.0, 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adist2"), col("rank"))
@@ -997,7 +1025,8 @@ object AnnSearch {
   private val pqSql: String =
     s"""WITH $pqCtes,
        |adc AS (
-       |  SELECT t.q_id, a.vec_id, round(sum(t.dsub), 6) AS adist2
+       |  SELECT t.q_id, a.vec_id,
+       |    round(sum(CAST(round(t.dsub * 1000000, 0) AS BIGINT)) / 1000000.0, 6) AS adist2
        |  FROM pa1 a JOIN pdt t ON t.m = a.m AND t.code = a.code
        |  WHERE a.vec_id <> t.q_id
        |  GROUP BY t.q_id, a.vec_id),
@@ -1042,7 +1071,8 @@ object AnnSearch {
        |  SELECT p.q_id, a.vec_id FROM probes p JOIN $kmeansFinalCte a ON a.cl = p.cl
        |  WHERE a.vec_id <> p.q_id),
        |adc AS (
-       |  SELECT cd.q_id, cd.vec_id, round(sum(t.dsub), 6) AS adist2
+       |  SELECT cd.q_id, cd.vec_id,
+       |    round(sum(CAST(round(t.dsub * 1000000, 0) AS BIGINT)) / 1000000.0, 6) AS adist2
        |  FROM cand cd
        |  JOIN pa1 c ON c.vec_id = cd.vec_id
        |  JOIN pdt t ON t.q_id = cd.q_id AND t.m = c.m AND t.code = c.code
@@ -1078,7 +1108,8 @@ object AnnSearch {
        |  SELECT p.q_id, p.cl, a.vec_id FROM probes p JOIN $kmeansFinalCte a ON a.cl = p.cl
        |  WHERE a.vec_id <> p.q_id),
        |radc AS (
-       |  SELECT cd.q_id, cd.vec_id, round(sum(t.dsub), 6) AS adist2
+       |  SELECT cd.q_id, cd.vec_id,
+       |    round(sum(CAST(round(t.dsub * 1000000, 0) AS BIGINT)) / 1000000.0, 6) AS adist2
        |  FROM rcand cd
        |  JOIN ra1 c ON c.vec_id = cd.vec_id
        |  JOIN rdt t ON t.q_id = cd.q_id AND t.cl = cd.cl AND t.m = c.m AND t.code = c.code

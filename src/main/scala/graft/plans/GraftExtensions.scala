@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BottomKByKey, DotProduct, Phash16, Sq8Dist, Sq8Encode, UpcValid}
+import graft.functions.{AdcDist6, BottomKByKey, DotProduct, Phash16, Sq8Dist, Sq8Encode, UpcValid}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
@@ -57,6 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"bottom_k_by_key: k must be a foldable integral expression, got $other")
         }
         BottomKByKey(exprs(0), exprs(1), k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("adc_dist6"),
+      new ExpressionInfo(classOf[AdcDist6].getName, "adc_dist6"),
+      (exprs: Seq[Expression]) => {
+        requireArity("adc_dist6", exprs, 2)
+        AdcDist6(exprs(0), exprs(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("phash16"),

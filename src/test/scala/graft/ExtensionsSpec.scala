@@ -253,6 +253,40 @@ class ExtensionsSpec extends SparkTestBase {
     assert(bad.getSeq[Int](2) == Seq(0), "constant dim must encode to 0")
   }
 
+  test("adc_dist6 agrees with the composed per-subspace lookup sum; malformed input is null") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val M = 4; val Ks = 8
+    // 30 vectors of M codes + 5 query tables of M*Ks entries
+    val codes = (0L until 30L).map(i =>
+      (i, Seq.fill(M)(rnd.nextInt(Ks)))).toDF("vec_id", "codes")
+    val tables = (0L until 5L).map(q =>
+      (q, Seq.fill(M * Ks)(BigDecimal(rnd.nextDouble() * 3)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      .toDF("q_id", "dtab")
+    val nat = codes.crossJoin(broadcast(tables))
+      .select(col("q_id"), col("vec_id"),
+        call_function("adc_dist6", col("codes"), col("dtab")).as("t6"))
+    // composed reference: explode the codes, index the flat table
+    val ref = codes.crossJoin(broadcast(tables))
+      .select(col("q_id"), col("vec_id"), col("dtab"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .withColumn("dsub", expr(s"dtab[m * $Ks + code]"))
+      .withColumn("t", round(col("dsub") * 1000000, 0).cast("bigint"))
+      .groupBy("q_id", "vec_id").agg(sum("t").as("ref_t6"))
+    assert(nat.join(ref, Seq("q_id", "vec_id"))
+      .filter(col("t6") =!= col("ref_t6")).count() == 0,
+      "adc_dist6 disagrees with the composed lookup sum")
+    // malformed shapes are null, not wrong numbers
+    val bad = spark.sql(
+      """SELECT adc_dist6(array(1, 2), array(0.5d, 0.5d, 0.5d)) AS odd_table,
+        |  adc_dist6(array(9), array(0.5d, 0.5d)) AS code_oob,
+        |  adc_dist6(CAST(NULL AS ARRAY<INT>), array(0.5d)) AS nul""".stripMargin).head()
+    assert(bad.isNullAt(0), "table not a multiple of codes must be null")
+    assert(bad.isNullAt(1), "out-of-range code must be null")
+    assert(bad.isNullAt(2), "null in, null out")
+  }
+
   test("phash16: edge cases, eval/codegen agreement, and mixer bit balance") {
     import graft.functions.Phash16
     import org.apache.spark.unsafe.types.UTF8String

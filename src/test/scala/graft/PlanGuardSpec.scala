@@ -32,6 +32,7 @@ class PlanGuardSpec extends SparkTestBase {
     "ann_ivfpq_residual", // same K-constant centroid probe
     "ann_bq_topk", // the compressed linear scan IS the operator (16 B/vector)
     "ann_sq8_topk", // same compressed linear scan (64 B/vector) + 1-row model
+    "ann_pq_topk", // the ADC linear scan IS the operator (M B/vector)
     "dedup_semantic", // embeds the k-means assign (same K-constant loop)
     "corpus_quality_gate", "corpus_mix_rebalance", "text_tfidf_topk",
     "text_bm25_topk", // 1-row broadcast (N, avgdl) stats relation

@@ -56,12 +56,16 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "events_promo_attribution" -> 4,
     "graph_triangles"       -> 7,
     "graph_pagerank"        -> 8,
-    "ann_pq_topk"           -> 4,
+    // codes fold (the stored-index build) + table fold + rank + output
+    // sort; the ADC scan itself is a map (adc_dist6), no (q,vec) agg
+    "ann_pq_topk"           -> 5,
     "q7_bination_volume"    -> 2,
     "sketch_count_min"      -> 3,
     "etl_snapshot_diff"     -> 3,
     "text_winnow_pairs"     -> 2,
-    "ann_ivfadc_topk"       -> 9,
+    // k-means chain + codes/table folds + rank/sort; the ADC scoring
+    // join is all-equi with a map-side adc_dist6, no re-aggregation
+    "ann_ivfadc_topk"       -> 10,
     "q13_custdist"          -> 3,
     "q15_top_supplier"      -> 4,
     "q22_dormant_customers" -> 4,
@@ -140,12 +144,14 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "etl_job_allocation"    -> 8,
     // keyset paging: page-boundary window + per-page offset join-backs
     "etl_products_page"     -> 6,
-    // per-byte window explode is map-side; one (doc, modality, md5)
-    // agg + output sort
-    "multimodal_phash"      -> 2,
+    // phash16 is a pure map — output sort is the only exchange
+    "multimodal_phash"      -> 1,
     // banded self-join over the CHECKPOINTED fingerprints + distinct;
-    // windowless verification (bit_count on the pair row)
-    "multimodal_phash_pairs" -> 1,
+    // windowless verification (bit_count on the pair row). 2 since the
+    // fingerprint pass stopped ending in an aggregation: the join
+    // shuffles both sides on the band key (the co-partitioned shape
+    // that survives scale; the pre-r8 plan broadcast one side)
+    "multimodal_phash_pairs" -> 2,
     // final plan reads k checkpointed 1-row winners: the per-round pair
     // aggregations live behind the checkpoints, the merge table itself
     // is union + sort over k rows
@@ -153,15 +159,15 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // corpus explode is map-side, trained vocab broadcasts, one doc_id
     // agg + output sort — the deployed-tokenizer scan shape
     "text_bpe_encode"       -> 2,
-    // the ivfadc chain (9) + the shortlist window; the exact re-scoring
+    // the ivfadc chain (10) + the shortlist window; the exact re-scoring
     // joins ride the shortlist's partitioning and the ≤ R-per-query
     // relation broadcasts
-    "ann_ivfadc_rerank"     -> 10,
+    "ann_ivfadc_rerank"     -> 11,
     // map-side bucket assignment + one keyed agg + output sort
     "corpus_length_buckets" -> 2,
     // coarse assign windows + PQ-train argmin windows + final (q,vec)
     // agg/rank; residual subtraction and both ADC tables are broadcast
-    "ann_ivfpq_residual"    -> 6,
+    "ann_ivfpq_residual"    -> 7,
     // rank window + output sort ONLY: the range model folds behind a
     // checkpoint, encode and the sq8_dist scoring scan are pure
     // map-side (array-at-a-time native expressions — no per-dim
