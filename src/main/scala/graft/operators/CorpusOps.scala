@@ -626,7 +626,61 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Boilerplate-chunk width (words) and the doc-frequency at which a
+    * chunk counts as boilerplate within its source.
+    */
+  private val BoilerW = 5
+  private val BoilerDf = 2
+
+  /** C4/CCNet-style BOILERPLATE REMOVAL — the curation step the
+    * detection ops (`text_repeated_spans`, `dedup_chunks`) stop short
+    * of: spans repeated across documents of the same source (nav
+    * text, legal footers, templated headers) are cut OUT of the text,
+    * and the cleaned document is REASSEMBLED (C4 drops any repeated
+    * three-sentence span; these word-stream docs use fixed
+    * `BoilerW`-word chunks as the span unit). Per doc: total chunks,
+    * removed count, and the reassembled clean text (null when nothing
+    * survives — a fully-templated doc).
+    *
+    * Scale shape: one explode to (source, chunk) — the aggregation key
+    * is blocked per source, so the doc-frequency count shuffles on
+    * exactly the key the data is naturally skew-split by; the marker
+    * join reuses that partitioning (same key), and reassembly is one
+    * keyed aggregation with an in-group sort by chunk index. Nothing
+    * is pairwise: cost is ∝ corpus tokens at every stage, the floor
+    * for a transformation pass.
+    */
+  def corpusBoilerplateStrip(spark: SparkSession, dir: String): DataFrame =
+    stripOver(Tables.documents(spark, dir))
+
+  /** The strip over any (doc_id, source, text) relation — exposed so
+    * the spec can plant a cross-doc template.
+    */
+  private[graft] def stripOver(docs: DataFrame): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(ws) / $BoilerW.0) AS INT) - 1),
+           |  i -> array_join(slice(ws, i * $BoilerW + 1, $BoilerW), ' '))""".stripMargin))
+        .as(Seq("cidx", "chunk")))
+    val freq = chunks.groupBy(col("source"), col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val marked = chunks.join(freq, Seq("source", "chunk"))
+      .withColumn("is_boiler", col("df") >= BoilerDf)
+    marked.groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+          when(!col("is_boiler"), struct(col("cidx"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("clean_text"))
+      .withColumn("clean_text", expr("nullif(clean_text, '')"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_boilerplate_strip" -> (corpusBoilerplateStrip _),
     "corpus_ppl_buckets"       -> (corpusPplBuckets _),
     "corpus_epoch_plan"        -> (corpusEpochPlan _),
     "corpus_pack_pairs"        -> (corpusPackPairs _),
@@ -652,6 +706,26 @@ object CorpusOps {
        |       unnest(generate_series(1, len(toks) - ${n - 1})) t(i))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_boilerplate_strip" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws
+         |  FROM documents),
+         |chunks AS (
+         |  SELECT doc_id, source, i.i AS cidx,
+         |    array_to_string(ws[(i.i * $BoilerW + 1):(i.i * $BoilerW + $BoilerW)], ' ') AS chunk
+         |  FROM words,
+         |    unnest(generate_series(0, CAST(ceil(len(ws) / $BoilerW.0) AS BIGINT) - 1)) i(i)),
+         |freq AS (
+         |  SELECT source, chunk, count(DISTINCT doc_id) AS df
+         |  FROM chunks GROUP BY 1, 2),
+         |marked AS (
+         |  SELECT c.doc_id, c.source, c.cidx, c.chunk, f.df >= $BoilerDf AS is_boiler
+         |  FROM chunks c JOIN freq f USING (source, chunk))
+         |SELECT doc_id, source, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  string_agg(chunk, ' ' ORDER BY cidx) FILTER (WHERE NOT is_boiler) AS clean_text
+         |FROM marked GROUP BY doc_id, source
+         |ORDER BY doc_id""".stripMargin,
     "corpus_ppl_buckets" ->
       s"""WITH ${TextAnalysis.perplexityCtes},
          |scored AS (

@@ -359,4 +359,43 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(p(5L)._2 == 0L && p(5L)._3 == 0.0, "unrelated doc marked repeated")
   }
 
+
+  test("boilerplate strip: templated spans cut, clean text reassembled in order") {
+    val out = CorpusOps.corpusBoilerplateStrip(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+    // total: one row per doc, counts consistent
+    assert(out.count() == docs.count())
+    assert(out.filter(col("n_removed") > col("n_chunks")).count() == 0)
+    // something was actually removed on this corpus (repeated spans exist)
+    assert(out.agg(sum("n_removed")).head().getLong(0) > 0, "nothing stripped")
+    // untouched docs keep their exact chunked text: rejoining the clean
+    // text of a zero-removal doc must reproduce its whitespace-normal
+    // word stream
+    val zero = out.filter(col("n_removed") === 0)
+      .join(docs, Seq("doc_id"))
+      .withColumn("orig_norm", concat_ws(" ", split(trim(col("text")), "\\s+")))
+    assert(zero.filter(col("clean_text") =!= col("orig_norm")).count() == 0,
+      "zero-removal doc text not reproduced")
+    // removed chunks are exactly the cross-doc repeated ones: a planted
+    // template across three docs of one source disappears from each,
+    // the unique tails survive
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "srcA", "legal footer terms apply here alpha beta gamma delta epsilon"),
+      (2L, "srcA", "legal footer terms apply here one two three four five"),
+      (3L, "srcA", "legal footer terms apply here six seven eight nine ten"),
+      (4L, "srcB", "legal footer terms apply here lone copy in other source"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusOps.stripOver(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), Option(r.getString(4))))).toMap
+    // the shared 5-word prefix chunk is boilerplate in srcA (df=3)...
+    assert(got(1L) == ((1L, Some("alpha beta gamma delta epsilon"))), s"${got(1L)}")
+    assert(got(2L) == ((1L, Some("one two three four five"))), s"${got(2L)}")
+    assert(got(3L) == ((1L, Some("six seven eight nine ten"))), s"${got(3L)}")
+    // ...but NOT in srcB (df=1 there): source-blocked, not global
+    assert(got(4L) == ((0L, Some("legal footer terms apply here lone copy in other source"))),
+      s"${got(4L)}")
+    out.unpersist()
+  }
+
 }
