@@ -679,7 +679,90 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Gradient-descent iterations and step for the gate distillation.
+    * Calibrated on the corpus: RAW features plateau at the majority
+    * floor (75%) because the token-count scale dwarfs the ratios;
+    * STANDARDIZED features reach 98.6% teacher agreement in 10 rounds
+    * at η = 1.
+    */
+  private val LrIters = 10
+  private val LrEta = 1.0
+
+  /** IN-ENGINE LOGISTIC REGRESSION — distill the quality gate into a
+    * learned linear scorer (the standard move when a hand-tuned or
+    * model-based gate is too expensive to run on the full 100 TB
+    * corpus: label a slice with the expensive gate, fit a cheap
+    * linear model on cheap signals, gate the rest with the model).
+    * Labels are the gate's own decision (`quality_score ≥ p25`);
+    * features are the gate's four cheap signals
+    * ([[TextAnalysis.qualityFeatures]]); training is `LrIters` rounds
+    * of full-batch gradient descent, unrolled exactly like the k-means
+    * Lloyd loop: the weight vector is a ONE-ROW DataFrame crossJoined
+    * back per round (never a driver-side collect), checkpointed so
+    * each round's lineage is flat.
+    *
+    * Float discipline: per-row gradient terms are 10⁶-scaled to
+    * bigint BEFORE the sum (order-free), the mean gradient and the
+    * updated weights round to 6 dp each round, and predictions round
+    * to 6 dp — every engine-visible number is reproducible, so the
+    * DuckDB oracle replays all `LrIters` rounds bit-for-bit (the
+    * sigmoid's exp follows the `qualityScore` precedent). At scale
+    * each round is one map over the feature relation + a 5-column
+    * aggregate: cost ∝ rows × iters, no shuffle beyond the 1-row agg.
+    */
+  def corpusQualityLogreg(spark: SparkSession, dir: String): DataFrame = {
+    val feats0 = Tables.documents(spark, dir)
+      .select((col("doc_id") +: TextAnalysis.qualityScore(col("text")).as("qs") +:
+        TextAnalysis.qualityFeatures(col("text"))): _*)
+    val thr = feats0.agg(round(expr("percentile(qs, 0.25D)"), 6).as("p25"))
+    // per-feature standardization model (1 row, broadcast): without it
+    // GD stalls at the majority floor — the log-token-count scale
+    // dwarfs the ratio features. Constant features (sd = 0) z-score
+    // to 0 and drop out of the model instead of dividing by zero.
+    val statCols = (1 to 4).flatMap(j => Seq(
+      round(avg(col(s"x$j")), 6).as(s"mu$j"),
+      round(stddev_pop(col(s"x$j")), 6).as(s"sd$j")))
+    val stats = feats0.agg(statCols.head, statCols.tail: _*)
+    def zScore(j: Int): Column =
+      when(col(s"sd$j") > 0,
+        round((col(s"x$j") - col(s"mu$j")) / col(s"sd$j"), 6)).otherwise(0.0)
+    val feats = feats0.crossJoin(broadcast(thr)).crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        zScore(1).as("x1"), zScore(2).as("x2"),
+        zScore(3).as("x3"), zScore(4).as("x4"),
+        when(col("qs") >= col("p25"), 1.0).otherwise(0.0).as("y"))
+      .localCheckpoint() // read LrIters + 1 times; features computed once
+    def zOf: Column =
+      col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
+        col("w3") * col("x3") + col("w4") * col("x4")
+    def pOf: Column = round(lit(1.0) / (lit(1.0) + exp(-round(zOf, 6))), 6)
+    // t6 for feature j: the 1e6-scaled integer per-row gradient term
+    def t6(x: Column): Column =
+      round((col("y") - col("p")) * x * 1000000, 0).cast("bigint")
+    var w = spark.range(1).select(
+      lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"),
+      lit(0.0).as("w3"), lit(0.0).as("w4"))
+    for (_ <- 1 to LrIters) {
+      val scored = feats.crossJoin(broadcast(w)).withColumn("p", pOf)
+      val xs = Seq(lit(1.0), col("x1"), col("x2"), col("x3"), col("x4"))
+      w = scored.agg(
+        round(min(col("w0")) + lit(LrEta) * sum(t6(xs(0))) / 1000000.0 / count(lit(1)), 6).as("w0"),
+        round(min(col("w1")) + lit(LrEta) * sum(t6(xs(1))) / 1000000.0 / count(lit(1)), 6).as("w1"),
+        round(min(col("w2")) + lit(LrEta) * sum(t6(xs(2))) / 1000000.0 / count(lit(1)), 6).as("w2"),
+        round(min(col("w3")) + lit(LrEta) * sum(t6(xs(3))) / 1000000.0 / count(lit(1)), 6).as("w3"),
+        round(min(col("w4")) + lit(LrEta) * sum(t6(xs(4))) / 1000000.0 / count(lit(1)), 6).as("w4"))
+        .localCheckpoint()
+    }
+    feats.crossJoin(broadcast(w))
+      .withColumn("p6", pOf)
+      .select(col("doc_id"), col("y").cast("int").as("label"), col("p6"),
+        when(col("p6") >= 0.5, 1).otherwise(0).as("pred"))
+      .withColumn("correct", col("pred") === col("label"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_quality_logreg"    -> (corpusQualityLogreg _),
     "corpus_boilerplate_strip" -> (corpusBoilerplateStrip _),
     "corpus_ppl_buckets"       -> (corpusPplBuckets _),
     "corpus_epoch_plan"        -> (corpusEpochPlan _),
@@ -705,7 +788,60 @@ object CorpusOps {
        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM ($src) s) d,
        |       unnest(generate_series(1, len(toks) - ${n - 1})) t(i))""".stripMargin
 
+  /** One unrolled GD round: p at the previous weights, 10⁶-scaled
+    * integer term sums, 6-dp weight update. DuckDB `/` is float
+    * division (sum/1000000 is DOUBLE, not decimal — a bare 1000000.0
+    * literal would drag the arithmetic to DECIMAL, the 255.0 lesson).
+    */
+  private def lrIterSql(prev: String, out: String): String = {
+    val z = "round(w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 + w.w4 * x4, 6)"
+    val p = s"round(1.0 / (1.0 + exp(-$z)), 6)"
+    val xs = Seq(None, Some("x1"), Some("x2"), Some("x3"), Some("x4"))
+    val terms = xs.zipWithIndex.map { case (x, j) =>
+      val term = x match {
+        case Some(xj) => s"(y - $p) * $xj * 1000000"
+        case None     => s"(y - $p) * 1000000"
+      }
+      s"round(min(w.w$j) + sum(CAST(round($term, 0) AS BIGINT)) / 1000000 / count(*), 6) AS w$j"
+    }.mkString(",\n  ")
+    s"$out AS (\n  SELECT $terms\n  FROM ff, $prev w)"
+  }
+
   val oracles: Map[String, String] = Map(
+    "corpus_quality_logreg" -> {
+      val fx = TextAnalysis.qualityFeaturesSql("text")
+      val z = "round(w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 + w.w4 * x4, 6)"
+      val zs = (1 to 4).map(j =>
+        s"CASE WHEN sd$j > 0 THEN round((x$j - mu$j) / sd$j, 6) ELSE 0.0 END AS x$j")
+        .mkString(",\n         |    ")
+      s"""WITH f AS (
+         |  SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")} AS qs,
+         |    ${fx(0)} AS x1, ${fx(1)} AS x2, ${fx(2)} AS x3, ${fx(3)} AS x4
+         |  FROM documents),
+         |t AS (SELECT round(quantile_cont(qs, 0.25), 6) AS p25 FROM f),
+         |st AS (
+         |  SELECT ${(1 to 4).map(j =>
+             s"round(avg(x$j), 6) AS mu$j, round(stddev_pop(x$j), 6) AS sd$j")
+             .mkString(", ")}
+         |  FROM f),
+         |ff AS (
+         |  SELECT doc_id,
+         |    $zs,
+         |    CASE WHEN qs >= p25 THEN 1.0 ELSE 0.0 END AS y
+         |  FROM f, t, st),
+         |w0i AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+         |        CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3,
+         |        CAST(0 AS DOUBLE) AS w4),
+         |${(1 to LrIters).map(i =>
+            lrIterSql(if (i == 1) "w0i" else s"w${i - 1}i", s"w${i}i")).mkString(",\n")}
+         |SELECT doc_id, CAST(y AS INT) AS label,
+         |  round(1.0 / (1.0 + exp(-$z)), 6) AS p6,
+         |  CASE WHEN round(1.0 / (1.0 + exp(-$z)), 6) >= 0.5 THEN 1 ELSE 0 END AS pred,
+         |  (CASE WHEN round(1.0 / (1.0 + exp(-$z)), 6) >= 0.5 THEN 1 ELSE 0 END)
+         |    = CAST(y AS INT) AS correct
+         |FROM ff, w${LrIters}i w
+         |ORDER BY doc_id""".stripMargin
+    },
     "corpus_boilerplate_strip" ->
       s"""WITH words AS (
          |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws

@@ -169,11 +169,79 @@ object DataQuality {
       .orderBy(col("metric"))
   }
 
+  /** JOIN-KEY SKEW REPORT — the diagnostic a 100 TB deployment runs
+    * BEFORE choosing shuffle strategies: per candidate join key of the
+    * fact table, its cardinality, the max/avg rows-per-key ratio, and
+    * the share held by the hottest keys. These numbers decide whether
+    * a key needs salting (`q_salted_skew_join`'s Salt factor is sized
+    * from exactly this max/avg ratio), AQE skew-join thresholds, or
+    * nothing. One pass: the fact unpivots to (key_name, key_value) —
+    * 3 rows per input row, map-side — then ONE keyed count and one
+    * bounded per-key-name top-N window; nothing shuffles more than the
+    * per-key count relation.
+    */
+  def dqSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val TopN = 10
+    val perKey = Tables.lineitem(spark, dir)
+      .select(expr(
+        """stack(3,
+          |  'l_partkey',  l_partkey,
+          |  'l_suppkey',  l_suppkey,
+          |  'l_orderkey', l_orderkey) AS (key_name, key_value)""".stripMargin))
+      .groupBy(col("key_name"), col("key_value"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key_name")).orderBy(col("cnt").desc, col("key_value"))
+    perKey
+      .withColumn("rnk", row_number().over(w))
+      .groupBy(col("key_name"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_per_key"),
+        sum(when(col("rnk") <= TopN, col("cnt")).otherwise(0L)).as("topn_rows"))
+      .select(
+        col("key_name"), col("n_rows"), col("n_keys"), col("max_per_key"),
+        round(col("n_rows") / col("n_keys"), 6).as("avg_per_key"),
+        // double-cast before the product: Long·Long wraps silently at
+        // extreme key cardinalities (the q_basket_lift discipline)
+        round(col("max_per_key").cast("double") * col("n_keys").cast("double")
+          / col("n_rows").cast("double"), 6).as("skew_ratio"),
+        round(col("topn_rows") / col("n_rows"), 6).as("topn_share"))
+      .orderBy(col("key_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_checks" -> (dqChecks _),
+    "dq_skew_report" -> (dqSkewReport _),
     "dq_snapshot_drift" -> (dqSnapshotDrift _))
 
   val oracles: Map[String, String] = Map(
+    "dq_skew_report" ->
+      """WITH stacked AS (
+        |  SELECT 'l_partkey' AS key_name, l_partkey AS key_value FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+        |  UNION ALL SELECT 'l_orderkey', l_orderkey FROM lineitem),
+        |per_key AS (
+        |  SELECT key_name, key_value, count(*) AS cnt
+        |  FROM stacked GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key_name
+        |    ORDER BY cnt DESC, key_value) AS rnk
+        |  FROM per_key),
+        |agg AS (
+        |  SELECT key_name,
+        |    CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    count(*) AS n_keys,
+        |    max(cnt) AS max_per_key,
+        |    CAST(sum(CASE WHEN rnk <= 10 THEN cnt ELSE 0 END) AS BIGINT) AS topn_rows
+        |  FROM ranked GROUP BY 1)
+        |SELECT key_name, n_rows, n_keys, max_per_key,
+        |  round(n_rows / n_keys, 6) AS avg_per_key,
+        |  round(CAST(max_per_key AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE), 6) AS skew_ratio,
+        |  round(topn_rows / n_rows, 6) AS topn_share
+        |FROM agg ORDER BY key_name""".stripMargin,
     "dq_snapshot_drift" ->
       """WITH old AS (
         |  SELECT p_partkey AS k, p_retailprice AS p

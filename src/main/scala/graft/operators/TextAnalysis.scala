@@ -67,6 +67,37 @@ object TextAnalysis {
       s" - (length($e) - length(regexp_replace($e, '[A-Z]', '', 'g'))) / length($e) * 2.0))), 6)"
   }
 
+  /** The cheap per-doc quality SIGNALS behind [[qualityScore]] (log
+    * token count, stopword ratio, punctuation ratio, uppercase ratio),
+    * each rounded to 6 dp — exposed as named feature columns for the
+    * logreg distillation op (`CorpusOps.corpusQualityLogreg`), which
+    * learns the gate decision FROM these instead of re-deriving the
+    * hand-tuned score.
+    */
+  private[operators] def qualityFeatures(text: Column): Seq[Column] = {
+    val t = toks(text)
+    val nTok = size(t).cast("double")
+    val nChar = length(text).cast("double")
+    val punct = nChar - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")).cast("double")
+    val upper = nChar - length(regexp_replace(text, "[A-Z]", "")).cast("double")
+    val stop = size(filter(t, x => array_contains(typedLit(stopwords("en")), x))).cast("double")
+    Seq(
+      round(log(nTok + 1), 6).as("x1"),
+      round(stop / nTok, 6).as("x2"),
+      round(punct / nChar, 6).as("x3"),
+      round(upper / nChar, 6).as("x4"))
+  }
+
+  /** DuckDB rendering of [[qualityFeatures]] (`e` is the text expr). */
+  private[operators] def qualityFeaturesSql(e: String): Seq[String] = {
+    val t = toksSql(e)
+    Seq(
+      s"round(ln(len($t) + 1), 6)",
+      s"round(${hitsSql(t, "en")} / len($t), 6)",
+      s"round((length($e) - length(regexp_replace($e, '[^A-Za-z0-9\\s]', '', 'g'))) / length($e), 6)",
+      s"round((length($e) - length(regexp_replace($e, '[A-Z]', '', 'g'))) / length($e), 6)")
+  }
+
   /** Token counting: whitespace tokens + BPE-ish regex pieces. */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -398,4 +398,29 @@ class CorpusOpsSpec extends SparkTestBase {
     out.unpersist()
   }
 
+
+  test("quality logreg: distilled gate agrees with its teacher well above chance") {
+    val out = CorpusOps.corpusQualityLogreg(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+    assert(out.count() == docs.count())
+    // probabilities are probabilities; pred is the 0.5 cut of p6
+    assert(out.filter(col("p6") < 0 || col("p6") > 1).count() == 0)
+    assert(out.filter((col("p6") >= 0.5) =!= (col("pred") === 1)).count() == 0)
+    // labels are the gate decision: every gate survivor is labeled 1
+    val gate = CorpusOps.corpusQualityGate(spark, sfDir).select("doc_id")
+    assert(out.join(gate, "doc_id").filter(col("label") =!= 1).count() == 0)
+    assert(out.join(gate, Seq("doc_id"), "left_anti").filter(col("label") =!= 0).count() == 0)
+    // the distilled model tracks its teacher: the gate decision is
+    // exactly linear in the standardized signals (the score is a
+    // sigmoid of them), so GD must clear the all-one-class floor by a
+    // real margin, not just match the majority share
+    val acc = out.agg(avg(col("correct").cast("double"))).head().getDouble(0)
+    val maj = out.agg(avg(col("label").cast("double"))).head().getDouble(0)
+    val floor = math.max(maj, 1 - maj) + 0.05
+    assert(acc >= floor, f"accuracy $acc%.3f not above majority floor $floor%.3f")
+    // and it actually separates: both classes appear in predictions
+    assert(out.select("pred").distinct().count() == 2, "degenerate single-class model")
+    out.unpersist()
+  }
+
 }

