@@ -711,9 +711,57 @@ object CorpusOps {
     * aggregate: cost ∝ rows × iters, no shuffle beyond the 1-row agg.
     */
   def corpusQualityLogreg(spark: SparkSession, dir: String): DataFrame = {
-    val feats0 = Tables.documents(spark, dir)
+    val (feats, w) = qualityTrain(spark, dir)
+    feats.crossJoin(broadcast(w))
+      .withColumn("p6", qualityP(round(zLin, 6)))
+      .select(col("doc_id"), col("y").cast("int").as("label"), col("p6"),
+        when(col("p6") >= 0.5, 1).otherwise(0).as("pred"))
+      .withColumn("correct", col("pred") === col("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The linear term over z-scored feature columns x1..x4 + weight
+    * columns w0..w4, and the rounded sigmoid — shared by training,
+    * batch scoring, and the streaming admission twin.
+    */
+  private[graft] def zLin: Column =
+    col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
+      col("w3") * col("x3") + col("w4") * col("x4")
+  private[graft] def qualityP(z6: Column): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-z6)), 6)
+  /** Raw→z-scored feature j against the model row's mu/sd columns. */
+  private[graft] def zScoreCol(j: Int): Column =
+    when(col(s"sd$j") > 0,
+      round((col(s"x$j") - col(s"mu$j")) / col(s"sd$j"), 6)).otherwise(0.0)
+
+  /** The TRAINED quality model as ONE row (mu1..sd4 standardization +
+    * w0..w4 weights) — the artifact a deployment broadcasts to score
+    * anything, including the streaming admission path
+    * (`StreamOps.qualityAdmissionStream`).
+    */
+  private[graft] def qualityModel(spark: SparkSession, dir: String): DataFrame = {
+    val (_, w) = qualityTrain(spark, dir)
+    qualityStats(spark, dir).crossJoin(w)
+  }
+
+  private def qualityStats(spark: SparkSession, dir: String): DataFrame = {
+    val feats0 = qualityFeats0(spark, dir)
+    val statCols = (1 to 4).flatMap(j => Seq(
+      round(avg(col(s"x$j")), 6).as(s"mu$j"),
+      round(stddev_pop(col(s"x$j")), 6).as(s"sd$j")))
+    feats0.agg(statCols.head, statCols.tail: _*)
+  }
+
+  private def qualityFeats0(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select((col("doc_id") +: TextAnalysis.qualityScore(col("text")).as("qs") +:
         TextAnalysis.qualityFeatures(col("text"))): _*)
+
+  /** Training: returns the z-scored labeled feature relation and the
+    * final 1-row weight vector.
+    */
+  private def qualityTrain(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val feats0 = qualityFeats0(spark, dir)
     val thr = feats0.agg(round(expr("percentile(qs, 0.25D)"), 6).as("p25"))
     // per-feature standardization model (1 row, broadcast): without it
     // GD stalls at the majority floor — the log-token-count scale
@@ -732,10 +780,6 @@ object CorpusOps {
         zScore(3).as("x3"), zScore(4).as("x4"),
         when(col("qs") >= col("p25"), 1.0).otherwise(0.0).as("y"))
       .localCheckpoint() // read LrIters + 1 times; features computed once
-    def zOf: Column =
-      col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
-        col("w3") * col("x3") + col("w4") * col("x4")
-    def pOf: Column = round(lit(1.0) / (lit(1.0) + exp(-round(zOf, 6))), 6)
     // t6 for feature j: the 1e6-scaled integer per-row gradient term
     def t6(x: Column): Column =
       round((col("y") - col("p")) * x * 1000000, 0).cast("bigint")
@@ -743,7 +787,8 @@ object CorpusOps {
       lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"),
       lit(0.0).as("w3"), lit(0.0).as("w4"))
     for (_ <- 1 to LrIters) {
-      val scored = feats.crossJoin(broadcast(w)).withColumn("p", pOf)
+      val scored = feats.crossJoin(broadcast(w))
+        .withColumn("p", qualityP(round(zLin, 6)))
       val xs = Seq(lit(1.0), col("x1"), col("x2"), col("x3"), col("x4"))
       w = scored.agg(
         round(min(col("w0")) + lit(LrEta) * sum(t6(xs(0))) / 1000000.0 / count(lit(1)), 6).as("w0"),
@@ -753,12 +798,7 @@ object CorpusOps {
         round(min(col("w4")) + lit(LrEta) * sum(t6(xs(4))) / 1000000.0 / count(lit(1)), 6).as("w4"))
         .localCheckpoint()
     }
-    feats.crossJoin(broadcast(w))
-      .withColumn("p6", pOf)
-      .select(col("doc_id"), col("y").cast("int").as("label"), col("p6"),
-        when(col("p6") >= 0.5, 1).otherwise(0).as("pred"))
-      .withColumn("correct", col("pred") === col("label"))
-      .orderBy(col("doc_id"))
+    (feats, w)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

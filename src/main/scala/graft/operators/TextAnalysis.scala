@@ -74,7 +74,7 @@ object TextAnalysis {
     * learns the gate decision FROM these instead of re-deriving the
     * hand-tuned score.
     */
-  private[operators] def qualityFeatures(text: Column): Seq[Column] = {
+  private[graft] def qualityFeatures(text: Column): Seq[Column] = {
     val t = toks(text)
     val nTok = size(t).cast("double")
     val nChar = length(text).cast("double")

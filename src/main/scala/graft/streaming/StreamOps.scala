@@ -107,6 +107,34 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming QUALITY admission — serve the batch-trained logistic
+    * gate (`CorpusOps.corpusQualityLogreg`) on an arriving document
+    * stream: the 1-row model (standardization + weights,
+    * [[graft.operators.CorpusOps.qualityModel]]) broadcasts into a
+    * stream-static join; each arriving doc computes the SAME four
+    * cheap signals, z-scores against the SAME corpus mu/sd, and takes
+    * the SAME rounded sigmoid — so a doc scores identically whether
+    * it flows through the batch gate or this stream (the spec pins
+    * that). Pure per-row map + 1-row broadcast: no state store, no
+    * watermark, unbounded throughput — the model-serving shape.
+    */
+  def qualityAdmissionStream(docs: DataFrame, model: DataFrame): DataFrame = {
+    import graft.operators.{CorpusOps, TextAnalysis}
+    docs
+      .select((col("doc_id") +: TextAnalysis.qualityFeatures(col("text"))): _*)
+      .crossJoin(broadcast(model))
+      .select(col("doc_id"),
+        CorpusOps.zScoreCol(1).as("z1"), CorpusOps.zScoreCol(2).as("z2"),
+        CorpusOps.zScoreCol(3).as("z3"), CorpusOps.zScoreCol(4).as("z4"),
+        col("w0"), col("w1"), col("w2"), col("w3"), col("w4"))
+      .select(col("doc_id"),
+        CorpusOps.qualityP(round(
+          col("w0") + col("w1") * col("z1") + col("w2") * col("z2") +
+            col("w3") * col("z3") + col("w4") * col("z4"), 6)).as("p6"))
+      .select(col("doc_id"), col("p6"),
+        when(col("p6") >= 0.5, "admit").otherwise("reject").as("decision"))
+  }
+
   /** Streaming NEAR-DUP admission — the continuous twin of
     * `dedup_incremental`: each micro-batch of arriving documents
     * computes its banded MinHash signature keys (the same

@@ -487,4 +487,41 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
     assert(rows == Set((100L, "restaurant"), (101L, "grocery"), (102L, null)))
   }
+
+  test("quality admission stream scores identically to the batch gate model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train once in batch; the 1-row model is the serving artifact
+    val model = graft.operators.CorpusOps.qualityModel(spark, sfDir).localCheckpoint()
+    val planted = Seq(
+      (9001L, (1 to 120).map(_ => "the quick value of it and for on a to in is").mkString(" ")),
+      (9002L, "x!!"),
+      (9003L, (1 to 40).map(i => s"w$i").mkString(" ")))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.qualityAdmissionStream(
+        stream.toDS().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("quality_admission")
+      .outputMode("append").start()
+    try {
+      stream.addData(planted: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("quality_admission")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(got.size == 3)
+    // decision consistency
+    got.values.foreach { case (p6, d) =>
+      assert(p6 >= 0 && p6 <= 1)
+      assert((p6 >= 0.5) == (d == "admit"), s"decision/score mismatch: $p6 $d")
+    }
+    // the long stopword-rich doc admits; the 3-char junk doc rejects
+    assert(got(9001L)._2 == "admit", s"rich doc rejected: ${got(9001L)}")
+    assert(got(9002L)._2 == "reject", s"junk doc admitted: ${got(9002L)}")
+    // bit-identical to the same rows scored in BATCH through the same op
+    val batch = StreamOps.qualityAdmissionStream(
+        planted.toDF("doc_id", "text"), model)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(batch == got, s"stream vs batch divergence: $batch vs $got")
+  }
+
 }
