@@ -705,6 +705,63 @@ object AnnSearch {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF + SQ8 — the list-pruned scalar-quantized tier (FAISS
+    * `IndexIVFScalarQuantizer`): the coarse quantizer of
+    * [[annIvfadcTopk]] decides WHICH vectors are scored (nprobe/K of
+    * the corpus per query) and SQ8 codes decide HOW (the codegen'd
+    * asymmetric `sq8_dist` scan of [[annSq8Topk]]) — composing the two
+    * standard reductions at a higher fidelity point than IVFADC: 8×
+    * compression with near-exact per-candidate distances instead of
+    * PQ's 32×-with-codebook-error. This is the configuration vector
+    * stores deploy when memory affords a byte per dimension — same
+    * sublinear probe cost, no PQ training to keep fresh, recall
+    * limited only by list pruning. Plan shape: the range model and
+    * probe relation broadcast; one corpus shuffle joins codes to list
+    * ids on vec_id; scoring is map-side.
+    */
+  def annIvfSq8Topk(spark: SparkSession, dir: String): DataFrame = {
+    val nv = normVecs(spark, dir)
+    val lists = kmeansAssignmentsOver(nv)
+    val cent = kmCentroids(lists.select(col("cl"), col("v")))
+    // SQ8 range model + codes over the SAME normalized space the
+    // coarse quantizer partitions (one metric space end to end, the
+    // IVFADC discipline)
+    val mm = nv.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(round(min(col("x")), 6).as("lo"), round(max(col("x")), 6).as("hi"))
+    val model = mm.agg(
+      expr("transform(array_sort(collect_list(struct(d, lo))), s -> s.lo)").as("lo_arr"),
+      expr("transform(array_sort(collect_list(struct(d, hi))), s -> s.hi)").as("hi_arr"))
+      .localCheckpoint()
+    val codes = nv.crossJoin(broadcast(model))
+      .select(col("vec_id"),
+        call_function("sq8_enc", col("v"), col("lo_arr"), col("hi_arr")).as("codes"))
+    val q = nv.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdist2"), col("cl"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("cdist2", round(
+        dot(col("qv"), col("qv")) - lit(2) * dot(col("qv"), col("cv"))
+          + dot(col("cv"), col("cv")), 6))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= NProbe)
+      .select(col("q_id"), col("cl"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist2"), col("vec_id"))
+    lists.select(col("vec_id"), col("cl"))
+      .join(broadcast(probes), "cl")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(codes, "vec_id")
+      .join(broadcast(q), "q_id")
+      .crossJoin(broadcast(model))
+      .withColumn("adist2", round(
+        call_function("sq8_dist", col("qv"), col("codes"),
+          col("lo_arr"), col("hi_arr")) / 1000000.0, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adist2"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** BINARY quantization ANN — the 1-bit tier that completes the
     * compression ladder (BQ 256× / SQ8 8× / PQ 32× / IVFADC): each
     * dimension keeps only its SIGN, the 64-bit pattern packs into two
@@ -740,6 +797,53 @@ object AnnSearch {
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         col("hamming"), col("est_cosine"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** BQ + EXACT RE-RANKING — the two-stage retrieval the BQ scan
+    * exists to head ([[annBqTopk]]'s 16 B/vector popcount pass feeds
+    * [[annIvfadcRerank]]'s refine shape): hamming ranks a `RerankR`
+    * shortlist per query, ONLY those rows fetch full vectors for exact
+    * L2 in the normalized space. This is the memory floor of the
+    * ladder — the hot set is 2 longs/vector, the full vectors stay
+    * cold, and the exact stage costs R·#queries fetches regardless of
+    * corpus size. Sign bits carry no magnitude, so raw BQ ranking is
+    * the ladder's coarsest; refinement recovers exact order within the
+    * shortlist, recall then limited only by what 64 sign bits let into
+    * the top R.
+    */
+  def annBqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val wBq = Window.partitionBy(col("q_id")).orderBy(col("hamming"), col("vec_id"))
+    val bits = normVecs(spark, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+      .withColumn("b", col("x") > 0)
+    val codes = bits.groupBy(col("vec_id")).agg(
+      sum(when(col("d") < 32 && col("b"), expr("shiftleft(CAST(1 AS BIGINT), d)"))
+        .otherwise(0L)).as("lo"),
+      sum(when(col("d") >= 32 && col("b"), expr("shiftleft(CAST(1 AS BIGINT), d - 32)"))
+        .otherwise(0L)).as("hi"))
+    val qc = codes.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val shortlist = codes.join(broadcast(qc), col("vec_id") =!= col("q_id"))
+      .withColumn("hamming",
+        (expr("bit_count(lo ^ qlo)") + expr("bit_count(hi ^ qhi)")).cast("long"))
+      .withColumn("bq_rank", row_number().over(wBq))
+      .filter(col("bq_rank") <= RerankR)
+      .select(col("q_id"), col("vec_id"), col("hamming"))
+    val nv = normVecs(spark, dir)
+    val q = nv.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wExact = Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("vec_id"))
+    shortlist
+      .join(nv, "vec_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("dist2", round(
+        dot(col("v"), col("v")) - lit(2) * dot(col("qv"), col("v"))
+          + dot(col("qv"), col("qv")), 6))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("hamming"), col("dist2"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -865,7 +969,9 @@ object AnnSearch {
     "ann_ivfadc_rerank" -> (annIvfadcRerank _),
     "ann_ivfpq_residual" -> (annIvfpqResidual _),
     "ann_sq8_topk" -> (annSq8Topk _),
+    "ann_ivfsq8_topk" -> (annIvfSq8Topk _),
     "ann_bq_topk" -> (annBqTopk _),
+    "ann_bq_rerank" -> (annBqRerank _),
     "ann_kmeans_train" -> (annKmeansTrain _),
     "ann_rrf_fusion" -> (annRrfFusion _))
 
@@ -1233,6 +1339,41 @@ object AnnSearch {
          |  FROM scored)
          |SELECT q_id, vec_id AS neighbor_id, hamming, est_cosine, rank FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "ann_bq_rerank" ->
+      s"""WITH nv AS (
+         |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+         |    x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+         |  FROM embeddings),
+         |bits AS (SELECT vec_id, d.d - 1 AS d, v[d.d] > 0 AS b
+         |         FROM nv, generate_series(1, $Dims) d(d)),
+         |codes AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN d < 32 AND b THEN (CAST(1 AS BIGINT) << d) ELSE 0 END) AS BIGINT) AS lo,
+         |    CAST(sum(CASE WHEN d >= 32 AND b THEN (CAST(1 AS BIGINT) << (d - 32)) ELSE 0 END) AS BIGINT) AS hi
+         |  FROM bits GROUP BY vec_id),
+         |q AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM codes WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.q_id, c.vec_id,
+         |    CAST(bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi)) AS BIGINT) AS hamming
+         |  FROM codes c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+         |shortlist AS (
+         |  SELECT q_id, vec_id, hamming FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS bq_rank
+         |    FROM scored) s
+         |  WHERE bq_rank <= $RerankR),
+         |qv AS (SELECT vec_id AS q_id, v FROM nv WHERE vec_id % 50 = 0),
+         |exact AS (
+         |  SELECT s.q_id, s.vec_id, s.hamming,
+         |    round(list_inner_product(n.v, n.v) - 2 * list_inner_product(qv.v, n.v)
+         |      + list_inner_product(qv.v, qv.v), 6) AS dist2
+         |  FROM shortlist s
+         |  JOIN nv n ON n.vec_id = s.vec_id
+         |  JOIN qv ON qv.q_id = s.q_id),
+         |reranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist2, vec_id) AS rank
+         |  FROM exact)
+         |SELECT q_id, vec_id AS neighbor_id, hamming, dist2, rank FROM reranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "ann_sq8_topk" ->
       s"""WITH nv AS (
          |  SELECT vec_id, list_transform(embedding::DOUBLE[],
@@ -1254,6 +1395,37 @@ object AnnSearch {
          |      * (q.qx - (m.lo + c.code / 255.0 * (m.hi - m.lo))) * 1000000, 0) AS BIGINT) AS t6
          |  FROM codes c JOIN mm m USING (d) JOIN qx q USING (d)
          |  WHERE c.vec_id <> q.q_id),
+         |sq AS (SELECT q_id, vec_id, round(sum(t6) / 1000000.0, 6) AS adist2
+         |       FROM terms GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist2, vec_id) AS rank
+         |  FROM sq)
+         |SELECT q_id, vec_id AS neighbor_id, adist2, rank FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "ann_ivfsq8_topk" ->
+      s"""WITH $kmeansCtesNorm,
+         |$ivfCoarseCtes,
+         |ex AS (SELECT vec_id, d.d - 1 AS d, v[d.d] AS x
+         |       FROM e, generate_series(1, $Dims) d(d)),
+         |mm AS (SELECT d, round(min(x), 6) AS lo, round(max(x), 6) AS hi
+         |       FROM ex GROUP BY d),
+         |codes AS (
+         |  SELECT vec_id, x.d,
+         |    CASE WHEN hi = lo THEN 0
+         |         ELSE CAST(round((x - lo) / (hi - lo) * 255, 0) AS INT) END AS code
+         |  FROM ex x JOIN mm USING (d)),
+         |qx AS (SELECT vec_id AS q_id, d, x AS qx FROM ex WHERE vec_id % 50 = 0),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id FROM probes p JOIN $kmeansFinalCte a ON a.cl = p.cl
+         |  WHERE a.vec_id <> p.q_id),
+         |terms AS (
+         |  SELECT cd.q_id, cd.vec_id,
+         |    CAST(round((q.qx - (m.lo + c.code / 255.0 * (m.hi - m.lo)))
+         |      * (q.qx - (m.lo + c.code / 255.0 * (m.hi - m.lo))) * 1000000, 0) AS BIGINT) AS t6
+         |  FROM cand cd
+         |  JOIN codes c ON c.vec_id = cd.vec_id
+         |  JOIN mm m ON m.d = c.d
+         |  JOIN qx q ON q.q_id = cd.q_id AND q.d = c.d),
          |sq AS (SELECT q_id, vec_id, round(sum(t6) / 1000000.0, 6) AS adist2
          |       FROM terms GROUP BY 1, 2),
          |ranked AS (

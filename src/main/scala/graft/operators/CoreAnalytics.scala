@@ -879,7 +879,39 @@ object CoreAnalytics {
       .orderBy("brand_a", "brand_b")
   }
 
+  /** TPC-H Q18-style large-volume customers — closing the classic 22:
+    * orders whose total quantity exceeds 300 units, enriched with
+    * customer identity, top 100 by order value. The reference Q18 text
+    * re-joins lineitem and re-groups after the IN-subquery; since the
+    * having-clause aggregate IS the output payload, the plan here
+    * aggregates lineitem ONCE on l_orderkey (map-side partials) and
+    * joins the filtered aggregate to orders/customer directly — one
+    * lineitem scan instead of two, no IN-subquery rewrite for Catalyst
+    * to de-correlate. The >300 filter cuts the aggregate to a sliver
+    * before either join, so at 100 TB the joins see thousands of rows,
+    * not billions. `l_quantity` is integral in this corpus, so the
+    * double sum is exact and order-free (no rounding discipline
+    * needed); total output order via the (price, date, orderkey)
+    * tiebreak before the limit.
+    */
+  def q18LargeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_large_volume_customers" -> (q18LargeVolumeCustomers _),
     "q_rfm_segmentation"   -> (qRfmSegmentation _),
     "q_basket_lift"        -> (qBasketLift _),
     "q13_custdist"         -> (q13CustDist _),
@@ -917,6 +949,16 @@ object CoreAnalytics {
     "q_salted_skew_join"   -> (saltedSkewJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q18_large_volume_customers" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
     "q_rfm_segmentation" ->
       """WITH cust AS (
         |  SELECT o_custkey,

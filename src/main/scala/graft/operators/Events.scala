@@ -641,7 +641,73 @@ object Events {
       .orderBy(col("w_start_s"))
   }
 
+  /** KMV sample size (error ~ 1/√(k−1) ≈ 18%). */
+  private val KmvK = 32
+
+  /** KMV (k-minimum-values / theta) sketch SET OPERATIONS — the third
+    * sketch family next to cardinality (HLL) and frequency (count-min),
+    * and the one neither of those can provide: distinct-count estimates
+    * for UNION, INTERSECTION and DIFFERENCE of sets (HLL unions but
+    * cannot intersect or diff). Sets here: the part catalogs shipped in
+    * Jan vs Feb 1996 — the month-over-month assortment-churn question
+    * (retained / added / dropped actives) every retail pipeline asks.
+    *
+    * The sketch of a set is its k smallest 60-bit md5 hash values;
+    * with θ = the k-th smallest, est |S| = (k−1)·2⁶⁰/θ. Set algebra
+    * happens on the SAMPLES (Beyer et al. 2007 / the theta-sketch
+    * framework): union's k smallest are a subset of the two samples'
+    * union; for intersection/difference restrict both samples to
+    * h ≤ θ = min(θ_A, θ_B) — below θ each sample contains ALL of its
+    * set's hashes, so membership tests are exact there — and scale the
+    * surviving count by 2⁶⁰/θ. Defined for |S| ≥ k (spec-asserted
+    * full samples; both months hold 60+ parts at the smallest SF).
+    *
+    * The scale story is the build: the k-smallest pass runs through
+    * the native `bottom_k_by_key` aggregate — map-side PARTIAL keeps
+    * ≤ k rows per task, the exchange carries O(k) rows total — and
+    * everything after operates on two 1-row arrays (broadcast).
+    * Integer hashes + one rounded division per measure: both engines
+    * compute the identical sketch AND the identical estimates.
+    */
+  def sketchKmvSetops(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_shipdate"))
+    def sampleOf(lo: String, hi: String, out: String): DataFrame =
+      li.filter(col("l_shipdate") >= lit(lo).cast("timestamp") &&
+          col("l_shipdate") < lit(hi).cast("timestamp"))
+        .select(conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+          .cast("bigint").as("h"))
+        .distinct()
+        .agg(call_function("bottom_k_by_key",
+          lpad(col("h").cast("string"), 19, "0"), col("h"), lit(KmvK)).as(out))
+    val P60 = math.pow(2, 60)
+    def estOf(cnt: Column, theta: Column): Column =
+      round(cnt.cast("double") * lit(P60) / theta.cast("double"), 6)
+    val kL = lit(KmvK.toLong)
+    sampleOf("1996-01-01", "1996-02-01", "arr_a")
+      .crossJoin(sampleOf("1996-02-01", "1996-03-01", "arr_b"))
+      .withColumn("arr_u", slice(array_sort(array_union(col("arr_a"), col("arr_b"))), 1, KmvK))
+      .withColumn("theta_a", element_at(col("arr_a"), KmvK))
+      .withColumn("theta_b", element_at(col("arr_b"), KmvK))
+      .withColumn("theta", least(col("theta_a"), col("theta_b")))
+      .withColumn("cnt_i", expr(s"size(filter(array_intersect(arr_a, arr_b), x -> x <= theta))").cast("bigint"))
+      .withColumn("cnt_d", expr(s"size(filter(arr_a, x -> x <= theta AND NOT array_contains(arr_b, x)))").cast("bigint"))
+      .select(explode(array(
+        struct(lit("a").as("measure"), kL.as("n_sample"),
+          estOf(lit((KmvK - 1).toLong), col("theta_a")).as("est")),
+        struct(lit("b").as("measure"), kL.as("n_sample"),
+          estOf(lit((KmvK - 1).toLong), col("theta_b")).as("est")),
+        struct(lit("union").as("measure"), kL.as("n_sample"),
+          estOf(lit((KmvK - 1).toLong), element_at(col("arr_u"), KmvK)).as("est")),
+        struct(lit("intersect").as("measure"), col("cnt_i").as("n_sample"),
+          estOf(col("cnt_i"), col("theta")).as("est")),
+        struct(lit("diff_a_b").as("measure"), col("cnt_d").as("n_sample"),
+          estOf(col("cnt_d"), col("theta")).as("est")))).as("r"))
+      .select(col("r.measure"), col("r.n_sample"), col("r.est"))
+      .orderBy(col("measure"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kmv_setops" -> (sketchKmvSetops _),
     "events_promo_attribution" -> (eventsPromoAttribution _),
     "events_unpivot_daily" -> (eventsUnpivotDaily _),
     "events_quantiles_approx" -> (eventsQuantilesApprox _),
@@ -667,6 +733,39 @@ object Events {
     "events_ema"          -> (eventsEma _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_kmv_setops" ->
+      s"""WITH ha AS (
+         |  SELECT DISTINCT CAST(('0x' || substr(md5(l_partkey::VARCHAR), 1, 15)) AS BIGINT) AS h
+         |  FROM lineitem WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-02-01'),
+         |hb AS (
+         |  SELECT DISTINCT CAST(('0x' || substr(md5(l_partkey::VARCHAR), 1, 15)) AS BIGINT) AS h
+         |  FROM lineitem WHERE l_shipdate >= '1996-02-01' AND l_shipdate < '1996-03-01'),
+         |sa AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha),
+         |sb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb),
+         |sampa AS (SELECT h FROM sa WHERE rn <= $KmvK),
+         |sampb AS (SELECT h FROM sb WHERE rn <= $KmvK),
+         |su AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+         |  SELECT DISTINCT h FROM (SELECT h FROM sampa UNION ALL SELECT h FROM sampb) z) u),
+         |ka AS (SELECT h AS theta FROM sa WHERE rn = $KmvK),
+         |kb AS (SELECT h AS theta FROM sb WHERE rn = $KmvK),
+         |ku AS (SELECT h AS theta FROM su WHERE rn = $KmvK),
+         |th AS (SELECT least((SELECT theta FROM ka), (SELECT theta FROM kb)) AS theta),
+         |ci AS (SELECT count(*) AS cnt FROM sampa JOIN sampb USING (h), th
+         |       WHERE h <= th.theta),
+         |cd AS (SELECT count(*) AS cnt FROM sampa, th
+         |       WHERE h <= th.theta AND h NOT IN (SELECT h FROM sampb))
+         |SELECT * FROM (
+         |  SELECT 'a' AS measure, CAST($KmvK AS BIGINT) AS n_sample,
+         |    round(${KmvK - 1}.0 * power(2, 60) / (SELECT theta FROM ka), 6) AS est
+         |  UNION ALL SELECT 'b', $KmvK,
+         |    round(${KmvK - 1}.0 * power(2, 60) / (SELECT theta FROM kb), 6)
+         |  UNION ALL SELECT 'union', $KmvK,
+         |    round(${KmvK - 1}.0 * power(2, 60) / (SELECT theta FROM ku), 6)
+         |  UNION ALL SELECT 'intersect', (SELECT cnt FROM ci),
+         |    round((SELECT cnt FROM ci) * power(2, 60) / (SELECT theta FROM th), 6)
+         |  UNION ALL SELECT 'diff_a_b', (SELECT cnt FROM cd),
+         |    round((SELECT cnt FROM cd) * power(2, 60) / (SELECT theta FROM th), 6)) m
+         |ORDER BY measure""".stripMargin,
     "events_equiheight_hist" ->
       """WITH edges AS (
         |  SELECT event_type,

@@ -299,11 +299,106 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** Peeling threshold and synchronous rounds for the k-core view. */
+  private val KcoreK = 3
+  private val KcoreRounds = 3
+
+  /** K-CORE decomposition view (k = 3, `KcoreRounds` synchronous
+    * peeling rounds): repeatedly delete every node whose remaining
+    * degree is below k — what survives is the graph's load-bearing
+    * skeleton (Seidman 1983; in a dedup pair graph, the clusters dense
+    * enough that cluster-level decisions are trustworthy, vs nodes
+    * attached by one incidental edge). The fixed round count is the
+    * same contract as [[pagerankOf]]/[[labelPropagationOf]]: the
+    * operator is "R rounds of synchronous peel", a deterministic
+    * function of the graph that both engines replay exactly — full
+    * convergence needs a data-dependent round count and belongs to the
+    * driver-loop tier ([[Dedup.connectedComponents]] pattern). Each
+    * round is one keyed degree aggregation plus two semi-join passes
+    * over the edge relation (shuffle on node keys, nothing collected);
+    * all arithmetic is integer counting, so no rounding discipline is
+    * needed. Emits surviving nodes with their in-core degree.
+    */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOf(knnEdges(spark, dir))
+
+  /** The peel over any (a, b) pair relation with a < b — exposed for
+    * specs (cliques survive whole; trees peel to nothing).
+    */
+  def kcoreOf(pairs: DataFrame): DataFrame = {
+    val jp = pairs.toDF("a", "b")
+    var edges = jp.select(col("a").as("src"), col("b").as("dst"))
+      .union(jp.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    for (_ <- 1 to KcoreRounds) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KcoreK)
+        .select(col("src").as("node"))
+      // inner joins on both endpoints = the synchronous peel: an edge
+      // survives only if BOTH ends kept degree ≥ k this round.
+      // localCheckpoint truncates the per-round lineage, same trade as
+      // the connected-components fixpoint.
+      edges = edges
+        .join(keep.select(col("node").as("src")), "src")
+        .join(keep.select(col("node").as("dst")), "dst")
+        .localCheckpoint()
+    }
+    edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("core_degree"))
+      .select(col("src").as("node"), col("core_degree"))
+      .orderBy(col("node"))
+  }
+
+  /** Relaxation rounds for the seeded-BFS view. */
+  private val BfsRounds = 4
+
+  /** Multi-source BFS distance (every 50th node seeds, `BfsRounds`
+    * relaxation rounds) — the reachability primitive under influence /
+    * contamination audits (how far does a flagged document's
+    * neighborhood extend through the near-dup graph?). Each round
+    * relaxes every edge once: frontier joins the edge relation on src,
+    * a keyed min folds the new candidate distances into the old —
+    * exactly one shuffle-on-node aggregation per round, integer
+    * arithmetic throughout. After R rounds every node at true distance
+    * ≤ R carries that distance; farther nodes are absent (the fixed-
+    * round contract of [[pagerankOf]] — full closure is the
+    * [[Dedup.connectedComponents]] driver-loop tier). The distance
+    * relation is checkpointed per round: unlike PageRank's single
+    * reference per round, BFS reads it twice (union + join), so an
+    * unrolled plan would double per round.
+    */
+  def graphBfs(spark: SparkSession, dir: String): DataFrame =
+    bfsOf(knnEdges(spark, dir))
+
+  /** The relaxation over any (a, b) pair relation with a < b — exposed
+    * for specs (hand-traced paths, unreached tails).
+    */
+  def bfsOf(pairs: DataFrame): DataFrame = {
+    val jp = pairs.toDF("a", "b")
+    val edges = jp.select(col("a").as("src"), col("b").as("dst"))
+      .union(jp.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var dist = edges.select(col("src").as("node")).distinct()
+      .filter(expr("node % 50 = 0"))
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to BfsRounds) {
+      val relaxed = edges.join(dist, edges("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist.orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs" -> (graphBfs _),
     "graph_pagerank"  -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_label_propagation" -> (graphLabelPropagation _),
-    "graph_modularity" -> (graphModularity _))
+    "graph_modularity" -> (graphModularity _),
+    "graph_kcore" -> (graphKcore _))
 
   private def lpIter(prev: String, out: String): String =
     s"""$out AS (
@@ -314,6 +409,25 @@ object GraphOps {
        |          FROM dedges e JOIN $prev l ON l.node = e.src
        |          GROUP BY 1, 2))
        |  WHERE rn = 1)""".stripMargin
+
+  private def bfsRound(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT node, min(dist) AS dist FROM (
+       |    SELECT node, dist FROM $prev
+       |    UNION ALL
+       |    SELECT e.dst AS node, b.dist + 1 AS dist
+       |    FROM dedges e JOIN $prev b ON b.node = e.src)
+       |  GROUP BY node)""".stripMargin
+
+  private def kcoreRound(prev: String, i: String): String =
+    s"""keep$i AS (
+       |  SELECT src AS node FROM (
+       |    SELECT src, count(*) AS d FROM $prev GROUP BY src)
+       |  WHERE d >= $KcoreK),
+       |k$i AS (
+       |  SELECT e.src, e.dst FROM $prev e
+       |  JOIN keep$i a ON a.node = e.src
+       |  JOIN keep$i b ON b.node = e.dst)""".stripMargin
 
   private def prIter(prev: String, out: String): String =
     s"""$out AS (
@@ -370,6 +484,21 @@ object GraphOps {
          |      // (4 * (SELECT m FROM m) * (SELECT m FROM m)) AS q_ppm
          |  FROM degsum d LEFT JOIN intra i USING (community))
          |ORDER BY community""".stripMargin,
+    "graph_bfs" ->
+      s"""WITH $knnEdgesCte,
+         |dedges AS (SELECT a AS src, b AS dst FROM edges
+         |           UNION ALL SELECT b, a FROM edges),
+         |bfs0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+         |         FROM dedges WHERE src % 50 = 0),
+         |${(1 to BfsRounds).map(i => bfsRound(s"bfs${i - 1}", s"bfs$i")).mkString(",\n")}
+         |SELECT node, dist FROM bfs$BfsRounds ORDER BY node""".stripMargin,
+    "graph_kcore" ->
+      s"""WITH $knnEdgesCte,
+         |k0 AS (SELECT a AS src, b AS dst FROM edges
+         |       UNION ALL SELECT b, a FROM edges),
+         |${(1 to KcoreRounds).map(i => kcoreRound(s"k${i - 1}", s"$i")).mkString(",\n")}
+         |SELECT src AS node, count(*) AS core_degree
+         |FROM k$KcoreRounds GROUP BY src ORDER BY node""".stripMargin,
     "graph_triangles" ->
       s"""WITH $knnEdgesCte,
          |tris AS (

@@ -187,6 +187,26 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID EVALUATION — the confusion matrix of the n-gram
+    * heuristic against the corpus's declared `lang` labels, the audit
+    * every language-filtering pipeline runs before trusting its gate:
+    * (declared, predicted) doc counts plus each cell's share of its
+    * declared language (row-normalized recall view; the diagonal cell
+    * is per-language recall). One keyed aggregation over the langid
+    * relation + a partitioned share window on the ≤ |langs|² matrix —
+    * the expensive part (per-doc prediction) is the same single scan
+    * `text_langid` runs.
+    */
+  def textLangidEval(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang_declared"))
+    textLangid(spark, dir)
+      .groupBy(col("lang_declared"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_of_declared",
+        round(col("n_docs") / sum(col("n_docs")).over(w), 6))
+      .orderBy(col("lang_declared"), col("lang_pred"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowered text +
     * a 60-bit integer prefix (60 bits so both engines stay in signed-64
     * range).
@@ -900,16 +920,21 @@ object TextAnalysis {
     "text_tokens"      -> (textTokens _),
     "text_quality"     -> (textQuality _),
     "text_langid"      -> (textLangid _),
+    "text_langid_eval" -> (textLangidEval _),
     "text_bigram_familiarity" -> (textBigramFamiliarity _),
     "text_fingerprint" -> (textFingerprint _),
     "text_hashing_features" -> (textHashingFeatures _),
     "text_perplexity_kn" -> (textPerplexityKn _))
 
-  private val langidSelect: String = {
-    val hitCols = langOrder
-      .map(l => s"${hitsSql(toksSql("text"), l)} AS hits_$l").mkString(", ")
-    // same argmax-with-priority fold as the Spark side, unrolled
-    val best = langOrder.foldRight("'und'") { (l, acc) =>
+  private val langidHitColsSql: String = langOrder
+    .map(l => s"${hitsSql(toksSql("text"), l)} AS hits_$l").mkString(", ")
+
+  /** The argmax-with-priority fold over hits_* columns, unrolled —
+    * shared by the per-doc langid oracle and the confusion-matrix
+    * oracle (same fold as the Spark side).
+    */
+  private val langidBestSql: String =
+    langOrder.foldRight("'und'") { (l, acc) =>
       val isMax = langOrder.filter(_ != l)
         .map(o => s"hits_$l >= hits_$o").mkString(" AND ")
       val strictEarlier = langOrder.takeWhile(_ != l) match {
@@ -918,12 +943,22 @@ object TextAnalysis {
       }
       s"CASE WHEN hits_$l > 0 AND $isMax AND $strictEarlier THEN '$l' ELSE $acc END"
     }
+
+  private val langidSelect: String =
     s"""WITH h AS (
-       |  SELECT doc_id, lang AS lang_declared, $hitCols FROM documents)
+       |  SELECT doc_id, lang AS lang_declared, $langidHitColsSql FROM documents)
        |SELECT doc_id, lang_declared, hits_en, hits_de, hits_fr, hits_es,
-       |  $best AS lang_pred
+       |  $langidBestSql AS lang_pred
        |FROM h ORDER BY doc_id""".stripMargin
-  }
+
+  private val langidEvalSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang AS lang_declared, $langidHitColsSql FROM documents),
+       |p AS (SELECT lang_declared, $langidBestSql AS lang_pred FROM h),
+       |c AS (SELECT lang_declared, lang_pred, count(*) AS n_docs FROM p GROUP BY 1, 2)
+       |SELECT lang_declared, lang_pred, n_docs,
+       |  round(n_docs / sum(n_docs) OVER (PARTITION BY lang_declared), 6) AS share_of_declared
+       |FROM c ORDER BY lang_declared, lang_pred""".stripMargin
 
   /** Bigram-LM per-document aggregate as CTEs ending in `agg`
     * (doc_id, n_grams, s6) — the SQL twin of [[perplexityAgg]],
@@ -1269,6 +1304,7 @@ object TextAnalysis {
          |    - punct / n_char * 3.0 - upper / n_char * 2.0))), 6) AS quality_score
          |FROM base ORDER BY doc_id""".stripMargin,
     "text_langid" -> langidSelect,
+    "text_langid_eval" -> langidEvalSql,
     "text_bigram_familiarity" ->
       s"""WITH g AS (
          |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram

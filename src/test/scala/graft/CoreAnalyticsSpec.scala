@@ -12,6 +12,20 @@ class CoreAnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("q18 shape: every order exceeds the quantity threshold and the sum is the true lineitem sum") {
+    val df = CoreAnalytics.q18LargeVolumeCustomers(spark, sfDir).cache()
+    assert(df.count() > 0 && df.count() <= 100)
+    assert(df.filter(col("sum_qty") <= 300).count() == 0)
+    // one row per order, and the reported sum matches an independent
+    // re-aggregation of lineitem for those orders
+    assert(df.groupBy("o_orderkey").count().filter(col("count") > 1).count() == 0)
+    val truth = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("t"))
+    assert(df.join(truth, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("sum_qty") =!= col("t")).count() == 0)
+    df.unpersist()
+  }
+
   test("q21 shape: winners are sole late suppliers of multi-supplier orders") {
     import graft.Tables
     val df = CoreAnalytics.q21SoleLateSupplier(spark, sfDir).cache()

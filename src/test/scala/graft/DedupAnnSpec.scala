@@ -386,6 +386,83 @@ class DedupAnnSpec extends SparkTestBase {
     res.unpersist()
   }
 
+  test("ann_bq_rerank: exact refinement never loses recall vs the raw sign-bit ranking") {
+    val rr = AnnSearch.annBqRerank(spark, sfDir).cache()
+    assert(rr.groupBy("q_id").count().agg(max("count")).head().getLong(0) <= 5)
+    // exact distances are rounded true squared L2 on unit vectors
+    assert(rr.filter(col("dist2") < -4e-6 || col("dist2") > 4.000004).count() == 0)
+    val bf = AnnSearch.annTopk(spark, sfDir).select(col("q_id"), col("neighbor_id"))
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select(col("q_id"), col("neighbor_id"))
+        .join(bf, Seq("q_id", "neighbor_id")).count().toDouble / bf.count()
+    val bqRecall = recall(AnnSearch.annBqTopk(spark, sfDir))
+    val rrRecall = recall(rr)
+    // the refinement theorem again (cf. ann_ivfadc_rerank): sign-bit
+    // error now only decides the R-shortlist, the final order is exact
+    assert(rrRecall >= bqRecall,
+      f"refinement LOST recall: $rrRecall%.3f < $bqRecall%.3f")
+    rr.unpersist()
+  }
+
+  test("ann_ivfsq8_topk: list pruning costs recall only through the probes, never the scoring") {
+    val sq = AnnSearch.annIvfSq8Topk(spark, sfDir).cache()
+    assert(sq.groupBy("q_id").count().agg(max("count")).head().getLong(0) <= 5)
+    assert(sq.filter(col("adist2") < 0).count() == 0)
+    val bf = AnnSearch.annTopk(spark, sfDir).select(col("q_id"), col("neighbor_id"))
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select(col("q_id"), col("neighbor_id"))
+        .join(bf, Seq("q_id", "neighbor_id")).count().toDouble / bf.count()
+    val ivfsq8 = recall(sq)
+    val adc = recall(AnnSearch.annIvfadcTopk(spark, sfDir))
+    // identical lists and probes to IVFADC — the ONLY difference is
+    // per-candidate fidelity: SQ8's near-exact distances (vs PQ's
+    // codebook error) can only rank the probed candidates better, so
+    // recall must be ≥ the IVFADC level on the same corpus
+    assert(ivfsq8 >= adc,
+      f"IVF+SQ8 recall $ivfsq8%.3f fell below IVFADC's $adc%.3f with identical probes")
+    assert(ivfsq8 >= 0.30, f"IVF+SQ8 recall collapsed: $ivfsq8%.3f")
+    sq.unpersist()
+  }
+
+  test("ann_ivfpq_residual: residual coding beats raw-vector ADC once the corpus HAS cluster structure") {
+    // The published residual gain (Jégou et al.) is conditional on the
+    // coarse quantizer capturing real cluster structure — false of the
+    // driver's near-uniform synthetic vectors (measured 0.28 residual vs
+    // 0.42 raw there; PLANS.md "Residual PQ"). This closes the
+    // "recipe unproven in this repo" gap: a deterministic 8-Gaussian
+    // mixture corpus (the shape real embedding corpora have) where the
+    // SAME code paths, lists, probes and code budget must show
+    // residual ≥ raw — the direction the paper promises.
+    import spark.implicits._
+    val rnd = new scala.util.Random(421)
+    val dims = 64
+    val centers = Array.fill(8)(Array.fill(dims)(rnd.nextGaussian()))
+      .map { c => val n = math.sqrt(c.map(x => x * x).sum); c.map(x => (x / n).toFloat) }
+    // per-dim sigma 0.05 → noise norm ≈ 0.4 vs inter-center distance
+    // ≈ √2: clusters are separated but not trivially tight
+    val rows = (0 until 500).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat), i % 8)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-mixture").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val bf = AnnSearch.annTopk(spark, dir).select(col("q_id"), col("neighbor_id")).cache()
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select(col("q_id"), col("neighbor_id"))
+        .join(bf, Seq("q_id", "neighbor_id")).count().toDouble / bf.count()
+    val rawRecall = recall(AnnSearch.annIvfadcTopk(spark, dir))
+    val resRecall = recall(AnnSearch.annIvfpqResidual(spark, dir))
+    info(f"mixture corpus: residual recall $resRecall%.3f vs raw ADC $rawRecall%.3f")
+    assert(resRecall >= rawRecall,
+      f"residual coding LOST recall on clustered data: $resRecall%.3f < $rawRecall%.3f")
+    // and not vacuously: both tiers must actually work on this corpus
+    assert(rawRecall >= 0.30, f"raw IVFADC collapsed on the mixture corpus: $rawRecall%.3f")
+    assert(resRecall >= 0.50, f"residual recall below the structured-data bar: $resRecall%.3f")
+    bf.unpersist()
+  }
+
   test("ann_sq8_topk: near-exact recall — the 8x-compression tier above PQ's 32x") {
     val sq = AnnSearch.annSq8Topk(spark, sfDir).cache()
     assert(sq.groupBy("q_id").count().agg(max("count")).head().getLong(0) <= 5)

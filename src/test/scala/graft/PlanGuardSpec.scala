@@ -31,7 +31,10 @@ class PlanGuardSpec extends SparkTestBase {
     "ann_ivfadc_rerank", // same chain: the exact stage itself equi-joins
     "ann_ivfpq_residual", // same K-constant centroid probe
     "ann_bq_topk", // the compressed linear scan IS the operator (16 B/vector)
+    "ann_bq_rerank", // same popcount scan heads the exact refine stage
     "ann_sq8_topk", // same compressed linear scan (64 B/vector) + 1-row model
+    "ann_ivfsq8_topk", // K-constant centroid probe + 1-row range model
+    "corpus_quality_logreg", // 1-row broadcast trained weight vector
     "ann_pq_topk", // the ADC linear scan IS the operator (M B/vector)
     "dedup_semantic", // embeds the k-means assign (same K-constant loop)
     "corpus_quality_gate", "corpus_mix_rebalance", "text_tfidf_topk",
@@ -42,6 +45,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q22_dormant_customers", // 1-row broadcast average-balance cutoff
     "q11_important_parts", // 1-row broadcast global-total threshold
     "dq_snapshot_drift", // crossJoin of two 1-row stat aggregates
+    "sketch_kmv_setops", // crossJoin of two 1-row KMV sample arrays
     "graph_pagerank", // 1-row broadcast node count joined per iteration
     "corpus_epoch_plan", // 1-row broadcast mixture normalizer Z
     "corpus_pack_pairs", // 1-row broadcast corpus count for rank pairing

@@ -104,6 +104,94 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("timer sessionizer closes an idle session when the watermark passes, with no later event for that user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Ev]
+      val q = StreamOps.sessionizeTwsTimers(stream.toDS())
+        .writeStream.format("memory").queryName("sessions_timer").outputMode("append").start()
+      try {
+        // user 1 has two events and then goes idle FOREVER
+        stream.addData(
+          Ev(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+          Ev(2, ts("2024-01-01 00:10:00"), 1, "view", 2.0))
+        q.processAllAvailable()
+        assert(spark.table("sessions_timer").count() == 0) // watermark hasn't passed the gap
+        // an UNRELATED user's event advances the watermark past
+        // 00:10 + 30min; user 1's timer fires and closes the session
+        // even though user 1 never sends another event — the case the
+        // arrival-driven sessionizers can never emit
+        stream.addData(Ev(3, ts("2024-01-01 02:00:00"), 99, "click", 0.1))
+        q.processAllAvailable()
+        // one more batch so timers registered at the new watermark fire
+        stream.addData(Ev(4, ts("2024-01-01 02:00:01"), 99, "click", 0.1))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("sessions_timer").as[Session].collect()
+        .filter(_.user_id == 1L)
+      assert(rows.length == 1, s"expected user 1's idle session closed by timer, got ${rows.toSeq}")
+      val s = rows.head
+      assert(s.session_start == ts("2024-01-01 00:00:00"))
+      assert(s.session_end == ts("2024-01-01 00:10:00"))
+      assert(s.n_events == 2 && s.sum_value == 3.0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState EMA emits identical points to flatMapGroupsWithState and the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // exceed K=8 for user 7 so the ListState truncation path (put,
+      // not appendList) is exercised; sub-millisecond ties for user 8
+      // with event_id order opposing micros order pin the micros sort
+      def tsUs(base: String, micros: Int): Timestamp = {
+        val t = ts(base); t.setNanos(micros * 1000); t
+      }
+      val all = (1 to 12).map(i =>
+        Ev(i.toLong, ts(f"2024-01-01 00:$i%02d:00"), 7L, "view", i * 1.5)) ++
+        Seq(Ev(100L, ts("2024-01-01 00:03:30"), 8L, "click", 10.0),
+          Ev(101L, tsUs("2024-01-01 00:07:31", 500), 8L, "click", 25.0),
+          Ev(102L, tsUs("2024-01-01 00:07:31", 200), 8L, "click", 1.0))
+      val (batch1, batch2) = all.sortBy(e => (e.ts.getTime, e.event_id)).splitAt(7)
+      def run(name: String, f: org.apache.spark.sql.Dataset[Ev] => org.apache.spark.sql.Dataset[StreamOps.EmaPoint]): Seq[(Long, Long, Double)] = {
+        val stream = MemoryStream[Ev]
+        val q = f(stream.toDS())
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          stream.addData(batch1.reverse: _*); q.processAllAvailable()
+          stream.addData(batch2: _*); q.processAllAvailable()
+        } finally q.stop()
+        spark.table(name).as[StreamOps.EmaPoint].collect()
+          .map(p => (p.user_id, p.event_id, p.ema)).sortBy(t => (t._1, t._2)).toSeq
+      }
+      val tws = run("ema_tws", StreamOps.emaStreamTws)
+      val fmg = run("ema_fmg", StreamOps.emaStream)
+      assert(tws.length == all.size)
+      assert(tws == fmg, "transformWithState and flatMapGroupsWithState EMA disagree")
+      val batch = graft.operators.Events.emaOver(
+        all.toDF().select(col("user_id"), col("ts"), col("event_id"), col("value")))
+        .select(col("user_id"), col("event_id"), col("ema"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(tws == batch, "transformWithState EMA diverges from the batch twin")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("built-in session_window sessions agree with the custom sessionizer on start/count/sum") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -143,6 +143,53 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(df.join(exact, "event_type").filter(col("n_exact") =!= col("n")).count() == 0)
   }
 
+  test("sketch_kmv_setops: estimates within the k-governed error band of exact set algebra") {
+    val est = Events.sketchKmvSetops(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(est.keySet == Set("a", "b", "union", "intersect", "diff_a_b"))
+    // exact set algebra on the same month slices
+    val li = graft.Tables.lineitem(spark, sfDir)
+    def setOf(lo: String, hi: String) =
+      li.filter(col("l_shipdate") >= lit(lo).cast("timestamp") &&
+          col("l_shipdate") < lit(hi).cast("timestamp"))
+        .select(col("l_partkey")).distinct()
+    val a = setOf("1996-01-01", "1996-02-01").cache()
+    val b = setOf("1996-02-01", "1996-03-01").cache()
+    val nA = a.count().toDouble
+    val nB = b.count().toDouble
+    val nI = a.join(b, "l_partkey").count().toDouble
+    val nU = nA + nB - nI
+    val nD = nA - nI
+    // KMV standard error is 1/sqrt(k-1) ~ 18% at k=32; allow 4 sigmas
+    // for the set-op measures (their effective sample is smaller)
+    def within(name: String, exact: Double, rel: Double): Unit =
+      assert(math.abs(est(name) - exact) <= rel * exact + 1,
+        f"$name: est ${est(name)}%.1f vs exact $exact%.1f beyond ±${rel * 100}%.0f%%")
+    within("a", nA, 0.55); within("b", nB, 0.55); within("union", nU, 0.55)
+    within("intersect", nI, 0.90); within("diff_a_b", nD, 0.90)
+    // internal consistency: inclusion-exclusion on the sketch's own
+    // θ-restricted counts is exact by construction only for i + d = a's
+    // restricted count — assert the weaker monotonicities instead
+    assert(est("intersect") <= math.min(est("a"), est("b")) * 1.9)
+    assert(est("union") >= math.max(est("a"), est("b")) * 0.5)
+    a.unpersist(); b.unpersist()
+  }
+
+  test("text_langid_eval: a valid confusion matrix — counts tile the corpus, shares sum to 1 per row") {
+    val m = TextAnalysis.textLangidEval(spark, sfDir).cache()
+    val total = m.agg(sum(col("n_docs"))).head().getLong(0)
+    assert(total == graft.Tables.documents(spark, sfDir).count())
+    val rowSums = m.groupBy("lang_declared")
+      .agg(round(sum(col("share_of_declared")), 4).as("s"))
+    assert(rowSums.filter(abs(col("s") - 1.0) > 0.001).count() == 0)
+    // the matrix agrees cell-by-cell with a direct re-count of langid
+    val direct = TextAnalysis.textLangid(spark, sfDir)
+      .groupBy(col("lang_declared"), col("lang_pred")).count()
+    assert(m.join(direct, Seq("lang_declared", "lang_pred"))
+      .filter(col("n_docs") =!= col("count")).count() == 0)
+    m.unpersist()
+  }
+
   test("events_asof_join: click is the latest at-or-before the purchase") {
     val df = Events.eventsAsofJoin(spark, sfDir).cache()
     assert(df.count() > 0)
