@@ -272,6 +272,51 @@ object CoreAnalytics {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** Rolling PEARSON CORRELATION — the windowed bivariate-statistics
+    * tier (no other operator relates two measures over a moving
+    * window): for each ship-day, the correlation between daily units
+    * shipped and daily revenue over the trailing 7 observed days —
+    * "does revenue still track volume?", the demand-mix drift signal a
+    * daily ops review watches. Discipline for engine-exact floats:
+    * the daily aggregates are INTEGERS (quantities are integral;
+    * revenue rounds to whole units), so the six window sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²) are exact bigints at any frame
+    * alignment — order-free — and corr is derived from them in ONE
+    * double expression, num / (√f1·√f2) with f1 = nΣx²−(Σx)²,
+    * f2 likewise: both engines evaluate identical IEEE ops on
+    * identical integers (√f1·√f2 instead of √(f1·f2), whose bigint
+    * product would overflow; each factor alone fits through ~1e9-unit
+    * days). Zero-variance windows emit null. The window runs over the
+    * DAILY aggregate (one row per ship-day) — cost independent of raw
+    * fact volume, the same above-the-aggregation shape the plan guard
+    * allows for global windows.
+    */
+  def qMovingCorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .select(col("l_shipdate"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .groupBy(col("l_shipdate").cast("date").as("ship_date"))
+      .agg(sum(col("l_quantity")).cast("bigint").as("x"),
+        round(sum(col("rev")), 0).cast("bigint").as("y"))
+    val w = Window.orderBy(col("ship_date")).rowsBetween(-6, Window.currentRow)
+    val f1 = col("n") * col("sxx") - col("sx") * col("sx")
+    val f2 = col("n") * col("syy") - col("sy") * col("sy")
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .withColumn("corr_7d",
+        when(f1 > 0 && f2 > 0, round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt(f1.cast("double")) * sqrt(f2.cast("double"))), 6)))
+      .select(col("ship_date"), col("x").as("units"), col("y").as("revenue_units"),
+        col("n").as("n_days"), col("corr_7d"))
+      .orderBy(col("ship_date"))
+  }
+
   /** Order-priority census over late-shipped orders — the EXISTS
     * correlated-subquery tier (TPC-H Q4 shape, with l_shipdate >
     * o_orderdate standing in for the commit/receipt columns this schema
@@ -912,6 +957,7 @@ object CoreAnalytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_large_volume_customers" -> (q18LargeVolumeCustomers _),
+    "q_moving_corr"        -> (qMovingCorr _),
     "q_rfm_segmentation"   -> (qRfmSegmentation _),
     "q_basket_lift"        -> (qBasketLift _),
     "q13_custdist"         -> (q13CustDist _),
@@ -949,6 +995,27 @@ object CoreAnalytics {
     "q_salted_skew_join"   -> (saltedSkewJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_moving_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS ship_date,
+        |    CAST(sum(l_quantity) AS BIGINT) AS x,
+        |    CAST(round(sum(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1),
+        |win AS (
+        |  SELECT ship_date, x, y,
+        |    count(*) OVER w AS n,
+        |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |    sum(x * y) OVER w AS sxy,
+        |    sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY ship_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT ship_date, x AS units, y AS revenue_units, n AS n_days,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS corr_7d
+        |FROM win ORDER BY ship_date""".stripMargin,
     "q18_large_volume_customers" ->
       """WITH big AS (
         |  SELECT l_orderkey, sum(l_quantity) AS sum_qty

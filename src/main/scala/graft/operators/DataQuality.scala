@@ -211,12 +211,89 @@ object DataQuality {
       .orderBy(col("key_name"))
   }
 
+  /** Bloom geometry for the FPR audit: m bits, k hash functions. */
+  private val BloomM = 4096L
+  private val BloomK = 3
+
+  /** Bloom-filter FALSE-POSITIVE-RATE audit — the measurement a
+    * pipeline runs before trusting any bloom prefilter (the repo uses
+    * them for decontamination and runtime join pruning): build a
+    * filter over one key population, probe it with KNOWN true
+    * negatives, and report the empirical FP rate next to the
+    * theoretical (1 − e^(−kn/m))^k bound. The filter here is
+    * RELATIONAL — the bit array modeled as the distinct set of set-bit
+    * positions (≤ m rows, broadcast), each key hashing to k
+    * md5-derived positions — a faithful bloom that BOTH engines
+    * compute bit-identically, so unlike the opaque sketch blob the
+    * audit itself is oracle-checkable. Inserted: parts shipped in
+    * Jan 1996; negatives: all other parts (exact anti-join, so every
+    * probe hit is by construction a false positive). Cost shape: two
+    * key scans + a broadcast join against the ≤ m-row bit relation.
+    */
+  def dqBloomFpr(spark: SparkSession, dir: String): DataFrame = {
+    // k md5-derived bit positions of the `k_str` column, exploded
+    val posCol: Column = explode(expr(
+      s"transform(sequence(0, ${BloomK - 1}), j -> " +
+        s"pmod(cast(conv(substring(md5(concat(cast(j as string), ':', k_str)), 1, 8), 16, 10) as bigint), ${BloomM}L))"))
+    val inserted = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+      .select(col("l_partkey")).distinct()
+    val bits = inserted
+      .select(col("l_partkey").cast("string").as("k_str"))
+      .select(posCol.as("pos")).distinct()
+      .localCheckpoint() // ≤ m rows; read by every probe
+    val negatives = Tables.part(spark, dir).select(col("p_partkey"))
+      .join(inserted, col("p_partkey") === col("l_partkey"), "left_anti")
+    val probed = negatives
+      .select(col("p_partkey"), col("p_partkey").cast("string").as("k_str"))
+      .select(col("p_partkey"), posCol.as("pos"))
+      .join(broadcast(bits), "pos")
+      .groupBy(col("p_partkey")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === BloomK)
+    val nIns = inserted.agg(count(lit(1)).as("n_inserted"))
+    val nNeg = negatives.agg(count(lit(1)).as("n_negatives"))
+    val nFp = probed.agg(count(lit(1)).as("fp_count"))
+    nIns.crossJoin(broadcast(nNeg)).crossJoin(broadcast(nFp))
+      .select(
+        col("n_inserted"), col("n_negatives"), col("fp_count"),
+        round(col("fp_count") / col("n_negatives"), 6).as("fp_rate"),
+        round(pow(lit(1.0) - exp(lit(-BloomK.toDouble) * col("n_inserted") / lit(BloomM.toDouble)),
+          BloomK.toDouble), 6).as("theo_fpr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_checks" -> (dqChecks _),
     "dq_skew_report" -> (dqSkewReport _),
+    "dq_bloom_fpr" -> (dqBloomFpr _),
     "dq_snapshot_drift" -> (dqSnapshotDrift _))
 
   val oracles: Map[String, String] = Map(
+    "dq_bloom_fpr" ->
+      s"""WITH ins AS (
+         |  SELECT DISTINCT l_partkey FROM lineitem
+         |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-02-01'),
+         |bits AS (
+         |  SELECT DISTINCT CAST(('0x' || substr(md5(j.j::VARCHAR || ':' || l_partkey::VARCHAR), 1, 8)) AS BIGINT) % $BloomM AS pos
+         |  FROM ins, generate_series(0, ${BloomK - 1}) j(j)),
+         |neg AS (
+         |  SELECT p_partkey FROM part
+         |  WHERE p_partkey NOT IN (SELECT l_partkey FROM ins)),
+         |probe AS (
+         |  SELECT n.p_partkey,
+         |    CAST(('0x' || substr(md5(j.j::VARCHAR || ':' || n.p_partkey::VARCHAR), 1, 8)) AS BIGINT) % $BloomM AS pos
+         |  FROM neg n, generate_series(0, ${BloomK - 1}) j(j)),
+         |fp AS (
+         |  SELECT p_partkey FROM probe JOIN bits USING (pos)
+         |  GROUP BY p_partkey HAVING count(*) = $BloomK),
+         |c AS (SELECT
+         |  (SELECT count(*) FROM ins) AS n_inserted,
+         |  (SELECT count(*) FROM neg) AS n_negatives,
+         |  (SELECT count(*) FROM fp) AS fp_count)
+         |SELECT n_inserted, n_negatives, fp_count,
+         |  round(fp_count / n_negatives, 6) AS fp_rate,
+         |  round(power(1 - exp(-$BloomK.0 * n_inserted / $BloomM.0), $BloomK.0), 6) AS theo_fpr
+         |FROM c""".stripMargin,
     "dq_skew_report" ->
       """WITH stacked AS (
         |  SELECT 'l_partkey' AS key_name, l_partkey AS key_value FROM lineitem

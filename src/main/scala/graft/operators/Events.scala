@@ -641,6 +641,24 @@ object Events {
       .orderBy(col("w_start_s"))
   }
 
+  /** Per-hour TOP-N actives — the trending view (top 3 users by event
+    * volume each hour, value totals alongside). The aggregate bounds
+    * the window's input to one row per (hour, user); the rank ≤ 3 cut
+    * rides WindowGroupLimit, so each task forwards at most N rows per
+    * hour into the window exchange — the same partial-top-k shape as
+    * every per-key ranking here, cost independent of events per user.
+    */
+  def eventsWindowedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+    val w = Window.partitionBy(col("hour")).orderBy(col("n_events").desc, col("user_id"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy(col("hour"), col("rank"))
+  }
+
   /** KMV sample size (error ~ 1/√(k−1) ≈ 18%). */
   private val KmvK = 32
 
@@ -708,6 +726,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_setops" -> (sketchKmvSetops _),
+    "events_windowed_topk" -> (eventsWindowedTopk _),
     "events_promo_attribution" -> (eventsPromoAttribution _),
     "events_unpivot_daily" -> (eventsUnpivotDaily _),
     "events_quantiles_approx" -> (eventsQuantilesApprox _),
@@ -867,6 +886,17 @@ object Events {
         |  count(DISTINCT user_id) AS n_users
         |FROM w GROUP BY 1, 2, 3
         |ORDER BY window_start_s, event_type""".stripMargin,
+    "events_windowed_topk" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS hour, user_id,
+        |    count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY hour ORDER BY n_events DESC, user_id) AS rank
+        |  FROM c)
+        |SELECT hour, user_id, n_events, sum_value, rank
+        |FROM r WHERE rank <= 3 ORDER BY hour, rank""".stripMargin,
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n_events, round(sum(value), 6) AS sum_value,

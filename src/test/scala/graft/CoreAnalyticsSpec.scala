@@ -12,6 +12,28 @@ class CoreAnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("q_moving_corr: bounded in [-1,1], singleton windows null, 7-row window matches direct Pearson") {
+    val df = CoreAnalytics.qMovingCorr(spark, sfDir).cache()
+    assert(df.filter(col("corr_7d") < -1.000001 || col("corr_7d") > 1.000001).count() == 0)
+    // the first ship-day has a single-row window: zero variance → null
+    val first = df.orderBy(col("ship_date")).limit(1).collect().head
+    assert(first.getLong(3) == 1 && first.isNullAt(4))
+    // re-derive one full 7-day window by hand from the daily relation
+    val rows = df.orderBy(col("ship_date")).limit(20).collect()
+    val full = rows.find(_.getLong(3) == 7).get
+    val idx = rows.indexOf(full)
+    val win = rows.slice(idx - 6, idx + 1).map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val n = win.length.toDouble
+    val (sx, sy) = (win.map(_._1).sum, win.map(_._2).sum)
+    val sxy = win.map(p => p._1 * p._2).sum
+    val (sxx, syy) = (win.map(p => p._1 * p._1).sum, win.map(p => p._2 * p._2).sum)
+    val expected = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(math.abs(full.getDouble(4) - expected) < 1e-5,
+      f"window corr ${full.getDouble(4)}%.6f vs direct $expected%.6f")
+    df.unpersist()
+  }
+
   test("q18 shape: every order exceeds the quantity threshold and the sum is the true lineitem sum") {
     val df = CoreAnalytics.q18LargeVolumeCustomers(spark, sfDir).cache()
     assert(df.count() > 0 && df.count() <= 100)

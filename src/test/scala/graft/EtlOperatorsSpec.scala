@@ -218,6 +218,21 @@ class EtlOperatorsSpec extends SparkTestBase {
     assert(fallback.getAs[String]("header_text") == "Explore Our ECONOMY!")
   }
 
+  test("dq_bloom_fpr: the audit's own numbers are internally consistent") {
+    val r = DataQuality.dqBloomFpr(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nIns, nNeg, fp) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (rate, theo) = (row.getDouble(3), row.getDouble(4))
+    assert(nIns > 0 && nNeg > 0)
+    assert(fp >= 0 && fp <= nNeg)
+    assert(math.abs(rate - fp.toDouble / nNeg) < 1e-6)
+    assert(theo > 0 && theo < 1)
+    // empirical FPR concentrates near the theoretical bound: allow a
+    // generous band (small negative populations at tiny SFs)
+    assert(rate <= theo * 5 + 0.02, f"fp rate $rate%.4f vs theoretical $theo%.4f")
+  }
+
   test("dq_checks: fifteen constraints, pass flags consistent, driver data is clean") {
     val df = DataQuality.dqChecks(spark, sfDir).cache()
     assert(df.count() == 15)

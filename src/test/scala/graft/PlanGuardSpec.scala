@@ -46,6 +46,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q11_important_parts", // 1-row broadcast global-total threshold
     "dq_snapshot_drift", // crossJoin of two 1-row stat aggregates
     "sketch_kmv_setops", // crossJoin of two 1-row KMV sample arrays
+    "dq_bloom_fpr", // crossJoin of three 1-row count aggregates
     "graph_pagerank", // 1-row broadcast node count joined per iteration
     "corpus_epoch_plan", // 1-row broadcast mixture normalizer Z
     "corpus_pack_pairs", // 1-row broadcast corpus count for rank pairing

@@ -143,6 +143,22 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(df.join(exact, "event_type").filter(col("n_exact") =!= col("n")).count() == 0)
   }
 
+  test("events_windowed_topk: at most 3 per hour, ranks dense, counts match a direct re-count") {
+    val df = Events.eventsWindowedTopk(spark, sfDir).cache()
+    assert(df.groupBy("hour").count().filter(col("count") > 3).count() == 0)
+    assert(df.filter(col("rank") < 1 || col("rank") > 3).count() == 0)
+    // every reported count equals the direct (hour, user) aggregation
+    val direct = graft.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_direct"))
+    assert(df.join(direct, Seq("hour", "user_id"))
+      .filter(col("n_events") =!= col("n_direct")).count() == 0)
+    // rank 1 really is the hour's maximum
+    val top = df.filter(col("rank") === 1).select(col("hour"), col("n_events").as("top_n"))
+    assert(direct.join(top, "hour").filter(col("n_direct") > col("top_n")).count() == 0)
+    df.unpersist()
+  }
+
   test("sketch_kmv_setops: estimates within the k-governed error band of exact set algebra") {
     val est = Events.sketchKmvSetops(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
