@@ -267,7 +267,42 @@ object EtlCleaning {
       .orderBy(col("p_partkey"))
   }
 
+  /** CHANGE-DATA-CAPTURE apply — materializing a keyed change log
+    * (insert / update / DELETE ops with sequence numbers) into final
+    * table state, the log-to-table half every CDC ingestion (Debezium →
+    * lakehouse MERGE) runs; distinct from [[EtlEnrichment.applyUpdates]]
+    * (field patches, no deletes) and the SCD2 history (which KEEPS all
+    * versions). Latest-op-wins per key: one rank window ordered by
+    * sequence descending — rank ≤ 1 rides WindowGroupLimit, so each
+    * task forwards one candidate row per key into the shuffle no
+    * matter how long the change history — keys whose final op is a
+    * delete drop out entirely; the per-key change count shares the
+    * same window pass. The change log derives deterministically from
+    * orders (key = customer, seq = order key, op by modular rule) so
+    * both engines replay the identical log.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val ch = Tables.orders(spark, dir).select(
+      col("o_custkey").as("key"),
+      col("o_orderkey").as("seq"),
+      when(col("o_orderkey") % 10 === 0, "D")
+        .when(col("o_orderkey") % 10 <= 3, "U")
+        .otherwise("I").as("op"),
+      col("o_totalprice").as("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("seq").desc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    ch
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(wAll))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("key"), col("op").as("last_op"),
+        round(col("value"), 2).as("value"), col("n_changes"))
+      .orderBy(col("key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_cdc_apply"              -> (cdcApply _),
     "etl_snapshot_diff"          -> (snapshotDiff _),
     "etl_quarantine"             -> (quarantine _),
     "etl_price_outliers"         -> (priceOutliers _),
@@ -280,6 +315,21 @@ object EtlCleaning {
     "etl_articles_ingest"        -> (articlesIngest _))
 
   val oracles: Map[String, String] = Map(
+    "etl_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+        |         WHEN o_orderkey % 10 <= 3 THEN 'U'
+        |         ELSE 'I' END AS op,
+        |    o_totalprice AS value
+        |  FROM orders),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn,
+        |    count(*) OVER (PARTITION BY key) AS n_changes
+        |  FROM ch)
+        |SELECT key, op AS last_op, round(value, 2) AS value, n_changes
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY key""".stripMargin,
     "etl_snapshot_diff" ->
       """WITH old AS (
         |  SELECT p_partkey AS old_key, p_retailprice AS old_price

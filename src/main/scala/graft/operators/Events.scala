@@ -659,6 +659,37 @@ object Events {
       .orderBy(col("hour"), col("rank"))
   }
 
+  /** Sliding-window DISTINCT users — daily actives next to trailing
+    * 7-day actives (the DAU/WAU pair), computed EXACTLY: windowed
+    * count-distinct is the aggregation windows can't express (distinct
+    * doesn't decompose over frames), and the standard exact scale
+    * trick is the bounded OFFSET EXPLODE — each distinct (user, day)
+    * contributes to the 7 window-ends it falls inside, then one keyed
+    * distinct count per window end. Inflation is exactly 7× the
+    * (user, day) relation — already collapsed from raw events, so cost
+    * scales with actives, not event volume. The approximate path at
+    * larger windows is the HLL table (`sketch_hll_union` — mergeable
+    * partials, no inflation); this operator is its exact counterpart
+    * and the oracle for its error. Only observed days emit (the join
+    * back to the daily relation prunes phantom window-ends past the
+    * data's edge).
+    */
+  def eventsUniquesSliding(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      .localCheckpoint() // feeds both the daily count and the explode
+    val daily = userDays.groupBy(col("day"))
+      .agg(count(lit(1)).as("uniques_1d")) // (user, day) already distinct
+    val w7 = userDays
+      .withColumn("off", explode(sequence(lit(0), lit(6))))
+      .select(col("user_id"), expr("date_add(day, off)").as("w_end"))
+      .groupBy(col("w_end"))
+      .agg(countDistinct(col("user_id")).as("uniques_7d"))
+    daily.join(w7, daily("day") === w7("w_end"))
+      .select(col("day"), col("uniques_1d"), col("uniques_7d"))
+      .orderBy(col("day"))
+  }
+
   /** KMV sample size (error ~ 1/√(k−1) ≈ 18%). */
   private val KmvK = 32
 
@@ -727,6 +758,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_setops" -> (sketchKmvSetops _),
     "events_windowed_topk" -> (eventsWindowedTopk _),
+    "events_uniques_sliding" -> (eventsUniquesSliding _),
     "events_promo_attribution" -> (eventsPromoAttribution _),
     "events_unpivot_daily" -> (eventsUnpivotDaily _),
     "events_quantiles_approx" -> (eventsQuantilesApprox _),
@@ -886,6 +918,19 @@ object Events {
         |  count(DISTINCT user_id) AS n_users
         |FROM w GROUP BY 1, 2, 3
         |ORDER BY window_start_s, event_type""".stripMargin,
+    "events_uniques_sliding" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |daily AS (SELECT day, count(*) AS uniques_1d FROM ud GROUP BY day),
+        |contrib AS (
+        |  SELECT user_id, day + CAST(o.o AS INT) AS w_end
+        |  FROM ud, generate_series(0, 6) o(o)),
+        |w7 AS (
+        |  SELECT w_end, count(DISTINCT user_id) AS uniques_7d
+        |  FROM contrib GROUP BY w_end)
+        |SELECT d.day, d.uniques_1d, w.uniques_7d
+        |FROM daily d JOIN w7 w ON w.w_end = d.day
+        |ORDER BY d.day""".stripMargin,
     "events_windowed_topk" ->
       """WITH c AS (
         |  SELECT date_trunc('hour', ts) AS hour, user_id,

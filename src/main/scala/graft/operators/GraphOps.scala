@@ -392,7 +392,57 @@ object GraphOps {
     dist.orderBy(col("node"))
   }
 
+  /** LINK PREDICTION scores over the distance-2 candidate pairs — the
+    * classic non-edge ranking (Liben-Nowell & Kleinberg 2003) a dedup
+    * audit uses to surface "these two clusters are probably the same
+    * thing" before any merge: for every non-adjacent pair (u, w)
+    * sharing at least one neighbor, the common-neighbor count,
+    * Jaccard |N∩|/|N∪|, and Adamic-Adar Σ 1/ln(deg v) (rare shared
+    * neighbors weigh more). Candidates come from the wedge join —
+    * bounded by Σ deg² ≤ k²·n on the mutual-kNN graph — minus existing
+    * edges (left-anti on the canonical a < b relation). Float
+    * discipline: the Adamic-Adar terms are integer-scaled BEFORE the
+    * group sum (the BM25 rule), so the per-pair sum is order-free and
+    * engine-exact; Jaccard is one rounded division of exact integers.
+    */
+  def graphLinkPrediction(spark: SparkSession, dir: String): DataFrame =
+    linkPredictionOf(knnEdges(spark, dir))
+
+  /** Scores over any (a, b) pair relation with a < b — exposed for
+    * specs (hand-computable wedges and squares).
+    */
+  def linkPredictionOf(pairs: DataFrame): DataFrame = {
+    val jp = pairs.toDF("a", "b")
+    val edges = jp.select(col("a").as("src"), col("b").as("dst"))
+      .union(jp.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // wedges u—v—w with u < w, v's degree riding along for Adamic-Adar
+    val left = edges.select(col("src").as("v"), col("dst").as("u"))
+    val right = edges.select(col("src").as("v"), col("dst").as("w"))
+    val wedges = left.join(right, "v").filter(col("u") < col("w"))
+      .join(deg.select(col("src").as("v"), col("d").as("deg_v")), "v")
+    // candidates are NON-edges: drop pairs already linked (canonical
+    // a < b matches the u < w orientation)
+    val cand = wedges.join(jp,
+      col("u") === col("a") && col("w") === col("b"), "left_anti")
+    val scored = cand
+      .groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        // integer-scale each 1/ln(deg) term before the order-free sum
+        sum(expr("cast(round(1000000.0 / ln(deg_v), 0) as bigint)")).as("aa6"))
+    scored
+      .join(deg.select(col("src").as("u"), col("d").as("deg_u")), "u")
+      .join(deg.select(col("src").as("w"), col("d").as("deg_w")), "w")
+      .select(col("u"), col("w"), col("common_neighbors"),
+        round(col("common_neighbors") /
+          (col("deg_u") + col("deg_w") - col("common_neighbors")), 6).as("jaccard"),
+        round(col("aa6") / 1000000.0, 6).as("adamic_adar"))
+      .orderBy(col("u"), col("w"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_link_prediction" -> (graphLinkPrediction _),
     "graph_bfs" -> (graphBfs _),
     "graph_pagerank"  -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
@@ -484,6 +534,30 @@ object GraphOps {
          |      // (4 * (SELECT m FROM m) * (SELECT m FROM m)) AS q_ppm
          |  FROM degsum d LEFT JOIN intra i USING (community))
          |ORDER BY community""".stripMargin,
+    "graph_link_prediction" ->
+      s"""WITH $knnEdgesCte,
+         |dedges AS (SELECT a AS src, b AS dst FROM edges
+         |           UNION ALL SELECT b, a FROM edges),
+         |deg AS (SELECT src, count(*) AS d FROM dedges GROUP BY src),
+         |wedges AS (
+         |  SELECT l.dst AS u, r.dst AS w, dv.d AS deg_v
+         |  FROM dedges l
+         |  JOIN dedges r ON r.src = l.src AND l.dst < r.dst
+         |  JOIN deg dv ON dv.src = l.src),
+         |lpcand AS (
+         |  SELECT u, w, deg_v FROM wedges
+         |  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.a = u AND e.b = w)),
+         |scored AS (
+         |  SELECT u, w, count(*) AS common_neighbors,
+         |    sum(CAST(round(1000000.0 / ln(deg_v), 0) AS BIGINT)) AS aa6
+         |  FROM lpcand GROUP BY u, w)
+         |SELECT s.u, s.w, s.common_neighbors,
+         |  round(s.common_neighbors / (du.d + dw.d - s.common_neighbors), 6) AS jaccard,
+         |  round(s.aa6 / 1000000.0, 6) AS adamic_adar
+         |FROM scored s
+         |JOIN deg du ON du.src = s.u
+         |JOIN deg dw ON dw.src = s.w
+         |ORDER BY s.u, s.w""".stripMargin,
     "graph_bfs" ->
       s"""WITH $knnEdgesCte,
          |dedges AS (SELECT a AS src, b AS dst FROM edges

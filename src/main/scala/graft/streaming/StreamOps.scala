@@ -544,6 +544,53 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
+  case class HourTopk(hour: java.sql.Timestamp, user_id: Long,
+      n_events: Long, rank: Int)
+
+  /** Streaming HOURLY TOP-N — the continuous twin of
+    * `events_windowed_topk`, and the third state-handle type on the
+    * `transformWithState` tour (`MapState`, after the sessionizer's
+    * `ValueState` and the EMA's `ListState`): keyed by event HOUR, a
+    * user → count map absorbs each micro-batch's arrivals, and the
+    * hour's refreshed top-3 is emitted after every batch that touched
+    * it (update-stream semantics — a consumer keeps the latest emission
+    * per hour). State per key is one entry per active user in that
+    * hour — the same state the batch aggregation holds, now maintained
+    * incrementally; ranking ties break on user_id exactly like the
+    * batch operator, so the final emission after all data equals the
+    * batch top-3.
+    */
+  class HourlyTopkProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[java.sql.Timestamp, Ev, HourTopk] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[Long, Long]("counts",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(hour: java.sql.Timestamp, it: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[HourTopk] = {
+      it.foreach { e =>
+        val cur = if (counts.containsKey(e.user_id)) counts.getValue(e.user_id) else 0L
+        counts.updateValue(e.user_id, cur + 1L)
+      }
+      counts.iterator().toSeq
+        .sortBy { case (user, n) => (-n, user) }
+        .take(3).zipWithIndex
+        .map { case ((user, n), i) => HourTopk(hour, user, n, i + 1) }
+        .iterator
+    }
+  }
+
+  def hourlyTopkStream(events: Dataset[Ev]): Dataset[HourTopk] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => new java.sql.Timestamp(
+        e.ts.getTime - Math.floorMod(e.ts.getTime, 3600000L)))
+      .transformWithState(new HourlyTopkProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** The trailing-EMA stream on `transformWithState` — the second
     * stateful operator migrated to the Spark 4 API (VERDICT r7 item 8),
     * this one exercising `ListState` (the sessionizer uses

@@ -218,6 +218,27 @@ class EtlOperatorsSpec extends SparkTestBase {
     assert(fallback.getAs[String]("header_text") == "Explore Our ECONOMY!")
   }
 
+  test("etl_cdc_apply: delete-terminated keys absent, survivors carry their true latest op") {
+    val df = EtlCleaning.cdcApply(spark, sfDir).cache()
+    assert(df.count() > 0)
+    assert(df.groupBy("key").count().filter(col("count") > 1).count() == 0)
+    // re-derive the log and check one invariant both ways: a key is
+    // ABSENT iff its max-seq change is a delete
+    val ch = graft.Tables.orders(spark, sfDir).select(
+      col("o_custkey").as("key"), col("o_orderkey").as("seq"),
+      when(col("o_orderkey") % 10 === 0, "D")
+        .when(col("o_orderkey") % 10 <= 3, "U").otherwise("I").as("op"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("seq").desc)
+    val last = ch.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val deleted = last.filter(col("op") === "D").select("key")
+    val kept = last.filter(col("op") =!= "D").select(col("key"), col("op").as("true_op"))
+    assert(df.join(deleted, "key").count() == 0, "a delete-terminated key survived")
+    assert(kept.join(df, "key").filter(col("last_op") =!= col("true_op")).count() == 0)
+    assert(df.count() == kept.count())
+    df.unpersist()
+  }
+
   test("dq_bloom_fpr: the audit's own numbers are internally consistent") {
     val r = DataQuality.dqBloomFpr(spark, sfDir).collect()
     assert(r.length == 1)

@@ -214,6 +214,38 @@ class GraphOpsSpec extends SparkTestBase {
     core.unpersist()
   }
 
+  test("link prediction on a square: both diagonals score cn=2, jaccard=1, AA=2/ln2") {
+    // C4 cycle 1-2-3-4-1: non-edges are the diagonals (1,3) and (2,4);
+    // each has both off-diagonal nodes as common neighbors, all
+    // degrees 2 → jaccard 2/(2+2−2) = 1; AA = 2·1/ln 2, with each term
+    // integer-scaled to 1442695 before the sum → 2.88539 exactly
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val r = GraphOps.linkPredictionOf(square).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r.keySet == Set((1L, 3L), (2L, 4L)))
+    r.values.foreach { case (cn, j, aa) =>
+      assert(cn == 2L && j == 1.0 && aa == 2.88539)
+    }
+    // path 1-2-3: single candidate (1,3) through the deg-2 midpoint
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val p = GraphOps.linkPredictionOf(path).collect()
+    assert(p.length == 1)
+    assert(p.head.getLong(0) == 1L && p.head.getLong(1) == 3L)
+    assert(p.head.getLong(2) == 1L && p.head.getDouble(3) == 1.0
+      && p.head.getDouble(4) == 1.442695)
+  }
+
+  test("graph_link_prediction invariants: candidates are non-edges, jaccard bounded") {
+    val lp = GraphOps.graphLinkPrediction(spark, sfDir).cache()
+    assert(lp.count() > 0)
+    assert(lp.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
+    assert(lp.filter(col("u") >= col("w")).count() == 0)
+    // no scored pair is an existing edge
+    val edges = GraphOps.knnEdges(spark, sfDir)
+    assert(lp.join(edges, lp("u") === edges("a") && lp("w") === edges("b")).count() == 0)
+    lp.unpersist()
+  }
+
   test("bfs: hand-traced path distances; nodes beyond the round horizon stay absent") {
     // path 0-1-2-...-7: node 0 seeds (0 % 50 = 0); 4 rounds reach
     // distance <= 4, nodes 5..7 remain unreached

@@ -145,6 +145,49 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming hourly top-k maintains MapState counts and re-ranks across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Ev]
+      val q = StreamOps.hourlyTopkStream(stream.toDS())
+        .writeStream.format("memory").queryName("topk_stream").outputMode("append").start()
+      try {
+        // batch 1: user 5 leads hour 10:00
+        stream.addData(
+          Ev(1, ts("2024-01-01 10:01:00"), 5, "click", 1.0),
+          Ev(2, ts("2024-01-01 10:02:00"), 5, "click", 1.0),
+          Ev(3, ts("2024-01-01 10:03:00"), 6, "view", 1.0),
+          Ev(4, ts("2024-01-01 10:04:00"), 7, "view", 1.0))
+        q.processAllAvailable()
+        // batch 2: user 7 overtakes, user 8 enters — state must have
+        // carried batch 1's counts for the re-rank to be correct
+        stream.addData(
+          Ev(5, ts("2024-01-01 10:10:00"), 7, "click", 1.0),
+          Ev(6, ts("2024-01-01 10:11:00"), 7, "click", 1.0),
+          Ev(7, ts("2024-01-01 10:12:00"), 8, "click", 1.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("topk_stream").as[StreamOps.HourTopk].collect()
+        .map(t => (t.user_id, t.n_events, t.rank)).toSeq
+      assert(rows.size == 6) // two emissions of a top-3
+      // emission 1: 5×2 leads; 6 and 7 tie at 1 → user_id breaks it
+      Seq((5L, 2L, 1), (6L, 1L, 2), (7L, 1L, 3)).foreach(e =>
+        assert(rows.contains(e), s"missing first-emission row $e"))
+      // emission 2: 7 reaches 3 total (2 new + 1 CARRIED), 5 drops to
+      // rank 2, 6 holds rank 3 at count 1 (ties: 6 < 8)
+      Seq((7L, 3L, 1), (5L, 2L, 2), (6L, 1L, 3)).foreach(e =>
+        assert(rows.contains(e), s"missing re-ranked row $e"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState EMA emits identical points to flatMapGroupsWithState and the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -143,6 +143,22 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(df.join(exact, "event_type").filter(col("n_exact") =!= col("n")).count() == 0)
   }
 
+  test("events_uniques_sliding: 7d uniques bound 1d below and the 7-day exact union above") {
+    val df = Events.eventsUniquesSliding(spark, sfDir).cache()
+    assert(df.count() > 0)
+    // WAU >= DAU on every day
+    assert(df.filter(col("uniques_7d") < col("uniques_1d")).count() == 0)
+    // spot-verify one day against a direct distinct over the 7-day span
+    val probe = df.orderBy(col("day").desc).limit(1).collect().head
+    val (day, w7) = (probe.getDate(0), probe.getLong(2))
+    val direct = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .filter(col("d") <= lit(day) && col("d") >= date_sub(lit(day), 6))
+      .select("user_id").distinct().count()
+    assert(w7 == direct, s"day $day: sliding $w7 vs direct $direct")
+    df.unpersist()
+  }
+
   test("events_windowed_topk: at most 3 per hour, ranks dense, counts match a direct re-count") {
     val df = Events.eventsWindowedTopk(spark, sfDir).cache()
     assert(df.groupBy("hour").count().filter(col("count") > 3).count() == 0)
