@@ -641,6 +641,51 @@ object Events {
       .orderBy(col("w_start_s"))
   }
 
+  /** MULTI-TOUCH (linear) ATTRIBUTION — each purchase's value split
+    * EQUALLY across that user's clicks in the preceding 30 minutes,
+    * credited back to the click hour: the many-to-many fractional-
+    * credit model next to the window attribution
+    * ([[eventsPromoAttribution]]) and the single-touch as-of join
+    * ([[eventsAsofJoin]], last-touch by construction). Pair search is
+    * the time-BUCKET equi-join (user, 30-min bucket) with each click
+    * emitted into its own and the following bucket, the purchase
+    * probing one — candidates are an equi-join, the exact
+    * 0 ≤ Δt < 30 min predicate is a residual filter, never a range
+    * scan. Credit discipline: per-pair credit value/k is
+    * integer-scaled (round(value·10⁶/k)) BEFORE the per-hour sum, so
+    * the hour totals are exact bigints — order-free, engine-exact —
+    * and k comes from one purchase-keyed count window over the
+    * (bounded) pair relation.
+    */
+  def eventsAttributionMultitouch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val HalfHour = 1800L
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withColumn("b", explode(array(
+        expr(s"unix_timestamp(c_ts) div $HalfHour"),
+        expr(s"unix_timestamp(c_ts) div $HalfHour + 1"))))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withColumn("b", expr(s"unix_timestamp(p_ts) div $HalfHour"))
+    val pairs = purchases.join(clicks, Seq("user_id", "b"))
+      .filter(col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("click_id"), col("c_ts"), col("value"))
+      .distinct() // a click may match via both its buckets
+    val wK = Window.partitionBy(col("purchase_id"))
+    pairs
+      .withColumn("k", count(lit(1)).over(wK))
+      .withColumn("credit6",
+        expr("cast(round(value * 1000000.0 / k, 0) as bigint)"))
+      .groupBy(date_trunc("hour", col("c_ts")).as("click_hour"))
+      .agg(count(lit(1)).as("n_credits"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        round(sum(col("credit6")) / 1000000.0, 6).as("credited_value"))
+      .orderBy(col("click_hour"))
+  }
+
   /** Per-hour TOP-N actives — the trending view (top 3 users by event
     * volume each hour, value totals alongside). The aggregate bounds
     * the window's input to one row per (hour, user); the rank ≤ 3 cut
@@ -657,6 +702,38 @@ object Events {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .orderBy(col("hour"), col("rank"))
+  }
+
+  /** FORECAST BACKTEST — seasonal-naive (same weekday last week)
+    * daily-volume forecasting evaluated against actuals, per event
+    * type: MAPE and mean error over every day with a 7-day-old
+    * ancestor. This is the evaluation loop behind any capacity / KPI
+    * forecast: the t−7 baseline is the standard floor a real model
+    * must beat, and the backtest is pure plan work — one daily
+    * aggregate, one self-join shifted 7 days (equi-join on
+    * (type, day)), one keyed summary. Float discipline: daily counts
+    * are integers, each day's absolute-percentage-error is
+    * integer-scaled (round(|n−f|·10⁶/n)) BEFORE the order-free sum,
+    * and MAPE/bias derive from exact bigints in one rounded division
+    * each — engine-exact.
+    */
+  def eventsForecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val fc = daily.select(col("event_type"),
+      expr("date_add(day, 7)").as("day"), col("n").as("f"))
+    daily.join(fc, Seq("event_type", "day"))
+      .withColumn("ape6",
+        expr("cast(round(abs(n - f) * 1000000.0 / n, 0) as bigint)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("ape6")).as("sum_ape6"),
+        sum(col("n") - col("f")).as("sum_err"))
+      .select(col("event_type"), col("n_days"),
+        round(col("sum_ape6") / col("n_days") / 1000000.0, 6).as("mape"),
+        round(col("sum_err") / col("n_days"), 6).as("mean_err"))
+      .orderBy(col("event_type"))
   }
 
   /** Sliding-window DISTINCT users — daily actives next to trailing
@@ -759,6 +836,8 @@ object Events {
     "sketch_kmv_setops" -> (sketchKmvSetops _),
     "events_windowed_topk" -> (eventsWindowedTopk _),
     "events_uniques_sliding" -> (eventsUniquesSliding _),
+    "events_forecast_eval" -> (eventsForecastEval _),
+    "events_attribution_multitouch" -> (eventsAttributionMultitouch _),
     "events_promo_attribution" -> (eventsPromoAttribution _),
     "events_unpivot_daily" -> (eventsUnpivotDaily _),
     "events_quantiles_approx" -> (eventsQuantilesApprox _),
@@ -918,6 +997,48 @@ object Events {
         |  count(DISTINCT user_id) AS n_users
         |FROM w GROUP BY 1, 2, 3
         |ORDER BY window_start_s, event_type""".stripMargin,
+    "events_attribution_multitouch" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts AS c_ts, event_id AS click_id,
+        |    unnest([CAST(epoch(ts) AS BIGINT) // 1800,
+        |            CAST(epoch(ts) AS BIGINT) // 1800 + 1]) AS b
+        |  FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, ts AS p_ts, event_id AS purchase_id, value,
+        |    CAST(epoch(ts) AS BIGINT) // 1800 AS b
+        |  FROM events WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT DISTINCT p.purchase_id, c.click_id, c.c_ts, p.value
+        |  FROM purch p
+        |  JOIN clicks c ON c.user_id = p.user_id AND c.b = p.b
+        |  WHERE c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - INTERVAL 30 MINUTE),
+        |kc AS (SELECT *, count(*) OVER (PARTITION BY purchase_id) AS k FROM pairs),
+        |cr AS (
+        |  SELECT date_trunc('hour', c_ts) AS click_hour, purchase_id,
+        |    CAST(round(value * 1000000.0 / k, 0) AS BIGINT) AS credit6
+        |  FROM kc)
+        |SELECT click_hour, count(*) AS n_credits,
+        |  count(DISTINCT purchase_id) AS n_purchases,
+        |  round(sum(credit6) / 1000000.0, 6) AS credited_value
+        |FROM cr GROUP BY click_hour ORDER BY click_hour""".stripMargin,
+    "events_forecast_eval" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |joined AS (
+        |  SELECT a.event_type, a.day, a.n, f.n AS f
+        |  FROM daily a
+        |  JOIN daily f ON f.event_type = a.event_type
+        |    AND f.day = a.day - CAST(7 AS INT)),
+        |scored AS (
+        |  SELECT event_type, n, f,
+        |    CAST(round(abs(n - f) * 1000000.0 / n, 0) AS BIGINT) AS ape6
+        |  FROM joined)
+        |SELECT event_type, count(*) AS n_days,
+        |  round(sum(ape6) / count(*) / 1000000.0, 6) AS mape,
+        |  round(sum(n - f) / count(*), 6) AS mean_err
+        |FROM scored GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "events_uniques_sliding" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -143,6 +143,51 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(df.join(exact, "event_type").filter(col("n_exact") =!= col("n")).count() == 0)
   }
 
+  test("events_attribution_multitouch: credit conservation — hourly credits sum to attributed purchase value") {
+    val df = Events.eventsAttributionMultitouch(spark, sfDir).cache()
+    assert(df.count() > 0)
+    val credited = df.agg(sum(col("credited_value"))).head().getDouble(0)
+    // total credited value must equal the total value of purchases
+    // that HAVE at least one click in their window (each purchase's
+    // value splits into k parts of round(v/k) — conservation up to
+    // the 1e-6-per-part rounding)
+    val ev = graft.Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val attributed = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id"), col("value"))
+      .join(clicks, Seq("user_id"))
+      .filter(col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("event_id"), col("value")).distinct()
+      .agg(sum(col("value"))).head().getDouble(0)
+    val nPairs = df.agg(sum(col("n_credits"))).head().getLong(0)
+    assert(math.abs(credited - attributed) <= nPairs * 1e-6 + 1e-4,
+      f"credited $credited%.4f vs attributed purchase value $attributed%.4f")
+    df.unpersist()
+  }
+
+  test("events_forecast_eval: per-type MAPE matches a direct t-7 backtest") {
+    val df = Events.eventsForecastEval(spark, sfDir).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("mape") < 0).count() == 0)
+    // recompute one type's backtest directly
+    val row = df.orderBy("event_type").limit(1).collect().head
+    val (et, nDays, mape) = (row.getString(0), row.getLong(1), row.getDouble(2))
+    val daily = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === et)
+      .groupBy(col("ts").cast("date").as("day")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val apes = daily.toSeq.flatMap { case (d, n) =>
+      daily.get(d.minusDays(7)).map(f => math.round(math.abs(n - f) * 1e6 / n))
+    }
+    assert(apes.size.toLong == nDays)
+    val expected = BigDecimal(apes.sum.toDouble / apes.size / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(mape - expected) < 1e-6, f"mape $mape%.6f vs direct $expected%.6f")
+    df.unpersist()
+  }
+
   test("events_uniques_sliding: 7d uniques bound 1d below and the 7-day exact union above") {
     val df = Events.eventsUniquesSliding(spark, sfDir).cache()
     assert(df.count() > 0)
