@@ -538,6 +538,40 @@ object Events {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Cohort LTV curves — the VALUE companion to [[eventsRetention]]'s
+    * counts: per signup cohort (a user's first active day) and cohort
+    * age 0-7, how much cumulative value the cohort has generated and
+    * the per-user average — the lifetime-value ramp growth analytics
+    * reads cohort-over-cohort. Same first-touch derivation as
+    * retention (one min-aggregate per user riding the user-keyed
+    * join); per-(cohort, age) value sums are rounded then
+    * integer-scaled BEFORE the cumulative window, so the running LTV
+    * is a bigint cumsum over ≤ 8 rows per cohort — exact at any data
+    * size, and the window input is the aggregate, never events.
+    */
+  def eventsCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val perAge = ev.join(cohorts, "user_id")
+      .withColumn("age", datediff(col("day"), col("cohort_day")))
+      .filter(col("age") <= 7)
+      .groupBy(col("cohort_day"), col("age"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        expr("cast(round(sum(value) * 1000000.0, 0) as bigint)").as("v6"))
+    val wCum = Window.partitionBy(col("cohort_day")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val size = perAge.filter(col("age") === 0)
+      .select(col("cohort_day"), col("n_users").as("cohort_size"))
+    perAge
+      .withColumn("cum_v6", sum(col("v6")).over(wCum))
+      .join(size, "cohort_day")
+      .select(col("cohort_day"), col("age"), col("n_users"), col("cohort_size"),
+        round(col("cum_v6") / 1000000.0, 6).as("cum_value"),
+        round(col("cum_v6") / col("cohort_size") / 1000000.0, 6).as("ltv_per_user"))
+      .orderBy(col("cohort_day"), col("age"))
+  }
+
   /** Exact interpolated quantiles of event values per type (p50/p90/
     * p99). Exact percentile needs the group's values together — fine
     * for bounded groups; at 100 TB switch to `approx_percentile`
@@ -838,6 +872,7 @@ object Events {
     "events_uniques_sliding" -> (eventsUniquesSliding _),
     "events_forecast_eval" -> (eventsForecastEval _),
     "events_attribution_multitouch" -> (eventsAttributionMultitouch _),
+    "events_cohort_ltv" -> (eventsCohortLtv _),
     "events_promo_attribution" -> (eventsPromoAttribution _),
     "events_unpivot_daily" -> (eventsUnpivotDaily _),
     "events_quantiles_approx" -> (eventsQuantilesApprox _),
@@ -997,6 +1032,27 @@ object Events {
         |  count(DISTINCT user_id) AS n_users
         |FROM w GROUP BY 1, 2, 3
         |ORDER BY window_start_s, event_type""".stripMargin,
+    "events_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, value FROM events),
+        |coh AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+        |pa AS (
+        |  SELECT c.cohort_day, date_diff('day', c.cohort_day, e.day) AS age,
+        |    count(DISTINCT e.user_id) AS n_users,
+        |    CAST(round(sum(e.value) * 1000000.0, 0) AS BIGINT) AS v6
+        |  FROM ev e JOIN coh c ON c.user_id = e.user_id
+        |  WHERE date_diff('day', c.cohort_day, e.day) <= 7
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, sum(v6) OVER (
+        |    PARTITION BY cohort_day ORDER BY age ROWS UNBOUNDED PRECEDING) AS cum_v6
+        |  FROM pa),
+        |sz AS (SELECT cohort_day, n_users AS cohort_size FROM pa WHERE age = 0)
+        |SELECT c.cohort_day, c.age, c.n_users, s.cohort_size,
+        |  round(cum_v6 / 1000000.0, 6) AS cum_value,
+        |  round(cum_v6 / s.cohort_size / 1000000.0, 6) AS ltv_per_user
+        |FROM cum c JOIN sz s USING (cohort_day)
+        |ORDER BY c.cohort_day, c.age""".stripMargin,
     "events_attribution_multitouch" ->
       """WITH clicks AS (
         |  SELECT user_id, ts AS c_ts, event_id AS click_id,

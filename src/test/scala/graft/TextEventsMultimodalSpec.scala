@@ -143,6 +143,24 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(df.join(exact, "event_type").filter(col("n_exact") =!= col("n")).count() == 0)
   }
 
+  test("events_cohort_ltv: cumulative value monotone in age, age-0 users equal cohort size") {
+    val df = Events.eventsCohortLtv(spark, sfDir).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("age") < 0 || col("age") > 7).count() == 0)
+    // cumulative value never decreases with age within a cohort
+    // (values are nonnegative)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("age"))
+    val withPrev = df.withColumn("prev", lag(col("cum_value"), 1).over(w))
+    assert(withPrev.filter(col("prev").isNotNull && col("cum_value") < col("prev")).count() == 0)
+    // the age-0 row's n_users IS the cohort size
+    assert(df.filter(col("age") === 0)
+      .filter(col("n_users") =!= col("cohort_size")).count() == 0)
+    // retention consistency: per-age users never exceed the cohort size
+    assert(df.filter(col("n_users") > col("cohort_size")).count() == 0)
+    df.unpersist()
+  }
+
   test("events_attribution_multitouch: credit conservation — hourly credits sum to attributed purchase value") {
     val df = Events.eventsAttributionMultitouch(spark, sfDir).cache()
     assert(df.count() > 0)
