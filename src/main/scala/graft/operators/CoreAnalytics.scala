@@ -272,6 +272,35 @@ object CoreAnalytics {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** Year-over-year GROWTH per brand — the comparative-period report
+    * (this year vs the same period last year) every revenue review
+    * leads with: yearly brand revenue, the prior year's value via a
+    * brand-partitioned lag, and the growth ratio. The lag window runs
+    * over the (brand × year) AGGREGATE — a few hundred rows at any
+    * fact volume; the growth ratio derives from two already-rounded
+    * revenue values, so both engines divide identical doubles. First
+    * observed year per brand emits null growth.
+    */
+  def qYoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val yearly = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), year(col("l_shipdate")).as("yr"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("yr"))
+      .agg(round(sum(col("rev")), 4).as("revenue"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("yr"))
+    yearly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("prev_yr", lag(col("yr"), 1).over(w))
+      .withColumn("yoy_growth",
+        when(col("prev_yr") === col("yr") - 1 && col("prev_revenue") > 0,
+          round((col("revenue") - col("prev_revenue")) / col("prev_revenue"), 6)))
+      .select(col("p_brand"), col("yr"), col("revenue"),
+        col("prev_revenue"), col("yoy_growth"))
+      .orderBy(col("p_brand"), col("yr"))
+  }
+
   /** Rolling PEARSON CORRELATION — the windowed bivariate-statistics
     * tier (no other operator relates two measures over a moving
     * window): for each ship-day, the correlation between daily units
@@ -958,6 +987,7 @@ object CoreAnalytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_large_volume_customers" -> (q18LargeVolumeCustomers _),
     "q_moving_corr"        -> (qMovingCorr _),
+    "q_yoy_growth"         -> (qYoyGrowth _),
     "q_rfm_segmentation"   -> (qRfmSegmentation _),
     "q_basket_lift"        -> (qBasketLift _),
     "q13_custdist"         -> (q13CustDist _),
@@ -995,6 +1025,21 @@ object CoreAnalytics {
     "q_salted_skew_join"   -> (saltedSkewJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_yoy_growth" ->
+      """WITH yearly AS (
+        |  SELECT p.p_brand, year(l.l_shipdate) AS yr,
+        |    round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT *, lag(revenue) OVER w AS prev_revenue,
+        |    lag(yr) OVER w AS prev_yr
+        |  FROM yearly
+        |  WINDOW w AS (PARTITION BY p_brand ORDER BY yr))
+        |SELECT p_brand, yr, revenue, prev_revenue,
+        |  CASE WHEN prev_yr = yr - 1 AND prev_revenue > 0 THEN
+        |    round((revenue - prev_revenue) / prev_revenue, 6) END AS yoy_growth
+        |FROM lagged ORDER BY p_brand, yr""".stripMargin,
     "q_moving_corr" ->
       """WITH daily AS (
         |  SELECT CAST(l_shipdate AS DATE) AS ship_date,

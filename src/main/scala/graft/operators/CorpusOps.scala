@@ -720,6 +720,34 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** CALIBRATION audit of the trained quality gate — the reliability
+    * diagram every score-thresholding pipeline reads before trusting a
+    * cutoff: predictions bucketed by decile of p, per bucket the mean
+    * predicted probability vs the empirical positive rate and their
+    * absolute gap (the per-bucket term of expected calibration error;
+    * a well-calibrated gate has avg_p ≈ pos_rate in every bucket).
+    * All arithmetic from exact integers: p6 is already 6-dp rounded, so
+    * p6·10⁶ is an exact bigint summed order-free; the three output
+    * floats are one rounded division each, and the gap derives from
+    * the two ROUNDED outputs so both engines subtract identical
+    * doubles. Cost: one pass over the scored relation + a ≤ 10-row
+    * aggregate.
+    */
+  def corpusQualityCalibration(spark: SparkSession, dir: String): DataFrame =
+    corpusQualityLogreg(spark, dir)
+      .select(col("doc_id"), col("label"), col("p6"))
+      .withColumn("bucket", least(floor(col("p6") * 10).cast("int"), lit(9)))
+      .withColumn("p6u", expr("cast(round(p6 * 1000000, 0) as bigint)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("p6u")).as("sum_p6u"),
+        sum(col("label")).as("n_pos"))
+      .select(col("bucket"), col("n_docs"),
+        round(col("sum_p6u") / col("n_docs") / 1000000.0, 6).as("avg_p"),
+        round(col("n_pos") / col("n_docs"), 6).as("pos_rate"))
+      .withColumn("abs_gap", round(abs(col("avg_p") - col("pos_rate")), 6))
+      .orderBy(col("bucket"))
+
   /** The linear term over z-scored feature columns x1..x4 + weight
     * columns w0..w4, and the rounded sigmoid — shared by training,
     * batch scoring, and the streaming admission twin.
@@ -803,6 +831,7 @@ object CorpusOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_quality_logreg"    -> (corpusQualityLogreg _),
+    "corpus_quality_calibration" -> (corpusQualityCalibration _),
     "corpus_boilerplate_strip" -> (corpusBoilerplateStrip _),
     "corpus_ppl_buckets"       -> (corpusPplBuckets _),
     "corpus_epoch_plan"        -> (corpusEpochPlan _),
@@ -847,41 +876,65 @@ object CorpusOps {
     s"$out AS (\n  SELECT $terms\n  FROM ff, $prev w)"
   }
 
+  /** The whole logistic-gate training chain as CTEs ending in
+    * `scoredq(doc_id, label, p6)` — shared by the logreg dump and the
+    * calibration oracle (identical features, standardization, GD
+    * rounds, and sigmoid rounding).
+    */
+  private def logregScoredCtes: String = {
+    val fx = TextAnalysis.qualityFeaturesSql("text")
+    val z = "round(w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 + w.w4 * x4, 6)"
+    val zs = (1 to 4).map(j =>
+      s"CASE WHEN sd$j > 0 THEN round((x$j - mu$j) / sd$j, 6) ELSE 0.0 END AS x$j")
+      .mkString(",\n    ")
+    s"""f AS (
+       |  SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")} AS qs,
+       |    ${fx(0)} AS x1, ${fx(1)} AS x2, ${fx(2)} AS x3, ${fx(3)} AS x4
+       |  FROM documents),
+       |t AS (SELECT round(quantile_cont(qs, 0.25), 6) AS p25 FROM f),
+       |st AS (
+       |  SELECT ${(1 to 4).map(j =>
+           s"round(avg(x$j), 6) AS mu$j, round(stddev_pop(x$j), 6) AS sd$j")
+           .mkString(", ")}
+       |  FROM f),
+       |ff AS (
+       |  SELECT doc_id,
+       |    $zs,
+       |    CASE WHEN qs >= p25 THEN 1.0 ELSE 0.0 END AS y
+       |  FROM f, t, st),
+       |w0i AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+       |        CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3,
+       |        CAST(0 AS DOUBLE) AS w4),
+       |${(1 to LrIters).map(i =>
+          lrIterSql(if (i == 1) "w0i" else s"w${i - 1}i", s"w${i}i")).mkString(",\n")},
+       |scoredq AS (
+       |  SELECT doc_id, CAST(y AS INT) AS label,
+       |    round(1.0 / (1.0 + exp(-$z)), 6) AS p6
+       |  FROM ff, w${LrIters}i w)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "corpus_quality_logreg" -> {
-      val fx = TextAnalysis.qualityFeaturesSql("text")
-      val z = "round(w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 + w.w4 * x4, 6)"
-      val zs = (1 to 4).map(j =>
-        s"CASE WHEN sd$j > 0 THEN round((x$j - mu$j) / sd$j, 6) ELSE 0.0 END AS x$j")
-        .mkString(",\n         |    ")
-      s"""WITH f AS (
-         |  SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")} AS qs,
-         |    ${fx(0)} AS x1, ${fx(1)} AS x2, ${fx(2)} AS x3, ${fx(3)} AS x4
-         |  FROM documents),
-         |t AS (SELECT round(quantile_cont(qs, 0.25), 6) AS p25 FROM f),
-         |st AS (
-         |  SELECT ${(1 to 4).map(j =>
-             s"round(avg(x$j), 6) AS mu$j, round(stddev_pop(x$j), 6) AS sd$j")
-             .mkString(", ")}
-         |  FROM f),
-         |ff AS (
-         |  SELECT doc_id,
-         |    $zs,
-         |    CASE WHEN qs >= p25 THEN 1.0 ELSE 0.0 END AS y
-         |  FROM f, t, st),
-         |w0i AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
-         |        CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3,
-         |        CAST(0 AS DOUBLE) AS w4),
-         |${(1 to LrIters).map(i =>
-            lrIterSql(if (i == 1) "w0i" else s"w${i - 1}i", s"w${i}i")).mkString(",\n")}
-         |SELECT doc_id, CAST(y AS INT) AS label,
-         |  round(1.0 / (1.0 + exp(-$z)), 6) AS p6,
-         |  CASE WHEN round(1.0 / (1.0 + exp(-$z)), 6) >= 0.5 THEN 1 ELSE 0 END AS pred,
-         |  (CASE WHEN round(1.0 / (1.0 + exp(-$z)), 6) >= 0.5 THEN 1 ELSE 0 END)
-         |    = CAST(y AS INT) AS correct
-         |FROM ff, w${LrIters}i w
-         |ORDER BY doc_id""".stripMargin
-    },
+    "corpus_quality_logreg" ->
+      s"""WITH $logregScoredCtes
+         |SELECT doc_id, label, p6,
+         |  CASE WHEN p6 >= 0.5 THEN 1 ELSE 0 END AS pred,
+         |  (CASE WHEN p6 >= 0.5 THEN 1 ELSE 0 END) = label AS correct
+         |FROM scoredq
+         |ORDER BY doc_id""".stripMargin,
+    "corpus_quality_calibration" ->
+      s"""WITH $logregScoredCtes,
+         |bucketed AS (
+         |  SELECT LEAST(CAST(floor(p6 * 10) AS INT), 9) AS bucket,
+         |    CAST(round(p6 * 1000000, 0) AS BIGINT) AS p6u, label
+         |  FROM scoredq),
+         |agg AS (
+         |  SELECT bucket, count(*) AS n_docs,
+         |    round(sum(p6u) / count(*) / 1000000.0, 6) AS avg_p,
+         |    round(sum(label) / count(*), 6) AS pos_rate
+         |  FROM bucketed GROUP BY bucket)
+         |SELECT bucket, n_docs, avg_p, pos_rate,
+         |  round(abs(avg_p - pos_rate), 6) AS abs_gap
+         |FROM agg ORDER BY bucket""".stripMargin,
     "corpus_boilerplate_strip" ->
       s"""WITH words AS (
          |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws

@@ -12,6 +12,23 @@ class CoreAnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("q_yoy_growth: growth recomputes from the adjacent revenue pair, gaps emit null") {
+    val df = CoreAnalytics.qYoyGrowth(spark, sfDir).cache()
+    assert(df.count() > 0)
+    // wherever growth is non-null, it equals (rev - prev)/prev of the
+    // row's own revenue columns at 6dp
+    val bad = df.filter(col("yoy_growth").isNotNull)
+      .withColumn("re", round((col("revenue") - col("prev_revenue")) / col("prev_revenue"), 6))
+      .filter(col("yoy_growth") =!= col("re"))
+    assert(bad.count() == 0)
+    // each brand's first year has null growth
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("yr"))
+    val first = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assert(first.filter(col("yoy_growth").isNotNull).count() == 0)
+    df.unpersist()
+  }
+
   test("q_moving_corr: bounded in [-1,1], singleton windows null, 7-row window matches direct Pearson") {
     val df = CoreAnalytics.qMovingCorr(spark, sfDir).cache()
     assert(df.filter(col("corr_7d") < -1.000001 || col("corr_7d") > 1.000001).count() == 0)

@@ -423,4 +423,25 @@ class CorpusOpsSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("quality calibration: buckets tile the corpus, per-bucket stats re-derive from the scores") {
+    val cal = CorpusOps.corpusQualityCalibration(spark, sfDir).cache()
+    assert(cal.filter(col("bucket") < 0 || col("bucket") > 9).count() == 0)
+    val scored = CorpusOps.corpusQualityLogreg(spark, sfDir)
+      .select(col("label"), col("p6")).cache()
+    assert(cal.agg(sum(col("n_docs"))).head().getLong(0) == scored.count())
+    // re-derive one bucket's stats directly
+    val row = cal.orderBy(col("n_docs").desc).limit(1).collect().head
+    val (b, n, avgP, rate) = (row.getInt(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+    val in = scored.filter(least(floor(col("p6") * 10).cast("int"), lit(9)) === b).cache()
+    assert(in.count() == n)
+    val directRate = in.agg(avg(col("label").cast("double"))).head().getDouble(0)
+    assert(math.abs(rate - directRate) < 1e-6)
+    val directAvg = in.agg(avg(col("p6"))).head().getDouble(0)
+    assert(math.abs(avgP - directAvg) < 1e-5)
+    // gap column is consistent and calibration is not absurd in the
+    // heaviest bucket (the gate was trained on these very labels)
+    assert(math.abs(row.getDouble(4) - math.abs(avgP - rate)) < 1e-6)
+    in.unpersist(); scored.unpersist(); cal.unpersist()
+  }
+
 }

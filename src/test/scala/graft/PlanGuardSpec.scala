@@ -35,6 +35,7 @@ class PlanGuardSpec extends SparkTestBase {
     "ann_sq8_topk", // same compressed linear scan (64 B/vector) + 1-row model
     "ann_ivfsq8_topk", // K-constant centroid probe + 1-row range model
     "corpus_quality_logreg", // 1-row broadcast trained weight vector
+    "corpus_quality_calibration", // embeds the same 1-row weight crossJoin
     "ann_pq_topk", // the ADC linear scan IS the operator (M B/vector)
     "dedup_semantic", // embeds the k-means assign (same K-constant loop)
     "corpus_quality_gate", "corpus_mix_rebalance", "text_tfidf_topk",
