@@ -235,6 +235,36 @@ object EtlEnrichment {
       .orderBy(col("l_partkey"), col("version"))
   }
 
+  /** POINT-IN-TIME (fact → SCD2) temporal join — the enrichment that
+    * makes a version history useful: each fact row picks up the
+    * dimension version VALID AT ITS OWN TIMESTAMP (here, the price
+    * version in force on the ship date), never the current one — the
+    * correctness rule every warehouse backfill and feature-store
+    * lookup lives by (training-data leakage = joining tomorrow's
+    * attributes onto yesterday's facts). Plan shape: the version
+    * relation is keyed by the SAME partkey as the fact, so the join is
+    * a hash EQUI-join on partkey with the `valid_from ≤ ts < valid_to`
+    * interval as a residual filter over the ≤ #versions-per-key
+    * matches — never a range scan; by SCD2 construction intervals
+    * tile, so exactly one version survives per fact row. Emitted as
+    * the per-(part, version) usage summary (line count + ship-date
+    * span inside the version window) to keep the relation audit-sized.
+    */
+  def temporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val v = scd2History(spark, dir)
+      .select(col("l_partkey").as("pk"), col("version"), col("price"),
+        col("valid_from"), col("valid_to"))
+    Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_shipdate"))
+      .join(v, col("l_partkey") === col("pk") &&
+        col("l_shipdate") >= col("valid_from") &&
+        (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+      .groupBy(col("l_partkey"), col("version"), col("price"))
+      .agg(count(lit(1)).as("n_lines"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
+      .orderBy(col("l_partkey"), col("version"))
+  }
+
   /** Update-field projection (extraction.py:160-206): keep only rows
     * with both id and price.
     */
@@ -256,7 +286,8 @@ object EtlEnrichment {
     "etl_es_docs"          -> (esDocs _),
     "etl_update_fields"    -> (updateFields _),
     "etl_apply_updates"    -> (applyUpdates _),
-    "etl_scd2_history"     -> (scd2History _))
+    "etl_scd2_history"     -> (scd2History _),
+    "etl_temporal_join"    -> (temporalJoin _))
 
   private val embedDimsSql = (0 until 8).map { i =>
     s"""round(CAST(('0x' || substr(md5(product_name || ' ' || description || ' ' || brand_name || ' ' || category_name || ':$i'), 1, 8)) AS BIGINT) / 4294967296.0, 6) AS e$i"""
@@ -278,6 +309,33 @@ object EtlEnrichment {
        |FROM part""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "etl_temporal_join" ->
+      """WITH obs AS (
+        |  SELECT l_partkey, l_shipdate AS obs_date, min(l_extendedprice) AS price
+        |  FROM lineitem GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT *, lag(price) OVER (PARTITION BY l_partkey ORDER BY obs_date)
+        |    AS prev_price
+        |  FROM obs),
+        |starts AS (
+        |  SELECT l_partkey, obs_date, price FROM flagged
+        |  WHERE prev_price IS NULL OR price <> prev_price),
+        |versions AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(row_number() OVER w AS INT) AS version,
+        |    price, obs_date AS valid_from, lead(obs_date) OVER w AS valid_to
+        |  FROM starts
+        |  WINDOW w AS (PARTITION BY l_partkey ORDER BY obs_date))
+        |SELECT l.l_partkey, v.version, v.price,
+        |  count(*) AS n_lines,
+        |  min(l.l_shipdate) AS first_ship,
+        |  max(l.l_shipdate) AS last_ship
+        |FROM lineitem l
+        |JOIN versions v ON v.pk = l.l_partkey
+        |  AND l.l_shipdate >= v.valid_from
+        |  AND (v.valid_to IS NULL OR l.l_shipdate < v.valid_to)
+        |GROUP BY 1, 2, 3
+        |ORDER BY l_partkey, version""".stripMargin,
     "etl_scd2_history" ->
       """WITH obs AS (
         |  SELECT l_partkey, l_shipdate AS obs_date, min(l_extendedprice) AS price

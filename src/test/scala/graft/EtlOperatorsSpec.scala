@@ -218,6 +218,22 @@ class EtlOperatorsSpec extends SparkTestBase {
     assert(fallback.getAs[String]("header_text") == "Explore Our ECONOMY!")
   }
 
+  test("etl_temporal_join: versions tile — every lineitem lands in exactly one version window") {
+    val df = EtlEnrichment.temporalJoin(spark, sfDir).cache()
+    // total line coverage: every lineitem row is attributed exactly once
+    val total = df.agg(sum(col("n_lines"))).head().getLong(0)
+    assert(total == graft.Tables.lineitem(spark, sfDir).count(),
+      "temporal join lost or duplicated fact rows — version windows don't tile")
+    // ship spans sit inside the version window (re-join the history)
+    val v = EtlEnrichment.scd2History(spark, sfDir)
+      .select(col("l_partkey"), col("version"), col("valid_from"), col("valid_to"))
+    val joined = df.join(v, Seq("l_partkey", "version"))
+    assert(joined.filter(col("first_ship") < col("valid_from")).count() == 0)
+    assert(joined.filter(col("valid_to").isNotNull &&
+      col("last_ship") >= col("valid_to")).count() == 0)
+    df.unpersist()
+  }
+
   test("etl_cdc_apply: delete-terminated keys absent, survivors carry their true latest op") {
     val df = EtlCleaning.cdcApply(spark, sfDir).cache()
     assert(df.count() > 0)
