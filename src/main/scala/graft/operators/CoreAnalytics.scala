@@ -272,6 +272,43 @@ object CoreAnalytics {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** ABC / PARETO analysis of the part catalog — rank every part by
+    * revenue and classify by cumulative share (A carries the first
+    * 80%, B to 95%, C the tail): the concentration report behind
+    * assortment and inventory policy ("which 20% of parts earn 80% of
+    * revenue"). The GLOBAL ordered cumsum is the scale hazard here —
+    * a naive unpartitioned window funnels the whole catalog through
+    * one task — so the running total rides the shared two-phase
+    * [[CorpusOps.keyedCumsum]] (range partition → local cumsum →
+    * broadcast slice offsets; parallelism ∝ data). Float discipline:
+    * per-part revenue is 4-dp rounded then 10⁴-scaled to exact
+    * bigints, so the cumulative totals and the class boundaries
+    * (cum·100 ≤ total·80) are pure integer arithmetic; the share is
+    * one rounded division at the end.
+    */
+  def qAbcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("rev")), 4).as("revenue"))
+      .withColumn("rev4", expr("cast(round(revenue * 10000, 0) as bigint)"))
+      .withColumn("k", lit(1))
+    val cum = CorpusOps.keyedCumsum(perPart, "k",
+      Seq(col("rev4").desc, col("l_partkey")), "rev4", "cum4")
+    val total = perPart.agg(sum(col("rev4")).as("total4"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("cum_share", round(col("cum4") / col("total4"), 6))
+      .withColumn("abc_class",
+        when(col("cum4") * 100 <= col("total4") * 80, "A")
+          .when(col("cum4") * 100 <= col("total4") * 95, "B")
+          .otherwise("C"))
+      .select(col("l_partkey"), col("revenue"),
+        round(col("cum4") / 10000.0, 4).as("cum_revenue"),
+        col("cum_share"), col("abc_class"))
+      .orderBy(col("cum_revenue"), col("l_partkey"))
+  }
+
   /** Year-over-year GROWTH per brand — the comparative-period report
     * (this year vs the same period last year) every revenue review
     * leads with: yearly brand revenue, the prior year's value via a
@@ -988,6 +1025,7 @@ object CoreAnalytics {
     "q18_large_volume_customers" -> (q18LargeVolumeCustomers _),
     "q_moving_corr"        -> (qMovingCorr _),
     "q_yoy_growth"         -> (qYoyGrowth _),
+    "q_abc_analysis"       -> (qAbcAnalysis _),
     "q_rfm_segmentation"   -> (qRfmSegmentation _),
     "q_basket_lift"        -> (qBasketLift _),
     "q13_custdist"         -> (q13CustDist _),
@@ -1025,6 +1063,24 @@ object CoreAnalytics {
     "q_salted_skew_join"   -> (saltedSkewJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_abc_analysis" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |  FROM lineitem GROUP BY 1),
+        |sc AS (SELECT *, CAST(round(revenue * 10000, 0) AS BIGINT) AS rev4 FROM pp),
+        |cum AS (
+        |  SELECT *, sum(rev4) OVER (
+        |      ORDER BY rev4 DESC, l_partkey ROWS UNBOUNDED PRECEDING) AS cum4,
+        |    (SELECT sum(rev4) FROM sc) AS total4
+        |  FROM sc)
+        |SELECT l_partkey, revenue,
+        |  round(cum4 / 10000.0, 4) AS cum_revenue,
+        |  round(cum4 / total4, 6) AS cum_share,
+        |  CASE WHEN cum4 * 100 <= total4 * 80 THEN 'A'
+        |       WHEN cum4 * 100 <= total4 * 95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM cum ORDER BY cum_revenue, l_partkey""".stripMargin,
     "q_yoy_growth" ->
       """WITH yearly AS (
         |  SELECT p.p_brand, year(l.l_shipdate) AS yr,

@@ -12,6 +12,27 @@ class CoreAnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("q_abc_analysis: classes cut at the 80/95 cumulative boundaries, shares close at 1") {
+    val df = CoreAnalytics.qAbcAnalysis(spark, sfDir).cache()
+    assert(df.count() == graft.Tables.lineitem(spark, sfDir)
+      .select("l_partkey").distinct().count())
+    // the ranked walk ends at the full total
+    val last = df.orderBy(col("cum_revenue").desc).limit(1).collect().head
+    assert(math.abs(last.getDouble(3) - 1.0) < 1e-6)
+    // class boundaries: every A row's cumulative share is <= 0.80,
+    // every B row's <= 0.95 (inclusive-boundary rule), C above 0.95
+    assert(df.filter(col("abc_class") === "A" && col("cum_share") > 0.800001).count() == 0)
+    assert(df.filter(col("abc_class") === "B" &&
+      (col("cum_share") > 0.950001 || col("cum_share") <= 0.799999)).count() == 0)
+    assert(df.filter(col("abc_class") === "C" && col("cum_share") <= 0.949999).count() == 0)
+    // cumulative revenue is nondecreasing in rank order
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cum_revenue"))
+    assert(df.withColumn("prev", lag(col("cum_revenue"), 1).over(w))
+      .filter(col("prev").isNotNull && col("cum_revenue") < col("prev")).count() == 0)
+    df.unpersist()
+  }
+
   test("q_yoy_growth: growth recomputes from the adjacent revenue pair, gaps emit null") {
     val df = CoreAnalytics.qYoyGrowth(spark, sfDir).cache()
     assert(df.count() > 0)

@@ -53,6 +53,7 @@ class PlanGuardSpec extends SparkTestBase {
     "corpus_pack_pairs", // 1-row broadcast corpus count for rank pairing
     "q_rfm_segmentation", // 1-row broadcast reference date + customer count
     "q_basket_lift", // 1-row broadcast order-count lift normalizer
+    "q_abc_analysis", // 1-row broadcast revenue total
     "graph_modularity") // 1-row broadcast edge-count normalizer
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

@@ -194,7 +194,59 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // bench gram distinct (+ the bloom subquery's own 1-row agg) +
     // candidate confirm distinct + final left join/sort; corpus grams
     // die map-side at the bloom probe
-    "corpus_decontaminate_bloom" -> 6)
+    "corpus_decontaminate_bloom" -> 6,
+    // ---- round-8 additions ----
+    // lineitem agg; the having-sliver joins broadcast, the top-100 is
+    // TakeOrdered (no exchange) — the aggregate-before-join floor
+    "q18_large_volume_customers" -> 1,
+    // daily agg + the global frame window over it (allowed: above an
+    // aggregation, one row per ship-day)
+    "q_moving_corr"         -> 2,
+    // (brand, year) agg + brand-partitioned lag window + output sort
+    "q_yoy_growth"          -> 3,
+    // POST-peel plans only: per-round degree aggs + endpoint joins are
+    // materialized behind per-round checkpoints (like the components
+    // fixpoint); same for BFS's per-round min-folds
+    "graph_kcore"           -> 2,
+    "graph_bfs"             -> 1,
+    // wedge join + degree joins + anti-join + AA agg + output sort,
+    // over the CHECKPOINTED edge relation
+    "graph_link_prediction" -> 9,
+    // k-means assign windows + the sq8 scan's rank window + output
+    // sort; codes ride the vec_id join, probes/model/queries broadcast
+    "ann_ivfsq8_topk"       -> 8,
+    // bit-pack agg + hamming shortlist window + exact rank + sort
+    "ann_bq_rerank"         -> 4,
+    // per-set distinct + the O(k) partial bottom_k single-partition
+    // merge (×2 sets); everything after is 1-row broadcast algebra
+    "sketch_kmv_setops"     -> 4,
+    // langid scan agg + declared-lang share window + output sort
+    "text_langid_eval"      -> 3,
+    // (hour, user) agg + hour-partitioned rank window + output sort
+    "events_windowed_topk"  -> 3,
+    // (user, day) distinct + daily agg + exploded 7-window distinct agg
+    // + output sort
+    "events_uniques_sliding" -> 4,
+    // daily agg + 7-day-shifted self-join + type summary + sort
+    "events_forecast_eval"  -> 4,
+    // bucketed pair join + per-purchase k window + hour agg + sort
+    "events_attribution_multitouch" -> 4,
+    // first-day agg + user join-back + (cohort, age) agg + cum window
+    // + size join + output sort
+    "events_cohort_ltv"     -> 7,
+    // inserted distinct + bit-position distinct + probe agg + three
+    // 1-row count aggregates
+    "dq_bloom_fpr"          -> 6,
+    // ONE key-partitioned window pass (rank + change count) + sort
+    "etl_cdc_apply"         -> 2,
+    // version build windows + the fact equi-join + usage agg/sort
+    "etl_temporal_join"     -> 3,
+    // the logreg chain's feature scan (training folds behind 1-row
+    // aggs) + the ≤10-row bucket agg
+    "corpus_quality_calibration" -> 2,
+    // per-part agg + the two-phase cumsum family price (post-checkpoint
+    // slice windows + offsets agg) + 1-row total + output sort
+    "q_abc_analysis"        -> 6)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
