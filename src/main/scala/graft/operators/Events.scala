@@ -505,20 +505,54 @@ object Events {
     * pass via conditional min), then per-user flags — the classic
     * conversion query without a self-join per stage.
     */
-  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-user first-occurrence timestamps of the funnel stages —
+    * shared by the reach flags and the time-to-convert percentiles.
+    */
+  private def funnelPerUser(spark: SparkSession, dir: String): DataFrame = {
     def firstTs(t: String) = min(when(col("event_type") === t, col("ts"))).as(s"first_$t")
-    val perUser = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(firstTs("click"), firstTs("view"), firstTs("purchase"))
-    val s1 = col("first_click").isNotNull
-    val s2 = s1 && col("first_view").isNotNull && col("first_view") >= col("first_click")
-    val s3 = s2 && col("first_purchase").isNotNull && col("first_purchase") >= col("first_view")
-    perUser.select(
+  }
+  private def funnelS1 = col("first_click").isNotNull
+  private def funnelS2 = funnelS1 &&
+    col("first_view").isNotNull && col("first_view") >= col("first_click")
+  private def funnelS3 = funnelS2 &&
+    col("first_purchase").isNotNull && col("first_purchase") >= col("first_view")
+
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelPerUser(spark, dir).select(
         col("user_id"),
-        s1.as("reached_click"),
-        s2.as("reached_view"),
-        s3.as("reached_purchase"))
+        funnelS1.as("reached_click"),
+        funnelS2.as("reached_view"),
+        funnelS3.as("reached_purchase"))
       .orderBy(col("user_id"))
+
+  /** Funnel TIME-TO-CONVERT — the latency half of funnel analytics
+    * (the reach counts say HOW MANY convert; this says HOW FAST): per
+    * adjacent stage pair, the converted-user count and the p50/p90 of
+    * the first-occurrence time delta. Deltas are exact integer
+    * MICROSECONDS (unix_micros difference — the sessionizer's
+    * timestamp discipline), percentiled with the same exact
+    * interpolated `percentile` ↔ `quantile_cont` pairing
+    * `events_quantiles` proved engine-exact, and converted to seconds
+    * in one rounded division. Cost: the same one per-user aggregate
+    * the funnel runs, then a 2-group percentile.
+    */
+  def eventsFunnelTtc(spark: SparkSession, dir: String): DataFrame = {
+    val pu = funnelPerUser(spark, dir)
+    val cv = pu.filter(funnelS2).select(
+      lit("click_to_view").as("stage_pair"),
+      (unix_micros(col("first_view")) - unix_micros(col("first_click"))).as("d_us"))
+    val vp = pu.filter(funnelS3).select(
+      lit("view_to_purchase").as("stage_pair"),
+      (unix_micros(col("first_purchase")) - unix_micros(col("first_view"))).as("d_us"))
+    cv.union(vp)
+      .groupBy(col("stage_pair"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(d_us, 0.5D)") / 1000000.0, 6).as("p50_s"),
+        round(expr("percentile(d_us, 0.9D)") / 1000000.0, 6).as("p90_s"))
+      .orderBy(col("stage_pair"))
   }
 
   /** Day-N cohort retention: users grouped by first-active day, counted
@@ -873,6 +907,7 @@ object Events {
     "events_forecast_eval" -> (eventsForecastEval _),
     "events_attribution_multitouch" -> (eventsAttributionMultitouch _),
     "events_cohort_ltv" -> (eventsCohortLtv _),
+    "events_funnel_ttc" -> (eventsFunnelTtc _),
     "events_promo_attribution" -> (eventsPromoAttribution _),
     "events_unpivot_daily" -> (eventsUnpivotDaily _),
     "events_quantiles_approx" -> (eventsQuantilesApprox _),
@@ -1032,6 +1067,30 @@ object Events {
         |  count(DISTINCT user_id) AS n_users
         |FROM w GROUP BY 1, 2, 3
         |ORDER BY window_start_s, event_type""".stripMargin,
+    "events_funnel_ttc" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |  FROM events GROUP BY 1),
+        |deltas AS (
+        |  SELECT 'click_to_view' AS stage_pair,
+        |    epoch_us(first_view) - epoch_us(first_click) AS d_us
+        |  FROM pu
+        |  WHERE first_click IS NOT NULL AND first_view IS NOT NULL
+        |    AND first_view >= first_click
+        |  UNION ALL
+        |  SELECT 'view_to_purchase',
+        |    epoch_us(first_purchase) - epoch_us(first_view)
+        |  FROM pu
+        |  WHERE first_click IS NOT NULL AND first_view IS NOT NULL
+        |    AND first_view >= first_click
+        |    AND first_purchase IS NOT NULL AND first_purchase >= first_view)
+        |SELECT stage_pair, count(*) AS n_converted,
+        |  round(quantile_cont(d_us, 0.5) / 1000000.0, 6) AS p50_s,
+        |  round(quantile_cont(d_us, 0.9) / 1000000.0, 6) AS p90_s
+        |FROM deltas GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_cohort_ltv" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('day', ts) AS day, value FROM events),

@@ -143,6 +143,18 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(df.join(exact, "event_type").filter(col("n_exact") =!= col("n")).count() == 0)
   }
 
+  test("events_funnel_ttc: converted counts match the funnel flags, percentiles ordered and nonnegative") {
+    val ttc = Events.eventsFunnelTtc(spark, sfDir).cache()
+    val m = ttc.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val funnel = Events.eventsFunnel(spark, sfDir).cache()
+    assert(m("click_to_view")._1 == funnel.filter(col("reached_view")).count())
+    assert(m("view_to_purchase")._1 == funnel.filter(col("reached_purchase")).count())
+    m.values.foreach { case (_, p50, p90) =>
+      assert(p50 >= 0 && p90 >= p50, s"percentiles out of order: $p50 / $p90")
+    }
+    funnel.unpersist(); ttc.unpersist()
+  }
+
   test("events_cohort_ltv: cumulative value monotone in age, age-0 users equal cohort size") {
     val df = Events.eventsCohortLtv(spark, sfDir).cache()
     assert(df.count() > 0)
