@@ -345,14 +345,15 @@ object CoreAnalytics {
     * "does revenue still track volume?", the demand-mix drift signal a
     * daily ops review watches. Discipline for engine-exact floats:
     * the daily aggregates are INTEGERS (quantities are integral;
-    * revenue rounds to whole units), so the six window sums
-    * (n, Σx, Σy, Σxy, Σx², Σy²) are exact bigints at any frame
-    * alignment — order-free — and corr is derived from them in ONE
+    * revenue rounds to whole units), carried as DECIMAL(38,0) so the
+    * six window sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact at any
+    * frame alignment and any daily magnitude — order-free, and an
+    * overflow past 38 digits nulls loudly instead of wrapping (DuckDB
+    * mirrors with exact HUGEINT sums). corr derives from them in ONE
     * double expression, num / (√f1·√f2) with f1 = nΣx²−(Σx)²,
     * f2 likewise: both engines evaluate identical IEEE ops on
-    * identical integers (√f1·√f2 instead of √(f1·f2), whose bigint
-    * product would overflow; each factor alone fits through ~1e9-unit
-    * days). Zero-variance windows emit null. The window runs over the
+    * identical exact integers. Zero-variance windows emit null. The
+    * window runs over the
     * DAILY aggregate (one row per ship-day) — cost independent of raw
     * fact volume, the same above-the-aggregation shape the plan guard
     * allows for global windows.
@@ -364,16 +365,22 @@ object CoreAnalytics {
       .groupBy(col("l_shipdate").cast("date").as("ship_date"))
       .agg(sum(col("l_quantity")).cast("bigint").as("x"),
         round(sum(col("rev")), 0).cast("bigint").as("y"))
+    // Exact wide-integer window sums: decimal(19,0) daily values make
+    // the squared/cross products decimal(38,0) — no silent bigint wrap
+    // at any daily magnitude; a >38-digit overflow nulls loudly.
+    val xd = col("x").cast("decimal(19,0)")
+    val yd = col("y").cast("decimal(19,0)")
     val w = Window.orderBy(col("ship_date")).rowsBetween(-6, Window.currentRow)
-    val f1 = col("n") * col("sxx") - col("sx") * col("sx")
-    val f2 = col("n") * col("syy") - col("sy") * col("sy")
+    val nd = col("n").cast("decimal(19,0)")
+    val f1 = nd * col("sxx") - col("sx") * col("sx")
+    val f2 = nd * col("syy") - col("sy") * col("sy")
     daily
       .withColumn("n", count(lit(1)).over(w))
-      .withColumn("sx", sum(col("x")).over(w))
-      .withColumn("sy", sum(col("y")).over(w))
-      .withColumn("sxy", sum(col("x") * col("y")).over(w))
-      .withColumn("sxx", sum(col("x") * col("x")).over(w))
-      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .withColumn("sx", sum(xd).over(w))
+      .withColumn("sy", sum(yd).over(w))
+      .withColumn("sxy", sum(xd * yd).over(w))
+      .withColumn("sxx", sum(xd * xd).over(w))
+      .withColumn("syy", sum(yd * yd).over(w))
       .withColumn("corr_7d",
         when(f1 > 0 && f2 > 0, round(
           (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")

@@ -578,10 +578,11 @@ object Events {
     * the per-user average — the lifetime-value ramp growth analytics
     * reads cohort-over-cohort. Same first-touch derivation as
     * retention (one min-aggregate per user riding the user-keyed
-    * join); per-(cohort, age) value sums are rounded then
-    * integer-scaled BEFORE the cumulative window, so the running LTV
-    * is a bigint cumsum over ≤ 8 rows per cohort — exact at any data
-    * size, and the window input is the aggregate, never events.
+    * join); each event value is integer-scaled to a bigint BEFORE the
+    * per-(cohort, age) sum — so both the group sum and the running LTV
+    * cumsum are order-free exact bigint arithmetic at any data size
+    * and partitioning, and the window input is the aggregate, never
+    * events.
     */
   def eventsCohortLtv(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -592,7 +593,7 @@ object Events {
       .filter(col("age") <= 7)
       .groupBy(col("cohort_day"), col("age"))
       .agg(countDistinct(col("user_id")).as("n_users"),
-        expr("cast(round(sum(value) * 1000000.0, 0) as bigint)").as("v6"))
+        sum(expr("cast(round(value * 1000000.0, 0) as bigint)")).as("v6"))
     val wCum = Window.partitionBy(col("cohort_day")).orderBy(col("age"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val size = perAge.filter(col("age") === 0)
@@ -1098,7 +1099,7 @@ object Events {
         |pa AS (
         |  SELECT c.cohort_day, date_diff('day', c.cohort_day, e.day) AS age,
         |    count(DISTINCT e.user_id) AS n_users,
-        |    CAST(round(sum(e.value) * 1000000.0, 0) AS BIGINT) AS v6
+        |    sum(CAST(round(e.value * 1000000.0, 0) AS BIGINT)) AS v6
         |  FROM ev e JOIN coh c ON c.user_id = e.user_id
         |  WHERE date_diff('day', c.cohort_day, e.day) <= 7
         |  GROUP BY 1, 2),
@@ -1115,12 +1116,12 @@ object Events {
     "events_attribution_multitouch" ->
       """WITH clicks AS (
         |  SELECT user_id, ts AS c_ts, event_id AS click_id,
-        |    unnest([CAST(epoch(ts) AS BIGINT) // 1800,
-        |            CAST(epoch(ts) AS BIGINT) // 1800 + 1]) AS b
+        |    unnest([CAST(floor(epoch(ts)) AS BIGINT) // 1800,
+        |            CAST(floor(epoch(ts)) AS BIGINT) // 1800 + 1]) AS b
         |  FROM events WHERE event_type = 'click'),
         |purch AS (
         |  SELECT user_id, ts AS p_ts, event_id AS purchase_id, value,
-        |    CAST(epoch(ts) AS BIGINT) // 1800 AS b
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 1800 AS b
         |  FROM events WHERE event_type = 'purchase'),
         |pairs AS (
         |  SELECT DISTINCT p.purchase_id, c.click_id, c.c_ts, p.value
