@@ -343,8 +343,15 @@ object GraphOps {
         .join(keep.select(col("node").as("dst")), "dst")
         .localCheckpoint()
     }
+    // Final keep-filter: a deep peel cascade can leave round-R nodes
+    // whose degree already fell below k (the loop's last filter only
+    // guarantees ≥ k in the penultimate graph), so emit only nodes
+    // whose round-R degree still meets k — every emitted core_degree
+    // satisfies ≥ KcoreK by construction. Survivors are round-bounded
+    // peel output, not a converged k-core (the fixed-round contract).
     edges.groupBy(col("src"))
       .agg(count(lit(1)).as("core_degree"))
+      .filter(col("core_degree") >= KcoreK)
       .select(col("src").as("node"), col("core_degree"))
       .orderBy(col("node"))
   }
@@ -441,6 +448,40 @@ object GraphOps {
       .orderBy(col("u"), col("w"))
   }
 
+  /** The mutual-kNN edge relation SERVED from its write-once bucketed
+    * artifact table ([[graft.sources.ArtifactStore]]): the first
+    * caller in the JVM pays the band-join + rank + mutual-join build
+    * and the bucketed write; every later graph query reads the table —
+    * the train-once/serve-many split production graph analytics runs
+    * (an edge relation over 100 TB is built by one pipeline and read
+    * by every audit query, never rebuilt per query). Bucketed+sorted
+    * on `a` so downstream equi-joins on the source endpoint can elide
+    * their exchange against an equally-bucketed side.
+    */
+  private[graft] def knnEdgesServed(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ArtifactStore.ensure(spark, dir, "knn_edges", "a", 8)(
+      knnEdges(spark, dir))
+
+  /** Served twins — identical operator math over the artifact edge
+    * table instead of the inline-built relation, so each query's cost
+    * is the PROBE side alone (ArtifactStoreSpec pins served ≡
+    * self-contained; the shared oracle SQL hash-checks each one).
+    */
+  def graphPagerankIndexed(spark: SparkSession, dir: String): DataFrame =
+    pagerankOf(knnEdgesServed(spark, dir))
+  def graphTrianglesIndexed(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(knnEdgesServed(spark, dir))
+  def graphLabelPropagationIndexed(spark: SparkSession, dir: String): DataFrame =
+    labelPropagationOf(knnEdgesServed(spark, dir))
+  def graphModularityIndexed(spark: SparkSession, dir: String): DataFrame =
+    modularityOf(knnEdgesServed(spark, dir))
+  def graphKcoreIndexed(spark: SparkSession, dir: String): DataFrame =
+    kcoreOf(knnEdgesServed(spark, dir))
+  def graphBfsIndexed(spark: SparkSession, dir: String): DataFrame =
+    bfsOf(knnEdgesServed(spark, dir))
+  def graphLinkPredictionIndexed(spark: SparkSession, dir: String): DataFrame =
+    linkPredictionOf(knnEdgesServed(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_prediction" -> (graphLinkPrediction _),
     "graph_bfs" -> (graphBfs _),
@@ -448,7 +489,14 @@ object GraphOps {
     "graph_triangles" -> (graphTriangles _),
     "graph_label_propagation" -> (graphLabelPropagation _),
     "graph_modularity" -> (graphModularity _),
-    "graph_kcore" -> (graphKcore _))
+    "graph_kcore" -> (graphKcore _),
+    "graph_link_prediction_indexed" -> (graphLinkPredictionIndexed _),
+    "graph_bfs_indexed" -> (graphBfsIndexed _),
+    "graph_pagerank_indexed" -> (graphPagerankIndexed _),
+    "graph_triangles_indexed" -> (graphTrianglesIndexed _),
+    "graph_label_propagation_indexed" -> (graphLabelPropagationIndexed _),
+    "graph_modularity_indexed" -> (graphModularityIndexed _),
+    "graph_kcore_indexed" -> (graphKcoreIndexed _))
 
   private def lpIter(prev: String, out: String): String =
     s"""$out AS (
@@ -485,7 +533,10 @@ object GraphOps {
        |    round((SELECT $Teleport / n_nodes FROM n) + $Damping * sum(r.r / we.d), 6) AS r
        |  FROM we JOIN $prev r ON r.doc_id = we.src GROUP BY we.dst)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** Shared by each operator and its `_indexed` twin: the artifact IS
+    * the same relation, so one SQL string hash-checks both.
+    */
+  private val oraclesBase: Map[String, String] = Map(
     "graph_pagerank" ->
       s"""WITH $knnEdgesCte,
          |dedges AS (SELECT a AS src, b AS dst FROM edges
@@ -572,7 +623,8 @@ object GraphOps {
          |       UNION ALL SELECT b, a FROM edges),
          |${(1 to KcoreRounds).map(i => kcoreRound(s"k${i - 1}", s"$i")).mkString(",\n")}
          |SELECT src AS node, count(*) AS core_degree
-         |FROM k$KcoreRounds GROUP BY src ORDER BY node""".stripMargin,
+         |FROM k$KcoreRounds GROUP BY src
+         |HAVING count(*) >= $KcoreK ORDER BY node""".stripMargin,
     "graph_triangles" ->
       s"""WITH $knnEdgesCte,
          |tris AS (
@@ -594,4 +646,7 @@ object GraphOps {
          |  ELSE 0.0 END AS clustering
          |FROM deg d LEFT JOIN tpn t USING (node)
          |ORDER BY d.node""".stripMargin)
+
+  val oracles: Map[String, String] =
+    oraclesBase ++ oraclesBase.map { case (k, v) => s"${k}_indexed" -> v }
 }

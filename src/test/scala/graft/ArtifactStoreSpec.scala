@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{AnnSearch, GraphOps}
+import graft.sources.ArtifactStore
+import org.apache.spark.sql.functions._
+
+/** The train-once/serve-many contract: `*_indexed` / `*_served`
+  * operators answer from persisted artifact tables and must equal
+  * their self-contained twins row-for-row; the artifact builds at most
+  * once per JVM.
+  */
+class ArtifactStoreSpec extends SparkTestBase {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("artifact builds once per JVM and serves the identical relation") {
+    var builds = 0
+    def make = {
+      builds += 1
+      spark.range(5).select(col("id").as("k"), (col("id") * 2).as("v"))
+    }
+    val a = ArtifactStore.ensure(spark, sfDir, "spec_probe", "k", 2)(make)
+    val b = ArtifactStore.ensure(spark, sfDir, "spec_probe", "k", 2)(make)
+    assert(builds == 1, s"build ran $builds times")
+    assert(ArtifactStore.has(sfDir, "spec_probe"))
+    assert(rows(a.orderBy("k")) == rows(b.orderBy("k")))
+    assert(a.count() == 5)
+  }
+
+  test("graph served twins equal their self-contained forms") {
+    // pagerank (iterative), triangles (wedge join), kcore (peel) cover
+    // the three graph plan shapes; the other twins share knnEdgesServed
+    assert(rows(GraphOps.graphPagerankIndexed(spark, sfDir))
+      == rows(GraphOps.graphPagerank(spark, sfDir)))
+    assert(rows(GraphOps.graphTrianglesIndexed(spark, sfDir))
+      == rows(GraphOps.graphTriangles(spark, sfDir)))
+    assert(rows(GraphOps.graphKcoreIndexed(spark, sfDir))
+      == rows(GraphOps.graphKcore(spark, sfDir)))
+  }
+
+  test("ann served twins equal their self-contained forms") {
+    assert(rows(AnnSearch.annIvfadcServed(spark, sfDir))
+      == rows(AnnSearch.annIvfadcTopk(spark, sfDir)))
+    assert(rows(AnnSearch.annIvfadcRerankServed(spark, sfDir))
+      == rows(AnnSearch.annIvfadcRerank(spark, sfDir)))
+  }
+
+  test("served twins return rows (artifact tables are non-empty)") {
+    assert(GraphOps.graphBfsIndexed(spark, sfDir).count() > 0)
+    assert(GraphOps.graphLabelPropagationIndexed(spark, sfDir).count() > 0)
+    assert(GraphOps.graphModularityIndexed(spark, sfDir).count() > 0)
+    assert(GraphOps.graphLinkPredictionIndexed(spark, sfDir).count() > 0)
+  }
+}

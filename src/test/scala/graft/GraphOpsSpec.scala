@@ -202,12 +202,9 @@ class GraphOpsSpec extends SparkTestBase {
   test("graph_kcore invariants on the mutual-kNN price graph") {
     val core = GraphOps.graphKcore(spark, sfDir).cache()
     assert(core.count() > 0)
-    // every surviving node has in-core degree >= k − peeling may not
-    // have converged at the fixed round count, but the LAST round's
-    // keep-filter guarantees degree ≥ 3 in the penultimate subgraph;
-    // the emitted degree counts the FINAL subgraph, so assert ≥ 1 and
-    // that the k-bound holds for the overwhelming share
-    assert(core.filter(col("core_degree") < 1).count() == 0)
+    // the final keep-filter guarantees every emitted node carries
+    // round-R degree >= k — the hard contract, no weakening needed
+    assert(core.filter(col("core_degree") < 3).count() == 0)
     // the 3-core is a subgraph of the input node set
     val nodes = GraphOps.graphTriangles(spark, sfDir).select(col("node"))
     assert(core.join(nodes, "node").count() == core.count())

@@ -49,6 +49,11 @@ class PlanGuardSpec extends SparkTestBase {
     "sketch_kmv_setops", // crossJoin of two 1-row KMV sample arrays
     "dq_bloom_fpr", // crossJoin of three 1-row count aggregates
     "graph_pagerank", // 1-row broadcast node count joined per iteration
+    // the served/indexed twins keep their base form's K-constant
+    // centroid probe / 1-row normalizer loops — the artifact changes
+    // WHERE the trained relations come from, not the probe plan shape
+    "ann_ivfadc_served", "ann_ivfadc_rerank_served",
+    "graph_pagerank_indexed", "graph_modularity_indexed",
     "corpus_epoch_plan", // 1-row broadcast mixture normalizer Z
     "corpus_pack_pairs", // 1-row broadcast corpus count for rank pairing
     "q_rfm_segmentation", // 1-row broadcast reference date + customer count
