@@ -626,4 +626,74 @@ object StreamOps {
       .transformWithState(new EmaProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
+
+  /** One keyed change-log record (the CDC trickle the reference's
+    * update flow reads continuously, extraction.py:160-206): op ∈
+    * I/U/D, `seq` totally ordered per key.
+    */
+  case class CdcChange(key: Long, seq: Long, op: String, value: Double)
+
+  /** Per-key CDC fold state: the winning (highest-seq) op so far plus
+    * the accumulated change count.
+    */
+  case class CdcSt(seq: Long, op: String, value: Double, nChanges: Long)
+
+  /** One upsert/tombstone emission per touched key per micro-batch —
+    * the MERGE feed a lakehouse sink applies. `tombstone` rows retract
+    * a key whose latest op is a delete (batch `etl_cdc_apply` simply
+    * drops them; a continuous consumer needs the retraction made
+    * explicit).
+    */
+  case class CdcRow(key: Long, last_op: String, value: Double,
+      n_changes: Long, tombstone: Boolean)
+
+  /** STREAMING CDC APPLY — the continuous twin of the batch
+    * `etl_cdc_apply` ([[graft.operators.EtlCleaning.cdcApply]]): the
+    * reference's update flow is a TRICKLE (indexed actions read since
+    * the last watermark, extraction.py:160-206), and at 100 TB nobody
+    * re-materializes table state from the full log per batch — state
+    * lives per key, each micro-batch folds only ITS changes in.
+    * `ValueState` per key holds (winning seq, op, value, n_changes);
+    * latest-op-wins by sequence exactly as the batch rank window, a
+    * key whose current winner is a delete emits a TOMBSTONE row
+    * (dropped in batch, an explicit retraction here). Work per batch ∝
+    * batch size — the log is never rescanned, the contract
+    * StreamingSpec pins by replaying the batch oracle's deterministic
+    * log in micro-batches and asserting final stream state ≡ batch
+    * output.
+    */
+  class CdcApplyProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, CdcChange, CdcRow] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[CdcSt] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[CdcSt]("st",
+        org.apache.spark.sql.Encoders.product[CdcSt],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, it: Iterator[CdcChange],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[CdcRow] = {
+      var cur = if (st.exists()) st.get() else CdcSt(Long.MinValue, "", 0.0, 0L)
+      it.foreach { c =>
+        val wins = c.seq > cur.seq
+        cur = CdcSt(
+          if (wins) c.seq else cur.seq,
+          if (wins) c.op else cur.op,
+          if (wins) c.value else cur.value,
+          cur.nChanges + 1)
+      }
+      st.update(cur)
+      // HALF_UP to 2 decimals — the same rounding Spark's round(value, 2)
+      // applies in the batch twin, so stream ≡ batch is value-exact
+      Iterator.single(CdcRow(key, cur.op,
+        BigDecimal(cur.value).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        cur.nChanges, cur.op == "D"))
+    }
+  }
+
+  def cdcApplyStream(changes: Dataset[CdcChange]): Dataset[CdcRow] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.key)
+      .transformWithState(new CdcApplyProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -655,4 +655,58 @@ class StreamingSpec extends SparkTestBase {
     assert(batch == got, s"stream vs batch divergence: $batch vs $got")
   }
 
+  test("streaming CDC apply converges to the batch etl_cdc_apply state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{CdcChange, CdcRow}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the SAME deterministic change log the batch operator derives
+      // from orders (key = custkey, seq = orderkey, op by mod rule)
+      val log = Tables.orders(spark, sfDir)
+        .select(col("o_custkey").as("key"), col("o_orderkey").as("seq"),
+          when(col("o_orderkey") % 10 === 0, "D")
+            .when(col("o_orderkey") % 10 <= 3, "U")
+            .otherwise("I").as("op"),
+          col("o_totalprice").as("value"))
+        .as[CdcChange].collect().toSeq
+      // replay in three micro-batches, deliberately NOT seq-ordered
+      // inside each batch (CDC transport reorders; seq decides)
+      val chunks = log.grouped((log.size + 2) / 3).map(_.reverse).toSeq
+      val stream = MemoryStream[CdcChange]
+      val q = StreamOps.cdcApplyStream(stream.toDS())
+        .writeStream.format("memory").queryName("cdc_apply")
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => stream.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      // final state per key = the LAST emission; tombstones drop out
+      val emitted = spark.table("cdc_apply").as[CdcRow].collect()
+      val finalState = emitted.zipWithIndex
+        .groupBy(_._1.key).map { case (_, rows) => rows.maxBy(_._2)._1 }
+        .filterNot(_.tombstone)
+        .map(r => (r.key, r.last_op, r.value, r.n_changes)).toSet
+      val batch = graft.operators.EtlCleaning.cdcApply(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getDouble(2), r.getLong(3))).toSet
+      assert(batch.nonEmpty)
+      assert(finalState == batch,
+        s"stream vs batch CDC state: ${finalState.size} vs ${batch.size} keys; " +
+          s"diff sample: ${(finalState diff batch).take(3)} / ${(batch diff finalState).take(3)}")
+      // deleted keys really are retracted: some tombstones exist in the
+      // log (orderkey % 10 == 0 appears as a final op for some key)
+      val tombstoned = emitted.zipWithIndex
+        .groupBy(_._1.key).map { case (_, rows) => rows.maxBy(_._2)._1 }
+        .count(_.tombstone)
+      assert(tombstoned + finalState.size ==
+        emitted.map(_.key).distinct.length)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
 }
