@@ -1,0 +1,105 @@
+package graft
+
+import graft.sinks.IdempotentMergeSink
+import org.apache.spark.sql.functions._
+import java.io.File
+import java.nio.file.Files
+
+/** The write-back contract: marker-last commits, batch-id idempotence,
+  * crash-retry safety, CDC-style delete semantics.
+  */
+class IdempotentMergeSinkSpec extends SparkTestBase {
+
+  private def freshRoot(): String = {
+    val d = Files.createTempDirectory("graft_merge_sink").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def state(root: String): Set[(Long, String)] = {
+    IdempotentMergeSink.read(spark, root)
+      .map(_.collect().map(r =>
+        (r.getAs[Long]("key"), r.getAs[String]("payload"))).toSet)
+      .getOrElse(Set.empty)
+  }
+
+  test("merge applies upserts and deletes; re-running the same batch is a no-op") {
+    import spark.implicits._
+    val root = freshRoot()
+    val b1 = Seq((1L, "I", "a"), (2L, "I", "b"), (3L, "I", "c"))
+      .toDF("key", "op", "payload")
+    assert(IdempotentMergeSink.merge(spark, root, b1, "key", "batch-1"))
+    assert(state(root) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(IdempotentMergeSink.version(root) == 1)
+
+    // update key 2, delete key 3
+    val b2 = Seq((2L, "U", "b2"), (3L, "D", "")).toDF("key", "op", "payload")
+    assert(IdempotentMergeSink.merge(spark, root, b2, "key", "batch-2"))
+    assert(state(root) == Set((1L, "a"), (2L, "b2")))
+    assert(IdempotentMergeSink.version(root) == 2)
+
+    // the retried PUT: same batch id → structural no-op, no new version
+    assert(!IdempotentMergeSink.merge(spark, root, b2, "key", "batch-2"))
+    assert(IdempotentMergeSink.version(root) == 2)
+    assert(state(root) == Set((1L, "a"), (2L, "b2")))
+    assert(IdempotentMergeSink.applied(root, "batch-2"))
+    assert(!IdempotentMergeSink.applied(root, "batch-3"))
+  }
+
+  test("within-batch seq orders ops: the highest sequence wins per key") {
+    import spark.implicits._
+    val root = freshRoot()
+    val b = Seq(
+      (1L, 10L, "I", "old"), (1L, 20L, "U", "new"), // 20 wins
+      (2L, 5L, "I", "x"), (2L, 9L, "D", ""))        // delete wins
+      .toDF("key", "seq", "op", "payload")
+    assert(IdempotentMergeSink.merge(spark, root, b, "key", "b1"))
+    assert(state(root) == Set((1L, "new")))
+  }
+
+  test("a crash before the marker is invisible; the retry commits cleanly") {
+    import spark.implicits._
+    val root = freshRoot()
+    val b1 = Seq((1L, "I", "a")).toDF("key", "op", "payload")
+    assert(IdempotentMergeSink.merge(spark, root, b1, "key", "b1"))
+
+    // simulate a crashed writer: v=2 data fully written, NO marker
+    val b2 = Seq((2L, "I", "b")).toDF("key", "op", "payload")
+    Seq((1L, "a"), (2L, "b")).toDF("key", "payload")
+      .write.mode("overwrite").parquet(s"$root/v=2")
+    // readers never see the unmarked version
+    assert(IdempotentMergeSink.version(root) == 1)
+    assert(state(root) == Set((1L, "a")))
+
+    // the retry (same logical batch, marker never landed → not applied)
+    assert(!IdempotentMergeSink.applied(root, "b2"))
+    assert(IdempotentMergeSink.merge(spark, root, b2, "key", "b2"))
+    assert(IdempotentMergeSink.version(root) == 2)
+    assert(state(root) == Set((1L, "a"), (2L, "b")))
+    // and a second retry after success is the no-op path
+    assert(!IdempotentMergeSink.merge(spark, root, b2, "key", "b2"))
+  }
+
+  test("merge state matches etl_cdc_apply replayed through the sink") {
+    import spark.implicits._
+    val root = freshRoot()
+    // the batch operator's deterministic log, split in two batches by seq
+    val log = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("key"), col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 10 === 0, "D")
+          .when(col("o_orderkey") % 10 <= 3, "U")
+          .otherwise("I").as("op"),
+        round(col("o_totalprice"), 2).as("payload"))
+    val mid = log.agg(expr("percentile(seq, 0.5)")).head().getDouble(0)
+    IdempotentMergeSink.merge(spark, root, log.filter(col("seq") <= mid), "key", "b1")
+    IdempotentMergeSink.merge(spark, root, log.filter(col("seq") > mid), "key", "b2")
+    val got = IdempotentMergeSink.read(spark, root).get
+      .select(col("key"), col("payload")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val want = graft.operators.EtlCleaning.cdcApply(spark, sfDir)
+      .select(col("key"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(want.nonEmpty && got == want,
+      s"sink vs batch CDC: ${got.size} vs ${want.size} keys")
+  }
+}
