@@ -81,13 +81,17 @@ object Bench {
       name -> times(runs / 2)
     }
     // the detail file must never cost us the summary line: if the path
-    // is unwritable, warn and still print — a lost BENCH_FULL.json is
-    // an inconvenience, a lost summary line is a round with zero bench
+    // is unwritable, warn and still print — a lost detail file is an
+    // inconvenience, a lost summary line is a round with zero bench
     // signal. The path is pinned (env-overridable) rather than cwd-
     // relative, so launching from another directory can't silently
-    // strand the file where nobody reads it.
+    // strand the file where nobody reads it. Default is the UNTRACKED
+    // BENCH_LAST.json: the committed quiet artifact (BENCH_FULL.json)
+    // is copied from it by hand after a quiet run, so a contended
+    // driver-side run can never clobber the quiet numbers the
+    // round-over-round comparison rests on (r8 verdict item 6).
     val outPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json"))
       .toAbsolutePath
     try {
       val fw = new java.io.PrintWriter(outPath.toFile)
