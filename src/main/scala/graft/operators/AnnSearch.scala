@@ -1067,6 +1067,101 @@ object AnnSearch {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The hybrid-retrieval index artifacts SERVED from their bucketed
+    * tables: the multi-table LSH keys (16 hyperplane projections per
+    * vector) and the BM25 inverted-index relations (term postings +
+    * document frequencies + document lengths). Real hybrid search
+    * keeps exactly these hot — the posting lists and the hash tables —
+    * while raw text/vectors stay cold; per query only the probe joins
+    * and the fusion run.
+    */
+  private def servedLshKeys(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ArtifactStore.ensure(spark, dir, "lsh_keys", "vec_id", 8)(
+      vecs(spark, dir)
+        .select(col("vec_id"), explode(tableKeys(col("v"))).as("tb"))
+        .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b")))
+
+  private def servedBm25(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import graft.sources.ArtifactStore
+    val tf = ArtifactStore.ensure(spark, dir, "bm25_tf", "doc_id", 8)(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    // df/dl derive from the tf ARTIFACT — the corpus text is never
+    // re-tokenized once the postings exist
+    val df = ArtifactStore.ensure(spark, dir, "bm25_df", "term", 8)(
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val dl = ArtifactStore.ensure(spark, dir, "bm25_dl", "doc_id", 8)(
+      tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+    (tf, df, dl)
+  }
+
+  /** [[annRrfFusion]] served from the artifact tier: identical legs
+    * and fusion, zero index construction in the query — the most
+    * expensive fleet query (7.1 s quiet r8) reduced to its probe work.
+    */
+  def annRrfFusionServed(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val keyed = servedLshKeys(spark, dir)
+    val qKeys = keyed.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("t"), col("b"))
+    val vecCand = keyed.join(broadcast(qKeys), Seq("t", "b"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val q = all.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wVec = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val vecRanked = vecCand
+      .join(all, "vec_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("cosine",
+        round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6))
+      .withColumn("vec_rank", row_number().over(wVec))
+      .filter(col("vec_rank") <= RrfCand)
+      .select(col("q_id"), col("vec_id").as("id"), col("vec_rank"))
+
+    val k1 = 1.2
+    val b = 0.75
+    val (tf, df, dl) = servedBm25(spark, dir)
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qTerms = tf.filter(expr("doc_id % 50 = 0"))
+      .select(col("doc_id").as("q_id"), col("term"))
+    val wLex = Window.partitionBy(col("q_id"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val lexRanked = tf
+      .join(broadcast(qTerms), "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(df, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(round(col("c") * 1000000, 0).cast("bigint")).as("s6"))
+      .withColumn("bm25", round(col("s6") / 1000000.0, 6))
+      .withColumn("lex_rank", row_number().over(wLex))
+      .filter(col("lex_rank") <= RrfCand)
+      .select(col("q_id"), col("doc_id").as("id"), col("lex_rank"))
+
+    val wFuse = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("id"))
+    vecRanked.join(lexRanked, Seq("q_id", "id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (col("vec_rank") + RrfK), lit(0.0)) +
+          coalesce(lit(1.0) / (col("lex_rank") + RrfK), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(wFuse))
+      .filter(col("rank") <= RrfTopK)
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        col("vec_rank"), col("lex_rank"), col("rrf"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk"     -> (annTopk _),
     "ann_mips_topk" -> (annMipsTopk _),
@@ -1083,7 +1178,8 @@ object AnnSearch {
     "ann_kmeans_train" -> (annKmeansTrain _),
     "ann_rrf_fusion" -> (annRrfFusion _),
     "ann_ivfadc_served" -> (annIvfadcServed _),
-    "ann_ivfadc_rerank_served" -> (annIvfadcRerankServed _))
+    "ann_ivfadc_rerank_served" -> (annIvfadcRerankServed _),
+    "ann_rrf_fusion_served" -> (annRrfFusionServed _))
 
   /** Shared oracle CTE: per-vector LSH bucket via the same md5-derived
     * hyperplanes (DuckDB lists are 1-based like the d index).
@@ -1369,7 +1465,7 @@ object AnnSearch {
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "ann_kmeans_train" -> kmeansSql,
     "ann_rrf_fusion" ->
       s"""WITH $lshRankedCtes,
@@ -1598,4 +1694,10 @@ object AnnSearch {
          |  FROM scored)
          |SELECT q_id, neighbor_id, probe_label, cosine, rank FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
+
+  /** The RRF served twin answers from artifacts equal to the
+    * inline-built index relations — one SQL hash-checks both forms.
+    */
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "ann_rrf_fusion_served" -> oraclesBase("ann_rrf_fusion"))
 }

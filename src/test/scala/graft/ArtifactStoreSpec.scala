@@ -44,6 +44,18 @@ class ArtifactStoreSpec extends SparkTestBase {
       == rows(AnnSearch.annIvfadcTopk(spark, sfDir)))
     assert(rows(AnnSearch.annIvfadcRerankServed(spark, sfDir))
       == rows(AnnSearch.annIvfadcRerank(spark, sfDir)))
+    assert(rows(AnnSearch.annRrfFusionServed(spark, sfDir))
+      == rows(AnnSearch.annRrfFusion(spark, sfDir)))
+  }
+
+  test("dedup served twins equal their self-contained forms") {
+    import graft.operators.Dedup
+    assert(rows(Dedup.dedupComponentsServed(spark, sfDir))
+      == rows(Dedup.dedupComponents(spark, sfDir)))
+    assert(rows(Dedup.dedupClusterStatsServed(spark, sfDir))
+      == rows(Dedup.dedupClusterStats(spark, sfDir)))
+    assert(rows(Dedup.dedupKeepBestServed(spark, sfDir))
+      == rows(Dedup.dedupKeepBest(spark, sfDir)))
   }
 
   test("served twins return rows (artifact tables are non-empty)") {
