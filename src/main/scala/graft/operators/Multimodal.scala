@@ -219,6 +219,179 @@ object Multimodal {
     }
   }
 
+  // --- DCT perceptual hash over the decoded luma plane ---
+
+  /** Decoded luma grid edge: the classic pHash preprocessing size. */
+  val LumaGrid = 32
+
+  /** Low-frequency block kept from the DCT: 8×8 = 64 hash bits. */
+  val DctBlock = 8
+
+  case class LumaRow(doc_id: Long, modality: String, luma: Array[Double])
+  case class DctHashRow(doc_id: Long, modality: String, phash64: Long)
+
+  /** STUB luma decode — the codec seam's imaging half: a real
+    * implementation hands the payload to an image/video decoder and
+    * downsamples the luma channel to `LumaGrid`²; here each grid cell
+    * averages its byte slice of the payload, so near-identical payloads
+    * produce near-identical planes (the property the perceptual hash
+    * needs) without any codec in the container. Deterministic, pure.
+    */
+  private[graft] def fakeLuma(payload: Array[Byte]): Array[Double] = {
+    val cells = LumaGrid * LumaGrid
+    val out = new Array[Double](cells)
+    val n = payload.length
+    if (n == 0) return out
+    var i = 0
+    while (i < cells) {
+      val from = (i.toLong * n / cells).toInt
+      val to = math.max(from + 1, ((i + 1).toLong * n / cells).toInt)
+      var s = 0L; var j = from
+      while (j < to) { s += payload(j) & 0xff; j += 1 }
+      out(i) = s.toDouble / (to - from)
+      i += 1
+    }
+    out
+  }
+
+  /** Orthonormal DCT-II basis, cos((2x+1)uπ/2N) with the α(u) norm. */
+  private lazy val dctBasis: Array[Array[Double]] = {
+    val n = LumaGrid
+    Array.tabulate(DctBlock, n) { (u, x) =>
+      val a = if (u == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+      a * math.cos((2 * x + 1) * u * math.Pi / (2 * n))
+    }
+  }
+
+  /** The REAL pHash recipe (the published DCT method: Zauner 2010,
+    * "Implementation and Benchmarking of Perceptual Image Hash
+    * Functions"): 2-D DCT-II of the 32×32 luma plane, keep the
+    * low-frequency `DctBlock`² block, threshold each coefficient at
+    * the MEDIAN of the block's non-DC coefficients — 64 bits that
+    * survive resizing/re-encoding noise because they encode coarse
+    * frequency structure, not bytes. Separable transform: 2·8·32
+    * dot-products of length 32 per plane — a few k mults, constant
+    * per payload.
+    */
+  private[graft] def dctPhash64(luma: Array[Double]): Long = {
+    val n = LumaGrid; val b = DctBlock
+    // rows first: r(u, y) = Σx basis(u)(x) · luma(x, y)
+    val r = Array.ofDim[Double](b, n)
+    var u = 0
+    while (u < b) {
+      var y = 0
+      while (y < n) {
+        var s = 0.0; var x = 0
+        while (x < n) { s += dctBasis(u)(x) * luma(x * n + y); x += 1 }
+        r(u)(y) = s; y += 1
+      }
+      u += 1
+    }
+    val coef = new Array[Double](b * b)
+    u = 0
+    while (u < b) {
+      var v = 0
+      while (v < b) {
+        var s = 0.0; var y = 0
+        while (y < n) { s += dctBasis(v)(y) * r(u)(y); y += 1 }
+        coef(u * b + v) = s; v += 1
+      }
+      u += 1
+    }
+    val sortedNonDc = coef.drop(1).sorted
+    val m = sortedNonDc.length
+    val med = (sortedNonDc(m / 2) + sortedNonDc((m - 1) / 2)) / 2
+    var h = 0L; var i = 0
+    while (i < b * b) { if (coef(i) > med) h |= 1L << i; i += 1 }
+    h
+  }
+
+  /** Batched luma decode — the same bounded-chunk `mapPartitions`
+    * shape as [[decodeBatched]] (one seam discipline for every codec
+    * stage).
+    */
+  def decodeLumaBatched(media: Dataset[MediaRow]): Dataset[LumaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap(_.map(r =>
+        LumaRow(r.doc_id, r.modality, fakeLuma(r.payload))))
+    }
+  }
+
+  /** Re-encode synthesis: every `ReencodeMod`-th doc contributes a
+    * second media row (id + offset, SAME modality) whose payload has a
+    * few low bits flipped — the lossy re-encode/resize copy scraped
+    * corpora are full of, which byte-exact dedup cannot catch. Same
+    * inject-the-phenomenon pattern as the containment excerpts
+    * (Dedup.ExcerptMod) and the PII scrub's planted matches: the
+    * corpus holds no same-modality perceptual-only near-dups of its
+    * own, so the operator's target is synthesized deterministically.
+    */
+  private val ReencodeMod = 17
+  private[graft] val ReencodeIdOffset = 200000L
+  private def reencode(p: Array[Byte]): Array[Byte] = {
+    val out = p.clone()
+    var i = 0
+    while (i < out.length) { out(i) = (out(i) ^ 1).toByte; i += 509 }
+    out
+  }
+
+  /** DCT perceptual fingerprints end-to-end from the decoded plane:
+    * payload → batched luma decode → separable DCT → median-threshold
+    * hash — the honest perceptual claim ([[multimodalPhash]]'s
+    * `phash16` byte-window mix is the codec-free stand-in; this path
+    * derives its bits from frequency structure of the DECODED plane,
+    * with only the decode itself stubbed). The corpus is augmented
+    * with the [[reencode]] variants so the perceptual-only match class
+    * exists. Work ∝ payloads, map-side only; no oracle (the DCT lives
+    * behind the typed seam) — the spec pins the algebra (brightness
+    * invariance, mode placement, noise robustness) instead.
+    */
+  def multimodalPhashDct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = metaRows(spark, dir)
+      .select(col("doc_id"), unhex(col("payload_hex")).as("payload"), col("modality"))
+      .as[MediaRow]
+    val variants = media.filter((r: MediaRow) => r.doc_id % ReencodeMod == 0)
+      .map(r => MediaRow(r.doc_id + ReencodeIdOffset, reencode(r.payload), r.modality))
+    decodeLumaBatched(media.union(variants))
+      .map(l => DctHashRow(l.doc_id, l.modality, dctPhash64(l.luma)))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Banding radius for DCT pairs: the published ≤10/64-bit near-dup
+    * cut; 16 four-bit bands make the banded search lossless to radius
+    * 15 (pigeonhole), so every ≤10 pair is found by an equi-join.
+    */
+  val DctRadius = 10
+  private val DctBands = 16
+
+  /** Perceptual near-dup pairs over the DCT fingerprints — the same
+    * banded equi-join discipline as [[multimodalPhashPairs]], never
+    * payloads².
+    */
+  def multimodalPhashDctPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = multimodalPhashDct(spark, dir).localCheckpoint()
+    val bands = fp.select(col("doc_id"), col("modality"), col("phash64"),
+      explode(array((0 until DctBands).map(b => struct(
+        lit(b).as("band_idx"),
+        shiftright(col("phash64"), 4 * b).bitwiseAND(lit(15L)).as("band_bits"))): _*)).as("bb"))
+      .select(col("doc_id"), col("modality"), col("phash64"),
+        col("bb.band_idx"), col("bb.band_bits"))
+    bands.select(col("modality"), col("band_idx"), col("band_bits"),
+        col("doc_id").as("doc_a"), col("phash64").as("fa"))
+      .join(bands.select(col("modality"), col("band_idx"), col("band_bits"),
+        col("doc_id").as("doc_b"), col("phash64").as("fb")),
+        Seq("modality", "band_idx", "band_bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("modality", "doc_a", "doc_b", "fa", "fb").distinct()
+      .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
+      .filter(col("hamming") <= DctRadius)
+      .select("modality", "doc_a", "doc_b", "hamming")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Frame sampling for the video rows: up to `MaxFrames` evenly-spaced
     * sample timestamps per clip, derived from the stub-decoded duration
     * — `sequence` + `explode`, so sampling is pure plan work that scales
@@ -293,6 +466,11 @@ object Multimodal {
     "multimodal_dedup"  -> (multimodalDedup _),
     "multimodal_phash"  -> (multimodalPhash _),
     "multimodal_phash_pairs" -> (multimodalPhashPairs _),
+    // no oracle for the two DCT queries: the decode + DCT live behind
+    // the typed codec seam (driver records the rows-only check);
+    // MultimodalSpec pins the transform algebra instead
+    "multimodal_phash_dct" -> (multimodalPhashDct _),
+    "multimodal_phash_dct_pairs" -> (multimodalPhashDctPairs _),
     "multimodal_shard_pack" -> (multimodalShardPack _))
 
   /** Fingerprint CTEs ending in `ph(doc_id, modality, payload_md5,

@@ -750,4 +750,65 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("dct phash: transform algebra and noise robustness on planted planes") {
+    import Multimodal.{dctPhash64, fakeLuma, LumaGrid}
+    // brightness invariance: a constant offset moves ONLY the DC
+    // coefficient, so the hash is unchanged (the perceptual property a
+    // byte hash cannot have). A flat plane is NOT asserted exact: its
+    // non-DC coefficients are all ~0 and median thresholding on float
+    // noise is degenerate — the documented edge of the published recipe.
+    val base = Array.tabulate(LumaGrid * LumaGrid)(i => 100.0 + (i % 7) * 9.0)
+    val brighter = base.map(_ + 55.0)
+    assert(dctPhash64(base) == dctPhash64(brighter))
+    // a horizontal cosine at the u=1 mode concentrates the plane's
+    // energy in the (u=1, v=0) coefficient (index 8): that bit is set
+    // (median thresholding splits the remaining ~zero coefficients
+    // roughly in half by float noise — by design, the hash always
+    // carries ~32 set bits, which is what makes hamming distances
+    // comparable)
+    val cosPlane = Array.tabulate(LumaGrid * LumaGrid) { i =>
+      val x = i / LumaGrid
+      128.0 + 50.0 * math.cos((2 * x + 1) * math.Pi / (2 * LumaGrid))
+    }
+    assert(((dctPhash64(cosPlane) >> 8) & 1L) == 1L)
+    // near-identical payloads (few flipped bytes) → small hamming;
+    // unrelated payloads → large
+    val rnd = new scala.util.Random(7)
+    val p1 = Array.fill(4096)(rnd.nextInt(256).toByte)
+    val p2 = p1.clone(); (0 until 8).foreach(i => p2(i * 500) = (p2(i * 500) ^ 0x7f).toByte)
+    val p3 = Array.fill(4096)(rnd.nextInt(256).toByte)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val (h1, h2, h3) = (dctPhash64(fakeLuma(p1)), dctPhash64(fakeLuma(p2)),
+      dctPhash64(fakeLuma(p3)))
+    assert(ham(h1, h2) <= Multimodal.DctRadius, s"near-dup hamming ${ham(h1, h2)}")
+    assert(ham(h1, h3) > Multimodal.DctRadius, s"unrelated hamming ${ham(h1, h3)}")
+  }
+
+  test("multimodal_phash_dct end-to-end: fingerprints for every doc, banded pairs verified") {
+    val fp = Multimodal.multimodalPhashDct(spark, sfDir).cache()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(fp.count() > nDocs) // originals + injected re-encode variants
+    val pairs = Multimodal.multimodalPhashDctPairs(spark, sfDir).cache()
+    // every injected re-encode variant is recovered as a near-dup of
+    // its original — the perceptual-only match class byte dedup misses
+    val recovered = pairs.filter(
+      col("doc_b") === col("doc_a") + Multimodal.ReencodeIdOffset).count()
+    val planted = fp.filter(col("doc_id") >= Multimodal.ReencodeIdOffset).count()
+    assert(planted > 0 && recovered == planted,
+      s"$recovered of $planted re-encoded variants recovered")
+    // every reported pair is within radius, same modality, a < b
+    assert(pairs.filter(col("hamming") > Multimodal.DctRadius).count() == 0)
+    assert(pairs.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    // pigeonhole losslessness: the banded search finds EVERY pair the
+    // brute-force hamming join would (radius < bands)
+    val brute = fp.select(col("modality"), col("doc_id").as("doc_a"), col("phash64").as("fa"))
+      .join(fp.select(col("modality"), col("doc_id").as("doc_b"), col("phash64").as("fb")),
+        Seq("modality"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
+      .filter(col("hamming") <= Multimodal.DctRadius)
+    assert(pairs.count() == brute.count())
+    fp.unpersist(); pairs.unpersist()
+  }
+
 }
