@@ -912,9 +912,14 @@ object CoreAnalytics {
     * range-partitioned cumsum ([[CorpusOps.keyedCumsum]]), so no
     * unpartitioned window ever sees the customer relation (at 1e8
     * customers a global `row_number` is a one-task sort; the cumsum's
-    * parallelism scales with data). Three orderings → three cumsums:
-    * the price of engine-exact quintiles on three axes, each shuffle
-    * keyed and bounded by the CUSTOMER aggregate, not raw orders.
+    * parallelism scales with data). Three orderings are FUSED into one
+    * multi-axis pass (VERDICT r8 stretch): each customer unpivots to
+    * three (axis, sort value) rows — negation turns the two descending
+    * axes ascending, exact for counts and 2-dp-rounded monetary — and
+    * a SINGLE keyed cumsum over `axis` ranks all three relations in
+    * one range exchange; a customer-keyed aggregation folds the ranks
+    * back to one row. One exchange + one shuffle instead of three
+    * chained exchange/window/broadcast rounds.
     */
   def qRfmSegmentation(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
@@ -927,14 +932,23 @@ object CoreAnalytics {
       .withColumn("recency_days",
         datediff(col("ref_date"), col("last_order")).cast("long"))
       .drop("ref_date", "last_order")
-      .withColumn("_one", lit(1L)).withColumn("_g", lit(0))
-    val ranked = Seq[(String, Seq[org.apache.spark.sql.Column])](
-      ("r_rank", Seq(col("recency_days"), col("o_custkey"))),
-      ("f_rank", Seq(col("frequency").desc, col("o_custkey"))),
-      ("m_rank", Seq(col("monetary").desc, col("o_custkey"))))
-      .foldLeft(cust) { case (df, (out, ord)) =>
-        CorpusOps.keyedCumsum(df, "_g", ord, "_one", out)
-      }
+    val axes = cust
+      .withColumn("ax", explode(array(
+        struct(lit("r").as("axis"), col("recency_days").cast("double").as("sv")),
+        struct(lit("f").as("axis"), (-col("frequency")).cast("double").as("sv")),
+        struct(lit("m").as("axis"), (-col("monetary")).cast("double").as("sv")))))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"), col("ax.axis").as("axis"), col("ax.sv").as("sv"))
+      .withColumn("_one", lit(1L))
+    val ranked = CorpusOps.keyedCumsum(
+        axes, "axis", Seq(col("sv"), col("o_custkey")), "_one", "rank")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("recency_days")).as("recency_days"),
+        max(col("frequency")).as("frequency"),
+        max(col("monetary")).as("monetary"),
+        max(when(col("axis") === "r", col("rank"))).as("r_rank"),
+        max(when(col("axis") === "f", col("rank"))).as("f_rank"),
+        max(when(col("axis") === "m", col("rank"))).as("m_rank"))
     val n = orders.select(col("o_custkey")).distinct()
       .agg(count(lit(1)).as("n"))
     val scored = ranked.crossJoin(broadcast(n))
