@@ -133,7 +133,15 @@ object Dedup {
     * the bucket, never all-pairs); verification joins the shingle
     * relation to count the exact intersection.
     */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(Tables.documents(spark, dir))
+
+  /** The full banded-candidate + verified-Jaccard pair build over any
+    * (doc_id, text) relation — the corpus query above, and the
+    * from-scratch reference the incremental index refresh
+    * ([[IndexMaintenance]]) is spec-checked against.
+    */
+  private[graft] def ngramJaccardOf(docs: DataFrame): DataFrame = {
     // ONE corpus explode: the same materialized shingle relation feeds
     // signature generation AND Jaccard verification (read 4× below).
     // localCheckpoint (not cache) so the subtree isn't evaluated once
@@ -143,7 +151,7 @@ object Dedup {
     // across a long-lived session running many operators. On a real
     // cluster prefer reliable checkpoint(): localCheckpoint blocks die
     // with their executor.
-    val sh = shingles(spark, dir).localCheckpoint()
+    val sh = shinglesOf(docs).localCheckpoint()
     // unpivot band keys to (doc_id, band_idx, bk): ONE self-equi-join on
     // the composite bucket key (one shuffle) instead of a join per band
     val sigLong = minhashFromShingles(sh)
@@ -169,6 +177,54 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
       .select("doc_a", "doc_b", "n_inter", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Only the NEW near-dup pairs an ingest batch introduces: candidates
+    * are the batch's band keys probing the combined signature relation
+    * (never old-vs-old — the [[dedupIncremental]] discipline), verified
+    * with the same exact Jaccard as [[ngramJaccardOf]] and normalized
+    * to doc_a < doc_b. Union with the pre-batch pair table ≡ the
+    * from-scratch build over the combined corpus (band keys are
+    * per-document, so the candidate relation is split-invariant) —
+    * the invariant IndexMaintenanceSpec pins. Work ∝ batch × touched
+    * buckets; the base corpus is read for shingles only where a
+    * candidate touches it.
+    */
+  private[graft] def ngramJaccardNewPairs(baseDocs: DataFrame,
+      batchDocs: DataFrame): DataFrame = {
+    val all = baseDocs.select("doc_id", "text")
+      .union(batchDocs.select("doc_id", "text"))
+    val sh = shinglesOf(all).localCheckpoint()
+    val sig = minhashFromShingles(sh)
+      .select(col("doc_id"), posexplode(
+        array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
+      .join(batchDocs.select(col("doc_id").as("nid")),
+        col("doc_id") === col("nid"), "left")
+      .withColumn("is_new", col("nid").isNotNull)
+      .drop("nid")
+      .localCheckpoint() // probe side + index side
+    val newKeys = sig.filter(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("band_idx"), col("bk"))
+    val pairs = newKeys
+      .join(sig.select(col("doc_id").as("cand_id"), col("band_idx"),
+        col("bk"), col("is_new").as("cand_new")), Seq("band_idx", "bk"))
+      .filter(col("cand_id") =!= col("new_id"))
+      .filter(!col("cand_new") || col("cand_id") < col("new_id"))
+      .select(least(col("new_id"), col("cand_id")).as("doc_a"),
+        greatest(col("new_id"), col("cand_id")).as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
   }
 
   /** Span width for the prefix-filter pass. Prefix filtering REQUIRES

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{Dedup, IndexMaintenance}
+import graft.sinks.IdempotentMergeSink
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Incremental index maintenance ≡ from-scratch: the pair table
+  * bootstrapped from the base corpus and refreshed with one ingest
+  * batch must equal the full-corpus build, with exactly-once merge
+  * semantics throughout.
+  */
+class IndexMaintenanceSpec extends SparkTestBase {
+
+  private def freshRoot(): String = {
+    val d = Files.createTempDirectory("graft_index_maint").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+    df.select("doc_a", "doc_b", "n_inter", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("bootstrap + one refresh equals the from-scratch build; retry is a no-op") {
+    val root = freshRoot()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+
+    assert(IndexMaintenance.bootstrap(spark, root, base))
+    assert(pairSet(IndexMaintenance.pairs(spark, root))
+      == pairSet(Dedup.ngramJaccardOf(base)))
+
+    assert(IndexMaintenance.refresh(spark, root, base, batch, "b1"))
+    val scratch = pairSet(Dedup.ngramJaccardOf(docs))
+    assert(scratch.nonEmpty)
+    assert(pairSet(IndexMaintenance.pairs(spark, root)) == scratch,
+      "maintained pair table diverges from the from-scratch build")
+
+    // exactly-once: the retried batch changes nothing
+    val v = IdempotentMergeSink.version(root)
+    assert(!IndexMaintenance.refresh(spark, root, base, batch, "b1"))
+    assert(IdempotentMergeSink.version(root) == v)
+    assert(pairSet(IndexMaintenance.pairs(spark, root)) == scratch)
+  }
+
+  test("labels over the maintained table equal the from-scratch fixpoint") {
+    val root = freshRoot()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    IndexMaintenance.bootstrap(spark, root, base)
+    IndexMaintenance.refresh(spark, root, base, batch, "b1")
+    val got = IndexMaintenance.labels(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.connectedComponents(
+        Dedup.ngramJaccardOf(docs).select("doc_a", "doc_b"))
+      .select("doc_id", "component").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("a second batch composes: two refreshes equal one combined build") {
+    val root = freshRoot()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 4 > 1)       // ids 2,3 mod 4
+    val b1 = docs.filter(col("doc_id") % 4 === 0)
+    val b2 = docs.filter(col("doc_id") % 4 === 1)
+    IndexMaintenance.bootstrap(spark, root, base)
+    assert(IndexMaintenance.refresh(spark, root, base, b1, "b1"))
+    // the second batch probes base ∪ b1 — the already-ingested corpus
+    assert(IndexMaintenance.refresh(spark, root, base.union(b1), b2, "b2"))
+    assert(pairSet(IndexMaintenance.pairs(spark, root))
+      == pairSet(Dedup.ngramJaccardOf(docs)))
+  }
+}
