@@ -783,7 +783,7 @@ object Dedup {
     * fixpoint runs once per JVM over the pairs ARTIFACT (never re-
     * verifying Jaccard), downstream queries read (doc_id, component).
     */
-  private def servedLabels(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def servedLabels(spark: SparkSession, dir: String): DataFrame = {
     val pairs = servedPairs(spark, dir)
     graft.sources.ArtifactStore.ensure(spark, dir, "dedup_labels", "doc_id", 8)(
       connectedComponents(pairs.select("doc_a", "doc_b"))

@@ -204,6 +204,7 @@ object Pipeline {
     "corpus_curate_e2e" -> (corpusCurate _),
     "corpus_split"      -> (corpusSplit _),
     "corpus_group_split" -> (corpusGroupSplit _),
+    "corpus_group_split_served" -> (corpusGroupSplitServed _),
     "corpus_split_leakage" -> (corpusSplitLeakage _),
     "corpus_report"     -> (corpusReport _))
 
@@ -256,6 +257,26 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** [[corpusGroupSplit]] served from the maintained label artifact
+    * ([[Dedup.servedLabels]]): the split itself is map-only hashing —
+    * with the cluster labelling served, the WHOLE query is one
+    * broadcast-or-bucketed join plus hashing, the shape a training
+    * pipeline re-runs on every split re-cut.
+    */
+  def corpusGroupSplitServed(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.servedLabels(spark, dir)
+    val bucket = conv(substring(
+        md5(concat(lit("gsplit:"), col("group_key"))), 1, 8), 16, 10)
+      .cast("bigint") % 100
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce(col("component"), col("doc_id")))
+      .withColumn("bucket", bucket)
+      .withColumn("split", splitName(col("bucket")))
+      .select("doc_id", "group_key", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
   /** SQL twin of [[splitBucket]]/[[splitName]] — one definition for
     * every oracle that mentions the split.
     */
@@ -266,7 +287,7 @@ object Pipeline {
        |       WHEN $splitBucketSql < 90 THEN 'val'
        |       ELSE 'test' END""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "etl_pipeline_e2e" -> {
       val cleanedSql = EtlCleaning.oracles("etl_menu_clean")
         .replace("ORDER BY p_partkey", "")
@@ -394,4 +415,10 @@ object Pipeline {
          |JOIN spl sb ON sb.doc_id = p.doc_b
          |WHERE sa.split <> sb.split
          |ORDER BY p.doc_a, p.doc_b""".stripMargin)
+
+  /** The served split answers from the label artifact equal to the
+    * inline fixpoint — one SQL hash-checks both forms.
+    */
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "corpus_group_split_served" -> oraclesBase("corpus_group_split"))
 }
