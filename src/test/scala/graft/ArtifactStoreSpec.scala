@@ -58,6 +58,15 @@ class ArtifactStoreSpec extends SparkTestBase {
       == rows(Dedup.dedupKeepBest(spark, sfDir)))
   }
 
+  test("served ivfadc reads its artifacts as bucketed scans") {
+    // the lists ⋈ codes join rides two tables bucketed on vec_id —
+    // the storage-level claim: the shuffle was paid at write time
+    val plan = AnnSearch.annIvfadcServed(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Bucketed: true".r.findAllIn(plan).length >= 2,
+      s"expected >=2 bucketed scans:\n${plan.take(1500)}")
+  }
+
   test("served twins return rows (artifact tables are non-empty)") {
     assert(GraphOps.graphBfsIndexed(spark, sfDir).count() > 0)
     assert(GraphOps.graphLabelPropagationIndexed(spark, sfDir).count() > 0)
