@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.sinks.EsBulkSink
+import graft.sinks.{EsBulkSink, IdempotentMergeSink}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
@@ -696,4 +696,34 @@ object StreamOps {
       .transformWithState(new CdcApplyProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
+
+  /** STREAMING INDEX MAINTENANCE — the continuous form of
+    * [[graft.operators.IndexMaintenance]]: each micro-batch of
+    * documents (doc_id, text) merges its new near-dup pairs into the
+    * maintained pair table and itself into the ingested-docs table,
+    * both through the idempotent sink with the micro-batch id as the
+    * idempotence key. Spark re-runs a failed batch with the SAME id,
+    * so the sink's batch-id dedup makes any retry a structural no-op —
+    * the canonical foreachBatch exactly-once recipe, here applied to
+    * index maintenance end to end. Ordering inside one batch: the
+    * prior-ingested relation is read BEFORE the docs merge, so a crash
+    * between the two merges retries consistently (pair merge no-ops,
+    * docs merge applies).
+    */
+  def pairRefreshStream(docs: DataFrame, pairsRoot: String,
+      docsRoot: String, baseDocs: DataFrame): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+        val prior = IdempotentMergeSink.read(spark, docsRoot)
+          .map(baseDocs.select("doc_id", "text").unionByName(_))
+          .getOrElse(baseDocs.select("doc_id", "text"))
+        graft.operators.IndexMaintenance.refresh(
+          spark, pairsRoot, prior, b, s"pairs-$id")
+        IdempotentMergeSink.merge(spark, docsRoot, b, "doc_id", s"docs-$id")
+        ()
+      }
+      .start()
 }

@@ -61,6 +61,35 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(want.nonEmpty && got == want)
   }
 
+  test("streaming refresh: two micro-batches converge to the from-scratch build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val pairsRoot = freshRoot(); val docsRoot = freshRoot()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 4 > 1)
+    graft.operators.IndexMaintenance.bootstrap(spark, pairsRoot, base)
+    val b1 = docs.filter(col("doc_id") % 4 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val b2 = docs.filter(col("doc_id") % 4 === 1)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.pairRefreshStream(
+      stream.toDF().toDF("doc_id", "text"), pairsRoot, docsRoot, base)
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(pairSet(IndexMaintenance.pairs(spark, pairsRoot))
+      == pairSet(Dedup.ngramJaccardOf(docs)),
+      "streamed pair table diverges from the from-scratch build")
+    // both micro-batches left their exactly-once record
+    assert(IdempotentMergeSink.applied(pairsRoot, "pairs-0"))
+    assert(IdempotentMergeSink.applied(pairsRoot, "pairs-1"))
+    assert(IdempotentMergeSink.applied(docsRoot, "docs-0"))
+    assert(IdempotentMergeSink.applied(docsRoot, "docs-1"))
+  }
+
   test("a second batch composes: two refreshes equal one combined build") {
     val root = freshRoot()
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
