@@ -56,6 +56,8 @@ class ArtifactStoreSpec extends SparkTestBase {
       == rows(Dedup.dedupClusterStats(spark, sfDir)))
     assert(rows(Dedup.dedupKeepBestServed(spark, sfDir))
       == rows(Dedup.dedupKeepBest(spark, sfDir)))
+    assert(rows(Dedup.dedupIncrementalServed(spark, sfDir))
+      == rows(Dedup.dedupIncremental(spark, sfDir)))
   }
 
   test("served ivfadc reads its artifacts as bucketed scans") {
