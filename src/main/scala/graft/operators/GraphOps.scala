@@ -482,7 +482,15 @@ object GraphOps {
   def graphLinkPredictionIndexed(spark: SparkSession, dir: String): DataFrame =
     linkPredictionOf(knnEdgesServed(spark, dir))
 
+  /** The artifact relation itself as an oracle-checked query: every
+    * `_indexed` twin already hash-checks THROUGH the edge table, this
+    * checks the table's own content directly (a, b ordered pairs).
+    */
+  def graphKnnEdges(spark: SparkSession, dir: String): DataFrame =
+    knnEdgesServed(spark, dir).orderBy(col("a"), col("b"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_knn_edges" -> (graphKnnEdges _),
     "graph_link_prediction" -> (graphLinkPrediction _),
     "graph_bfs" -> (graphBfs _),
     "graph_pagerank"  -> (graphPagerank _),
@@ -648,5 +656,8 @@ object GraphOps {
          |ORDER BY d.node""".stripMargin)
 
   val oracles: Map[String, String] =
-    oraclesBase ++ oraclesBase.map { case (k, v) => s"${k}_indexed" -> v }
+    oraclesBase ++ oraclesBase.map { case (k, v) => s"${k}_indexed" -> v } ++ Map(
+      "graph_knn_edges" ->
+        s"""WITH $knnEdgesCte
+           |SELECT a, b FROM edges ORDER BY a, b""".stripMargin)
 }

@@ -108,4 +108,23 @@ object IdempotentMergeSink {
       ids.mkString("\n").getBytes(StandardCharsets.UTF_8)) // marker LAST
     true
   }
+
+  /** Retention: drop all committed versions older than the newest
+    * `keep` (and any unmarked crash leftovers below them). The newest
+    * version carries the full applied-batch-id list, so vacuuming old
+    * versions never weakens the idempotence check — the same reason a
+    * table format can expire snapshots without re-running commits.
+    */
+  def vacuum(root: String, keep: Int = 1): Unit = {
+    require(keep >= 1, "must keep at least the newest committed version")
+    committed(root).foreach { case (newest, _) =>
+      Option(new File(root).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("v="))
+        .filter(_.getName.stripPrefix("v=").toInt <= newest - keep)
+        .foreach { d =>
+          d.listFiles().foreach(_.delete())
+          d.delete()
+        }
+    }
+  }
 }

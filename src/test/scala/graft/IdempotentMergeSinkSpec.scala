@@ -80,6 +80,22 @@ class IdempotentMergeSinkSpec extends SparkTestBase {
     assert(!IdempotentMergeSink.merge(spark, root, b2, "key", "b2"))
   }
 
+  test("vacuum drops old versions without weakening idempotence") {
+    import spark.implicits._
+    val root = freshRoot()
+    val b1 = Seq((1L, "I", "a")).toDF("key", "op", "payload")
+    val b2 = Seq((2L, "I", "b")).toDF("key", "op", "payload")
+    IdempotentMergeSink.merge(spark, root, b1, "key", "b1")
+    IdempotentMergeSink.merge(spark, root, b2, "key", "b2")
+    IdempotentMergeSink.vacuum(root, keep = 1)
+    // old version gone, newest intact, applied ids survive the vacuum
+    assert(!new File(s"$root/v=1").exists())
+    assert(IdempotentMergeSink.version(root) == 2)
+    assert(state(root) == Set((1L, "a"), (2L, "b")))
+    assert(IdempotentMergeSink.applied(root, "b1"))
+    assert(!IdempotentMergeSink.merge(spark, root, b1, "key", "b1"))
+  }
+
   test("merge state matches etl_cdc_apply replayed through the sink") {
     import spark.implicits._
     val root = freshRoot()
