@@ -246,7 +246,39 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "corpus_quality_calibration" -> 2,
     // per-part agg + the two-phase cumsum family price (post-checkpoint
     // slice windows + offsets agg) + 1-row total + output sort
-    "q_abc_analysis"        -> 6)
+    "q_abc_analysis"        -> 6,
+    // ---- round-9 additions ----
+    // the fused multi-axis rank: ONE two-phase cumsum (range + slice
+    // windows + offsets) + explode/fold-back aggs + output sort — the
+    // three chained cumsums this replaced cost ~3× the exchanges
+    "q_rfm_segmentation"    -> 7,
+    // artifact scan + output sort only
+    "graph_knn_edges"       -> 1,
+    // the *_indexed twins: probe-side plans over the edge-table scan —
+    // same per-iteration shapes as the base forms minus the build
+    "graph_pagerank_indexed" -> 5,
+    "graph_triangles_indexed" -> 3,
+    "graph_kcore_indexed"   -> 2,
+    "graph_bfs_indexed"     -> 1,
+    "graph_link_prediction_indexed" -> 3,
+    "graph_label_propagation_indexed" -> 9, // 3 unrolled LPA rounds
+    "graph_modularity_indexed" -> 12, // LPA rounds + modularity terms
+    // served ANN: artifact scans + query ADC table + rank + sort — the
+    // training chains (10-11 exchanges in the base forms) are gone
+    "ann_ivfadc_served"     -> 4,
+    "ann_ivfadc_rerank_served" -> 4,
+    "ann_rrf_fusion_served" -> 7,
+    // served dedup policy/audit: label/pair artifact scans + the view
+    // aggregations; the pair build + fixpoint live at artifact-write
+    "dedup_components_served" -> 2,
+    "dedup_cluster_stats_served" -> 3,
+    "dedup_keep_best_served" -> 4,
+    "dedup_incremental_served" -> 3,
+    "corpus_group_split_served" -> 1,
+    // map-side DCT fingerprints + output sort; the pair search runs
+    // entirely over the checkpointed fingerprint relation
+    "multimodal_phash_dct"  -> 1,
+    "multimodal_phash_dct_pairs" -> 1)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
