@@ -96,6 +96,40 @@ class IdempotentMergeSinkSpec extends SparkTestBase {
     assert(!IdempotentMergeSink.merge(spark, root, b1, "key", "b1"))
   }
 
+  test("property: any batch splitting of a log converges to the same state") {
+    import spark.implicits._
+    // three seeded random logs × random batch boundaries: final state
+    // must equal the direct latest-op-wins fold regardless of how the
+    // log was sliced into merges (the associativity a retriable
+    // ingestion pipeline silently relies on)
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val ops = Array("I", "U", "D")
+      val log = (1 to 60).map { seq =>
+        (rnd.nextInt(8) + 1L, seq.toLong, ops(rnd.nextInt(3)), rnd.nextInt(1000) / 10.0)
+      }
+      val want = log.groupBy(_._1).flatMap { case (k, rows) =>
+        val last = rows.maxBy(_._2)
+        if (last._3 == "D") None else Some((k, last._4))
+      }.toSet
+      val root = freshRoot()
+      var rest = log
+      var i = 0
+      while (rest.nonEmpty) {
+        val n = rnd.nextInt(rest.size) + 1
+        val (batch, tail) = rest.splitAt(n)
+        // shuffle inside the batch: transport order must not matter
+        IdempotentMergeSink.merge(spark, root,
+          rnd.shuffle(batch).toDF("key", "seq", "op", "payload"), "key", s"b$i")
+        rest = tail; i += 1
+      }
+      val got = IdempotentMergeSink.read(spark, root).get
+        .select("key", "payload").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == want, s"seed $seed: $got != $want")
+    }
+  }
+
   test("merge state matches etl_cdc_apply replayed through the sink") {
     import spark.implicits._
     val root = freshRoot()
