@@ -851,14 +851,14 @@ object Dedup {
     * the whole corpus. Probe work ∝ batch × touched buckets +
     * candidate verification; the corpus text is read only through the
     * candidate-id semi-join — the admission shape a 100 TB ingest
-    * actually runs against its hot signature table. Honest crossover,
-    * measured: at sf0.1 the corpus is small enough that the base
-    * form's full explode is CHEAPER (1.98 vs 2.27 s quiet solo) — the
-    * sliver's extra semi-join/checkpoint is a constant the toy corpus
-    * doesn't amortize. The served form's work is ∝ batch + candidates
-    * instead of ∝ corpus; the two curves cross as corpus/batch grows
-    * (the residual-PQ precedent: keep the published shape, measure
-    * both, state which regime each wins).
+    * actually runs against its hot signature table. Measured honestly
+    * at sf0.1: solo-cold the base form's full explode is CHEAPER
+    * (1.98 vs 2.27 s — the sliver's constant overhead on a toy
+    * corpus); warm same-JVM the two are level (~1.8-1.9 s both). The
+    * served form's work is ∝ batch + candidates instead of ∝ corpus,
+    * so the curves separate as corpus/batch grows — the regime the
+    * operator exists for (the residual-PQ precedent: keep the
+    * published shape, measure both, state which regime each wins).
     */
   def dedupIncrementalServed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -871,7 +871,11 @@ object Dedup {
         col("bk"), col("is_new").as("cand_new")), Seq("band_idx", "bk"))
       .filter(!col("cand_new") || col("cand_id") < col("new_id"))
       .select("new_id", "cand_id").distinct()
-      .localCheckpoint() // read by the touched-doc sliver AND the verify joins
+      // LAZY checkpoint, unlike the base form's eager one: with the
+      // signature index served from a table the candidate subtree is
+      // cheap to plan, and the eager variant serializes the whole
+      // query behind one blocking materialization job
+      .localCheckpoint(false)
     val touched = candidates.select(col("new_id").as("doc_id"))
       .union(candidates.select(col("cand_id").as("doc_id"))).distinct()
     val sh = shinglesOf(docs.join(touched, Seq("doc_id"), "left_semi"))
