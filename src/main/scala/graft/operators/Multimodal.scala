@@ -230,12 +230,21 @@ object Multimodal {
   case class LumaRow(doc_id: Long, modality: String, luma: Array[Double])
   case class DctHashRow(doc_id: Long, modality: String, phash64: Long)
 
+  /** Luma fixed-point scale: planes are quantized to 1/256 of a byte
+    * level, so every value the transform consumes is an exact integer
+    * `round(luma · 256)` — the repo-wide integer-scaled discipline that
+    * makes the DuckDB oracle an exact replay instead of a float race.
+    */
+  private[graft] val LumaScale = 256L
+
   /** STUB luma decode — the codec seam's imaging half: a real
     * implementation hands the payload to an image/video decoder and
     * downsamples the luma channel to `LumaGrid`²; here each grid cell
     * averages its byte slice of the payload, so near-identical payloads
     * produce near-identical planes (the property the perceptual hash
-    * needs) without any codec in the container. Deterministic, pure.
+    * needs) without any codec in the container. Deterministic, pure;
+    * the average is floor-quantized to 1/[[LumaScale]] so the cell
+    * value is an exact dyadic rational both engines reproduce.
     */
   private[graft] def fakeLuma(payload: Array[Byte]): Array[Double] = {
     val cells = LumaGrid * LumaGrid
@@ -248,19 +257,45 @@ object Multimodal {
       val to = math.max(from + 1, ((i + 1).toLong * n / cells).toInt)
       var s = 0L; var j = from
       while (j < to) { s += payload(j) & 0xff; j += 1 }
-      out(i) = s.toDouble / (to - from)
+      out(i) = (s * LumaScale / (to - from)).toDouble / LumaScale
       i += 1
     }
     out
   }
 
-  /** Orthonormal DCT-II basis, cos((2x+1)uπ/2N) with the α(u) norm. */
-  private lazy val dctBasis: Array[Array[Double]] = {
+  /** Fixed-point scale of the quantized DCT basis. 2^14 keeps the
+    * worst-case separable transform inside int64 (|b| ≤ 2^12, luma ≤
+    * 2^16, 32-term sums twice → < 2^61) while the quantization error
+    * (~1e-4 relative) is orders of magnitude below the coefficient
+    * spread a perceptual hash discriminates on.
+    */
+  private[graft] val BasisScale = 1L << 14
+
+  /** Orthonormal DCT-II basis, cos((2x+1)uπ/2N) with the α(u) norm,
+    * quantized to integers at [[BasisScale]]. Rows u ≥ 1 are corrected
+    * to EXACT zero sum (the residual — a few rounding units — is folded
+    * into the largest-magnitude entry), so a constant luma offset moves
+    * ONLY the DC coefficient: brightness invariance holds exactly in
+    * integer arithmetic, not just approximately.
+    */
+  private[graft] lazy val dctBasisQ: Array[Array[Long]] = {
     val n = LumaGrid
-    Array.tabulate(DctBlock, n) { (u, x) =>
+    val rows = Array.tabulate(DctBlock) { u =>
       val a = if (u == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
-      a * math.cos((2 * x + 1) * u * math.Pi / (2 * n))
+      Array.tabulate(n)(x =>
+        math.rint(a * math.cos((2 * x + 1) * u * math.Pi / (2 * n)) * BasisScale).toLong)
     }
+    var u = 1
+    while (u < DctBlock) {
+      val r = rows(u).sum
+      if (r != 0L) {
+        var best = 0; var x = 1
+        while (x < n) { if (math.abs(rows(u)(x)) > math.abs(rows(u)(best))) best = x; x += 1 }
+        rows(u)(best) -= r
+      }
+      u += 1
+    }
+    rows
   }
 
   /** The REAL pHash recipe (the published DCT method: Zauner 2010,
@@ -271,37 +306,44 @@ object Multimodal {
     * survive resizing/re-encoding noise because they encode coarse
     * frequency structure, not bytes. Separable transform: 2·8·32
     * dot-products of length 32 per plane — a few k mults, constant
-    * per payload.
+    * per payload. All arithmetic is int64 over the quantized basis
+    * ([[dctBasisQ]]) and the ×[[LumaScale]] plane, so the fingerprint
+    * is bit-replayable by the DuckDB oracle (no float summation-order
+    * dependence anywhere).
     */
   private[graft] def dctPhash64(luma: Array[Double]): Long = {
     val n = LumaGrid; val b = DctBlock
-    // rows first: r(u, y) = Σx basis(u)(x) · luma(x, y)
-    val r = Array.ofDim[Double](b, n)
+    val li = new Array[Long](n * n)
+    var i = 0
+    while (i < n * n) { li(i) = math.rint(luma(i) * LumaScale).toLong; i += 1 }
+    // rows first: r(u, y) = Σx basisQ(u)(x) · li(x, y)
+    val r = Array.ofDim[Long](b, n)
     var u = 0
     while (u < b) {
       var y = 0
       while (y < n) {
-        var s = 0.0; var x = 0
-        while (x < n) { s += dctBasis(u)(x) * luma(x * n + y); x += 1 }
+        var s = 0L; var x = 0
+        while (x < n) { s += dctBasisQ(u)(x) * li(x * n + y); x += 1 }
         r(u)(y) = s; y += 1
       }
       u += 1
     }
-    val coef = new Array[Double](b * b)
+    val coef = new Array[Long](b * b)
     u = 0
     while (u < b) {
       var v = 0
       while (v < b) {
-        var s = 0.0; var y = 0
-        while (y < n) { s += dctBasis(v)(y) * r(u)(y); y += 1 }
+        var s = 0L; var y = 0
+        while (y < n) { s += dctBasisQ(v)(y) * r(u)(y); y += 1 }
         coef(u * b + v) = s; v += 1
       }
       u += 1
     }
+    // 63 non-DC coefficients: the median is the single rank-32 element
+    // (odd count), an exact integer — no float averaging of middles
     val sortedNonDc = coef.drop(1).sorted
-    val m = sortedNonDc.length
-    val med = (sortedNonDc(m / 2) + sortedNonDc((m - 1) / 2)) / 2
-    var h = 0L; var i = 0
+    val med = sortedNonDc(sortedNonDc.length / 2)
+    var h = 0L; i = 0
     while (i < b * b) { if (coef(i) > med) h |= 1L << i; i += 1 }
     h
   }
@@ -327,8 +369,17 @@ object Multimodal {
     * corpus holds no same-modality perceptual-only near-dups of its
     * own, so the operator's target is synthesized deterministically.
     */
-  private val ReencodeMod = 17
-  private[graft] val ReencodeIdOffset = 200000L
+  private[graft] val ReencodeMod = 17
+
+  /** Variant-id offset: one past the corpus's max doc_id, derived at
+    * runtime (a parquet-statistics max, no data scan), so synthesized
+    * re-encode ids can NEVER alias a real document at any scale factor
+    * — a fixed constant would silently corrupt the pair semantics the
+    * moment a dataset carries doc_ids above it.
+    */
+  private[graft] def reencodeIdOffset(spark: SparkSession, dir: String): Long =
+    Tables.documents(spark, dir).agg(max(col("doc_id"))).head.getLong(0) + 1L
+
   private def reencode(p: Array[Byte]): Array[Byte] = {
     val out = p.clone()
     var i = 0
@@ -343,17 +394,21 @@ object Multimodal {
     * derives its bits from frequency structure of the DECODED plane,
     * with only the decode itself stubbed). The corpus is augmented
     * with the [[reencode]] variants so the perceptual-only match class
-    * exists. Work ∝ payloads, map-side only; no oracle (the DCT lives
-    * behind the typed seam) — the spec pins the algebra (brightness
-    * invariance, mode placement, noise robustness) instead.
+    * exists. Work ∝ payloads, map-side only. Because every step is
+    * integer-disciplined (floor-quantized luma, quantized basis, int64
+    * transform), the oracle replays the whole derivation — decode, DCT,
+    * median threshold — term for term in DuckDB; the spec additionally
+    * pins the algebra (brightness invariance, mode placement, noise
+    * robustness).
     */
   def multimodalPhashDct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val offset = reencodeIdOffset(spark, dir)
     val media = metaRows(spark, dir)
       .select(col("doc_id"), unhex(col("payload_hex")).as("payload"), col("modality"))
       .as[MediaRow]
     val variants = media.filter((r: MediaRow) => r.doc_id % ReencodeMod == 0)
-      .map(r => MediaRow(r.doc_id + ReencodeIdOffset, reencode(r.payload), r.modality))
+      .map(r => MediaRow(r.doc_id + offset, reencode(r.payload), r.modality))
     decodeLumaBatched(media.union(variants))
       .map(l => DctHashRow(l.doc_id, l.modality, dctPhash64(l.luma)))
       .toDF()
@@ -466,9 +521,6 @@ object Multimodal {
     "multimodal_dedup"  -> (multimodalDedup _),
     "multimodal_phash"  -> (multimodalPhash _),
     "multimodal_phash_pairs" -> (multimodalPhashPairs _),
-    // no oracle for the two DCT queries: the decode + DCT live behind
-    // the typed codec seam (driver records the rows-only check);
-    // MultimodalSpec pins the transform algebra instead
     "multimodal_phash_dct" -> (multimodalPhashDct _),
     "multimodal_phash_dct_pairs" -> (multimodalPhashDctPairs _),
     "multimodal_shard_pack" -> (multimodalShardPack _))
@@ -519,7 +571,97 @@ object Multimodal {
        |ph AS (SELECT doc_id, modality, payload_md5, $fp AS phash FROM v)""".stripMargin
   }
 
+  /** DCT-fingerprint CTEs ending in `ph64(doc_id, modality, phash64)` —
+    * an exact relational replay of payload → [[fakeLuma]] →
+    * [[dctPhash64]], shared by the fingerprint and pair oracles. The
+    * quantized basis [[dctBasisQ]] is embedded as a literal VALUES
+    * table (single source of truth: the same array the JVM multiplies
+    * by), luma cells are the floor-quantized byte averages, the
+    * separable transform is two integer sum-joins, and the median is
+    * the rank-32 element of the 63 non-DC coefficients. Every sum is
+    * order-free int64; `//`/`%`/`>>`/`&`/`xor`/`bit_count` agree with
+    * the JVM on negatives (truncating division, arithmetic shift,
+    * two's complement), so the 64-bit fingerprints hash-match exactly.
+    * Bit 63 cannot be built as `1 << 63` in DuckDB (overflow check):
+    * it contributes Long.MinValue directly, summed in HUGEINT and cast.
+    */
+  private lazy val dctCtes: String = {
+    val cells = LumaGrid * LumaGrid
+    val basisRows = (for (u <- 0 until DctBlock; x <- 0 until LumaGrid)
+      yield s"($u,$x,${dctBasisQ(u)(x)})").mkString(", ")
+    val byteAt =
+      "CAST(('0x' || substr(ph, p.p * 2 + 1, 2)) AS BIGINT)"
+    s"""docs AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS ph,
+       |    octet_length(encode(text)) AS n,
+       |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS modality
+       |  FROM documents),
+       |maxid AS (SELECT max(doc_id) + 1 AS off FROM documents),
+       |media AS (
+       |  SELECT doc_id, modality, ph, n, FALSE AS variant FROM docs
+       |  UNION ALL
+       |  SELECT doc_id + off, modality, ph, n, TRUE
+       |  FROM docs, maxid WHERE doc_id % $ReencodeMod = 0),
+       |basis AS (SELECT * FROM (VALUES $basisRows) b(u, x, w)),
+       |cells AS (
+       |  SELECT m.doc_id, m.modality, m.variant, m.ph, c.i AS ci,
+       |    (c.i * m.n) // $cells AS frm,
+       |    greatest((c.i * m.n) // $cells + 1, ((c.i + 1) * m.n) // $cells) AS upto
+       |  FROM media m, unnest(generate_series(0, ${cells - 1})) c(i)),
+       |lum AS (
+       |  SELECT doc_id, modality, ci,
+       |    CAST(sum(CASE WHEN variant AND p.p % 509 = 0
+       |      THEN xor($byteAt, 1) ELSE $byteAt END) AS BIGINT)
+       |      * $LumaScale // (upto - frm) AS li
+       |  FROM cells, unnest(generate_series(frm, upto - 1)) p(p)
+       |  GROUP BY doc_id, modality, ci, upto, frm),
+       |rp AS (
+       |  SELECT l.doc_id, l.modality, b.u, l.ci % $LumaGrid AS y,
+       |    CAST(sum(b.w * l.li) AS BIGINT) AS r
+       |  FROM lum l JOIN basis b ON b.x = l.ci // $LumaGrid
+       |  GROUP BY 1, 2, 3, 4),
+       |cf AS (
+       |  SELECT r.doc_id, r.modality, r.u * $DctBlock + b.u AS bit,
+       |    CAST(sum(b.w * r.r) AS BIGINT) AS coef
+       |  FROM rp r JOIN basis b ON b.x = r.y
+       |  GROUP BY 1, 2, 3),
+       |med AS (
+       |  SELECT doc_id, coef AS med FROM (
+       |    SELECT doc_id, coef,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
+       |    FROM cf WHERE bit > 0)
+       |  WHERE rn = 32),
+       |ph64 AS (
+       |  SELECT c.doc_id, c.modality,
+       |    CAST(sum(CASE WHEN c.coef > m.med THEN
+       |      CASE WHEN c.bit = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+       |           ELSE CAST(1::BIGINT << c.bit AS HUGEINT) END
+       |      ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS phash64
+       |  FROM cf c JOIN med m USING (doc_id)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "multimodal_phash_dct" ->
+      s"""WITH $dctCtes
+         |SELECT doc_id, modality, phash64 FROM ph64
+         |ORDER BY doc_id""".stripMargin,
+    "multimodal_phash_dct_pairs" ->
+      s"""WITH $dctCtes,
+         |bands AS (
+         |  SELECT doc_id, modality, phash64,
+         |    b.b AS band_idx, (phash64 >> (4 * b.b)) & 15 AS band_bits
+         |  FROM ph64, generate_series(0, ${DctBands - 1}) b(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.modality, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.phash64 AS fa, b.phash64 AS fb
+         |  FROM bands a JOIN bands b
+         |    ON a.modality = b.modality AND a.band_idx = b.band_idx
+         |    AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id)
+         |SELECT modality, doc_a, doc_b,
+         |  CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= $DctRadius
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "multimodal_phash" ->
       s"""WITH $phashCtes
          |SELECT doc_id, modality, payload_md5, phash FROM ph

@@ -791,9 +791,10 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     val pairs = Multimodal.multimodalPhashDctPairs(spark, sfDir).cache()
     // every injected re-encode variant is recovered as a near-dup of
     // its original — the perceptual-only match class byte dedup misses
+    val offset = Multimodal.reencodeIdOffset(spark, sfDir)
     val recovered = pairs.filter(
-      col("doc_b") === col("doc_a") + Multimodal.ReencodeIdOffset).count()
-    val planted = fp.filter(col("doc_id") >= Multimodal.ReencodeIdOffset).count()
+      col("doc_b") === col("doc_a") + offset).count()
+    val planted = fp.filter(col("doc_id") >= offset).count()
     assert(planted > 0 && recovered == planted,
       s"$recovered of $planted re-encoded variants recovered")
     // every reported pair is within radius, same modality, a < b
