@@ -11,13 +11,18 @@ import java.nio.file.{Files, Paths}
   * its product updates, and the warehouse must not double-apply them
   * when a batch retries after a timeout). Two disciplines compose:
   *
-  *  - **Versioned commits, marker last.** Each merge writes a complete
-  *    new table state under `v=<n>/` and only then writes the commit
-  *    marker (`_GRAFT_COMMIT`). Readers resolve the HIGHEST COMMITTED
-  *    version; a crash mid-write leaves an unmarked directory that no
-  *    reader ever sees and the next merge simply overwrites — the
-  *    marker-file-last protocol every table format (Delta/Iceberg
-  *    commit logs, Hadoop commit algorithms) builds on.
+  *  - **Versioned commits, one atomic publish.** Each merge STAGES a
+  *    complete new table state plus its commit marker (`_GRAFT_COMMIT`)
+  *    in a hidden temp directory, then publishes it with a single
+  *    atomic rename to `v=<n>/`. Readers resolve the HIGHEST version
+  *    that carries a marker; a crash mid-write leaves only an unnamed
+  *    temp directory no reader ever sees. Because the rename either
+  *    claims the version number or fails (a directory cannot be
+  *    renamed onto a non-empty one), TWO CONCURRENT WRITERS cannot
+  *    both commit `v=<n>`: the loser's rename fails, it re-reads the
+  *    winner's committed state and re-merges at `v=<n+1>` — the
+  *    optimistic-concurrency loop Delta/Iceberg run against their
+  *    commit logs, expressed with filesystem rename as the CAS.
   *  - **Batch-id dedup.** Every merge call carries a `batchId`; applied
   *    ids are recorded inside the commit marker and a re-run of an
   *    already-committed batch is a structural NO-OP (no read, no
@@ -69,56 +74,98 @@ object IdempotentMergeSink {
   def applied(root: String, batchId: String): Boolean =
     committed(root).exists(_._2.contains(batchId))
 
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
   /** Merge `updates` into the table at `root` under `batchId`.
     * Returns true when the batch was applied, false for the
     * already-applied no-op path. Columns: `key` joins, optional "op"
     * ("D" deletes), optional "seq" orders within the batch (highest
     * wins); "op"/"seq" are control columns and are not persisted.
+    *
+    * Safe under concurrent writers: the atomic rename that publishes
+    * `v=<n>` is the commit CAS. A loser discards its staged state,
+    * re-reads the winner's commit (which may have applied THIS batch
+    * id — two retries of one batch race to the same table) and
+    * re-merges; after `maxAttempts` consecutive lost races it throws
+    * rather than spin.
     */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
-      key: String, batchId: String): Boolean = {
-    val cur = committed(root)
-    if (cur.exists(_._2.contains(batchId))) return false // retry after success
+      key: String, batchId: String, maxAttempts: Int = 20): Boolean = {
+    new File(root).mkdirs()
     // within-batch latest-op-wins (mirror of the etl_cdc_apply window)
     val cols = updates.columns
-    val ranked =
+    val ranked = (
       if (cols.contains("seq")) {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(key)).orderBy(col("seq").desc)
         updates.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn", "seq")
       } else updates
+    // evaluate the updates plan EXACTLY ONCE: the anti-join key set,
+    // upserts, and deletes below all read these materialized rows, so a
+    // non-deterministic input cannot commit an inconsistent combination
+    // of removals and upserts within one version — and a lost-race
+    // retry re-merges the very same rows
+    ).localCheckpoint()
     val (upserts, deletes) =
       if (ranked.columns.contains("op"))
         (ranked.filter(col("op") =!= "D").drop("op"),
           ranked.filter(col("op") === "D").select(col(key)))
       else (ranked, ranked.limit(0).select(col(key)))
-    val newState = cur.map { case (v, _) => spark.read.parquet(s"$root/v=$v") }
-      .map(_.join(ranked.select(col(key)), Seq(key), "left_anti")
-        .unionByName(upserts))
-      .getOrElse(upserts)
-      .join(deletes, Seq(key), "left_anti")
-    val nextV = cur.map(_._1).getOrElse(0) + 1
-    val dir = s"$root/v=$nextV"
-    // a crashed previous attempt may have left an unmarked dir — it was
-    // never visible, so overwriting it IS the retry path
-    newState.write.mode(SaveMode.Overwrite).parquet(dir)
-    val ids = cur.map(_._2).getOrElse(Seq.empty) :+ batchId
-    Files.write(Paths.get(dir, Marker),
-      ids.mkString("\n").getBytes(StandardCharsets.UTF_8)) // marker LAST
-    true
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = committed(root)
+      if (cur.exists(_._2.contains(batchId))) return false // retry after success
+      val newState = cur.map { case (v, _) => spark.read.parquet(s"$root/v=$v") }
+        .map(_.join(ranked.select(col(key)), Seq(key), "left_anti")
+          .unionByName(upserts))
+        .getOrElse(upserts)
+        .join(deletes, Seq(key), "left_anti")
+      val nextV = cur.map(_._1).getOrElse(0) + 1
+      val target = Paths.get(root, s"v=$nextV")
+      val tmp = Paths.get(root, s".stage-${java.util.UUID.randomUUID()}")
+      newState.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val ids = cur.map(_._2).getOrElse(Seq.empty) :+ batchId
+      Files.write(tmp.resolve(Marker),
+        ids.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      // an unmarked v=<nextV> dir can only be a crashed legacy writer's
+      // leftover (this protocol never exposes unmarked version dirs):
+      // clear it so the rename-CAS isn't wedged by garbage
+      if (Files.exists(target) && !Files.exists(target.resolve(Marker)))
+        deleteRecursively(target.toFile)
+      try {
+        Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        return true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.FileSystemException =>
+          // lost the CAS: a concurrent writer committed v=<nextV> first.
+          // Discard the staged attempt and re-merge on top of theirs.
+          deleteRecursively(tmp.toFile)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"merge($root, batch=$batchId) lost the version race $maxAttempts times")
   }
 
   /** Retention: drop all committed versions older than the newest
-    * `keep` (and any unmarked crash leftovers below them). The newest
-    * version carries the full applied-batch-id list, so vacuuming old
-    * versions never weakens the idempotence check — the same reason a
-    * table format can expire snapshots without re-running commits.
+    * `keep`, plus crashed writers' staged `.stage-*` directories older
+    * than `stageGraceMs` (the age gate keeps vacuum from deleting a
+    * LIVE concurrent writer's stage mid-write). The newest version
+    * carries the full applied-batch-id list, so vacuuming old versions
+    * never weakens the idempotence check — the same reason a table
+    * format can expire snapshots without re-running commits.
     */
-  def vacuum(root: String, keep: Int = 1): Unit = {
+  def vacuum(root: String, keep: Int = 1,
+      stageGraceMs: Long = 600000L): Unit = {
     require(keep >= 1, "must keep at least the newest committed version")
+    val entries = Option(new File(root).listFiles()).getOrElse(Array.empty)
     committed(root).foreach { case (newest, _) =>
-      Option(new File(root).listFiles()).getOrElse(Array.empty)
+      entries
         .filter(f => f.isDirectory && f.getName.startsWith("v="))
         .filter(_.getName.stripPrefix("v=").toInt <= newest - keep)
         .foreach { d =>
@@ -126,5 +173,10 @@ object IdempotentMergeSink {
           d.delete()
         }
     }
+    val cutoff = System.currentTimeMillis() - stageGraceMs
+    entries
+      .filter(f => f.isDirectory && f.getName.startsWith(".stage-")
+        && f.lastModified() < cutoff)
+      .foreach(deleteRecursively)
   }
 }
