@@ -593,14 +593,17 @@ object AnnSearch {
     */
   private def servedIvfArtifacts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.sources.ArtifactStore
-    val trained =
-      if (ArtifactStore.has(dir, "ivf_lists") && ArtifactStore.has(dir, "ivf_centroids")) None
-      else Some(kmeansAssignmentsOver(normVecs(spark, dir)).localCheckpoint())
-    val lists = ArtifactStore.ensure(spark, dir, "ivf_lists", "vec_id", 8)(
-      trained.get.select(col("vec_id"), col("cl")))
-    val cent = ArtifactStore.ensure(spark, dir, "ivf_centroids", "cl", 1)(
-      kmCentroids(trained.get.select(col("cl"), col("v"))))
-    (lists, cent)
+    val arts = ArtifactStore.ensureMany(spark, dir,
+      Seq(("ivf_lists", "vec_id", 8), ("ivf_centroids", "cl", 1))) {
+      // the training pass runs lazily INSIDE the group lock, at most
+      // once across concurrent first callers; the localCheckpoint makes
+      // both artifacts derive from one materialized assignment
+      val trained = kmeansAssignmentsOver(normVecs(spark, dir)).localCheckpoint()
+      Map(
+        "ivf_lists" -> trained.select(col("vec_id"), col("cl")),
+        "ivf_centroids" -> kmCentroids(trained.select(col("cl"), col("v"))))
+    }
+    (arts("ivf_lists"), arts("ivf_centroids"))
   }
 
   /** The PQ model artifacts SERVED: folded corpus codes (vec_id →
@@ -611,13 +614,12 @@ object AnnSearch {
     */
   private def servedPqArtifacts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.sources.ArtifactStore
-    val model =
-      if (ArtifactStore.has(dir, "pq_codes") && ArtifactStore.has(dir, "pq_codebook")) None
-      else Some(pqModel(spark, dir))
-    val codes = ArtifactStore.ensure(spark, dir, "pq_codes", "vec_id", 8)(
-      foldedCodes(model.get._1))
-    val cb = ArtifactStore.ensure(spark, dir, "pq_codebook", "m", 1)(model.get._2)
-    (codes, cb)
+    val arts = ArtifactStore.ensureMany(spark, dir,
+      Seq(("pq_codes", "vec_id", 8), ("pq_codebook", "m", 1))) {
+      val model = pqModel(spark, dir)
+      Map("pq_codes" -> foldedCodes(model._1), "pq_codebook" -> model._2)
+    }
+    (arts("pq_codes"), arts("pq_codebook"))
   }
 
   /** [[ivfadcAdcScores]] over the persisted artifacts: identical math,
@@ -1016,42 +1018,14 @@ object AnnSearch {
     // lexical leg: BM25 of each candidate doc against the query doc's
     // distinct terms (same arithmetic + integer-scaled order-free sum
     // as TextAnalysis.textBm25Topk)
-    val k1 = 1.2
-    val b = 0.75
-    val terms = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-      .filter(col("term") =!= "")
     // the tf posting relation feeds FOUR derived relations (df, dl,
     // stats, the query-term probe) plus the scoring join — checkpoint
     // it so the corpus explode+aggregate runs once, not five times
     // (same shared-relation discipline as the Dedup shingle relation)
-    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = bm25Tf(Tables.documents(spark, dir)).localCheckpoint()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = dl.agg(
-      count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val qTerms = tf.filter(expr("doc_id % 50 = 0"))
-      .select(col("doc_id").as("q_id"), col("term"))
-    val wLex = Window.partitionBy(col("q_id"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-    val lexRanked = tf
-      .join(broadcast(qTerms), "term")
-      .filter(col("doc_id") =!= col("q_id"))
-      .join(df, "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("c",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-          (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy(col("q_id"), col("doc_id"))
-      .agg(sum(round(col("c") * 1000000, 0).cast("bigint")).as("s6"))
-      .withColumn("bm25", round(col("s6") / 1000000.0, 6))
-      .withColumn("lex_rank", row_number().over(wLex))
-      .filter(col("lex_rank") <= RrfCand)
-      .select(col("q_id"), col("doc_id").as("id"), col("lex_rank"))
+    val lexRanked = bm25LexRanked(tf, df, dl)
 
     // fusion: two ≤ RrfCand-per-query rank lists, full outer on (q, id)
     val wFuse = Window.partitionBy(col("q_id"))
@@ -1081,13 +1055,58 @@ object AnnSearch {
         .select(col("vec_id"), explode(tableKeys(col("v"))).as("tb"))
         .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b")))
 
+  /** The BM25 tf posting relation (doc_id, term, tf) for any documents
+    * relation — lowercased whitespace tokenization, one explode + one
+    * keyed aggregation. Shared by the self-contained fusion query, the
+    * artifact build, and [[IndexMaintenance]]'s incremental postings
+    * refresh, so the three can never tokenize differently.
+    */
+  private[graft] def bm25Tf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** The BM25 leg of the RRF fusion over any (tf, df, dl) posting
+    * relations: Robertson/Spärck-Jones idf × the k1/b-saturated tf
+    * term, integer-scaled before the order-free per-(query, doc) sum,
+    * top-`RrfCand` per query. One body for the self-contained build,
+    * the artifact-served twin, and the maintained-postings path — the
+    * relations differ, the scoring never does.
+    */
+  private[graft] def bm25LexRanked(tf: DataFrame, df: DataFrame,
+      dl: DataFrame): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qTerms = tf.filter(expr("doc_id % 50 = 0"))
+      .select(col("doc_id").as("q_id"), col("term"))
+    val wLex = Window.partitionBy(col("q_id"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    tf
+      .join(broadcast(qTerms), "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(df, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(round(col("c") * 1000000, 0).cast("bigint")).as("s6"))
+      .withColumn("bm25", round(col("s6") / 1000000.0, 6))
+      .withColumn("lex_rank", row_number().over(wLex))
+      .filter(col("lex_rank") <= RrfCand)
+      .select(col("q_id"), col("doc_id").as("id"), col("lex_rank"))
+  }
+
   private def servedBm25(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import graft.sources.ArtifactStore
     val tf = ArtifactStore.ensure(spark, dir, "bm25_tf", "doc_id", 8)(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-        .filter(col("term") =!= "")
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+      bm25Tf(Tables.documents(spark, dir)))
     // df/dl derive from the tf ARTIFACT — the corpus text is never
     // re-tokenized once the postings exist
     val df = ArtifactStore.ensure(spark, dir, "bm25_df", "term", 8)(
@@ -1122,32 +1141,8 @@ object AnnSearch {
       .filter(col("vec_rank") <= RrfCand)
       .select(col("q_id"), col("vec_id").as("id"), col("vec_rank"))
 
-    val k1 = 1.2
-    val b = 0.75
     val (tf, df, dl) = servedBm25(spark, dir)
-    val stats = dl.agg(
-      count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val qTerms = tf.filter(expr("doc_id % 50 = 0"))
-      .select(col("doc_id").as("q_id"), col("term"))
-    val wLex = Window.partitionBy(col("q_id"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-    val lexRanked = tf
-      .join(broadcast(qTerms), "term")
-      .filter(col("doc_id") =!= col("q_id"))
-      .join(df, "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("c",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-          (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy(col("q_id"), col("doc_id"))
-      .agg(sum(round(col("c") * 1000000, 0).cast("bigint")).as("s6"))
-      .withColumn("bm25", round(col("s6") / 1000000.0, 6))
-      .withColumn("lex_rank", row_number().over(wLex))
-      .filter(col("lex_rank") <= RrfCand)
-      .select(col("q_id"), col("doc_id").as("id"), col("lex_rank"))
+    val lexRanked = bm25LexRanked(tf, df, dl)
 
     val wFuse = Window.partitionBy(col("q_id"))
       .orderBy(col("rrf").desc, col("id"))

@@ -31,6 +31,24 @@ object ArtifactStore {
   /** (dataset dir, artifact name) → managed table name, per JVM. */
   private val built = TrieMap.empty[(String, String), String]
 
+  /** Per-artifact(-group) build locks: unrelated artifact builds run
+    * concurrently; only callers racing for the SAME artifact serialize
+    * (one global monitor would make the first bench query of each
+    * served family wait on every other family's training).
+    */
+  private val locks = TrieMap.empty[String, Object]
+
+  private def lockFor(key: String): Object =
+    locks.getOrElseUpdate(key, new Object)
+
+  /** An artifact counts as built only when THIS session can resolve
+    * its table: `built` is JVM-global while catalogs are per-session,
+    * so a second SparkSession in the same JVM must rebuild into its
+    * own catalog rather than fail on `spark.table`.
+    */
+  private def visible(spark: SparkSession, dir: String, name: String): Boolean =
+    built.get((dir, name)).exists(spark.catalog.tableExists)
+
   /** Dataset path → a token stable within the JVM and safe in a table
     * identifier.
     */
@@ -40,37 +58,63 @@ object ArtifactStore {
   private[sources] def tableName(dir: String, name: String): String =
     s"graft_art_${dirKey(dir)}_$name"
 
+  private def save(spark: SparkSession, dir: String, name: String,
+      key: String, buckets: Int, df: DataFrame): Unit = {
+    val tbl = tableName(dir, name)
+    dropOrphan(spark, tbl)
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(tbl)
+    built((dir, name)) = tbl
+  }
+
   /** The build-once gate. `build` runs only for the first caller per
-    * (dir, name); the result is written as a bucketed in-bucket-sorted
-    * managed table (the [[Bucketing]] discipline — joins on `key`
-    * against an equally-bucketed side are exchange-free) and every
-    * caller gets the table scan back.
+    * (dir, name) per session; the result is written as a bucketed
+    * in-bucket-sorted managed table (the [[Bucketing]] discipline —
+    * joins on `key` against an equally-bucketed side are exchange-free)
+    * and every caller gets the table scan back.
     */
   def ensure(spark: SparkSession, dir: String, name: String, key: String,
       buckets: Int)(build: => DataFrame): DataFrame = {
-    val k = (dir, name)
-    built.synchronized {
-      if (!built.contains(k)) {
-        val tbl = tableName(dir, name)
-        dropOrphan(spark, tbl)
-        build.write
-          .mode(SaveMode.Overwrite)
-          .bucketBy(buckets, key)
-          .sortBy(key)
-          .format("parquet")
-          .saveAsTable(tbl)
-        built(k) = tbl
-      }
+    lockFor(s"$dir#$name").synchronized {
+      if (!visible(spark, dir, name)) save(spark, dir, name, key, buckets, build)
     }
-    spark.table(built(k))
+    spark.table(built((dir, name)))
   }
 
-  /** True when the artifact is already built in this JVM — lets a
-    * trainer that produces SEVERAL artifacts in one pass (the PQ model
-    * emits codes AND codebook) skip the whole pass when all its
-    * outputs exist, without re-entering each `ensure` build.
+  /** The build-once gate for a trainer that produces SEVERAL artifacts
+    * in one pass (the PQ model emits codes AND codebook; one Lloyd run
+    * emits IVF lists AND centroids). `build` runs AT MOST ONCE, inside
+    * the group lock, and only when some output is missing — concurrent
+    * first callers cannot each pay the training pass, and the outputs
+    * can never drift out of step because they come from one evaluation.
+    * `outs` lists (name, bucket key, bucket count) per artifact; the
+    * same names must key the map `build` returns.
+    *
+    * A group's artifacts must be managed ONLY through this group (a
+    * separate single-`ensure` of one member would race the group lock)
+    * — each artifact family has exactly one owning call site.
     */
-  def has(dir: String, name: String): Boolean = built.contains((dir, name))
+  def ensureMany(spark: SparkSession, dir: String,
+      outs: Seq[(String, String, Int)])(
+      build: => Map[String, DataFrame]): Map[String, DataFrame] = {
+    lockFor(s"$dir#${outs.map(_._1).mkString("+")}").synchronized {
+      if (outs.exists { case (n, _, _) => !visible(spark, dir, n) }) {
+        val made = build
+        outs.foreach { case (n, key, buckets) =>
+          if (!visible(spark, dir, n)) save(spark, dir, n, key, buckets, made(n))
+        }
+      }
+    }
+    outs.map { case (n, _, _) => n -> spark.table(built((dir, n))) }.toMap
+  }
+
+  /** True when the artifact is built AND resolvable by this session. */
+  def has(spark: SparkSession, dir: String, name: String): Boolean =
+    visible(spark, dir, name)
 
   /** A previous JVM's warehouse dir for this table blocks `saveAsTable`
     * (the fresh in-memory metastore doesn't own it) — clear both the

@@ -23,9 +23,31 @@ class ArtifactStoreSpec extends SparkTestBase {
     val a = ArtifactStore.ensure(spark, sfDir, "spec_probe", "k", 2)(make)
     val b = ArtifactStore.ensure(spark, sfDir, "spec_probe", "k", 2)(make)
     assert(builds == 1, s"build ran $builds times")
-    assert(ArtifactStore.has(sfDir, "spec_probe"))
+    assert(ArtifactStore.has(spark, sfDir, "spec_probe"))
     assert(rows(a.orderBy("k")) == rows(b.orderBy("k")))
     assert(a.count() == 5)
+  }
+
+  test("ensureMany: one build across concurrent first callers, outputs in step") {
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def fetch() = ArtifactStore.ensureMany(spark, sfDir,
+      Seq(("spec_many_a", "k", 2), ("spec_many_b", "k", 2))) {
+      // the expensive shared training pass — must run at most once even
+      // when every caller arrives before the first build finishes
+      builds.incrementAndGet()
+      val base = spark.range(8).select(col("id").as("k"), (col("id") * 3).as("v"))
+      Map("spec_many_a" -> base,
+        "spec_many_b" -> base.withColumn("v", col("v") + 1))
+    }
+    val all = Await.result(
+      Future.sequence((1 to 4).map(_ => Future(fetch()))), 120.seconds)
+    assert(builds.get() == 1, s"shared build ran ${builds.get()} times")
+    all.foreach { m =>
+      assert(m("spec_many_a").count() == 8 && m("spec_many_b").count() == 8)
+    }
   }
 
   test("graph served twins equal their self-contained forms") {
