@@ -39,25 +39,79 @@ object GraphOps {
     * BY CONSTRUCTION at any corpus size. Σ deg² ≤ k²·n — triangle and
     * rank costs stay linear forever.
     */
-  private[graft] def knnEdges(spark: SparkSession, dir: String): DataFrame = {
-    val cand = CoreAnalytics.priceBandPairs(spark, dir)
-      .select(col("key_a").as("u"), col("key_b").as("v"),
-        round(abs(col("price_a") - col("price_b")), 6).as("diff"))
-    val sym = cand.union(cand.select(col("v").as("u"), col("u").as("v"), col("diff")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("u")).orderBy(col("diff"), col("v"))
-    val knn = sym.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= KnnK).select(col("u"), col("v"))
-    knn.as("k1").join(knn.as("k2"),
-        col("k1.u") === col("k2.v") && col("k1.v") === col("k2.u"))
-      .filter(col("k1.u") < col("k1.v"))
-      .select(col("k1.u").as("a"), col("k1.v").as("b"))
+  private[graft] def knnEdges(spark: SparkSession, dir: String): DataFrame =
+    mutualEdgesOf(knnListsOf(partNodes(spark, dir), partNodes(spark, dir)))
       // materialize the graph once: consumers reference the edge
       // relation 3-5 times (wedge joins, degree counts) and would
       // otherwise re-plan the whole band-join + rank + mutual-join
       // chain per reference (26 exchanges for triangle counting)
       .localCheckpoint()
+
+  /** The node relation the kNN graph is built over: parts keyed by
+    * partkey with retail price as the 1-D embedding.
+    */
+  private[graft] def partNodes(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.part(spark, dir)
+      .select(col("p_partkey").as("key"), col("p_retailprice").as("price"))
+
+  /** Candidate band width (same tolerance as
+    * [[CoreAnalytics.priceBandPairs]] — the candidate semantics the
+    * oracle CTE mirrors).
+    */
+  private val KnnTol = 0.5
+
+  /** Per-node kNN adjacency LISTS over an arbitrary probe/corpus pair
+    * of (key, price) node relations: banded candidates (probe explodes
+    * ±1 price bands, corpus carries its own band — work ∝ probe ×
+    * band occupancy, never probe × corpus), then the per-node top-K by
+    * (rounded diff, v). Parameterizing probe ≠ corpus is what makes
+    * INCREMENTAL maintenance possible: a refresh recomputes lists only
+    * for the nodes a batch can touch ([[IndexMaintenance.refreshKnn]])
+    * while the full build is probe = corpus = all nodes.
+    */
+  private[graft] def knnListsOf(probe: DataFrame, corpus: DataFrame): DataFrame = {
+    val a = probe.select(col("key").as("u"), col("price").as("pu"))
+      .withColumn("band", explode(array((-1 to 1).map(d =>
+        floor(col("pu") / KnnTol).cast("long") + d): _*)))
+    val b = corpus.select(col("key").as("v"), col("price").as("pv"),
+      floor(col("pv") / KnnTol).cast("long").as("band"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("diff"), col("v"))
+    a.join(b, Seq("band"))
+      .filter(col("u") =!= col("v") &&
+        abs(col("pu") - col("pv")) <= KnnTol)
+      .select(col("u"), col("v"),
+        round(abs(col("pu") - col("pv")), 6).as("diff"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KnnK).select(col("u"), col("v"))
   }
+
+  /** Base-corpus node keys within band reach of any batch node — the
+    * ONLY nodes whose top-K lists an ingest batch can change. The
+    * batch side is broadcast: at scale the batch is tiny against the
+    * corpus, so touched-set discovery is one map-side band join.
+    */
+  private[graft] def bandReach(base: DataFrame, batch: DataFrame): DataFrame = {
+    val a = base.select(col("key"), col("price").as("pu"))
+      .withColumn("band", explode(array((-1 to 1).map(d =>
+        floor(col("pu") / KnnTol).cast("long") + d): _*)))
+    val b = batch.select(col("price").as("pv"),
+      floor(col("pv") / KnnTol).cast("long").as("band"))
+    a.join(broadcast(b), Seq("band"))
+      .filter(abs(col("pu") - col("pv")) <= KnnTol)
+      .select(col("key")).distinct()
+  }
+
+  /** Mutual-kNN edges over any per-node adjacency list relation: an
+    * edge survives only if BOTH endpoints chose each other. Split out
+    * so the maintained list table ([[IndexMaintenance.knnEdges]])
+    * derives edges through the identical join as the inline build.
+    */
+  private[graft] def mutualEdgesOf(lists: DataFrame): DataFrame =
+    lists.as("k1").join(lists.as("k2"),
+        col("k1.u") === col("k2.v") && col("k1.v") === col("k2.u"))
+      .filter(col("k1.u") < col("k1.v"))
+      .select(col("k1.u").as("a"), col("k1.v").as("b"))
 
   /** The same mutual-kNN edge relation as SQL CTEs ending in `edges`
     * (a < b) — shared by both oracles.

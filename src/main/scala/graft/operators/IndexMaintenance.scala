@@ -61,4 +61,125 @@ object IndexMaintenance {
   def labels(spark: SparkSession, root: String): DataFrame =
     Dedup.connectedComponents(pairs(spark, root).select("doc_a", "doc_b"))
       .select("doc_id", "component")
+
+  // --- mutual-kNN graph maintenance (the knn_edges artifact's trickle
+  // path). The maintained relation is the per-node adjacency LIST, not
+  // the edge set: mutual-kNN edges are not additive (a new closer
+  // neighbor evicts an old one from a node's top-K), but the set of
+  // nodes a batch can touch IS bounded — batch nodes plus base nodes
+  // within candidate-band reach ([[GraphOps.bandReach]]). refreshKnn
+  // recomputes lists for exactly that set (work ∝ batch × band
+  // occupancy), deletes the evicted rows, and the cheap mutual join
+  // over the maintained lists reproduces the from-scratch edge set. ---
+
+  private def listKeyed(lists: DataFrame): DataFrame =
+    lists.withColumn("list_key", concat_ws(":", col("u"), col("v")))
+
+  /** Build the kNN list table from the base (key, price) node
+    * relation (first commit).
+    */
+  def bootstrapKnn(spark: SparkSession, root: String, baseNodes: DataFrame,
+      batchId: String = "bootstrap"): Boolean =
+    IdempotentMergeSink.merge(spark, root,
+      listKeyed(GraphOps.knnListsOf(baseNodes, baseNodes)), "list_key", batchId)
+
+  /** Merge one node batch into the list table under `batchId`: new
+    * lists for every touched node, deletes for their evicted rows.
+    * `baseNodes` is the corpus BEFORE the batch; batch keys must be
+    * new. False = already applied (the retry no-op).
+    */
+  def refreshKnn(spark: SparkSession, root: String, baseNodes: DataFrame,
+      batchNodes: DataFrame, batchId: String): Boolean = {
+    val touched = baseNodes
+      .join(GraphOps.bandReach(baseNodes, batchNodes), Seq("key"), "left_semi")
+      .unionByName(batchNodes)
+    val fresh = GraphOps.knnListsOf(touched, baseNodes.unionByName(batchNodes))
+      .localCheckpoint() // feeds both the upserts and the evicted anti-join
+    val evicted = IdempotentMergeSink.read(spark, root)
+      .map(_.select(col("u"), col("v"))
+        .join(touched.select(col("key").as("u")), Seq("u"), "left_semi")
+        .join(fresh, Seq("u", "v"), "left_anti")
+        .withColumn("op", lit("D")))
+      .getOrElse(fresh.limit(0).withColumn("op", lit("D")))
+    IdempotentMergeSink.merge(spark, root,
+      listKeyed(fresh.withColumn("op", lit("I")).unionByName(evicted)),
+      "list_key", batchId)
+  }
+
+  /** The maintained per-node adjacency lists (u, v). */
+  def knnLists(spark: SparkSession, root: String): DataFrame =
+    IdempotentMergeSink.read(spark, root)
+      .map(_.select("u", "v"))
+      .getOrElse(throw new IllegalStateException(s"no committed knn list table at $root"))
+
+  /** Mutual-kNN edges over the maintained lists — the same join as the
+    * inline build ([[GraphOps.mutualEdgesOf]]), recomputed over a
+    * relation of ≤ K·n rows: the cheap step, like [[labels]].
+    */
+  def knnEdges(spark: SparkSession, root: String): DataFrame =
+    GraphOps.mutualEdgesOf(knnLists(spark, root))
+
+  // --- BM25 postings maintenance (the bm25_tf/df/dl artifacts'
+  // trickle path). tf and dl are doc-keyed — a batch of NEW docs is a
+  // pure insert. df is term-keyed and ADDITIVE: the refresh reads the
+  // current term counts and upserts old + batch per touched term.
+  // Each sub-table commit is exactly-once under the shared batchId, so
+  // a crash between the three merges resumes where it left off; the
+  // read-modify-write on df assumes one logical maintainer at a time
+  // (the streaming refresh serializes batches), the same single-
+  // maintainer contract as the pair-table path. ---
+
+  private def tfRoot(root: String) = s"$root/tf"
+  private def dfRoot(root: String) = s"$root/df"
+  private def dlRoot(root: String) = s"$root/dl"
+
+  /** Build the three posting tables from the base corpus. */
+  def bootstrapBm25(spark: SparkSession, root: String, baseDocs: DataFrame,
+      batchId: String = "bootstrap"): Boolean = {
+    val tf = AnnSearch.bm25Tf(baseDocs).localCheckpoint() // feeds 3 merges
+    val a = IdempotentMergeSink.merge(spark, tfRoot(root),
+      tf.withColumn("tf_key", concat_ws(":", col("doc_id"), col("term"))),
+      "tf_key", batchId)
+    val b = IdempotentMergeSink.merge(spark, dfRoot(root),
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df")), "term", batchId)
+    val c = IdempotentMergeSink.merge(spark, dlRoot(root),
+      tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")), "doc_id", batchId)
+    a | b | c
+  }
+
+  /** Merge one ingest batch of NEW docs into the posting tables:
+    * insert its tf and dl rows, add its per-term df increments.
+    * False = every sub-table had already applied the batch.
+    */
+  def refreshBm25(spark: SparkSession, root: String, batchDocs: DataFrame,
+      batchId: String): Boolean = {
+    val btf = AnnSearch.bm25Tf(batchDocs).localCheckpoint()
+    val a = IdempotentMergeSink.merge(spark, tfRoot(root),
+      btf.withColumn("tf_key", concat_ws(":", col("doc_id"), col("term"))),
+      "tf_key", batchId)
+    // additive term counts: computed fresh against the CURRENT df table
+    // each call, so a retry that already committed df no-ops on the
+    // batch id before these (then-stale) rows could double-count
+    val curDf = IdempotentMergeSink.read(spark, dfRoot(root))
+      .getOrElse(throw new IllegalStateException(s"refreshBm25 before bootstrap at $root"))
+    val upDf = btf.groupBy(col("term")).agg(count(lit(1)).as("inc"))
+      .join(curDf, Seq("term"), "left")
+      .select(col("term"), (coalesce(col("df"), lit(0L)) + col("inc")).as("df"))
+    val b = IdempotentMergeSink.merge(spark, dfRoot(root), upDf, "term", batchId)
+    val c = IdempotentMergeSink.merge(spark, dlRoot(root),
+      btf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")), "doc_id", batchId)
+    a | b | c
+  }
+
+  /** The maintained (tf, df, dl) posting relations — drop-in for
+    * [[AnnSearch.bm25LexRanked]]'s inputs.
+    */
+  def bm25(spark: SparkSession, root: String): (DataFrame, DataFrame, DataFrame) = {
+    def rel(r: String, cols: Seq[String]) = IdempotentMergeSink.read(spark, r)
+      .map(_.select(cols.map(col): _*))
+      .getOrElse(throw new IllegalStateException(s"no committed posting table at $r"))
+    (rel(tfRoot(root), Seq("doc_id", "term", "tf")),
+      rel(dfRoot(root), Seq("term", "df")),
+      rel(dlRoot(root), Seq("doc_id", "dl")))
+  }
 }

@@ -90,6 +90,70 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(IdempotentMergeSink.applied(docsRoot, "docs-1"))
   }
 
+  test("knn list maintenance: bootstrap + refresh equals the from-scratch mutual-kNN graph") {
+    import graft.operators.GraphOps
+    val root = freshRoot()
+    val nodes = GraphOps.partNodes(spark, sfDir)
+    val base = nodes.filter(col("key") % 5 =!= 0)
+    val batch = nodes.filter(col("key") % 5 === 0)
+    assert(IndexMaintenance.bootstrapKnn(spark, root, base))
+    // before the batch, the table equals the base-only build
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet(IndexMaintenance.knnEdges(spark, root))
+      == edgeSet(GraphOps.mutualEdgesOf(GraphOps.knnListsOf(base, base))))
+
+    assert(IndexMaintenance.refreshKnn(spark, root, base, batch, "b1"))
+    val want = edgeSet(GraphOps.mutualEdgesOf(GraphOps.knnListsOf(nodes, nodes)))
+    val got = edgeSet(IndexMaintenance.knnEdges(spark, root))
+    assert(want.nonEmpty && got == want,
+      s"maintained kNN edges diverge: ${got.size} vs ${want.size}; " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+
+    // eviction really happens: the refresh must be able to REMOVE list
+    // rows (mutual-kNN is not additive), so some base-only edge or list
+    // row must have disappeared or the test corpus proves nothing
+    val baseLists = GraphOps.knnListsOf(base, base)
+    val evicted = baseLists
+      .join(IndexMaintenance.knnLists(spark, root), Seq("u", "v"), "left_anti")
+    assert(evicted.count() > 0, "batch evicted no list rows — vacuous refresh test")
+
+    // exactly-once + a graph query served from the maintained table
+    val v = IdempotentMergeSink.version(root)
+    assert(!IndexMaintenance.refreshKnn(spark, root, base, batch, "b1"))
+    assert(IdempotentMergeSink.version(root) == v)
+    val pr = GraphOps.pagerankOf(IndexMaintenance.knnEdges(spark, root).localCheckpoint())
+    assert(pr.count() > 0)
+  }
+
+  test("bm25 postings maintenance: inserts + additive df equal from-scratch; scoring reads it") {
+    import graft.operators.AnnSearch
+    val root = freshRoot()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    assert(IndexMaintenance.bootstrapBm25(spark, root, base))
+    assert(IndexMaintenance.refreshBm25(spark, root, batch, "b1"))
+    val (tf, df, dl) = IndexMaintenance.bm25(spark, root)
+    val wantTf = AnnSearch.bm25Tf(docs).localCheckpoint()
+    assert(tf.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      == wantTf.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet)
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == wantTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet,
+      "additive df counts diverge from the from-scratch term counts")
+    // the served scoring leg over the MAINTAINED postings equals the
+    // from-scratch leg over the combined corpus
+    val wantDl = wantTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val wantDf = wantTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    def ranked(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(ranked(AnnSearch.bm25LexRanked(tf, df, dl))
+      == ranked(AnnSearch.bm25LexRanked(wantTf, wantDf, wantDl)))
+    // exactly-once across all three sub-tables
+    assert(!IndexMaintenance.refreshBm25(spark, root, batch, "b1"))
+  }
+
   test("a second batch composes: two refreshes equal one combined build") {
     val root = freshRoot()
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
