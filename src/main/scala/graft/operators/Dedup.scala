@@ -860,10 +860,18 @@ object Dedup {
     * operator exists for (the residual-PQ precedent: keep the
     * published shape, measure both, state which regime each wins).
     */
-  def dedupIncrementalServed(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sig = servedSigs(spark, dir)
-      .withColumn("is_new", col("doc_id") % NewMod === 0)
+  def dedupIncrementalServed(spark: SparkSession, dir: String): DataFrame =
+    dedupIncrementalServedOver(servedSigs(spark, dir),
+      Tables.documents(spark, dir), col("doc_id") % NewMod === 0)
+
+  /** The served-form admission math over an arbitrary signature table
+    * (doc_id, band_idx, bk), corpus, and batch predicate — probe work
+    * ∝ batch + candidates, the corpus text read only through the
+    * candidate semi-join. Exposed for [[graft.CrossoverBench]].
+    */
+  private[graft] def dedupIncrementalServedOver(sigTable: DataFrame,
+      docs: DataFrame, isNew: Column): DataFrame = {
+    val sig = sigTable.withColumn("is_new", isNew)
     val newKeys = sig.filter(col("is_new"))
       .select(col("doc_id").as("new_id"), col("band_idx"), col("bk"))
     val candidates = newKeys
@@ -897,7 +905,7 @@ object Dedup {
       .select(col("new_id"), col("cand_id").as("match_id"),
         col("jaccard").as("match_jaccard"))
     docs.select(col("doc_id"))
-      .filter(col("doc_id") % NewMod === 0)
+      .filter(isNew)
       .join(best, col("doc_id") === col("new_id"), "left")
       .select(col("doc_id"), col("match_id"), col("match_jaccard"),
         when(col("match_id").isNotNull, lit("drop")).otherwise(lit("admit"))
@@ -924,12 +932,24 @@ object Dedup {
     * surviving match (highest verified Jaccard, ties to the smallest
     * doc_id).
     */
-  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).localCheckpoint()
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    dedupIncrementalOver(
+      Tables.documents(spark, dir), col("doc_id") % NewMod === 0)
+
+  /** The base-form admission math over an arbitrary (doc_id, text)
+    * corpus and batch predicate — full shingle explode + minhash over
+    * EVERYTHING (work ∝ corpus), then the band-key probe. Exposed so
+    * [[graft.CrossoverBench]] can hold the batch fixed while the
+    * corpus grows — the regime comparison against
+    * [[dedupIncrementalServedOver]].
+    */
+  private[graft] def dedupIncrementalOver(docs: DataFrame,
+      isNew: Column): DataFrame = {
+    val sh = shinglesOf(docs).localCheckpoint()
     val sigLong = minhashFromShingles(sh)
       .select(col("doc_id"), posexplode(
         array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
-      .withColumn("is_new", col("doc_id") % NewMod === 0)
+      .withColumn("is_new", isNew)
       .localCheckpoint() // read twice: probe side + index side
     val newKeys = sigLong.filter(col("is_new"))
       .select(col("doc_id").as("new_id"), col("band_idx"), col("bk"))
@@ -956,8 +976,8 @@ object Dedup {
     val best = jac.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("new_id"), col("cand_id").as("match_id"),
         col("jaccard").as("match_jaccard"))
-    Tables.documents(spark, dir).select(col("doc_id"))
-      .filter(col("doc_id") % NewMod === 0)
+    docs.select(col("doc_id"))
+      .filter(isNew)
       .join(best, col("doc_id") === col("new_id"), "left")
       .select(col("doc_id"), col("match_id"), col("match_jaccard"),
         when(col("match_id").isNotNull, lit("drop")).otherwise(lit("admit"))
