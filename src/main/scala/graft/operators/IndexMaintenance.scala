@@ -182,4 +182,46 @@ object IndexMaintenance {
       rel(dfRoot(root), Seq("term", "df")),
       rel(dlRoot(root), Seq("doc_id", "dl")))
   }
+
+  // --- DCT perceptual-hash maintenance (the phash_dct artifact's
+  // trickle path). Fingerprints are per-row immutable map-side work →
+  // a media batch is a pure insert; the pair table is ADDITIVE because
+  // fingerprints never change — refresh merges only the batch-vs-all
+  // banded pairs ([[Multimodal.dctNewPairs]]), never old-vs-old. ---
+
+  private def fpRoot(root: String) = s"$root/fp"
+  private def dctPairsRoot(root: String) = s"$root/pairs"
+
+  /** Build the fingerprint + pair tables from the base media. */
+  def bootstrapPhash(spark: SparkSession, root: String,
+      baseMedia: org.apache.spark.sql.Dataset[Multimodal.MediaRow],
+      batchId: String = "bootstrap"): Boolean = {
+    val fp = Multimodal.dctFingerprintsOf(baseMedia).localCheckpoint()
+    val a = IdempotentMergeSink.merge(spark, fpRoot(root), fp, "doc_id", batchId)
+    val b = IdempotentMergeSink.merge(spark, dctPairsRoot(root),
+      keyed(Multimodal.dctPairsOver(fp)), "pair_key", batchId)
+    a | b
+  }
+
+  /** Merge one media batch: insert its fingerprints, add the pairs it
+    * introduces. False = every sub-table had already applied the batch.
+    */
+  def refreshPhash(spark: SparkSession, root: String,
+      batchMedia: org.apache.spark.sql.Dataset[Multimodal.MediaRow],
+      batchId: String): Boolean = {
+    val bfp = Multimodal.dctFingerprintsOf(batchMedia).localCheckpoint()
+    val baseFp = IdempotentMergeSink.read(spark, fpRoot(root))
+      .map(_.select("doc_id", "modality", "phash64"))
+      .getOrElse(throw new IllegalStateException(s"refreshPhash before bootstrap at $root"))
+    val a = IdempotentMergeSink.merge(spark, fpRoot(root), bfp, "doc_id", batchId)
+    val b = IdempotentMergeSink.merge(spark, dctPairsRoot(root),
+      keyed(Multimodal.dctNewPairs(bfp, baseFp)), "pair_key", batchId)
+    a | b
+  }
+
+  /** The maintained perceptual pair relation. */
+  def dctPairs(spark: SparkSession, root: String): DataFrame =
+    IdempotentMergeSink.read(spark, dctPairsRoot(root))
+      .map(_.select("modality", "doc_a", "doc_b", "hamming"))
+      .getOrElse(throw new IllegalStateException(s"no committed dct pair table at $root"))
 }

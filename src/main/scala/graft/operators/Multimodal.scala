@@ -401,7 +401,14 @@ object Multimodal {
     * pins the algebra (brightness invariance, mode placement, noise
     * robustness).
     */
-  def multimodalPhashDct(spark: SparkSession, dir: String): DataFrame = {
+  def multimodalPhashDct(spark: SparkSession, dir: String): DataFrame =
+    dctFingerprints(spark, dir).orderBy(col("doc_id"))
+
+  /** The re-encode-augmented media relation the DCT queries run over:
+    * corpus payloads plus the synthesized variant rows.
+    */
+  private[graft] def augmentedMedia(spark: SparkSession,
+      dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     val offset = reencodeIdOffset(spark, dir)
     val media = metaRows(spark, dir)
@@ -409,11 +416,35 @@ object Multimodal {
       .as[MediaRow]
     val variants = media.filter((r: MediaRow) => r.doc_id % ReencodeMod == 0)
       .map(r => MediaRow(r.doc_id + offset, reencode(r.payload), r.modality))
-    decodeLumaBatched(media.union(variants))
+    media.union(variants)
+  }
+
+  /** DCT fingerprints (doc_id, modality, phash64) over any media
+    * relation — the map-side payload → luma → DCT → threshold chain.
+    * Per-row independent, so the relation is ADDITIVE: a batch's
+    * fingerprints never change the existing ones, which is what makes
+    * the maintained fingerprint table a pure insert
+    * ([[IndexMaintenance.refreshPhash]]).
+    */
+  private[graft] def dctFingerprintsOf(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    decodeLumaBatched(media)
       .map(l => DctHashRow(l.doc_id, l.modality, dctPhash64(l.luma)))
       .toDF()
-      .orderBy(col("doc_id"))
   }
+
+  private[graft] def dctFingerprints(spark: SparkSession, dir: String): DataFrame =
+    dctFingerprintsOf(augmentedMedia(spark, dir))
+
+  /** The fingerprint relation SERVED from its write-once bucketed
+    * artifact ([[graft.sources.ArtifactStore]]): the decode + DCT pass
+    * runs once per JVM, every perceptual-dedup query reads the table —
+    * completing the serving story for the perceptual side the way
+    * `dedup_sigs` completes it for the text side.
+    */
+  private[graft] def servedDctFingerprints(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ArtifactStore.ensure(spark, dir, "phash_dct", "doc_id", 8)(
+      dctFingerprints(spark, dir))
 
   /** Banding radius for DCT pairs: the published ≤10/64-bit near-dup
     * cut; 16 four-bit bands make the banded search lossless to radius
@@ -426,14 +457,32 @@ object Multimodal {
     * banded equi-join discipline as [[multimodalPhashPairs]], never
     * payloads².
     */
-  def multimodalPhashDctPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fp = multimodalPhashDct(spark, dir).localCheckpoint()
-    val bands = fp.select(col("doc_id"), col("modality"), col("phash64"),
+  def multimodalPhashDctPairs(spark: SparkSession, dir: String): DataFrame =
+    dctPairsOver(dctFingerprints(spark, dir).localCheckpoint())
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The pairs query SERVED from the persisted fingerprint table —
+    * per-query cost is the banded self-join probe alone, the decode +
+    * DCT training pass amortized across every caller. Shares the base
+    * query's oracle SQL (identical result by construction).
+    */
+  def multimodalPhashDctPairsServed(spark: SparkSession, dir: String): DataFrame =
+    dctPairsOver(servedDctFingerprints(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** 4-bit band keys of a fingerprint relation — the probe/index shape
+    * both the batch pair search and the incremental refresh share.
+    */
+  private def dctBandsOf(fp: DataFrame): DataFrame =
+    fp.select(col("doc_id"), col("modality"), col("phash64"),
       explode(array((0 until DctBands).map(b => struct(
         lit(b).as("band_idx"),
         shiftright(col("phash64"), 4 * b).bitwiseAND(lit(15L)).as("band_bits"))): _*)).as("bb"))
       .select(col("doc_id"), col("modality"), col("phash64"),
         col("bb.band_idx"), col("bb.band_bits"))
+
+  private[graft] def dctPairsOver(fp: DataFrame): DataFrame = {
+    val bands = dctBandsOf(fp)
     bands.select(col("modality"), col("band_idx"), col("band_bits"),
         col("doc_id").as("doc_a"), col("phash64").as("fa"))
       .join(bands.select(col("modality"), col("band_idx"), col("band_bits"),
@@ -444,7 +493,40 @@ object Multimodal {
       .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
       .filter(col("hamming") <= DctRadius)
       .select("modality", "doc_a", "doc_b", "hamming")
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** New perceptual pairs introduced by a fingerprint batch: batch
+    * band keys against base ∪ batch — old-vs-old is never re-examined,
+    * and because fingerprints are per-row immutable the pair relation
+    * is additive, so maintained-pairs ∪ new-pairs equals the
+    * from-scratch build (the invariant IndexMaintenanceSpec pins).
+    * Work ∝ batch × touched band buckets.
+    */
+  private[graft] def dctNewPairs(batchFp: DataFrame, baseFp: DataFrame): DataFrame = {
+    val bands = dctBandsOf(baseFp.unionByName(batchFp))
+      .join(batchFp.select(col("doc_id").as("nid")).distinct(),
+        col("doc_id") === col("nid"), "left")
+      .withColumn("is_new", col("nid").isNotNull)
+      .drop("nid")
+    val newKeys = bands.filter(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("phash64").as("fn"),
+        col("modality"), col("band_idx"), col("band_bits"))
+    newKeys
+      .join(bands.select(col("doc_id").as("cand_id"), col("phash64").as("fc"),
+        col("modality"), col("band_idx"), col("band_bits"),
+        col("is_new").as("cand_new")),
+        Seq("modality", "band_idx", "band_bits"))
+      .filter(col("cand_id") =!= col("new_id"))
+      .filter(!col("cand_new") || col("cand_id") < col("new_id"))
+      .select(col("modality"),
+        least(col("new_id"), col("cand_id")).as("doc_a"),
+        greatest(col("new_id"), col("cand_id")).as("doc_b"),
+        when(col("new_id") < col("cand_id"), col("fn")).otherwise(col("fc")).as("fa"),
+        when(col("new_id") < col("cand_id"), col("fc")).otherwise(col("fn")).as("fb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
+      .filter(col("hamming") <= DctRadius)
+      .select("modality", "doc_a", "doc_b", "hamming")
   }
 
   /** Frame sampling for the video rows: up to `MaxFrames` evenly-spaced
@@ -523,6 +605,7 @@ object Multimodal {
     "multimodal_phash_pairs" -> (multimodalPhashPairs _),
     "multimodal_phash_dct" -> (multimodalPhashDct _),
     "multimodal_phash_dct_pairs" -> (multimodalPhashDctPairs _),
+    "multimodal_phash_dct_pairs_served" -> (multimodalPhashDctPairsServed _),
     "multimodal_shard_pack" -> (multimodalShardPack _))
 
   /** Fingerprint CTEs ending in `ph(doc_id, modality, payload_md5,
@@ -642,6 +725,25 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    // the served twin computes the identical relation from the
+    // persisted fingerprint table — same oracle (the established
+    // served/indexed aliasing convention)
+    "multimodal_phash_dct_pairs_served" ->
+      s"""WITH $dctCtes,
+         |bands AS (
+         |  SELECT doc_id, modality, phash64,
+         |    b.b AS band_idx, (phash64 >> (4 * b.b)) & 15 AS band_bits
+         |  FROM ph64, generate_series(0, ${DctBands - 1}) b(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.modality, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.phash64 AS fa, b.phash64 AS fb
+         |  FROM bands a JOIN bands b
+         |    ON a.modality = b.modality AND a.band_idx = b.band_idx
+         |    AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id)
+         |SELECT modality, doc_a, doc_b,
+         |  CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= $DctRadius
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "multimodal_phash_dct" ->
       s"""WITH $dctCtes
          |SELECT doc_id, modality, phash64 FROM ph64

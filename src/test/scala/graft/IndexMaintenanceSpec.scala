@@ -154,6 +154,31 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(!IndexMaintenance.refreshBm25(spark, root, batch, "b1"))
   }
 
+  test("dct phash maintenance: additive fingerprints and pairs equal from-scratch") {
+    import graft.operators.Multimodal
+    val root = freshRoot()
+    val media = Multimodal.augmentedMedia(spark, sfDir)
+    val base = media.filter(col("doc_id") % 3 =!= 0)
+    val batch = media.filter(col("doc_id") % 3 === 0)
+    assert(IndexMaintenance.bootstrapPhash(spark, root, base))
+    assert(IndexMaintenance.refreshPhash(spark, root, batch, "b1"))
+    def pairSet4(df: org.apache.spark.sql.DataFrame) =
+      df.select("modality", "doc_a", "doc_b", "hamming").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = pairSet4(
+      Multimodal.dctPairsOver(Multimodal.dctFingerprintsOf(media).localCheckpoint()))
+    val got = pairSet4(IndexMaintenance.dctPairs(spark, root))
+    assert(want.nonEmpty && got == want,
+      s"maintained dct pairs diverge: ${got.size} vs ${want.size}")
+    // the batch introduced pairs (re-encode variants land in it), so
+    // the refresh path is non-vacuous
+    assert(pairSet4(IndexMaintenance.dctPairs(spark, root)).size
+      > pairSet4(Multimodal.dctPairsOver(
+        Multimodal.dctFingerprintsOf(base).localCheckpoint())).size)
+    // exactly-once
+    assert(!IndexMaintenance.refreshPhash(spark, root, batch, "b1"))
+  }
+
   test("a second batch composes: two refreshes equal one combined build") {
     val root = freshRoot()
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")

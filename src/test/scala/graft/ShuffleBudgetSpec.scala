@@ -278,7 +278,15 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // map-side DCT fingerprints + output sort; the pair search runs
     // entirely over the checkpointed fingerprint relation
     "multimodal_phash_dct"  -> 1,
-    "multimodal_phash_dct_pairs" -> 1)
+    // r10: was 1 when the checkpoint materialized an ORDERED fingerprint
+    // relation (the pre-sort exchange ran inside the checkpoint job,
+    // invisible to this count). The checkpoint is now unordered — one
+    // whole sort less in total — and the probe plan honestly carries
+    // its band-join + pair-distinct exchanges
+    "multimodal_phash_dct_pairs" -> 2,
+    // band self-join over the bucketed fingerprint table + pair
+    // distinct + output sort
+    "multimodal_phash_dct_pairs_served" -> 3)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a

@@ -809,6 +809,12 @@ class TextEventsMultimodalSpec extends SparkTestBase {
       .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
       .filter(col("hamming") <= Multimodal.DctRadius)
     assert(pairs.count() == brute.count())
+    // the artifact-served twin computes the identical relation from the
+    // persisted fingerprint table
+    val served = Multimodal.multimodalPhashDctPairsServed(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    assert(rows(served) == rows(pairs.orderBy(col("doc_a"), col("doc_b"))))
     fp.unpersist(); pairs.unpersist()
   }
 
