@@ -95,6 +95,10 @@ object IdempotentMergeSink {
   def merge(spark: SparkSession, root: String, updates: DataFrame,
       key: String, batchId: String, maxAttempts: Int = 20): Boolean = {
     new File(root).mkdirs()
+    // the retry-after-success fast path stays STRUCTURAL: already
+    // applied → return before the updates plan is even evaluated (the
+    // loop below re-checks under the race)
+    if (committed(root).exists(_._2.contains(batchId))) return false
     // within-batch latest-op-wins (mirror of the etl_cdc_apply window)
     val cols = updates.columns
     val ranked = (
