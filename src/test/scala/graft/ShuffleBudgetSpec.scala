@@ -286,7 +286,8 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "multimodal_phash_dct_pairs" -> 2,
     // band self-join over the bucketed fingerprint table + pair
     // distinct + output sort
-    "multimodal_phash_dct_pairs_served" -> 3)
+    "multimodal_phash_dct_pairs_served" -> 3,
+    "multimodal_phash_dct_pairs_r3" -> 3)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a

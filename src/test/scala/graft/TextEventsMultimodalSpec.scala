@@ -815,6 +815,19 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toString).toSeq
     assert(rows(served) == rows(pairs.orderBy(col("doc_a"), col("doc_b"))))
+    // the coarse production banding (4×16-bit, radius 3) is lossless at
+    // ITS radius: banded ≡ brute-force hamming ≤ 3, and every planted
+    // re-encode variant (all at hamming ≤ 2) is still recovered
+    val r3 = Multimodal.multimodalPhashDctPairsR3(spark, sfDir).cache()
+    assert(rows(r3) == rows(
+      brute.filter(col("hamming") <= Multimodal.DctRadiusCoarse)
+        .select("modality", "doc_a", "doc_b", "hamming")
+        .orderBy(col("doc_a"), col("doc_b"))))
+    val recoveredR3 = r3.filter(
+      col("doc_b") === col("doc_a") + offset).count()
+    assert(recoveredR3 == planted,
+      s"coarse banding lost re-encode variants: $recoveredR3 of $planted")
+    r3.unpersist()
     fp.unpersist(); pairs.unpersist()
   }
 
