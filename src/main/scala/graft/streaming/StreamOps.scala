@@ -726,4 +726,65 @@ object StreamOps {
         ()
       }
       .start()
+
+  /** Streaming BM25 postings maintenance — the continuous form of
+    * [[graft.operators.IndexMaintenance.refreshBm25]]: each
+    * micro-batch of NEW documents inserts its tf/dl rows and adds its
+    * per-term df increments, each sub-table exactly-once under the
+    * micro-batch id (a Spark-retried batch re-runs with the SAME id →
+    * structural no-op; a crash between the three merges resumes).
+    */
+  def bm25RefreshStream(docs: DataFrame, root: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+        graft.operators.IndexMaintenance.refreshBm25(spark, root, b, s"bm25-$id")
+        ()
+      }
+      .start()
+
+  /** Streaming mutual-kNN graph maintenance — the continuous form of
+    * [[graft.operators.IndexMaintenance.refreshKnn]]: each micro-batch
+    * of (key, price) nodes refreshes the adjacency lists for exactly
+    * the touched node set against the prior-ingested corpus (read
+    * BEFORE the nodes merge, the [[pairRefreshStream]] ordering, so a
+    * crash between the two merges retries consistently).
+    */
+  def knnRefreshStream(nodes: DataFrame, listsRoot: String,
+      nodesRoot: String, baseNodes: DataFrame): StreamingQuery =
+    nodes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("key"), col("price")).localCheckpoint()
+        val prior = IdempotentMergeSink.read(spark, nodesRoot)
+          .map(baseNodes.select("key", "price").unionByName(_))
+          .getOrElse(baseNodes.select("key", "price"))
+        graft.operators.IndexMaintenance.refreshKnn(
+          spark, listsRoot, prior, b, s"knn-$id")
+        IdempotentMergeSink.merge(spark, nodesRoot, b, "key", s"nodes-$id")
+        ()
+      }
+      .start()
+
+  /** Streaming perceptual-fingerprint maintenance — the continuous
+    * form of [[graft.operators.IndexMaintenance.refreshPhash]]: each
+    * micro-batch of media rows (doc_id, payload, modality) appends its
+    * DCT fingerprints and the batch-vs-all pairs it introduces,
+    * exactly-once per micro-batch id.
+    */
+  def phashRefreshStream(media: DataFrame, root: String): StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val b = batch.select(col("doc_id"), col("payload"), col("modality"))
+          .as[graft.operators.Multimodal.MediaRow]
+        graft.operators.IndexMaintenance.refreshPhash(spark, root, b, s"phash-$id")
+        ()
+      }
+      .start()
 }

@@ -179,6 +179,78 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(!IndexMaintenance.refreshPhash(spark, root, batch, "b1"))
   }
 
+  test("streaming bm25/knn/phash refresh twins converge to the from-scratch builds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{AnnSearch, GraphOps, Multimodal}
+
+    // BM25: two micro-batches of new docs over a bootstrapped base
+    val bmRoot = freshRoot()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 4 > 1)
+    IndexMaintenance.bootstrapBm25(spark, bmRoot, base)
+    val bmStream = MemoryStream[(Long, String)]
+    val bmQ = graft.streaming.StreamOps.bm25RefreshStream(
+      bmStream.toDF().toDF("doc_id", "text"), bmRoot)
+    try {
+      bmStream.addData(docs.filter(col("doc_id") % 4 === 0)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+      bmQ.processAllAvailable()
+      bmStream.addData(docs.filter(col("doc_id") % 4 === 1)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+      bmQ.processAllAvailable()
+    } finally bmQ.stop()
+    val (tf, df, _) = IndexMaintenance.bm25(spark, bmRoot)
+    val wantTf = AnnSearch.bm25Tf(docs).localCheckpoint()
+    assert(tf.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      == wantTf.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet)
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == wantTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    assert(IdempotentMergeSink.applied(s"$bmRoot/tf", "bm25-0")
+      && IdempotentMergeSink.applied(s"$bmRoot/df", "bm25-1"))
+
+    // kNN: one micro-batch of new nodes
+    val listsRoot = freshRoot(); val nodesRoot = freshRoot()
+    val nodes = GraphOps.partNodes(spark, sfDir)
+    val nodeBase = nodes.filter(col("key") % 5 =!= 0)
+    IndexMaintenance.bootstrapKnn(spark, listsRoot, nodeBase)
+    val knStream = MemoryStream[(Long, Double)]
+    val knQ = graft.streaming.StreamOps.knnRefreshStream(
+      knStream.toDF().toDF("key", "price"), listsRoot, nodesRoot, nodeBase)
+    try {
+      knStream.addData(nodes.filter(col("key") % 5 === 0)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+      knQ.processAllAvailable()
+    } finally knQ.stop()
+    val gotEdges = IndexMaintenance.knnEdges(spark, listsRoot)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantEdges = GraphOps.mutualEdgesOf(GraphOps.knnListsOf(nodes, nodes))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wantEdges.nonEmpty && gotEdges == wantEdges)
+
+    // phash: one micro-batch of media rows
+    val phRoot = freshRoot()
+    val media = Multimodal.augmentedMedia(spark, sfDir)
+    val mBase = media.filter(col("doc_id") % 3 =!= 0)
+    IndexMaintenance.bootstrapPhash(spark, phRoot, mBase)
+    val phStream = MemoryStream[(Long, Array[Byte], String)]
+    val phQ = graft.streaming.StreamOps.phashRefreshStream(
+      phStream.toDF().toDF("doc_id", "payload", "modality"), phRoot)
+    try {
+      phStream.addData(media.filter(col("doc_id") % 3 === 0)
+        .collect().map(m => (m.doc_id, m.payload, m.modality)).toSeq)
+      phQ.processAllAvailable()
+    } finally phQ.stop()
+    val gotPairs = IndexMaintenance.dctPairs(spark, phRoot)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val wantPairs = Multimodal.dctPairsOver(
+        Multimodal.dctFingerprintsOf(media).localCheckpoint())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(wantPairs.nonEmpty && gotPairs == wantPairs)
+  }
+
   test("a second batch composes: two refreshes equal one combined build") {
     val root = freshRoot()
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
