@@ -91,6 +91,16 @@ class ArtifactStoreSpec extends SparkTestBase {
       s"expected >=2 bucketed scans:\n${plan.take(1500)}")
   }
 
+  test("served dct pairs read the fingerprint artifact as bucketed scans") {
+    // both sides of the band self-join scan the phash_dct table — the
+    // decode + DCT pass was paid at write time, the probe reads buckets
+    val plan = graft.operators.Multimodal
+      .multimodalPhashDctPairsServed(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Bucketed: true".r.findAllIn(plan).length >= 1,
+      s"expected a bucketed fingerprint scan:\n${plan.take(1500)}")
+  }
+
   test("served twins return rows (artifact tables are non-empty)") {
     assert(GraphOps.graphBfsIndexed(spark, sfDir).count() > 0)
     assert(GraphOps.graphLabelPropagationIndexed(spark, sfDir).count() > 0)
