@@ -329,9 +329,14 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 16-bit SimHash: per-bit majority vote over md5-derived token
-    * hashes, frequency-weighted (tokens exploded, not distinct). One
-    * aggregation, 16 vote sums, fingerprint assembled per row.
+  /** 64-bit SimHash: per-bit majority vote over md5-derived token
+    * hashes, frequency-weighted (tokens exploded, not distinct). The
+    * 64 vote bits come from the first sixteen hex chars of the token
+    * md5 read as two 32-bit halves (a single 64-bit decimal string
+    * would not survive a signed-long cast); the fingerprint is the
+    * bitwise OR of the disjoint winning-bit masks, so bit 63 (the
+    * sign bit of the long) assembles without any overflow question.
+    * One aggregation, 64 vote sums, fingerprint assembled per row.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashFingerprints(spark, dir).orderBy(col("doc_id"))
@@ -339,30 +344,37 @@ object Dedup {
   private def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
-    val votes = (0 until 16).map { b =>
-      sum(when(floor(col("h") / math.pow(2, b).toLong) % 2 === 1, 1).otherwise(-1)).as(s"s$b")
+      .withColumn("h0", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h1", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long"))
+    val votes = (0 until 64).map { b =>
+      val half = if (b < 32) col("h0") else col("h1")
+      sum(when(shiftright(half, b % 32).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$b")
     }
-    val fp = (0 until 16).map { b =>
-      when(col(s"s$b") > 0, math.pow(2, b).toLong).otherwise(0L)
-    }.reduce(_ + _)
+    val fp = (0 until 64).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
     tok.groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** Hamming radius and band count for the simhash pair search:
-    * hamming ≤ 3 over 16 bits, 4 bands of 4 bits — by pigeonhole any
-    * pair within the radius agrees on at least one whole band.
+  /** Hamming radius and banding for the simhash pair search:
+    * hamming ≤ 3 over 64 bits, 4 bands of 16 bits — by pigeonhole any
+    * pair within the radius agrees on at least one whole band, so the
+    * banded equi-join is lossless at the radius. 16-bit bands give
+    * 2^16 buckets per band: bucket occupancy ∝ n/65536 instead of the
+    * old 16-bit fingerprint's n/16, which made candidates pigeonhole-
+    * quadratic (the fleet's #2 shuffler at sf0.1 before this widening).
     */
   private val SimhashRadius = 3
   private val SimhashBands = 4
+  private val SimhashBandBits = 16
 
   /** SimHash near-dup PAIRS — the fingerprint half of the Google-style
     * dedup pipeline: candidates come from a self-equi-join on banded
     * fingerprint bits (pigeonhole: any pair within hamming radius 3
-    * shares at least one exact 4-bit band), then exact verification is
-    * a single `bit_count(xor)` on the two 16-bit fingerprints — no
+    * shares at least one exact 16-bit band), then exact verification is
+    * a single `bit_count(xor)` on the two 64-bit fingerprints — no
     * second corpus pass, no token re-join. One shuffle on the band key,
     * one distinct; cost scales with band-bucket occupancy, never
     * pairs². (`dedup_ngram_jaccard` verifies against the shingle
@@ -378,7 +390,8 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), explode(array(
         (0 until SimhashBands).map(b => struct(
           lit(b).as("band_idx"),
-          shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15L)).as("band_bits"))): _*)).as("bb"))
+          shiftright(col("simhash"), SimhashBandBits * b)
+            .bitwiseAND(lit((1L << SimhashBandBits) - 1)).as("band_bits"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band_idx"), col("bb.band_bits"))
       .localCheckpoint()
     val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("fa"),
@@ -1069,20 +1082,29 @@ object Dedup {
   }
 
   /** SimHash fingerprints as CTEs ending in `sim` — shared by the
-    * fingerprint dump and the banded pair-search oracle.
+    * fingerprint dump and the banded pair-search oracle. The 64-bit
+    * fingerprint assembles the same way the DCT oracle's does: bit 63
+    * cannot be built as `1 << 63` in DuckDB (overflow check), so it
+    * contributes Long.MinValue directly, summed in HUGEINT and cast —
+    * exact because the winning-bit masks are disjoint.
     */
   private val simhashCtes: String = {
-    val votes = (0 until 16).map { b =>
-      s"sum(CASE WHEN CAST(floor(h / ${math.pow(2, b).toLong}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+    val votes = (0 until 64).map { b =>
+      val half = if (b < 32) "h0" else "h1"
+      s"sum(CASE WHEN (($half >> ${b % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
     }.mkString(", ")
-    val fp = (0 until 16).map { b =>
-      s"CASE WHEN s$b > 0 THEN ${math.pow(2, b).toLong} ELSE 0 END"
+    val fp = (0 until 64).map { b =>
+      if (b == 63)
+        "CASE WHEN s63 > 0 THEN CAST(-9223372036854775808 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+      else s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
     }.mkString(" + ")
     s"""tok AS (
-       |  SELECT doc_id, CAST(('0x' || substr(md5(unnest(string_split_regex(trim(text), '\\s+'))), 1, 4)) AS INT) AS h
-       |  FROM documents),
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(t.tok), 1, 8)) AS BIGINT) AS h0,
+       |    CAST(('0x' || substr(md5(t.tok), 9, 8)) AS BIGINT) AS h1
+       |  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) t(tok)),
        |v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id),
-       |sim AS (SELECT doc_id, $fp AS simhash FROM v)""".stripMargin
+       |sim AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v)""".stripMargin
   }
 
   private val simhashSql: String =
@@ -1262,7 +1284,8 @@ object Dedup {
     "dedup_simhash_pairs" ->
       s"""WITH $simhashCtes,
          |bands AS (
-         |  SELECT doc_id, simhash, b.b AS band_idx, (simhash >> (4 * b.b)) & 15 AS band_bits
+         |  SELECT doc_id, simhash, b.b AS band_idx,
+         |    (simhash >> ($SimhashBandBits * b.b)) & ${(1L << SimhashBandBits) - 1} AS band_bits
          |  FROM sim, generate_series(0, ${SimhashBands - 1}) b(b)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

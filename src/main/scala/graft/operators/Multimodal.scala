@@ -97,10 +97,13 @@ object Multimodal {
         "shard_first", "shard_last", "off_in_shard")
       .orderBy(col("doc_id"))
 
-  /** Perceptual-fingerprint parameters: 4-byte feature windows at
-    * stride 1, 16-bit fingerprint, 4 bands of 4 bits, Hamming radius 3
-    * (pigeonhole: any pair within the radius agrees on a whole band —
-    * the same banding guarantee as `dedup_simhash_pairs`).
+  /** Legacy byte-window fingerprint parameters: 4-byte feature windows
+    * at stride 1, 16-bit fingerprint, 4 bands of 4 bits, Hamming
+    * radius 3. Still the fingerprint of the `multimodal_phash` dump
+    * (one codegen'd scan) and the streaming admission probe; the PAIR
+    * search over it is spec-only — 4-bit bands have 2^4 buckets and
+    * go pigeonhole-quadratic, so the oracle-checked pair queries all
+    * run on the 64-bit DCT fingerprint with 16-bit bands.
     */
   private val PhashWindow = 4
   private val PhashBands = 4
@@ -123,15 +126,22 @@ object Multimodal {
   def multimodalPhash(spark: SparkSession, dir: String): DataFrame =
     phashFingerprints(phashMeta(spark, dir)).orderBy(col("doc_id"))
 
-  /** Banded perceptual near-dup PAIRS within each modality: candidates
-    * from a self-equi-join on (modality, band, band bits) — cost scales
-    * with band-bucket occupancy, never payloads² — verified by one
-    * `bit_count(xor)` per candidate. `byte_identical` separates the
-    * md5-equal copies (which `multimodal_dedup` already catches) from
-    * the PERCEPTUAL-only matches that survive byte-exact dedup.
+  /** Banded perceptual near-dup PAIRS within each modality — the
+    * SELF-CONTAINED coarse-banded search over the 64-bit DCT
+    * fingerprints (4 bands × 16 bits, radius [[DctRadiusCoarse]]:
+    * lossless by pigeonhole, 2^16 buckets per band so bucket occupancy
+    * is ∝ n/65536). This query computes the fingerprints inline;
+    * [[multimodalPhashDctPairsR3]] is its served twin reading the
+    * persisted artifact. The legacy 16-bit byte-window pair search
+    * ([[phashPairsOver]]) had only 2^4 buckets per 4-bit band —
+    * pigeonhole-quadratic candidate growth (it was the fleet's #1
+    * shuffler at sf0.1) — and is retained spec-only as the banding-
+    * machinery exemplar over plantable payloads.
     */
   def multimodalPhashPairs(spark: SparkSession, dir: String): DataFrame =
-    phashPairsOver(phashMeta(spark, dir))
+    dctPairsOver(dctFingerprints(spark, dir).localCheckpoint(),
+      nBands = 4, bandBits = 16, radius = DctRadiusCoarse)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** The (doc_id, modality, payload_hex, payload_md5) projection the
     * perceptual pass consumes.
@@ -808,23 +818,24 @@ object Multimodal {
       s"""WITH $phashCtes
          |SELECT doc_id, modality, payload_md5, phash FROM ph
          |ORDER BY doc_id""".stripMargin,
+    // the self-contained coarse-banded twin of _r3 — identical result
+    // by construction (same fingerprints, same bands, same radius), so
+    // it shares the r3 oracle recipe
     "multimodal_phash_pairs" ->
-      s"""WITH $phashCtes,
+      s"""WITH $dctCtes,
          |bands AS (
-         |  SELECT doc_id, modality, payload_md5, phash,
-         |    b.b AS band_idx, (phash >> (4 * b.b)) & 15 AS band_bits
-         |  FROM ph, generate_series(0, ${PhashBands - 1}) b(b)),
+         |  SELECT doc_id, modality, phash64,
+         |    b.b AS band_idx, (phash64 >> (16 * b.b)) & 65535 AS band_bits
+         |  FROM ph64, generate_series(0, 3) b(b)),
          |cand AS (
          |  SELECT DISTINCT a.modality, a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.phash AS fa, b.phash AS fb,
-         |    a.payload_md5 AS ma, b.payload_md5 AS mb
+         |    a.phash64 AS fa, b.phash64 AS fb
          |  FROM bands a JOIN bands b
          |    ON a.modality = b.modality AND a.band_idx = b.band_idx
          |    AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id)
          |SELECT modality, doc_a, doc_b,
-         |  CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming,
-         |  (ma = mb) AS byte_identical
-         |FROM cand WHERE bit_count(xor(fa, fb)) <= $PhashRadius
+         |  CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "multimodal_shard_pack" ->
       """WITH meta AS (

