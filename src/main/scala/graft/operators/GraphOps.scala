@@ -40,9 +40,7 @@ object GraphOps {
     * rank costs stay linear forever.
     */
   private[graft] def knnEdges(spark: SparkSession, dir: String): DataFrame = {
-    // ONE node reference so knnListsOf takes its symmetric fast path
-    val nodes = partNodes(spark, dir)
-    mutualEdgesOf(knnListsOf(nodes, nodes))
+    mutualEdgesOf(knnListsSymmetric(partNodes(spark, dir)))
       // materialize the graph once: consumers reference the edge
       // relation 3-5 times (wedge joins, degree counts) and would
       // otherwise re-plan the whole band-join + rank + mutual-join
@@ -63,49 +61,62 @@ object GraphOps {
     */
   private val KnnTol = 0.5
 
-  /** Per-node kNN adjacency LISTS over an arbitrary probe/corpus pair
-    * of (key, price) node relations: banded candidates, then the
-    * per-node top-K by (rounded diff, v). Parameterizing probe ≠
-    * corpus is what makes INCREMENTAL maintenance possible: a refresh
-    * recomputes lists only for the nodes a batch can touch
-    * ([[IndexMaintenance.refreshKnn]]). Candidate construction picks
-    * its execution strategy by case — the candidate SET is identical
-    * either way, only the plan differs:
-    *  - probe = corpus (same reference — the full build): the a<b
-    *    half-join + union-reversed shape. Measured 1.5× faster at
-    *    sf0.1 (2.6 vs 3.9 s through the mutual join): the a<b
-    *    condition halves the join output and the union's second
-    *    branch replays the same exchanges.
-    *  - probe ≠ corpus (maintenance): the asymmetric probe shape —
-    *    probe explodes ±1 price bands against the corpus's own band,
-    *    work ∝ probe × band occupancy, never probe × corpus.
+  /** Per-node kNN adjacency lists — strategy is chosen at the
+    * SIGNATURE level, not by reference equality (`probe eq corpus`
+    * was a refactor trap: rebuilding the same relation twice silently
+    * dropped every full build onto the asymmetric plan, a measured
+    * 1.5× regression across all seven graph queries, caught in r10).
+    *
+    * This is the FULL-BUILD form over one node relation: the a<b
+    * half-join + union-reversed shape. Measured 1.5× faster at sf0.1
+    * (2.6 vs 3.9 s through the mutual join): the a<b condition halves
+    * the join output and the union's second branch replays the same
+    * exchanges. The candidate SET is identical to the asymmetric
+    * plan's, only the execution differs.
+    */
+  private[graft] def knnListsSymmetric(nodes: DataFrame): DataFrame = {
+    val a = nodes.select(col("key").as("ka"), col("price").as("pa"))
+      .withColumn("band", explode(array((-1 to 1).map(d =>
+        floor(col("pa") / KnnTol).cast("long") + d): _*)))
+    val b = nodes.select(col("key").as("kb"), col("price").as("pb"),
+      floor(col("pb") / KnnTol).cast("long").as("band"))
+    val half = a.join(b, Seq("band"))
+      .filter(col("ka") < col("kb") &&
+        abs(col("pa") - col("pb")) <= KnnTol)
+      .select(col("ka").as("u"), col("kb").as("v"),
+        round(abs(col("pa") - col("pb")), 6).as("diff"))
+    topKLists(half.union(
+      half.select(col("v").as("u"), col("u").as("v"), col("diff"))))
+  }
+
+  /** The MAINTENANCE form over a probe ≠ corpus pair: probe explodes
+    * ±1 price bands against the corpus's own band, which is what makes
+    * INCREMENTAL maintenance possible — a refresh recomputes lists
+    * only for the nodes a batch can touch
+    * ([[IndexMaintenance.refreshKnn]]), work ∝ probe × band occupancy,
+    * never probe × corpus. Passing the same instance twice fails
+    * loudly: a full build must say [[knnListsSymmetric]].
     */
   private[graft] def knnListsOf(probe: DataFrame, corpus: DataFrame): DataFrame = {
-    val cand =
-      if (probe eq corpus) {
-        val a = probe.select(col("key").as("ka"), col("price").as("pa"))
-          .withColumn("band", explode(array((-1 to 1).map(d =>
-            floor(col("pa") / KnnTol).cast("long") + d): _*)))
-        val b = corpus.select(col("key").as("kb"), col("price").as("pb"),
-          floor(col("pb") / KnnTol).cast("long").as("band"))
-        val half = a.join(b, Seq("band"))
-          .filter(col("ka") < col("kb") &&
-            abs(col("pa") - col("pb")) <= KnnTol)
-          .select(col("ka").as("u"), col("kb").as("v"),
-            round(abs(col("pa") - col("pb")), 6).as("diff"))
-        half.union(half.select(col("v").as("u"), col("u").as("v"), col("diff")))
-      } else {
-        val a = probe.select(col("key").as("u"), col("price").as("pu"))
-          .withColumn("band", explode(array((-1 to 1).map(d =>
-            floor(col("pu") / KnnTol).cast("long") + d): _*)))
-        val b = corpus.select(col("key").as("v"), col("price").as("pv"),
-          floor(col("pv") / KnnTol).cast("long").as("band"))
-        a.join(b, Seq("band"))
-          .filter(col("u") =!= col("v") &&
-            abs(col("pu") - col("pv")) <= KnnTol)
-          .select(col("u"), col("v"),
-            round(abs(col("pu") - col("pv")), 6).as("diff"))
-      }
+    require(!(probe eq corpus),
+      "knnListsOf is the asymmetric maintenance form; a full build over " +
+        "one node relation must call knnListsSymmetric (1.5x faster plan)")
+    val a = probe.select(col("key").as("u"), col("price").as("pu"))
+      .withColumn("band", explode(array((-1 to 1).map(d =>
+        floor(col("pu") / KnnTol).cast("long") + d): _*)))
+    val b = corpus.select(col("key").as("v"), col("price").as("pv"),
+      floor(col("pv") / KnnTol).cast("long").as("band"))
+    topKLists(a.join(b, Seq("band"))
+      .filter(col("u") =!= col("v") &&
+        abs(col("pu") - col("pv")) <= KnnTol)
+      .select(col("u"), col("v"),
+        round(abs(col("pu") - col("pv")), 6).as("diff")))
+  }
+
+  /** Per-node top-K by (rounded diff, v) — shared by both candidate
+    * shapes, WindowGroupLimit-pruned before the rank.
+    */
+  private def topKLists(cand: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u")).orderBy(col("diff"), col("v"))
     cand.withColumn("rn", row_number().over(w))

@@ -81,7 +81,7 @@ object IndexMaintenance {
   def bootstrapKnn(spark: SparkSession, root: String, baseNodes: DataFrame,
       batchId: String = "bootstrap"): Boolean =
     IdempotentMergeSink.merge(spark, root,
-      listKeyed(GraphOps.knnListsOf(baseNodes, baseNodes)), "list_key", batchId)
+      listKeyed(GraphOps.knnListsSymmetric(baseNodes)), "list_key", batchId)
 
   /** Merge one node batch into the list table under `batchId`: new
     * lists for every touched node, deletes for their evicted rows.

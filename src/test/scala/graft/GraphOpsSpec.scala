@@ -169,6 +169,32 @@ class GraphOpsSpec extends SparkTestBase {
     lp.unpersist()
   }
 
+  test("knn list strategy is signature-level: symmetric == asymmetric set, same-instance misuse fails loudly") {
+    // two DISTINCT instances of the same relation — the exact shape
+    // that silently dropped r10 onto the slow asymmetric plan when
+    // strategy was picked by reference equality
+    val n1 = GraphOps.partNodes(spark, sfDir)
+    val n2 = GraphOps.partNodes(spark, sfDir)
+    val sym = GraphOps.knnListsSymmetric(n1)
+    val asym = GraphOps.knnListsOf(n1, n2)
+    assert(sym.exceptAll(asym).count() == 0)
+    assert(asym.exceptAll(sym).count() == 0)
+    // the full-build-by-accident call can no longer run on the wrong plan
+    intercept[IllegalArgumentException] { GraphOps.knnListsOf(n1, n1) }
+    // and the seven graph queries' shared build takes the symmetric
+    // path structurally: its plan carries the half-join Union signature
+    // (the asymmetric form has no Union)
+    val buildPlan = GraphOps.knnListsSymmetric(n1)
+      .queryExecution.optimizedPlan
+    val unions = buildPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    assert(unions.nonEmpty, "symmetric build lost its half-join + union shape")
+    assert(asym.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty)
+  }
+
   test("graph_triangles invariants on the mutual-kNN price graph") {
     val t = GraphOps.graphTriangles(spark, sfDir).cache()
     assert(t.count() > 0)

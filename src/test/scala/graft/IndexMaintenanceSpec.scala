@@ -101,10 +101,10 @@ class IndexMaintenanceSpec extends SparkTestBase {
     def edgeSet(df: org.apache.spark.sql.DataFrame) =
       df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(edgeSet(IndexMaintenance.knnEdges(spark, root))
-      == edgeSet(GraphOps.mutualEdgesOf(GraphOps.knnListsOf(base, base))))
+      == edgeSet(GraphOps.mutualEdgesOf(GraphOps.knnListsSymmetric(base))))
 
     assert(IndexMaintenance.refreshKnn(spark, root, base, batch, "b1"))
-    val want = edgeSet(GraphOps.mutualEdgesOf(GraphOps.knnListsOf(nodes, nodes)))
+    val want = edgeSet(GraphOps.mutualEdgesOf(GraphOps.knnListsSymmetric(nodes)))
     val got = edgeSet(IndexMaintenance.knnEdges(spark, root))
     assert(want.nonEmpty && got == want,
       s"maintained kNN edges diverge: ${got.size} vs ${want.size}; " +
@@ -113,7 +113,7 @@ class IndexMaintenanceSpec extends SparkTestBase {
     // eviction really happens: the refresh must be able to REMOVE list
     // rows (mutual-kNN is not additive), so some base-only edge or list
     // row must have disappeared or the test corpus proves nothing
-    val baseLists = GraphOps.knnListsOf(base, base)
+    val baseLists = GraphOps.knnListsSymmetric(base)
     val evicted = baseLists
       .join(IndexMaintenance.knnLists(spark, root), Seq("u", "v"), "left_anti")
     assert(evicted.count() > 0, "batch evicted no list rows — vacuous refresh test")
@@ -226,7 +226,7 @@ class IndexMaintenanceSpec extends SparkTestBase {
     } finally knQ.stop()
     val gotEdges = IndexMaintenance.knnEdges(spark, listsRoot)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val wantEdges = GraphOps.mutualEdgesOf(GraphOps.knnListsOf(nodes, nodes))
+    val wantEdges = GraphOps.mutualEdgesOf(GraphOps.knnListsSymmetric(nodes))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(wantEdges.nonEmpty && gotEdges == wantEdges)
 
