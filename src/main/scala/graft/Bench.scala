@@ -18,18 +18,71 @@ object Bench {
   /** Complete per-query medians — written to BENCH_FULL.json. When
     * per-query shuffle [read, write] byte deltas are supplied they ride
     * along as `shuffle_bytes`: wall-time medians miss row-inflation
-    * regressions that warmup noise can mask, byte counts don't.
+    * regressions that warmup noise can mask, byte counts don't. When a
+    * baseline is supplied the per-query byte RATIO rides along too,
+    * plus the flagged-movers list [[byteMovers]] computes — the
+    * machine form of the "bytes first, wall second" adjudication rule.
     */
   def fullLine(results: Map[String, Double], sfDir: String,
-      shuffle: Map[String, (Long, Long)] = Map.empty): String = {
+      shuffle: Map[String, (Long, Long)] = Map.empty,
+      baseline: Map[String, (Long, Long)] = Map.empty): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
     val sh = if (shuffle.isEmpty) "" else
       ",\"shuffle_bytes\":" + shuffle.toSeq.sortBy(_._1)
         .map { case (k, (r, w)) => s"\"" + k + s"\":[$r,$w]" }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":$full$sh,"sf":"$sfDir"}"""
+    val rat = if (shuffle.isEmpty || baseline.isEmpty) "" else
+      ",\"byte_ratio\":" + shuffle.toSeq.sortBy(_._1)
+        .flatMap { case (k, (r, w)) => baseline.get(k).collect {
+          case (br, bw) if br + bw > 0 =>
+            s"\"" + k + "\":" + j((r + w).toDouble / (br + bw)) } }
+        .mkString("{", ",", "}")
+    val mv = if (baseline.isEmpty) "" else
+      ",\"byte_movers\":" + byteMovers(shuffle, baseline)
+        .map { case (q, ratio, cur, base) =>
+          s"""{"q":"$q","ratio":${j(ratio)},"bytes":$cur,"base":$base}""" }
+        .mkString("[", ",", "]")
+    s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":$full$sh$rat$mv,"sf":"$sfDir"}"""
   }
+
+  /** Per-query shuffle-byte regression gate: queries whose total
+    * shuffle bytes grew more than `ratio`× over the committed quiet
+    * baseline. The byte floor keeps listener jitter on KB-scale
+    * queries out of the verdict — a sub-floor query can't shuffle
+    * enough for its growth to matter, and the floor is far below any
+    * real row-inflation signature (the r10 regressions this automates
+    * were 50-100 MB movers). Bytes are deterministic per plan where
+    * wall time swings up to 6× with driver-side contention: a flagged
+    * mover means the PLAN moved.
+    */
+  def byteMovers(cur: Map[String, (Long, Long)],
+      base: Map[String, (Long, Long)],
+      ratio: Double = 1.5, floorBytes: Long = 4L << 20): Seq[(String, Double, Long, Long)] =
+    cur.toSeq
+      .flatMap { case (q, (r, w)) => base.get(q).map { case (br, bw) =>
+        val c = r + w; val b = br + bw
+        (q, if (b > 0) c.toDouble / b else Double.PositiveInfinity, c, b)
+      } }
+      .filter { case (_, rat, c, b) => math.max(c, b) >= floorBytes && rat > ratio }
+      .sortBy(-_._2)
+
+  /** Baseline shuffle bytes from a prior bench artifact (the committed
+    * quiet BENCH_FULL.json). Format is self-authored, so a two-regex
+    * parse is exact; any read/parse failure degrades to "no baseline"
+    * — the bench must never die on its own telemetry.
+    */
+  def loadBaselineBytes(path: String): Map[String, (Long, Long)] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      """"shuffle_bytes":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        .map { m =>
+          """"([^"]+)":\[(\d+),(\d+)\]""".r.findAllMatchIn(m.group(1))
+            .map(g => g.group(1) -> (g.group(2).toLong, g.group(3).toLong))
+            .toMap
+        }.getOrElse(Map.empty)
+    } catch { case _: Exception => Map.empty }
 
   /** The printed summary — MUST stay compact. The driver keeps only the
     * LAST ~2000 chars of bench output, so a full per-query map on the
@@ -37,11 +90,13 @@ object Bench {
     * show "parsed": null). Headline subset + 3-dp values keep the line
     * well under the capture window; BenchLineSpec pins the bound.
     */
-  def summaryLine(results: Map[String, Double], sfDir: String): String = {
+  def summaryLine(results: Map[String, Double], sfDir: String,
+      nByteMovers: Int = -1): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + j(v)))
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"detail":"BENCH_FULL.json","queries":$qs,"sf":"$sfDir"}"""
+    val mv = if (nByteMovers < 0) "" else s""","byte_movers":$nByteMovers"""
+    s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"detail":"BENCH_FULL.json","queries":$qs$mv,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -143,6 +198,17 @@ object Bench {
     }
     val results = measured.map { case (n, (t, _)) => n -> t }
     val shuffle = measured.map { case (n, (_, s)) => n -> s }
+    // bytes-first regression gate against the committed quiet baseline:
+    // a >1.5x byte mover means the PLAN moved (bytes are deterministic
+    // per plan; wall time is not under contention) — fail loudly on
+    // stderr and carry the list in the detail artifact
+    val baseline = loadBaselineBytes(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_BASELINE", "/root/repo/BENCH_FULL.json"))
+    val movers = byteMovers(shuffle, baseline)
+    movers.foreach { case (q, ratio, cur, base) =>
+      System.err.println(
+        f"[bench] SHUFFLE-BYTE MOVER $q: ${cur / 1e6}%.1f MB vs baseline ${base / 1e6}%.1f MB (${ratio}%.2fx)")
+    }
     // the detail file must never cost us the summary line: if the path
     // is unwritable, warn and still print — a lost detail file is an
     // inconvenience, a lost summary line is a round with zero bench
@@ -158,7 +224,7 @@ object Bench {
       .toAbsolutePath
     try {
       val fw = new java.io.PrintWriter(outPath.toFile)
-      try fw.println(fullLine(results, sfDir, shuffle))
+      try fw.println(fullLine(results, sfDir, shuffle, baseline))
       finally fw.close()
       System.err.println(s"[bench] full per-query medians: $outPath")
     } catch {
@@ -168,6 +234,7 @@ object Bench {
     // output stream — nothing Spark logs during shutdown may follow it
     // into the driver's tail capture
     spark.stop()
-    println(summaryLine(results, sfDir))
+    println(summaryLine(results, sfDir,
+      if (baseline.isEmpty) -1 else movers.size))
   }
 }

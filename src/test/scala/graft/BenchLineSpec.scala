@@ -37,4 +37,46 @@ class BenchLineSpec extends AnyFunSuite {
     val missing = Bench.headline.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"stale headline entries: $missing")
   }
+
+  test("byteMovers flags >1.5x growth above the floor, ignores jitter below it") {
+    val mb = 1L << 20
+    val base = Map(
+      "big_regressed"  -> (40 * mb, 20 * mb),
+      "big_flat"       -> (50 * mb, 50 * mb),
+      "tiny_jittery"   -> (100L, 50L),
+      "was_zero"       -> (0L, 0L),
+      "shrunk"         -> (90 * mb, 10 * mb))
+    val cur = Map(
+      "big_regressed"  -> (70 * mb, 50 * mb),   // 2.0x — flagged
+      "big_flat"       -> (55 * mb, 52 * mb),   // 1.07x — not flagged
+      "tiny_jittery"   -> (5000L, 2000L),       // 46x but KBs — below floor
+      "was_zero"       -> (8 * mb, 0L),         // 0 -> 8MB — flagged (inf)
+      "shrunk"         -> (10 * mb, 10 * mb),   // improvement — not flagged
+      "new_query"      -> (999 * mb, 0L))       // no baseline — not comparable
+    val flagged = Bench.byteMovers(cur, base).map(_._1)
+    assert(flagged == Seq("was_zero", "big_regressed"), s"got $flagged")
+  }
+
+  test("baseline bytes round-trip through the full-line artifact format") {
+    val shuffle = Map("qa" -> (123L, 456L), "qb" -> (0L, 7L))
+    val line = Bench.fullLine(Map("qa" -> 1.0, "qb" -> 2.0), "/tmp/x", shuffle)
+    val f = java.nio.file.Files.createTempFile("bench", ".json")
+    java.nio.file.Files.writeString(f, line)
+    try assert(Bench.loadBaselineBytes(f.toString) == shuffle)
+    finally java.nio.file.Files.delete(f)
+    // unreadable path degrades to empty, never throws
+    assert(Bench.loadBaselineBytes("/nonexistent/x.json").isEmpty)
+  }
+
+  test("full line carries byte_ratio and byte_movers when a baseline is supplied") {
+    val mb = 1L << 20
+    val shuffle = Map("qa" -> (20 * mb, 20 * mb))
+    val base = Map("qa" -> (10 * mb, 10 * mb))
+    val line = Bench.fullLine(Map("qa" -> 1.0), "/tmp/x", shuffle, base)
+    assert(line.contains(""""byte_ratio":{"qa":2.000}"""), line)
+    assert(line.contains(""""byte_movers":[{"q":"qa","ratio":2.000"""), line)
+    // committed-artifact compatibility: no baseline, no new keys
+    val plain = Bench.fullLine(Map("qa" -> 1.0), "/tmp/x", shuffle)
+    assert(!plain.contains("byte_ratio") && !plain.contains("byte_movers"))
+  }
 }
