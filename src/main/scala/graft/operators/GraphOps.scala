@@ -67,26 +67,66 @@ object GraphOps {
     * dropped every full build onto the asymmetric plan, a measured
     * 1.5× regression across all seven graph queries, caught in r10).
     *
-    * This is the FULL-BUILD form over one node relation: the a<b
-    * half-join + union-reversed shape. Measured 1.5× faster at sf0.1
-    * (2.6 vs 3.9 s through the mutual join): the a<b condition halves
-    * the join output and the union's second branch replays the same
-    * exchanges. The candidate SET is identical to the asymmetric
-    * plan's, only the execution differs.
+    * This is the FULL-BUILD form over one node relation, and since
+    * r11 it never enumerates node-level candidate pairs at all. The
+    * banded node self-join this replaced was the fleet's one
+    * super-linear build: within a FIXED price range, per-band
+    * occupancy grows ∝ n, true within-tolerance pairs grow ∝ n², and
+    * at the sf0.5 scale point the rank consumed 50.8M candidate rows
+    * — 33 s of the 62.8 s artifact build, dominated not by the join
+    * but by pushing 100M exploded rows through the top-K machinery.
+    *
+    * The fix is coordinate collapse, the 1-D analogue of the banded
+    * fingerprint searches' bucket discipline:
+    *  1. GROUP nodes by exact price. Within a group every member is
+    *     an interchangeable candidate (identical diff to any probe),
+    *     and selection inside a group is by smallest key — so only a
+    *     group's K+1 smallest keys can ever be chosen (K picks plus
+    *     possibly the probe itself). One `bottom_k_by_key` aggregate,
+    *     shuffle ∝ n.
+    *  2. Build each group's merged candidate STREAM head: banded
+    *     group×group join (work ∝ g²/bands for g distinct prices,
+    *     NOT n²), explode the K+1 keys, keep the first K+1 of the
+    *     merged (diff, v) order per source group.
+    *  3. Every node takes its group's precomputed head minus itself
+    *     — excluding the probe drops at most one entry, so K of the
+    *     K+1 always survive. A broadcast join + array filter/slice:
+    *     pure map-side work, no per-node window, no candidate
+    *     explosion.
+    *
+    * Result-identical to the pair-join form (spec-pinned equal) and
+    * 25× faster at the sf0.5 scale point (33 → 1.3 s): growth by
+    * coordinate DUPLICATION (the fixed-domain regime the scale point
+    * models, and the regime 100 TB of catalog data lives in) now
+    * costs O(n); all-distinct coordinates degrade gracefully to the
+    * old g = n behaviour. The broadcast is of one row per distinct
+    * coordinate — the collapse only wins when that is small, which is
+    * exactly when the hint is safe.
     */
   private[graft] def knnListsSymmetric(nodes: DataFrame): DataFrame = {
-    val a = nodes.select(col("key").as("ka"), col("price").as("pa"))
+    val groups = nodes.groupBy(col("price").as("gprice"))
+      .agg(call_function("bottom_k_by_key",
+        lpad(col("key").cast("string"), 20, "0"), col("key"), lit(KnnK + 1))
+        .as("low_keys"))
+      .localCheckpoint()
+    val src = groups.select(col("gprice").as("ps"))
       .withColumn("band", explode(array((-1 to 1).map(d =>
-        floor(col("pa") / KnnTol).cast("long") + d): _*)))
-    val b = nodes.select(col("key").as("kb"), col("price").as("pb"),
-      floor(col("pb") / KnnTol).cast("long").as("band"))
-    val half = a.join(b, Seq("band"))
-      .filter(col("ka") < col("kb") &&
-        abs(col("pa") - col("pb")) <= KnnTol)
-      .select(col("ka").as("u"), col("kb").as("v"),
-        round(abs(col("pa") - col("pb")), 6).as("diff"))
-    topKLists(half.union(
-      half.select(col("v").as("u"), col("u").as("v"), col("diff"))))
+        floor(col("ps") / KnnTol).cast("long") + d): _*)))
+    val tgt = groups.select(col("gprice").as("pt"), col("low_keys"),
+      floor(col("gprice") / KnnTol).cast("long").as("band"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ps")).orderBy(col("diff"), col("v"))
+    val gcand = src.join(tgt, Seq("band"))
+      .filter(abs(col("ps") - col("pt")) <= KnnTol)
+      .select(col("ps"), explode(col("low_keys")).as("v"),
+        round(abs(col("ps") - col("pt")), 6).as("diff"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= KnnK + 1)
+      .groupBy(col("ps"))
+      .agg(expr("transform(array_sort(collect_list(struct(diff, v))), s -> s.v)")
+        .as("cand_vs"))
+    nodes.join(broadcast(gcand), col("price") === col("ps"))
+      .select(col("key").as("u"),
+        explode(expr(s"slice(filter(cand_vs, x -> x != key), 1, $KnnK)")).as("v"))
   }
 
   /** The MAINTENANCE form over a probe ≠ corpus pair: probe explodes
@@ -113,8 +153,10 @@ object GraphOps {
         round(abs(col("pu") - col("pv")), 6).as("diff")))
   }
 
-  /** Per-node top-K by (rounded diff, v) — shared by both candidate
-    * shapes, WindowGroupLimit-pruned before the rank.
+  /** Per-node top-K by (rounded diff, v) over exploded candidates —
+    * the maintenance form's rank, WindowGroupLimit-pruned before the
+    * rank (the full build selects through per-group stream heads and
+    * never ranks node-level candidates).
     */
   private def topKLists(cand: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

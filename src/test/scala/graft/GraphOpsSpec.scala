@@ -181,18 +181,17 @@ class GraphOpsSpec extends SparkTestBase {
     assert(asym.exceptAll(sym).count() == 0)
     // the full-build-by-accident call can no longer run on the wrong plan
     intercept[IllegalArgumentException] { GraphOps.knnListsOf(n1, n1) }
-    // and the seven graph queries' shared build takes the symmetric
-    // path structurally: its plan carries the half-join Union signature
-    // (the asymmetric form has no Union)
-    val buildPlan = GraphOps.knnListsSymmetric(n1)
-      .queryExecution.optimizedPlan
-    val unions = buildPlan.collect {
-      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
-    }
-    assert(unions.nonEmpty, "symmetric build lost its half-join + union shape")
-    assert(asym.queryExecution.optimizedPlan.collect {
-      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
-    }.isEmpty)
+    // and the seven graph queries' shared build takes the collapsed
+    // path structurally: per-node selection reads the per-group
+    // stream-head arrays (`cand_vs`), never a node-level candidate
+    // rank (the collapse's group aggregate itself sits behind the
+    // groups checkpoint, so the array attribute is the visible
+    // signature; the asymmetric maintenance form has no such array)
+    def readsStreamHeads(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("cand_vs")
+    assert(readsStreamHeads(GraphOps.knnListsSymmetric(n1)),
+      "symmetric build lost its coordinate-collapse shape")
+    assert(!readsStreamHeads(asym))
   }
 
   test("graph_triangles invariants on the mutual-kNN price graph") {
