@@ -43,6 +43,13 @@ object CrossoverBench {
 
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val BatchBase = 90000000L
+    // the fixed replica stride only de-aliases when the source ids fit
+    // under it — fail loudly rather than silently fold replicas onto
+    // each other if SPARK_GRAFT_SF_DIR points at a bigger dataset
+    // (sf0.1 max doc_id is 4999; the stride leaves 20x headroom)
+    val maxDocId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxDocId < 100000L && maxDocId + 8 * 100000L < BatchBase,
+      s"replica stride too small for max doc_id $maxDocId — raise the offsets")
     val batch = docs.filter(col("doc_id") < 500)
       .select((col("doc_id") + BatchBase).as("doc_id"), col("text"))
     val isNew = col("doc_id") >= BatchBase

@@ -46,6 +46,13 @@ object ScalePointBench {
     if (new java.io.File(fs, "_SYNTH_DONE").exists()) return
     fs.mkdirs()
     val docs = Tables.documents(spark, src)
+    // fixed replica strides require the source ids to fit under them —
+    // assert rather than silently alias replicas on a bigger source
+    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val maxPart = Tables.part(spark, src)
+      .agg(max(col("p_partkey"))).head().getLong(0)
+    require(maxDoc < 100000L && maxPart < 1000000L,
+      s"replica strides too small (max doc_id $maxDoc, max p_partkey $maxPart)")
     (0 until replicas).map { i =>
       if (i == 0) docs
       else docs.withColumn("doc_id", col("doc_id") + lit(i * 100000L))

@@ -121,13 +121,14 @@ object IndexMaintenance {
 
   // --- BM25 postings maintenance (the bm25_tf/df/dl artifacts'
   // trickle path). tf and dl are doc-keyed — a batch of NEW docs is a
-  // pure insert. df is term-keyed and ADDITIVE: the refresh reads the
-  // current term counts and upserts old + batch per touched term.
-  // Each sub-table commit is exactly-once under the shared batchId, so
-  // a crash between the three merges resumes where it left off; the
-  // read-modify-write on df assumes one logical maintainer at a time
-  // (the streaming refresh serializes batches), the same single-
-  // maintainer contract as the pair-table path. ---
+  // pure insert. df is term-keyed and ADDITIVE: the refresh commits
+  // per-term INCREMENTS through mergeAdditive, whose CAS loop sums the
+  // deltas against whatever state won each attempt — so concurrent
+  // maintainers of different batches cannot lose each other's counts
+  // (the r10 read-modify-write upsert could: it baked the read version
+  // into absolute df rows outside the commit loop). Each sub-table
+  // commit is exactly-once under the shared batchId, so a crash
+  // between the three merges resumes where it left off. ---
 
   private def tfRoot(root: String) = s"$root/tf"
   private def dfRoot(root: String) = s"$root/df"
@@ -157,15 +158,14 @@ object IndexMaintenance {
     val a = IdempotentMergeSink.merge(spark, tfRoot(root),
       btf.withColumn("tf_key", concat_ws(":", col("doc_id"), col("term"))),
       "tf_key", batchId)
-    // additive term counts: computed fresh against the CURRENT df table
-    // each call, so a retry that already committed df no-ops on the
-    // batch id before these (then-stale) rows could double-count
-    val curDf = IdempotentMergeSink.read(spark, dfRoot(root))
-      .getOrElse(throw new IllegalStateException(s"refreshBm25 before bootstrap at $root"))
-    val upDf = btf.groupBy(col("term")).agg(count(lit(1)).as("inc"))
-      .join(curDf, Seq("term"), "left")
-      .select(col("term"), (coalesce(col("df"), lit(0L)) + col("inc")).as("df"))
-    val b = IdempotentMergeSink.merge(spark, dfRoot(root), upDf, "term", batchId)
+    // additive term counts as INCREMENTS: mergeAdditive rebases the
+    // deltas inside its commit loop, so a concurrent maintainer's
+    // df commit between our read and our rename cannot be overwritten
+    // with stale absolutes — no maintainer lease needed
+    if (IdempotentMergeSink.version(dfRoot(root)) == 0)
+      throw new IllegalStateException(s"refreshBm25 before bootstrap at $root")
+    val b = IdempotentMergeSink.mergeAdditive(spark, dfRoot(root),
+      btf.groupBy(col("term")).agg(count(lit(1)).as("df")), "term", batchId)
     val c = IdempotentMergeSink.merge(spark, dlRoot(root),
       btf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")), "doc_id", batchId)
     a | b | c

@@ -36,9 +36,15 @@ import java.nio.file.{Files, Paths}
   * Within one updates batch the highest `seq` wins when a `seq`
   * column is present; otherwise updates are assumed key-unique.
   *
-  * Local-filesystem rename stands in for the object-store commit
-  * protocol; the marker-last + batch-id layers are what carry the
-  * idempotence, not rename atomicity.
+  * Guarantee boundaries: IDEMPOTENCE (a retried batch never
+  * double-applies) is carried by the marker-last + batch-id layers and
+  * survives on any storage. The CONCURRENT-WRITER serialization is the
+  * directory-rename CAS and therefore requires an ATOMIC rename
+  * (POSIX, HDFS); S3-style object stores emulate rename as
+  * copy+delete, which is not atomic — there this sink needs an
+  * external commit lock (or a log-based table format) to keep the
+  * concurrency claim. Vacuum is excluded from the concurrency
+  * contract: see [[vacuum]].
   */
 object IdempotentMergeSink {
 
@@ -119,15 +125,27 @@ object IdempotentMergeSink {
         (ranked.filter(col("op") =!= "D").drop("op"),
           ranked.filter(col("op") === "D").select(col(key)))
       else (ranked, ranked.limit(0).select(col(key)))
-    var attempt = 0
-    while (attempt < maxAttempts) {
-      val cur = committed(root)
-      if (cur.exists(_._2.contains(batchId))) return false // retry after success
-      val newState = cur.map { case (v, _) => spark.read.parquet(s"$root/v=$v") }
+    commitLoop(root, batchId, maxAttempts, "merge") { cur =>
+      cur.map { case (v, _) => spark.read.parquet(s"$root/v=$v") }
         .map(_.join(ranked.select(col(key)), Seq(key), "left_anti")
           .unionByName(upserts))
         .getOrElse(upserts)
         .join(deletes, Seq(key), "left_anti")
+    }
+  }
+
+  /** The optimistic-concurrency commit loop both merge flavors share:
+    * `stateOf(cur)` builds the complete next table state FROM the
+    * currently-committed version — re-invoked per attempt, so a
+    * lost-CAS retry always rebases on the winner's commit.
+    */
+  private def commitLoop(root: String, batchId: String, maxAttempts: Int,
+      what: String)(stateOf: Option[(Int, Seq[String])] => DataFrame): Boolean = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = committed(root)
+      if (cur.exists(_._2.contains(batchId))) return false // retry after success
+      val newState = stateOf(cur)
       val nextV = cur.map(_._1).getOrElse(0) + 1
       val target = Paths.get(root, s"v=$nextV")
       val tmp = Paths.get(root, s".stage-${java.util.UUID.randomUUID()}")
@@ -147,22 +165,65 @@ object IdempotentMergeSink {
         case _: java.nio.file.FileAlreadyExistsException |
              _: java.nio.file.FileSystemException =>
           // lost the CAS: a concurrent writer committed v=<nextV> first.
-          // Discard the staged attempt and re-merge on top of theirs.
+          // Discard the staged attempt and rebuild on top of theirs.
           deleteRecursively(tmp.toFile)
           attempt += 1
       }
     }
     throw new IllegalStateException(
-      s"merge($root, batch=$batchId) lost the version race $maxAttempts times")
+      s"$what($root, batch=$batchId) lost the version race $maxAttempts times")
+  }
+
+  /** ADDITIVE merge: every non-`key` column of `increments` is a
+    * numeric delta summed INTO the existing row (missing keys insert,
+    * existing keys accumulate). This is the concurrent-safe form of
+    * read-modify-write accumulation: a plain upsert computed as
+    * `current + inc` OUTSIDE the commit loop bakes the read version
+    * into the written rows, so a maintainer that loses the rename CAS
+    * to a DIFFERENT batch would re-commit stale absolutes and silently
+    * drop the winner's increments. Here the rebase happens INSIDE each
+    * attempt — the increments (materialized once) are summed against
+    * whatever state won — so the committed table always equals
+    * "Σ increments of all applied batches" regardless of interleaving,
+    * and concurrent maintainers need no lease. Batch-id dedup gives
+    * each batch's deltas exactly-once, same as [[merge]].
+    */
+  def mergeAdditive(spark: SparkSession, root: String, increments: DataFrame,
+      key: String, batchId: String, maxAttempts: Int = 20): Boolean = {
+    new File(root).mkdirs()
+    if (committed(root).exists(_._2.contains(batchId))) return false
+    val incCols = increments.columns.filterNot(_ == key).toSeq
+    // one evaluation: a lost-race retry re-adds the very same deltas
+    val inc = increments.localCheckpoint()
+    commitLoop(root, batchId, maxAttempts, "mergeAdditive") { cur =>
+      cur.map { case (v, _) => spark.read.parquet(s"$root/v=$v") }
+        .map(_.unionByName(inc))
+        .getOrElse(inc)
+        .groupBy(col(key))
+        .agg(sum(col(incCols.head)).as(incCols.head),
+          incCols.tail.map(c => sum(col(c)).as(c)): _*)
+    }
   }
 
   /** Retention: drop all committed versions older than the newest
-    * `keep`, plus crashed writers' staged `.stage-*` directories older
-    * than `stageGraceMs` (the age gate keeps vacuum from deleting a
-    * LIVE concurrent writer's stage mid-write). The newest version
-    * carries the full applied-batch-id list, so vacuuming old versions
-    * never weakens the idempotence check — the same reason a table
-    * format can expire snapshots without re-running commits.
+    * `keep`, plus crashed writers' staged `.stage-*` directories whose
+    * NEWEST inner file is older than `stageGraceMs`. The age gate
+    * reads the newest mtime INSIDE the stage, not the stage dir's own
+    * mtime: a directory's mtime only changes when entries are added at
+    * its top level, so a long parquet write (> the grace) into nested
+    * part files would look stale by dir-mtime and get deleted from
+    * under a LIVE writer, failing that writer's commit. The newest
+    * version carries the full applied-batch-id list, so vacuuming old
+    * versions never weakens the idempotence check — the same reason a
+    * table format can expire snapshots without re-running commits.
+    *
+    * CONCURRENCY: vacuum must not run concurrently with writers. A
+    * losing writer's retry lazily re-reads the winner's `v=<n>`
+    * parquet; a concurrent `vacuum(keep = 1)` can delete that version
+    * after a newer commit lands but before the retry's staged write
+    * evaluates, crashing the merge mid-retry. Run vacuum from the
+    * maintenance schedule's quiet window (the same slot a table
+    * format's expire-snapshots occupies), not alongside ingest.
     */
   def vacuum(root: String, keep: Int = 1,
       stageGraceMs: Long = 600000L): Unit = {
@@ -177,10 +238,14 @@ object IdempotentMergeSink {
           d.delete()
         }
     }
+    def newestMtime(f: File): Long = {
+      val inner = Option(f.listFiles()).getOrElse(Array.empty)
+      (f.lastModified() +: inner.map(newestMtime)).max
+    }
     val cutoff = System.currentTimeMillis() - stageGraceMs
     entries
       .filter(f => f.isDirectory && f.getName.startsWith(".stage-")
-        && f.lastModified() < cutoff)
+        && newestMtime(f) < cutoff)
       .foreach(deleteRecursively)
   }
 }

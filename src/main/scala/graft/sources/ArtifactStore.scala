@@ -103,9 +103,16 @@ object ArtifactStore {
       build: => Map[String, DataFrame]): Map[String, DataFrame] = {
     lockFor(s"$dir#${outs.map(_._1).mkString("+")}").synchronized {
       if (outs.exists { case (n, _, _) => !visible(spark, dir, n) }) {
+        // rewrite the WHOLE group, including members a crashed earlier
+        // attempt already saved: a partial group's survivors came from
+        // a different build evaluation, and patching in only the
+        // missing member would let group artifacts drift out of step
+        // the moment training gains any nondeterminism (today's
+        // kmeans/PQ init is deterministic, but that invariant must not
+        // be load-bearing here)
         val made = build
         outs.foreach { case (n, key, buckets) =>
-          if (!visible(spark, dir, n)) save(spark, dir, n, key, buckets, made(n))
+          save(spark, dir, n, key, buckets, made(n))
         }
       }
     }

@@ -154,6 +154,34 @@ class IdempotentMergeSinkSpec extends SparkTestBase {
     assert(IdempotentMergeSink.version(root) == 5)
   }
 
+  test("mergeAdditive: concurrent increments on shared keys all land; retry adds nothing") {
+    import spark.implicits._
+    val root = freshRoot()
+    // seed counts
+    assert(IdempotentMergeSink.mergeAdditive(spark, root,
+      Seq(("a", 10L), ("b", 1L)).toDF("k", "n"), "k", "seed"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // four concurrent maintainers incrementing OVERLAPPING keys — the
+    // read-modify-write upsert this mode replaces loses every CAS
+    // loser's delta; additive rebase must keep all of them
+    val results = Await.result(Future.sequence((1 to 4).map { i =>
+      Future(IdempotentMergeSink.mergeAdditive(spark, root,
+        Seq(("a", 1L), (s"w$i", i.toLong)).toDF("k", "n"), "k", s"inc$i"))
+    }), 120.seconds)
+    assert(results.forall(identity))
+    def counts = IdempotentMergeSink.read(spark, root).get
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts == Map("a" -> 14L, "b" -> 1L,
+      "w1" -> 1L, "w2" -> 2L, "w3" -> 3L, "w4" -> 4L), s"got $counts")
+    // exactly-once: a retried batch id adds nothing and bumps no version
+    val v = IdempotentMergeSink.version(root)
+    assert(!IdempotentMergeSink.mergeAdditive(spark, root,
+      Seq(("a", 1L)).toDF("k", "n"), "k", "inc1"))
+    assert(IdempotentMergeSink.version(root) == v && counts("a") == 14L)
+  }
+
   test("two concurrent writers racing the SAME batch id apply it exactly once") {
     import spark.implicits._
     val root = freshRoot()

@@ -154,6 +154,34 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(!IndexMaintenance.refreshBm25(spark, root, batch, "b1"))
   }
 
+  test("two RACING bm25 refreshers converge to the from-scratch postings") {
+    import graft.operators.AnnSearch
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = freshRoot()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 4 > 1)
+    val b1 = docs.filter(col("doc_id") % 4 === 0)
+    val b2 = docs.filter(col("doc_id") % 4 === 1)
+    assert(IndexMaintenance.bootstrapBm25(spark, root, base))
+    // the lost-update shape the additive merge retires: both refreshers
+    // read the bootstrap df, commit concurrently — with the old
+    // read-modify-write upsert the CAS loser re-committed absolutes
+    // computed against the stale read and dropped the winner's counts
+    val results = Await.result(Future.sequence(Seq(
+      Future(IndexMaintenance.refreshBm25(spark, root, b1, "race-b1")),
+      Future(IndexMaintenance.refreshBm25(spark, root, b2, "race-b2")))),
+      5.minutes)
+    assert(results == Seq(true, true))
+    val (_, df, _) = IndexMaintenance.bm25(spark, root)
+    val wantDf = AnnSearch.bm25Tf(docs)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == wantDf.collect().map(r => (r.getString(0), r.getLong(1))).toSet,
+      "racing df refreshers lost an increment")
+  }
+
   test("dct phash maintenance: additive fingerprints and pairs equal from-scratch") {
     import graft.operators.Multimodal
     val root = freshRoot()
