@@ -38,12 +38,24 @@ object ScalePointBench {
     "dedup_components_star",
     "dedup_incremental", "dedup_incremental_served",
     "graph_knn_edges", "graph_pagerank", "graph_pagerank_indexed",
-    "multimodal_phash_dct_pairs", "multimodal_phash_dct_pairs_served")
+    "multimodal_phash_dct_pairs", "multimodal_phash_dct_pairs_served",
+    // r11: the widened-fingerprint pair searches (sub-quadratic
+    // candidate growth is the claim under test) and the remaining
+    // >20 MB-shuffle queries so every big shuffler has a measured
+    // exponent
+    "dedup_simhash_pairs", "multimodal_phash_pairs",
+    "etl_temporal_join", "etl_scd2_history", "q_price_band_join")
+
+  /** Versioned done-marker: v2 added lineitem replication (the ETL
+    * temporal/scd2 targets); bumping the name forces a one-time
+    * rebuild of a dir synthesized by an older round.
+    */
+  private val SynthMarker = "_SYNTH_DONE_v2"
 
   private def synthesize(spark: SparkSession, src: String, dst: String,
       replicas: Int): Unit = {
     val fs = new java.io.File(dst)
-    if (new java.io.File(fs, "_SYNTH_DONE").exists()) return
+    if (new java.io.File(fs, SynthMarker).exists()) return
     fs.mkdirs()
     val docs = Tables.documents(spark, src)
     // fixed replica strides require the source ids to fit under them —
@@ -75,14 +87,26 @@ object ScalePointBench {
         .withColumn("p_retailprice", col("p_retailprice") + lit(i * 0.013))
     }.reduce(_ unionByName _)
       .coalesce(4).write.mode("overwrite").parquet(s"$dst/part.parquet")
+    // lineitem replicates with partkeys shifted IN STEP with part (the
+    // temporal join probes part versions by partkey) and orderkeys
+    // shifted to stay unique — per-partkey version/window structure
+    // replicates exactly, so the scd2/temporal targets grow linearly
+    // by construction
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until replicas).map { i =>
+      if (i == 0) li
+      else li.withColumn("l_partkey", col("l_partkey") + lit(i * 1000000L))
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+    }.reduce(_ unionByName _)
+      .coalesce(8).write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
     // the remaining tables pass through 1× (none of the targets scans
     // them, but Tables resolution must not 404)
-    Seq("region", "nation", "customer", "supplier", "orders", "lineitem",
+    Seq("region", "nation", "customer", "supplier", "orders",
       "events").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .coalesce(4).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
-    new java.io.File(fs, "_SYNTH_DONE").createNewFile()
+    new java.io.File(fs, SynthMarker).createNewFile()
   }
 
   def main(args: Array[String]): Unit = {

@@ -381,19 +381,25 @@ object Dedup {
     * relation; this is the cheaper fingerprint-only verdict used when
     * the corpus no longer fits a shingle join.)
     */
-  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // checkpoint: both self-join sides read this relation, and without
-    // the materialization each side re-runs the whole fingerprint
-    // aggregation (the token explode + 16 vote sums — the expensive
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    // checkpoint: both self-join sides read the fingerprints, and
+    // without the materialization each side re-runs the whole
+    // aggregation (the token explode + 64 vote sums — the expensive
     // part) — measured ~2× on the fixed-size corpus
-    val bands = simhashFingerprints(spark, dir)
+    simhashPairsOver(simhashFingerprints(spark, dir).localCheckpoint())
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The banded pair search over any (doc_id, simhash) fingerprint
+    * relation — shared by the self-contained and served forms.
+    */
+  private def simhashPairsOver(fp: DataFrame): DataFrame = {
+    val bands = fp
       .select(col("doc_id"), col("simhash"), explode(array(
         (0 until SimhashBands).map(b => struct(
           lit(b).as("band_idx"),
           shiftright(col("simhash"), SimhashBandBits * b)
             .bitwiseAND(lit((1L << SimhashBandBits) - 1)).as("band_bits"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band_idx"), col("bb.band_bits"))
-      .localCheckpoint()
     val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("fa"),
       col("band_idx"), col("band_bits"))
     val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("fb"),
@@ -404,8 +410,26 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
       .filter(col("hamming") <= SimhashRadius)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** The 64-bit simhash fingerprints SERVED from their write-once
+    * bucketed artifact table — the token explode + 64 vote sums (the
+    * expensive half of the pair search) run once per JVM and every
+    * later probe reads the table, completing the serving story for
+    * the lexical-fingerprint side the way `phash_dct` completes it
+    * for the perceptual side.
+    */
+  private[graft] def servedSimhashFingerprints(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ArtifactStore.ensure(spark, dir, "simhash_fp", "doc_id", 8)(
+      simhashFingerprints(spark, dir))
+
+  /** The pair search served from the fingerprint artifact — per-query
+    * cost is the banded self-join probe alone. Shares the base form's
+    * oracle SQL (identical result by construction).
+    */
+  def dedupSimhashPairsServed(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOver(servedSimhashFingerprints(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Embedding-cosine near-dup pairs, blocked on the label column (the
     * coarse-cluster stand-in for an IVF/LSH partition at scale).
@@ -1018,7 +1042,8 @@ object Dedup {
     "dedup_components_served" -> (dedupComponentsServed _),
     "dedup_cluster_stats_served" -> (dedupClusterStatsServed _),
     "dedup_keep_best_served" -> (dedupKeepBestServed _),
-    "dedup_incremental_served" -> (dedupIncrementalServed _))
+    "dedup_incremental_served" -> (dedupIncrementalServed _),
+    "dedup_simhash_pairs_served" -> (dedupSimhashPairsServed _))
 
   /** Signatures + LSH candidate pairs as CTEs ending in `cpairs` —
     * shared by the estimate, exact-jaccard, and components oracles.
@@ -1338,5 +1363,6 @@ object Dedup {
     "dedup_components_served" -> oraclesBase("dedup_components"),
     "dedup_cluster_stats_served" -> oraclesBase("dedup_cluster_stats"),
     "dedup_keep_best_served" -> oraclesBase("dedup_keep_best"),
-    "dedup_incremental_served" -> oraclesBase("dedup_incremental"))
+    "dedup_incremental_served" -> oraclesBase("dedup_incremental"),
+    "dedup_simhash_pairs_served" -> oraclesBase("dedup_simhash_pairs"))
 }

@@ -535,6 +535,14 @@ class DedupAnnSpec extends SparkTestBase {
   }
 
 
+  test("simhash pairs served == self-contained (fingerprints from the artifact table)") {
+    val base = Dedup.dedupSimhashPairs(spark, sfDir)
+    val served = Dedup.dedupSimhashPairsServed(spark, sfDir)
+    assert(base.exceptAll(served).count() == 0)
+    assert(served.exceptAll(base).count() == 0)
+    assert(graft.sources.ArtifactStore.has(spark, sfDir, "simhash_fp"))
+  }
+
   test("simhash pairs: within radius, ordered, and banding loses nothing") {
     val pairs = Dedup.dedupSimhashPairs(spark, sfDir).cache()
     assert(pairs.filter(col("hamming") > 3).count() == 0)
