@@ -332,31 +332,22 @@ object Dedup {
   /** 64-bit SimHash: per-bit majority vote over md5-derived token
     * hashes, frequency-weighted (tokens exploded, not distinct). The
     * 64 vote bits come from the first sixteen hex chars of the token
-    * md5 read as two 32-bit halves (a single 64-bit decimal string
-    * would not survive a signed-long cast); the fingerprint is the
-    * bitwise OR of the disjoint winning-bit masks, so bit 63 (the
-    * sign bit of the long) assembles without any overflow question.
-    * One aggregation, 64 vote sums, fingerprint assembled per row.
+    * md5 read as two 32-bit halves; bit b is set iff its vote sum is
+    * strictly positive. Computed by the native
+    * [[graft.functions.Simhash64Agg]] aggregate — one int-array buffer
+    * and a single 64-bit loop per token instead of 64 separate
+    * declarative sum-aggregates (which doubled the dump cost when the
+    * fingerprint widened from 16 to 64 bits). A spec pins the native
+    * aggregate bit-equal to the declarative 64-sum formulation.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashFingerprints(spark, dir).orderBy(col("doc_id"))
 
-  private def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+  private def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .withColumn("h0", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-      .withColumn("h1", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long"))
-    val votes = (0 until 64).map { b =>
-      val half = if (b < 32) col("h0") else col("h1")
-      sum(when(shiftright(half, b % 32).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$b")
-    }
-    val fp = (0 until 64).map { b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-    tok.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
-  }
+      .groupBy(col("doc_id"))
+      .agg(expr("simhash64(tok)").as("simhash"))
 
   /** Hamming radius and banding for the simhash pair search:
     * hamming ≤ 3 over 64 bits, 4 bands of 16 bits — by pigeonhole any

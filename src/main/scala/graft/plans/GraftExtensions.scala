@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{AdcDist6, BottomKByKey, DotProduct, Phash16, Sq8Dist, Sq8Encode, UpcValid}
+import graft.functions.{AdcDist6, BottomKByKey, DotProduct, Phash16, Simhash64Agg, Sq8Dist, Sq8Encode, UpcValid}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
@@ -85,6 +85,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         requireArity("sq8_dist", exprs, 4)
         Sq8Dist(exprs(0), exprs(1), exprs(2), exprs(3))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[Simhash64Agg].getName, "simhash64"),
+      (exprs: Seq[Expression]) => {
+        requireArity("simhash64", exprs, 1)
+        Simhash64Agg(exprs.head)
       }))
     // Spark's own bloom-filter sketch pair (the machinery behind
     // runtime row-level filtering), surfaced as callable functions so

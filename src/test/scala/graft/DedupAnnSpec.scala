@@ -254,6 +254,35 @@ class DedupAnnSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("simhash64 native aggregate == declarative 64-sum formulation, bit-exact") {
+    // the dump runs the native TypedImperativeAggregate; this rebuilds
+    // the original declarative form (md5 hex halves via conv/substring,
+    // 64 separate vote sums, OR-mask assembly) and pins bit-equality
+    // per doc — the guarantee that lets the native path share the
+    // unchanged DuckDB oracle
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .withColumn("h0", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h1", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long"))
+    val votes = (0 until 64).map { b =>
+      val half = if (b < 32) col("h0") else col("h1")
+      sum(when(shiftright(half, b % 32).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$b")
+    }
+    val fp = (0 until 64).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    val declarative = tok.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+    val native = Dedup.dedupSimhash(spark, sfDir)
+    assert(native.count() > 0)
+    assert(native.join(declarative, "doc_id")
+      .filter(native("simhash") =!= declarative("simhash")).count() == 0)
+    // the aggregate really is the native one (ObjectHashAggregate path)
+    val planStr = native.queryExecution.executedPlan.toString
+    assert(planStr.contains("simhash64"), s"native simhash64 missing from plan:\n$planStr")
+  }
+
   test("ann_topk: at most k neighbors per query, ranked by descending cosine") {
     val df = AnnSearch.annTopk(spark, sfDir).cache()
     val perQ = df.groupBy("q_id").count()
