@@ -797,6 +797,82 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Document-frequency cap for the span-extraction gram join: grams in
+    * more than this many documents are boilerplate (already measured by
+    * `text_repeated_spans` and stripped by `corpus_boilerplate_strip`),
+    * and joining them would make bucket occupancy ∝ corpus size. The
+    * cap is part of the OPERATOR'S SEMANTICS (stated here and replayed
+    * by the oracle), not a silent truncation: it bounds per-gram join
+    * fan-out at cap², so total pair work is ∝ #eligible-grams · cap².
+    */
+  private val SpanDfCap = 50
+
+  /** Cross-document EXACT-SUBSTRING extraction — the "which text is
+    * duplicated" half of the Lee et al. story whose "how much" half is
+    * [[textRepeatedSpans]]: for every ordered document pair, every
+    * MAXIMAL verbatim token span the two share (reported from both
+    * sides' start offsets), built from `SpanGram`-token gram matches
+    * merged along alignment diagonals.
+    *
+    * Plan (the distributed suffix-array workload's join shape):
+    * one corpus explode into (doc, pos, gram) — checkpointed, read by
+    * the df filter and both sides of the self-join — gram df in
+    * [2, SpanDfCap] keeps only cross-doc, non-boilerplate grams, the
+    * gram-keyed self-join (a.doc < b.doc) yields occurrence hits, and a
+    * hit at (pos_a, pos_b) extends the same maximal span as its
+    * neighbor at (pos_a+1, pos_b+1) — i.e. consecutive pos_a on one
+    * DIAGONAL (pos_a − pos_b). Gaps-and-islands per (pair, diagonal)
+    * (pos_a − row_number, a per-diagonal window — fine-grained
+    * partitions, never a global sort) merges hits into maximal runs:
+    * span_len = max(pos_a) − min(pos_a) + SpanGram tokens. Self-overlap
+    * inside a repetitive region shows up as one span per diagonal —
+    * the standard behavior of diagonal-merge matchers.
+    *
+    * At 100 TB: the gram relation is the only corpus-sized shuffle
+    * (same key as `text_repeated_spans`); the self-join is bounded by
+    * the df cap; islands group by (pair, diagonal) so no partition
+    * exceeds one document's span count.
+    */
+  def dedupExactSpans(spark: SparkSession, dir: String): DataFrame =
+    exactSpansOver(Tables.documents(spark, dir))
+
+  /** The extraction over any (doc_id, text) relation — exposed so specs
+    * can plant verbatim cross-doc spans at known offsets.
+    */
+  private[graft] def exactSpansOver(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= SpanGram)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${SpanGram - 1})," +
+          s" i -> struct(i AS pos, array_join(slice(toks, i, $SpanGram), ' ') AS g))")).as("s"))
+      .select(col("doc_id"), col("s.pos"), col("s.g"))
+      .localCheckpoint() // df filter + both self-join sides read it
+    val elig = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") >= 2 && col("gdf") <= SpanDfCap)
+      .select(col("g"))
+    val pruned = grams.join(elig, "g")
+    val hits = pruned
+      .select(col("g"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+      .join(pruned
+        .select(col("g"), col("doc_id").as("doc_b"), col("pos").as("pos_b")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val wDiag = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    hits
+      .withColumn("isl", col("pos_a") - row_number().over(wDiag))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg(min(col("pos_a")).as("sa"), min(col("pos_b")).as("sb"),
+        max(col("pos_a")).as("ma"))
+      .select(col("doc_a"), col("doc_b"),
+        col("sa").cast("long").as("start_a"),
+        col("sb").cast("long").as("start_b"),
+        (col("ma") - col("sa") + lit(SpanGram)).cast("long").as("span_len"))
+      .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+  }
+
   /** Number of BPE merge-training rounds for the corpus query. */
   private val BpeMergeRounds = 8
 
@@ -905,6 +981,7 @@ object TextAnalysis {
     "text_bpe_merges"     -> (textBpeMerges _),
     "text_bpe_encode"     -> (textBpeEncode _),
     "text_repeated_spans" -> (textRepeatedSpans _),
+    "dedup_exact_spans"   -> (dedupExactSpans _),
     "text_zipf_profile"   -> (textZipfProfile _),
     "text_perplexity"     -> (textPerplexity _),
     "text_winnowing"   -> (textWinnowing _),
@@ -1130,6 +1207,34 @@ object TextAnalysis {
          |    AS repeated_frac
          |FROM grams JOIN gdf USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_exact_spans" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id, i.i AS pos,
+         |    array_to_string(toks[i.i : i.i + ${SpanGram - 1}], ' ') AS g
+         |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents) d,
+         |       unnest(generate_series(1, len(toks) - ${SpanGram - 1})) i(i)
+         |  WHERE len(toks) >= $SpanGram),
+         |elig AS (
+         |  SELECT g FROM (
+         |    SELECT g, count(*) AS gdf
+         |    FROM (SELECT DISTINCT doc_id, g FROM grams) GROUP BY g)
+         |  WHERE gdf BETWEEN 2 AND $SpanDfCap),
+         |hits AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+         |  FROM grams a JOIN elig e ON a.g = e.g JOIN grams b ON a.g = b.g
+         |  WHERE a.doc_id < b.doc_id),
+         |isl AS (
+         |  SELECT doc_a, doc_b, diag, pos_a, pos_b,
+         |    pos_a - row_number() OVER (
+         |      PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS isl
+         |  FROM hits)
+         |SELECT doc_a, doc_b,
+         |  CAST(min(pos_a) AS BIGINT) AS start_a,
+         |  CAST(min(pos_b) AS BIGINT) AS start_b,
+         |  CAST(max(pos_a) - min(pos_a) + $SpanGram AS BIGINT) AS span_len
+         |FROM isl GROUP BY doc_a, doc_b, diag, isl
+         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
     "text_perplexity" ->
       s"""WITH $perplexityCtes
          |SELECT doc_id, n_grams,

@@ -360,6 +360,38 @@ class CorpusOpsSpec extends SparkTestBase {
   }
 
 
+  test("exact spans: maximal cross-doc spans at their true offsets; df cap excludes boilerplate") {
+    val full = graft.operators.TextAnalysis.dedupExactSpans(spark, sfDir).cache()
+    // the corpus has planted duplicates (winnow_pairs finds them), so
+    // the extraction must surface real spans, every one >= the gram
+    // width, on ordered pairs
+    assert(full.count() > 0, "no spans extracted from the corpus")
+    assert(full.filter(col("span_len") < 5).count() == 0)
+    assert(full.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    full.unpersist()
+
+    import spark.implicits._
+    // doc 1 shares an 8-token run with doc 2 (different offsets) and a
+    // separate 5-token run with doc 3; a 5-token boilerplate phrase in
+    // 60 docs sits over the df cap and must produce NO pairs
+    val shared8 = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val shared5 = "u1 u2 u3 u4 u5"
+    val boiler = "c1 c2 c3 c4 c5"
+    val planted = (Seq(
+      (1L, s"a1 a2 $shared8 $shared5"),
+      (2L, s"b1 $shared8 b2 b3"),
+      (3L, s"d1 d2 d3 $shared5 d4")
+    ) ++ (10L until 70L).map(i => (i, s"x$i $boiler y$i"))).toDF("doc_id", "text")
+    val rows = graft.operators.TextAnalysis.exactSpansOver(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // ONE maximal span per sharing pair — gram hits merged along the
+    // diagonal, not reported gram-by-gram — at the true token offsets
+    assert(rows.toSet == Set(
+      (1L, 2L, 3L, 2L, 8L),  // shared8: doc1 pos 3 (after a1 a2), doc2 pos 2
+      (1L, 3L, 11L, 4L, 5L)  // shared5: doc1 pos 11, doc3 pos 4
+    ), s"got ${rows.mkString(", ")}")
+  }
+
   test("boilerplate strip: templated spans cut, clean text reassembled in order") {
     val out = CorpusOps.corpusBoilerplateStrip(spark, sfDir).cache()
     val docs = Tables.documents(spark, sfDir)
