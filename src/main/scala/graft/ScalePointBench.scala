@@ -130,14 +130,51 @@ object ScalePointBench {
       catch { case e: Throwable => System.err.println(s"[scale] $name: $e") }
       (System.nanoTime() - t0) / 1e9
     }
+    // optional scope for focused re-measures (same contract as Bench's
+    // SPARK_GRAFT_BENCH_ONLY); also gates the maintenance measurement
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.r)
+    def selected(name: String): Boolean =
+      only.forall(_.findFirstIn(name).isDefined)
+    val scoped = targets.filter(selected)
     // same fixpoint warmup as Bench so medians are warm-JVM numbers
-    Seq("dedup_components", "dedup_cluster_stats", "dedup_incremental")
-      .foreach(run)
-    targets.foreach { name =>
+    if (scoped.nonEmpty)
+      Seq("dedup_components", "dedup_cluster_stats", "dedup_incremental")
+        .foreach(run)
+    scoped.foreach { name =>
       val first = run(name)
       val rest = (1 to 2).map(_ => run(name))
       val med = (first +: rest).sorted.apply(1)
       println(s"""{"query":"$name","first_sec":${j(first)},"median_sec":${j(med)},"replicas":$replicas}""")
+    }
+
+    // kNN list MAINTENANCE at scale (not a SparkEntry query — the
+    // artifact trickle path): bootstrap the list table over the 5×
+    // node relation once, then merge three successive 1000-node
+    // batches; the refresh claim is work ∝ batch × distinct
+    // coordinates in band reach, so the median batch time must sit
+    // far under the bootstrap regardless of corpus replicas.
+    if (selected("knn_refresh")) {
+      val root = s"$dst/knn_lists_scale"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val nodes0 = graft.operators.GraphOps.partNodes(spark, dst)
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      graft.operators.IndexMaintenance.bootstrapKnn(spark, root, nodes0)
+      val bootSec = (System.nanoTime() - t0) / 1e9
+      var base = nodes0
+      val times = (1 to 3).map { i =>
+        val batch = nodes0.orderBy(col("key")).limit(1000)
+          .select((col("key") + lit(i * 100000000L)).as("key"),
+            (col("price") + lit(0.004 * i)).as("price"))
+          .localCheckpoint()
+        val t1 = System.nanoTime()
+        graft.operators.IndexMaintenance.refreshKnn(
+          spark, root, base, batch, s"scale-batch-$i")
+        val dt = (System.nanoTime() - t1) / 1e9
+        base = base.unionByName(batch).localCheckpoint()
+        dt
+      }
+      println(s"""{"query":"knn_refresh","bootstrap_sec":${j(bootSec)},"median_sec":${j(times.sorted.apply(1))},"batch_nodes":1000,"replicas":$replicas}""")
     }
     spark.stop()
   }

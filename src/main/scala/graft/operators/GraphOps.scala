@@ -133,9 +133,17 @@ object GraphOps {
     * ±1 price bands against the corpus's own band, which is what makes
     * INCREMENTAL maintenance possible — a refresh recomputes lists
     * only for the nodes a batch can touch
-    * ([[IndexMaintenance.refreshKnn]]), work ∝ probe × band occupancy,
-    * never probe × corpus. Passing the same instance twice fails
-    * loudly: a full build must say [[knnListsSymmetric]].
+    * ([[IndexMaintenance.refreshKnn]]). Since r11 the corpus side is
+    * coordinate-collapsed like the full build: corpus nodes group by
+    * exact price and only a group's K+1 smallest keys ride the band
+    * join (for any probe the group's members share one diff, ties
+    * break by smallest key, and excluding the probe itself drops at
+    * most ONE of them — so K of the K+1 always survive the rank).
+    * Candidates per probe node are #band-groups × (K+1), not band
+    * OCCUPANCY: work ∝ probe × distinct coordinates in reach, never
+    * probe × corpus, and duplication-regime corpus growth is free.
+    * Passing the same instance twice fails loudly: a full build must
+    * say [[knnListsSymmetric]].
     */
   private[graft] def knnListsOf(probe: DataFrame, corpus: DataFrame): DataFrame = {
     require(!(probe eq corpus),
@@ -144,13 +152,24 @@ object GraphOps {
     val a = probe.select(col("key").as("u"), col("price").as("pu"))
       .withColumn("band", explode(array((-1 to 1).map(d =>
         floor(col("pu") / KnnTol).cast("long") + d): _*)))
-    val b = corpus.select(col("key").as("v"), col("price").as("pv"),
+    // corpus rows in bands no probe explodes can never join: prune them
+    // BEFORE the group aggregation, so the collapse costs ∝ occupancy
+    // of the probe's bands, not ∝ corpus — for a small refresh set the
+    // per-batch corpus-side work shrinks with the batch
+    val groups = corpus
+      .withColumn("band", floor(col("price") / KnnTol).cast("long"))
+      .join(broadcast(a.select(col("band")).distinct()), Seq("band"), "left_semi")
+      .groupBy(col("price").as("pv"))
+      .agg(call_function("bottom_k_by_key",
+        lpad(col("key").cast("string"), 20, "0"), col("key"), lit(KnnK + 1))
+        .as("low_keys"))
+    val b = groups.select(col("pv"), col("low_keys"),
       floor(col("pv") / KnnTol).cast("long").as("band"))
     topKLists(a.join(b, Seq("band"))
-      .filter(col("u") =!= col("v") &&
-        abs(col("pu") - col("pv")) <= KnnTol)
-      .select(col("u"), col("v"),
-        round(abs(col("pu") - col("pv")), 6).as("diff")))
+      .filter(abs(col("pu") - col("pv")) <= KnnTol)
+      .select(col("u"), explode(col("low_keys")).as("v"),
+        round(abs(col("pu") - col("pv")), 6).as("diff"))
+      .filter(col("u") =!= col("v")))
   }
 
   /** Per-node top-K by (rounded diff, v) over exploded candidates —
@@ -165,20 +184,51 @@ object GraphOps {
       .filter(col("rn") <= KnnK).select(col("u"), col("v"))
   }
 
-  /** Base-corpus node keys within band reach of any batch node — the
-    * ONLY nodes whose top-K lists an ingest batch can change. The
-    * batch side is broadcast: at scale the batch is tiny against the
-    * corpus, so touched-set discovery is one map-side band join.
+  /** Base-corpus node keys whose maintained top-K lists a batch of NEW
+    * nodes can CHANGE — the refresh's work set. Band reach (±tol of
+    * any batch node, batch side broadcast) is the safe outer bound,
+    * but in a dense or duplicated coordinate regime it approaches the
+    * ENTIRE corpus — measured at the sf0.5 scale point, a 1000-node
+    * batch put ~the whole 1M-node relation in reach and the "refresh"
+    * cost exactly a bootstrap (20.7 vs 20.4 s). The tight condition:
+    * since a batch only ADDS nodes, u's list changes only if some
+    * batch node ENTERS its top-K under the (diff, key) order, which
+    * requires min-batch-diff ≤ u's current WORST neighbor diff (the ≤
+    * keeps the equal-diff tiebreak cases as a safe superset), or an
+    * under-full/absent list (< K rows — including isolated nodes).
+    * The worst diffs come from the maintained lists themselves
+    * (≤ K·n rows, priced by two joins against the base relation), so
+    * touched-set discovery costs one bounded list scan and the
+    * recompute is ∝ nodes with a genuinely contested list — in the
+    * duplication regime, same-coordinate groups and boundary nodes,
+    * not band occupancy. Passing `lists = None` (no committed table
+    * yet) falls back to full band reach.
     */
-  private[graft] def bandReach(base: DataFrame, batch: DataFrame): DataFrame = {
+  private[graft] def touchedByBatch(base: DataFrame, batch: DataFrame,
+      lists: Option[DataFrame]): DataFrame = {
     val a = base.select(col("key"), col("price").as("pu"))
       .withColumn("band", explode(array((-1 to 1).map(d =>
         floor(col("pu") / KnnTol).cast("long") + d): _*)))
     val b = batch.select(col("price").as("pv"),
       floor(col("pv") / KnnTol).cast("long").as("band"))
-    a.join(broadcast(b), Seq("band"))
+    val reach = a.join(broadcast(b), Seq("band"))
       .filter(abs(col("pu") - col("pv")) <= KnnTol)
-      .select(col("key")).distinct()
+      .groupBy(col("key"))
+      .agg(min(round(abs(col("pu") - col("pv")), 6)).as("best_new"))
+    lists match {
+      case None => reach.select(col("key"))
+      case Some(l) =>
+        val worst = l.select(col("u"), col("v"))
+          .join(base.select(col("key").as("u"), col("price").as("lpu")), "u")
+          .join(base.select(col("key").as("v"), col("price").as("lpv")), "v")
+          .groupBy(col("u").as("key"))
+          .agg(max(round(abs(col("lpu") - col("lpv")), 6)).as("worst"),
+            count(lit(1)).as("deg"))
+        reach.join(worst, Seq("key"), "left")
+          .filter(col("worst").isNull || col("deg") < KnnK ||
+            col("best_new") <= col("worst"))
+          .select(col("key"))
+    }
   }
 
   /** Mutual-kNN edges over any per-node adjacency list relation: an

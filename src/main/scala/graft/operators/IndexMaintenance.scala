@@ -67,10 +67,12 @@ object IndexMaintenance {
   // the edge set: mutual-kNN edges are not additive (a new closer
   // neighbor evicts an old one from a node's top-K), but the set of
   // nodes a batch can touch IS bounded — batch nodes plus base nodes
-  // within candidate-band reach ([[GraphOps.bandReach]]). refreshKnn
-  // recomputes lists for exactly that set (work ∝ batch × band
-  // occupancy), deletes the evicted rows, and the cheap mutual join
-  // over the maintained lists reproduces the from-scratch edge set. ---
+  // whose current top-K a batch node can actually ENTER
+  // ([[GraphOps.touchedByBatch]]: band reach tightened by each node's
+  // worst maintained neighbor diff). refreshKnn recomputes lists for
+  // exactly that set, deletes the evicted rows, and the cheap mutual
+  // join over the maintained lists reproduces the from-scratch edge
+  // set. ---
 
   private def listKeyed(lists: DataFrame): DataFrame =
     lists.withColumn("list_key", concat_ws(":", col("u"), col("v")))
@@ -90,12 +92,14 @@ object IndexMaintenance {
     */
   def refreshKnn(spark: SparkSession, root: String, baseNodes: DataFrame,
       batchNodes: DataFrame, batchId: String): Boolean = {
+    val maintained = IdempotentMergeSink.read(spark, root)
     val touched = baseNodes
-      .join(GraphOps.bandReach(baseNodes, batchNodes), Seq("key"), "left_semi")
+      .join(GraphOps.touchedByBatch(baseNodes, batchNodes,
+        maintained.map(_.select(col("u"), col("v")))), Seq("key"), "left_semi")
       .unionByName(batchNodes)
     val fresh = GraphOps.knnListsOf(touched, baseNodes.unionByName(batchNodes))
       .localCheckpoint() // feeds both the upserts and the evicted anti-join
-    val evicted = IdempotentMergeSink.read(spark, root)
+    val evicted = maintained
       .map(_.select(col("u"), col("v"))
         .join(touched.select(col("key").as("u")), Seq("u"), "left_semi")
         .join(fresh, Seq("u", "v"), "left_anti")

@@ -192,6 +192,12 @@ class GraphOpsSpec extends SparkTestBase {
     assert(readsStreamHeads(GraphOps.knnListsSymmetric(n1)),
       "symmetric build lost its coordinate-collapse shape")
     assert(!readsStreamHeads(asym))
+    // the maintenance form is collapsed on its CORPUS side since r11:
+    // probes join per-price group arrays (`low_keys`, K+1 smallest keys
+    // per group) instead of raw band occupants, so refresh candidates
+    // are ∝ distinct coordinates in band reach, never corpus occupancy
+    assert(asym.queryExecution.optimizedPlan.toString.contains("low_keys"),
+      "maintenance form lost its corpus-side coordinate collapse")
   }
 
   test("graph_triangles invariants on the mutual-kNN price graph") {
