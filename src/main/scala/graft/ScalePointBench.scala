@@ -44,7 +44,13 @@ object ScalePointBench {
     // >20 MB-shuffle queries so every big shuffler has a measured
     // exponent
     "dedup_simhash_pairs", "multimodal_phash_pairs",
-    "etl_temporal_join", "etl_scd2_history", "q_price_band_join")
+    "etl_temporal_join", "etl_scd2_history", "q_price_band_join",
+    // r11: the span extraction's gram self-join is the same
+    // quadratic-risk class the fingerprint pair searches are in —
+    // the df cap is the bound under test (replica salting keeps each
+    // gram's df within its replica, so spans grow linearly by
+    // construction and the measured exponent should show it)
+    "dedup_exact_spans", "dedup_exact_spans_served")
 
   /** Versioned done-marker: v2 added lineitem replication (the ETL
     * temporal/scd2 targets); bumping the name forces a one-time

@@ -839,15 +839,43 @@ object TextAnalysis {
   /** The extraction over any (doc_id, text) relation — exposed so specs
     * can plant verbatim cross-doc spans at known offsets.
     */
-  private[graft] def exactSpansOver(docs: DataFrame): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), toks(col("text")).as("toks"))
-      .filter(size(col("toks")) >= SpanGram)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${SpanGram - 1})," +
-          s" i -> struct(i AS pos, array_join(slice(toks, i, $SpanGram), ' ') AS g))")).as("s"))
-      .select(col("doc_id"), col("s.pos"), col("s.g"))
-      .localCheckpoint() // df filter + both self-join sides read it
+  private[graft] def exactSpansOver(docs: DataFrame): DataFrame =
+    // checkpoint: the df filter and both self-join sides read the gram
+    // relation, and without materialization each reader re-runs the
+    // whole corpus explode
+    spansFromGrams(spanGramsOver(docs).localCheckpoint())
+
+  /** The positional gram relation (doc_id, pos, g) the span search
+    * runs on — the artifact the served form persists.
+    */
+  private def spanGramsOver(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), toks(col("text")).as("toks"))
+    .filter(size(col("toks")) >= SpanGram)
+    .select(col("doc_id"), explode(expr(
+      s"transform(sequence(1, size(toks) - ${SpanGram - 1})," +
+        s" i -> struct(i AS pos, array_join(slice(toks, i, $SpanGram), ' ') AS g))")).as("s"))
+    .select(col("doc_id"), col("s.pos"), col("s.g"))
+
+  /** The positional grams SERVED from their write-once g-bucketed
+    * artifact table: the corpus tokenize + explode runs once per JVM,
+    * probes read the table, and bucketing on the gram key makes the
+    * pair search's self-join exchange-free on the artifact side.
+    */
+  private[graft] def servedSpanGrams(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ArtifactStore.ensure(spark, dir, "span_grams", "g", 8)(
+      spanGramsOver(Tables.documents(spark, dir)))
+
+  /** The span extraction served from the gram artifact — identical
+    * result by construction (shares the base form's oracle SQL).
+    */
+  def dedupExactSpansServed(spark: SparkSession, dir: String): DataFrame =
+    spansFromGrams(servedSpanGrams(spark, dir))
+
+  /** df-cap + gram self-join + diagonal gaps-and-islands over any
+    * (doc_id, pos, g) relation — shared by the self-contained and
+    * served forms.
+    */
+  private def spansFromGrams(grams: DataFrame): DataFrame = {
     val elig = grams.select(col("doc_id"), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") >= 2 && col("gdf") <= SpanDfCap)
@@ -982,6 +1010,7 @@ object TextAnalysis {
     "text_bpe_encode"     -> (textBpeEncode _),
     "text_repeated_spans" -> (textRepeatedSpans _),
     "dedup_exact_spans"   -> (dedupExactSpans _),
+    "dedup_exact_spans_served" -> (dedupExactSpansServed _),
     "text_zipf_profile"   -> (textZipfProfile _),
     "text_perplexity"     -> (textPerplexity _),
     "text_winnowing"   -> (textWinnowing _),
@@ -1169,6 +1198,38 @@ object TextAnalysis {
        |WHERE w <> ''
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** One oracle for both span-extraction forms: the served twin reads
+    * the same grams from the artifact, so its result set is identical.
+    */
+  private val exactSpansOracle: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, i.i AS pos,
+       |    array_to_string(toks[i.i : i.i + ${SpanGram - 1}], ' ') AS g
+       |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents) d,
+       |       unnest(generate_series(1, len(toks) - ${SpanGram - 1})) i(i)
+       |  WHERE len(toks) >= $SpanGram),
+       |elig AS (
+       |  SELECT g FROM (
+       |    SELECT g, count(*) AS gdf
+       |    FROM (SELECT DISTINCT doc_id, g FROM grams) GROUP BY g)
+       |  WHERE gdf BETWEEN 2 AND $SpanDfCap),
+       |hits AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+       |  FROM grams a JOIN elig e ON a.g = e.g JOIN grams b ON a.g = b.g
+       |  WHERE a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT doc_a, doc_b, diag, pos_a, pos_b,
+       |    pos_a - row_number() OVER (
+       |      PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS isl
+       |  FROM hits)
+       |SELECT doc_a, doc_b,
+       |  CAST(min(pos_a) AS BIGINT) AS start_a,
+       |  CAST(min(pos_b) AS BIGINT) AS start_b,
+       |  CAST(max(pos_a) - min(pos_a) + $SpanGram AS BIGINT) AS span_len
+       |FROM isl GROUP BY doc_a, doc_b, diag, isl
+       |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_bpe_merges" -> bpeMergesOracle(BpeMergeRounds),
     "text_bpe_encode" -> bpeEncodeOracle(BpeMergeRounds),
@@ -1207,34 +1268,10 @@ object TextAnalysis {
          |    AS repeated_frac
          |FROM grams JOIN gdf USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "dedup_exact_spans" ->
-      s"""WITH grams AS (
-         |  SELECT doc_id, i.i AS pos,
-         |    array_to_string(toks[i.i : i.i + ${SpanGram - 1}], ' ') AS g
-         |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents) d,
-         |       unnest(generate_series(1, len(toks) - ${SpanGram - 1})) i(i)
-         |  WHERE len(toks) >= $SpanGram),
-         |elig AS (
-         |  SELECT g FROM (
-         |    SELECT g, count(*) AS gdf
-         |    FROM (SELECT DISTINCT doc_id, g FROM grams) GROUP BY g)
-         |  WHERE gdf BETWEEN 2 AND $SpanDfCap),
-         |hits AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
-         |  FROM grams a JOIN elig e ON a.g = e.g JOIN grams b ON a.g = b.g
-         |  WHERE a.doc_id < b.doc_id),
-         |isl AS (
-         |  SELECT doc_a, doc_b, diag, pos_a, pos_b,
-         |    pos_a - row_number() OVER (
-         |      PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS isl
-         |  FROM hits)
-         |SELECT doc_a, doc_b,
-         |  CAST(min(pos_a) AS BIGINT) AS start_a,
-         |  CAST(min(pos_b) AS BIGINT) AS start_b,
-         |  CAST(max(pos_a) - min(pos_a) + $SpanGram AS BIGINT) AS span_len
-         |FROM isl GROUP BY doc_a, doc_b, diag, isl
-         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+    "dedup_exact_spans" -> exactSpansOracle,
+    // the served twin is result-identical by construction and replays
+    // the same oracle
+    "dedup_exact_spans_served" -> exactSpansOracle,
     "text_perplexity" ->
       s"""WITH $perplexityCtes
          |SELECT doc_id, n_grams,

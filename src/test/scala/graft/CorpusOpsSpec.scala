@@ -392,6 +392,14 @@ class CorpusOpsSpec extends SparkTestBase {
     ), s"got ${rows.mkString(", ")}")
   }
 
+  test("exact spans served == self-contained (grams from the artifact table)") {
+    val base = graft.operators.TextAnalysis.dedupExactSpans(spark, sfDir)
+    val served = graft.operators.TextAnalysis.dedupExactSpansServed(spark, sfDir)
+    assert(base.exceptAll(served).count() == 0)
+    assert(served.exceptAll(base).count() == 0)
+    assert(graft.sources.ArtifactStore.has(spark, sfDir, "span_grams"))
+  }
+
   test("boilerplate strip: templated spans cut, clean text reassembled in order") {
     val out = CorpusOps.corpusBoilerplateStrip(spark, sfDir).cache()
     val docs = Tables.documents(spark, sfDir)
