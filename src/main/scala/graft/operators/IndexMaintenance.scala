@@ -228,4 +228,73 @@ object IndexMaintenance {
     IdempotentMergeSink.read(spark, dctPairsRoot(root))
       .map(_.select("modality", "doc_a", "doc_b", "hamming"))
       .getOrElse(throw new IllegalStateException(s"no committed dct pair table at $root"))
+
+  // --- exact-span gram maintenance (the span_grams artifact's trickle
+  // path). Positional grams are per-doc immutable map-side work → a
+  // doc batch is a pure insert into the gram table; per-gram document
+  // frequency is ADDITIVE (batch docs are new, so a batch's distinct
+  // (doc, g) rows are pure increments) and rides mergeAdditive like
+  // the BM25 df. The span extraction RECOMPUTES over the maintained
+  // relations — spans cannot be merged locally (a gram crossing the
+  // df cap retroactively deletes old pairs' hits, and one new hit can
+  // fuse two islands on a diagonal), but the corpus-sized work (the
+  // tokenize + explode scan) is what became incremental, and
+  // eligibility comes free from the maintained df table instead of a
+  // corpus-wide distinct + aggregate. ---
+
+  private def spanGramsRoot(root: String) = s"$root/grams"
+  private def spanDfRoot(root: String) = s"$root/gdf"
+
+  private def gramKeyed(grams: DataFrame): DataFrame =
+    grams.withColumn("gram_key", concat_ws(":", col("doc_id"), col("pos")))
+
+  private def gramDfOf(grams: DataFrame): DataFrame =
+    grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+
+  /** Build the gram + df tables from the base corpus. */
+  def bootstrapSpans(spark: SparkSession, root: String, baseDocs: DataFrame,
+      batchId: String = "bootstrap"): Boolean = {
+    val g = TextAnalysis.spanGramsOver(baseDocs).localCheckpoint() // feeds 2 merges
+    val a = IdempotentMergeSink.merge(spark, spanGramsRoot(root),
+      gramKeyed(g), "gram_key", batchId)
+    val b = IdempotentMergeSink.merge(spark, spanDfRoot(root),
+      gramDfOf(g), "g", batchId)
+    a | b
+  }
+
+  /** Merge one ingest batch of NEW docs: insert its positional grams,
+    * add its per-gram df increments. False = every sub-table had
+    * already applied the batch.
+    */
+  def refreshSpans(spark: SparkSession, root: String, batchDocs: DataFrame,
+      batchId: String): Boolean = {
+    val bg = TextAnalysis.spanGramsOver(batchDocs).localCheckpoint()
+    val a = IdempotentMergeSink.merge(spark, spanGramsRoot(root),
+      gramKeyed(bg), "gram_key", batchId)
+    if (IdempotentMergeSink.version(spanDfRoot(root)) == 0)
+      throw new IllegalStateException(s"refreshSpans before bootstrap at $root")
+    // increments rebased inside the commit loop — same concurrent-
+    // maintainer convergence contract as the BM25 df
+    val b = IdempotentMergeSink.mergeAdditive(spark, spanDfRoot(root),
+      gramDfOf(bg), "g", batchId)
+    a | b
+  }
+
+  /** The maintained positional-gram relation (doc_id, pos, g). */
+  def spanGrams(spark: SparkSession, root: String): DataFrame =
+    IdempotentMergeSink.read(spark, spanGramsRoot(root))
+      .map(_.select("doc_id", "pos", "g"))
+      .getOrElse(throw new IllegalStateException(s"no committed gram table at $root"))
+
+  /** Maximal cross-document spans over the maintained relations —
+    * equals [[TextAnalysis.dedupExactSpans]] over the combined corpus
+    * (cap crossings included: eligibility reads the maintained df).
+    */
+  def exactSpans(spark: SparkSession, root: String): DataFrame =
+    TextAnalysis.spansFromGramsWithDf(
+      spanGrams(spark, root),
+      IdempotentMergeSink.read(spark, spanDfRoot(root))
+        .map(_.select("g", "gdf"))
+        .getOrElse(throw new IllegalStateException(s"no committed gram df table at $root")))
 }

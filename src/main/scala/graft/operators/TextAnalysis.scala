@@ -846,9 +846,10 @@ object TextAnalysis {
     spansFromGrams(spanGramsOver(docs).localCheckpoint())
 
   /** The positional gram relation (doc_id, pos, g) the span search
-    * runs on — the artifact the served form persists.
+    * runs on — the artifact the served form persists and the relation
+    * the maintenance tier keeps current.
     */
-  private def spanGramsOver(docs: DataFrame): DataFrame = docs
+  private[graft] def spanGramsOver(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), toks(col("text")).as("toks"))
     .filter(size(col("toks")) >= SpanGram)
     .select(col("doc_id"), explode(expr(
@@ -873,11 +874,20 @@ object TextAnalysis {
 
   /** df-cap + gram self-join + diagonal gaps-and-islands over any
     * (doc_id, pos, g) relation — shared by the self-contained and
-    * served forms.
+    * served forms, which derive eligibility from the grams themselves.
     */
-  private def spansFromGrams(grams: DataFrame): DataFrame = {
-    val elig = grams.select(col("doc_id"), col("g")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+  private def spansFromGrams(grams: DataFrame): DataFrame =
+    spansFromGramsWithDf(grams,
+      grams.select(col("doc_id"), col("g")).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("gdf")))
+
+  /** The extraction with per-gram document frequency supplied as its
+    * own (g, gdf) relation — the maintenance tier's entry point: the
+    * maintained df table replaces the corpus-wide distinct+aggregate.
+    */
+  private[graft] def spansFromGramsWithDf(grams: DataFrame,
+      gdf: DataFrame): DataFrame = {
+    val elig = gdf
       .filter(col("gdf") >= 2 && col("gdf") <= SpanDfCap)
       .select(col("g"))
     val pruned = grams.join(elig, "g")

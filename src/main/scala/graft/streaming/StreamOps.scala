@@ -775,6 +775,24 @@ object StreamOps {
     * DCT fingerprints and the batch-vs-all pairs it introduces,
     * exactly-once per micro-batch id.
     */
+  /** Streaming span-gram maintenance — the continuous form of
+    * [[graft.operators.IndexMaintenance.refreshSpans]]: each
+    * micro-batch of NEW documents inserts its positional grams and
+    * adds its per-gram df increments, each sub-table exactly-once
+    * under the micro-batch id; the span extraction recomputes over
+    * the maintained relations on demand.
+    */
+  def spanRefreshStream(docs: DataFrame, root: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+        graft.operators.IndexMaintenance.refreshSpans(spark, root, b, s"spans-$id")
+        ()
+      }
+      .start()
+
   def phashRefreshStream(media: DataFrame, root: String): StreamingQuery =
     media.writeStream
       .outputMode("append")

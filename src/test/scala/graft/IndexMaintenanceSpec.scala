@@ -279,6 +279,78 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(wantPairs.nonEmpty && gotPairs == wantPairs)
   }
 
+  test("span gram maintenance: inserts + additive df equal from-scratch; cap crossing retracts pairs") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def spanSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+
+    // real corpus: bootstrap on 3/4, refresh the rest, equals from-scratch
+    val root = freshRoot()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    assert(IndexMaintenance.bootstrapSpans(spark, root, base))
+    assert(spanSet(IndexMaintenance.exactSpans(spark, root))
+      == spanSet(TextAnalysis.exactSpansOver(base)))
+    assert(IndexMaintenance.refreshSpans(spark, root, batch, "b1"))
+    val scratch = spanSet(TextAnalysis.exactSpansOver(docs))
+    assert(scratch.nonEmpty)
+    assert(spanSet(IndexMaintenance.exactSpans(spark, root)) == scratch,
+      "maintained span extraction diverges from the from-scratch build")
+    // exactly-once: the retried batch changes nothing
+    assert(!IndexMaintenance.refreshSpans(spark, root, batch, "b1"))
+    assert(spanSet(IndexMaintenance.exactSpans(spark, root)) == scratch)
+
+    // cap crossing: a phrase in 49 base docs is under the df cap and
+    // pairs freely; a 2-doc batch pushes its df to 51 — the maintained
+    // df retroactively disqualifies the gram and ALL its pairs vanish
+    // (the non-additive case that forces recompute-over-maintained)
+    val root2 = freshRoot()
+    val boiler = "c1 c2 c3 c4 c5"
+    val base2 = (1L to 49L).map(i => (i, s"x$i $boiler y$i")).toDF("doc_id", "text")
+    val batch2 = Seq((50L, s"x50 $boiler y50"), (51L, s"x51 $boiler y51"))
+      .toDF("doc_id", "text")
+    assert(IndexMaintenance.bootstrapSpans(spark, root2, base2))
+    assert(IndexMaintenance.exactSpans(spark, root2).count() == 49L * 48 / 2)
+    assert(IndexMaintenance.refreshSpans(spark, root2, batch2, "cap"))
+    assert(IndexMaintenance.exactSpans(spark, root2).count() == 0,
+      "over-cap boilerplate pairs survived the df crossing")
+    assert(spanSet(IndexMaintenance.exactSpans(spark, root2))
+      == spanSet(TextAnalysis.exactSpansOver(base2.union(batch2))))
+  }
+
+  test("streaming span refresh twin converges to the from-scratch extraction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextAnalysis
+
+    val root = freshRoot()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 4 > 1)
+    IndexMaintenance.bootstrapSpans(spark, root, base)
+    val st = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.spanRefreshStream(
+      st.toDF().toDF("doc_id", "text"), root)
+    try {
+      st.addData(docs.filter(col("doc_id") % 4 === 0)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+      q.processAllAvailable()
+      st.addData(docs.filter(col("doc_id") % 4 === 1)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = IndexMaintenance.exactSpans(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val want = TextAnalysis.exactSpansOver(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(want.nonEmpty && got == want)
+    assert(IdempotentMergeSink.applied(s"$root/grams", "spans-0")
+      && IdempotentMergeSink.applied(s"$root/gdf", "spans-1"))
+  }
+
   test("a second batch composes: two refreshes equal one combined build") {
     val root = freshRoot()
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
