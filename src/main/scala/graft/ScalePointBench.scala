@@ -182,6 +182,35 @@ object ScalePointBench {
       }
       println(s"""{"query":"knn_refresh","bootstrap_sec":${j(bootSec)},"median_sec":${j(times.sorted.apply(1))},"batch_nodes":1000,"replicas":$replicas}""")
     }
+
+    // span-gram MAINTENANCE at scale: bootstrap the gram + df tables
+    // over the 5× corpus once, then merge three successive 500-doc
+    // batches. The refresh claim is work ∝ batch (its tokenize +
+    // explode + df delta), so the median batch time must sit far
+    // under the bootstrap's corpus-sized scan.
+    if (selected("span_refresh")) {
+      val root = s"$dst/span_grams_scale"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val docs0 = Tables.documents(spark, dst)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val t0 = System.nanoTime()
+      graft.operators.IndexMaintenance.bootstrapSpans(spark, root, docs0)
+      val bootSec = (System.nanoTime() - t0) / 1e9
+      val times = (1 to 3).map { i =>
+        // fresh doc ids; salted text so batch grams don't all collide
+        val batch = docs0.orderBy(col("doc_id")).limit(500)
+          .select((col("doc_id") + lit(i * 1000000000L)).as("doc_id"),
+            concat_ws(" ", expr(
+              s"transform(split(text, '\\\\s+'), w -> substr(md5(concat(w, '@$i')), 1, 8))"))
+              .as("text"))
+          .localCheckpoint()
+        val t1 = System.nanoTime()
+        graft.operators.IndexMaintenance.refreshSpans(
+          spark, root, batch, s"scale-batch-$i")
+        (System.nanoTime() - t1) / 1e9
+      }
+      println(s"""{"query":"span_refresh","bootstrap_sec":${j(bootSec)},"median_sec":${j(times.sorted.apply(1))},"batch_docs":500,"replicas":$replicas}""")
+    }
     spark.stop()
   }
 }
