@@ -287,7 +287,13 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // band self-join over the bucketed fingerprint table + pair
     // distinct + output sort
     "multimodal_phash_dct_pairs_served" -> 3,
-    "multimodal_phash_dct_pairs_r3" -> 3)
+    "multimodal_phash_dct_pairs_r3" -> 3,
+    // checkpointed gram relation: df agg (distinct+groupBy) + the
+    // window island merge + output sort
+    "dedup_exact_spans"     -> 4,
+    // the g-bucketed artifact makes the df agg and the self-join
+    // exchange-free on the table side — 2 exchanges saved
+    "dedup_exact_spans_served" -> 2)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
