@@ -911,6 +911,53 @@ object TextAnalysis {
       .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
   }
 
+  /** The exact-substring DEDUP ACTION (the step Lee et al.'s
+    * "Deduplicating Training Data Makes Language Models Better" takes
+    * after extraction, which `dedup_exact_spans` stops short of): for
+    * every maximal cross-document span, the HIGHER-id document's
+    * occurrence is cut out of its token stream and the survivor is
+    * reassembled — one copy of each duplicated substring survives, in
+    * the lowest-id document that carries it. The policy is
+    * deterministic and local (every doc_b occurrence of every reported
+    * span is removed), so the oracle replays it exactly. Output per
+    * doc: token count, removed count, and the cleaned
+    * whitespace-normalized lowercase word stream (null when nothing
+    * survives).
+    *
+    * Scale shape: the span search is the bounded gram self-join
+    * (df-capped, same plan as `dedup_exact_spans`); the removal set
+    * explodes spans into (doc, pos) rows — ∝ duplicated tokens, a
+    * corpus-linear quantity — and the strip is one keyed left join +
+    * one keyed aggregation over the token relation. Nothing new is
+    * pairwise.
+    */
+  def dedupSpanStrip(spark: SparkSession, dir: String): DataFrame =
+    spanStripOver(Tables.documents(spark, dir))
+
+  /** The strip over any (doc_id, text) relation — exposed so the spec
+    * can plant spans and check the surviving copy.
+    */
+  private[graft] def spanStripOver(docs: DataFrame): DataFrame = {
+    val removed = exactSpansOver(docs)
+      .select(col("doc_b").as("doc_id"),
+        explode(expr("sequence(start_b, start_b + span_len - 1)")).as("pos"))
+      .distinct() // overlapping spans from different pairs remove once
+    val tok = docs
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p0", "w")))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("w"))
+    tok.join(removed.withColumn("rm", lit(true)), Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+          when(col("rm").isNull, struct(col("pos"), col("w"))))),
+          s => s.getField("w")), " ").as("clean_text"))
+      .withColumn("clean_text", expr("nullif(clean_text, '')"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Number of BPE merge-training rounds for the corpus query. */
   private val BpeMergeRounds = 8
 
@@ -1021,6 +1068,7 @@ object TextAnalysis {
     "text_repeated_spans" -> (textRepeatedSpans _),
     "dedup_exact_spans"   -> (dedupExactSpans _),
     "dedup_exact_spans_served" -> (dedupExactSpansServed _),
+    "dedup_span_strip"    -> (dedupSpanStrip _),
     "text_zipf_profile"   -> (textZipfProfile _),
     "text_perplexity"     -> (textPerplexity _),
     "text_winnowing"   -> (textWinnowing _),
@@ -1208,11 +1256,11 @@ object TextAnalysis {
        |WHERE w <> ''
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** One oracle for both span-extraction forms: the served twin reads
-    * the same grams from the artifact, so its result set is identical.
+  /** The span CTE chain shared by the extraction oracles and the strip
+    * oracle — `spans` is the maximal-span relation.
     */
-  private val exactSpansOracle: String =
-    s"""WITH grams AS (
+  private val exactSpansCtes: String =
+    s"""grams AS (
        |  SELECT doc_id, i.i AS pos,
        |    array_to_string(toks[i.i : i.i + ${SpanGram - 1}], ' ') AS g
        |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents) d,
@@ -1232,13 +1280,43 @@ object TextAnalysis {
        |  SELECT doc_a, doc_b, diag, pos_a, pos_b,
        |    pos_a - row_number() OVER (
        |      PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS isl
-       |  FROM hits)
-       |SELECT doc_a, doc_b,
-       |  CAST(min(pos_a) AS BIGINT) AS start_a,
-       |  CAST(min(pos_b) AS BIGINT) AS start_b,
-       |  CAST(max(pos_a) - min(pos_a) + $SpanGram AS BIGINT) AS span_len
-       |FROM isl GROUP BY doc_a, doc_b, diag, isl
-       |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+       |  FROM hits),
+       |spans AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(min(pos_a) AS BIGINT) AS start_a,
+       |    CAST(min(pos_b) AS BIGINT) AS start_b,
+       |    CAST(max(pos_a) - min(pos_a) + $SpanGram AS BIGINT) AS span_len
+       |  FROM isl GROUP BY doc_a, doc_b, diag, isl)""".stripMargin
+
+  /** One oracle for both span-extraction forms: the served twin reads
+    * the same grams from the artifact, so its result set is identical.
+    */
+  private val exactSpansOracle: String =
+    s"""WITH $exactSpansCtes
+       |SELECT doc_a, doc_b, start_a, start_b, span_len
+       |FROM spans ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+
+  /** The strip replay: expand every doc_b span occurrence into a
+    * (doc, pos) removal set, left-join the token stream, reassemble.
+    */
+  private val spanStripOracle: String =
+    s"""WITH $exactSpansCtes,
+       |rem AS (
+       |  SELECT DISTINCT doc_b AS doc_id, p.p AS pos
+       |  FROM spans,
+       |       unnest(generate_series(start_b, start_b + span_len - 1)) p(p)),
+       |tok AS (
+       |  SELECT doc_id, i.i AS pos, toks[i.i] AS w
+       |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents) d,
+       |       unnest(generate_series(1, len(toks))) i(i)
+       |  WHERE toks[i.i] <> '')
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_removed,
+       |  string_agg(CASE WHEN r.pos IS NULL THEN t.w END, ' ' ORDER BY t.pos)
+       |    AS clean_text
+       |FROM tok t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.pos
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_bpe_merges" -> bpeMergesOracle(BpeMergeRounds),
@@ -1282,6 +1360,7 @@ object TextAnalysis {
     // the served twin is result-identical by construction and replays
     // the same oracle
     "dedup_exact_spans_served" -> exactSpansOracle,
+    "dedup_span_strip" -> spanStripOracle,
     "text_perplexity" ->
       s"""WITH $perplexityCtes
          |SELECT doc_id, n_grams,

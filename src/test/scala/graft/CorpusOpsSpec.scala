@@ -392,6 +392,41 @@ class CorpusOpsSpec extends SparkTestBase {
     ), s"got ${rows.mkString(", ")}")
   }
 
+  test("span strip: doc_b occurrences cut, lowest-id copy survives, over-cap phrases untouched") {
+    val out = graft.operators.TextAnalysis.dedupSpanStrip(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+    // one row per doc, counts consistent, and the corpus's planted
+    // duplicates mean something was actually removed
+    assert(out.count() == docs.count())
+    assert(out.filter(col("n_removed") > col("n_tokens")).count() == 0)
+    assert(out.agg(sum("n_removed")).head().getLong(0) > 0, "nothing stripped")
+    // surviving token count == clean stream length
+    assert(out.filter(col("clean_text").isNotNull)
+      .filter(size(split(col("clean_text"), " ")) =!=
+        col("n_tokens") - col("n_removed")).count() == 0)
+    out.unpersist()
+
+    import spark.implicits._
+    // same plant as the extraction spec: doc 2 loses the 8-run to doc
+    // 1, doc 3 loses the 5-run, doc 1 keeps both copies; the over-cap
+    // boilerplate phrase in 60 docs is not a span and stays put
+    val shared8 = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val shared5 = "u1 u2 u3 u4 u5"
+    val boiler = "c1 c2 c3 c4 c5"
+    val planted = (Seq(
+      (1L, s"a1 a2 $shared8 $shared5"),
+      (2L, s"b1 $shared8 b2 b3"),
+      (3L, s"d1 d2 d3 $shared5 d4")
+    ) ++ (10L until 70L).map(i => (i, s"x$i $boiler y$i"))).toDF("doc_id", "text")
+    val rows = graft.operators.TextAnalysis.spanStripOver(planted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(rows(1L) == ((15L, 0L, s"a1 a2 $shared8 $shared5")), s"doc1 ${rows(1L)}")
+    assert(rows(2L) == ((11L, 8L, "b1 b2 b3")), s"doc2 ${rows(2L)}")
+    assert(rows(3L) == ((9L, 5L, "d1 d2 d3 d4")), s"doc3 ${rows(3L)}")
+    assert((10L until 70L).forall(i => rows(i)._2 == 0L),
+      "over-cap boilerplate was stripped")
+  }
+
   test("exact spans served == self-contained (grams from the artifact table)") {
     val base = graft.operators.TextAnalysis.dedupExactSpans(spark, sfDir)
     val served = graft.operators.TextAnalysis.dedupExactSpansServed(spark, sfDir)
