@@ -934,11 +934,26 @@ object TextAnalysis {
   def dedupSpanStrip(spark: SparkSession, dir: String): DataFrame =
     spanStripOver(Tables.documents(spark, dir))
 
+  /** The strip SERVED from the gram artifact: the span search reads
+    * the bucketed `span_grams` table (the extraction's served plan),
+    * only the token reassembly re-reads the corpus. Result-identical
+    * by construction (shares the base form's oracle).
+    */
+  def dedupSpanStripServed(spark: SparkSession, dir: String): DataFrame =
+    stripWithSpans(Tables.documents(spark, dir),
+      spansFromGrams(servedSpanGrams(spark, dir)))
+
   /** The strip over any (doc_id, text) relation — exposed so the spec
     * can plant spans and check the surviving copy.
     */
-  private[graft] def spanStripOver(docs: DataFrame): DataFrame = {
-    val removed = exactSpansOver(docs)
+  private[graft] def spanStripOver(docs: DataFrame): DataFrame =
+    stripWithSpans(docs, exactSpansOver(docs))
+
+  /** Removal-set expansion + keyed strip over any docs/spans pair —
+    * shared by the self-contained and served forms.
+    */
+  private def stripWithSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val removed = spans
       .select(col("doc_b").as("doc_id"),
         explode(expr("sequence(start_b, start_b + span_len - 1)")).as("pos"))
       .distinct() // overlapping spans from different pairs remove once
@@ -1069,6 +1084,7 @@ object TextAnalysis {
     "dedup_exact_spans"   -> (dedupExactSpans _),
     "dedup_exact_spans_served" -> (dedupExactSpansServed _),
     "dedup_span_strip"    -> (dedupSpanStrip _),
+    "dedup_span_strip_served" -> (dedupSpanStripServed _),
     "text_zipf_profile"   -> (textZipfProfile _),
     "text_perplexity"     -> (textPerplexity _),
     "text_winnowing"   -> (textWinnowing _),
@@ -1361,6 +1377,8 @@ object TextAnalysis {
     // the same oracle
     "dedup_exact_spans_served" -> exactSpansOracle,
     "dedup_span_strip" -> spanStripOracle,
+    // served twin: identical spans from the artifact, same oracle
+    "dedup_span_strip_served" -> spanStripOracle,
     "text_perplexity" ->
       s"""WITH $perplexityCtes
          |SELECT doc_id, n_grams,

@@ -433,6 +433,10 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(base.exceptAll(served).count() == 0)
     assert(served.exceptAll(base).count() == 0)
     assert(graft.sources.ArtifactStore.has(spark, sfDir, "span_grams"))
+    val sBase = graft.operators.TextAnalysis.dedupSpanStrip(spark, sfDir)
+    val sServed = graft.operators.TextAnalysis.dedupSpanStripServed(spark, sfDir)
+    assert(sBase.exceptAll(sServed).count() == 0)
+    assert(sServed.exceptAll(sBase).count() == 0)
   }
 
   test("boilerplate strip: templated spans cut, clean text reassembled in order") {
