@@ -287,14 +287,17 @@ object IndexMaintenance {
       .map(_.select("doc_id", "pos", "g"))
       .getOrElse(throw new IllegalStateException(s"no committed gram table at $root"))
 
+  /** The maintained per-gram document-frequency relation (g, gdf). */
+  def spanGramDf(spark: SparkSession, root: String): DataFrame =
+    IdempotentMergeSink.read(spark, spanDfRoot(root))
+      .map(_.select("g", "gdf"))
+      .getOrElse(throw new IllegalStateException(s"no committed gram df table at $root"))
+
   /** Maximal cross-document spans over the maintained relations —
     * equals [[TextAnalysis.dedupExactSpans]] over the combined corpus
     * (cap crossings included: eligibility reads the maintained df).
     */
   def exactSpans(spark: SparkSession, root: String): DataFrame =
     TextAnalysis.spansFromGramsWithDf(
-      spanGrams(spark, root),
-      IdempotentMergeSink.read(spark, spanDfRoot(root))
-        .map(_.select("g", "gdf"))
-        .getOrElse(throw new IllegalStateException(s"no committed gram df table at $root")))
+      spanGrams(spark, root), spanGramDf(spark, root))
 }

@@ -805,7 +805,7 @@ object TextAnalysis {
     * by the oracle), not a silent truncation: it bounds per-gram join
     * fan-out at cap², so total pair work is ∝ #eligible-grams · cap².
     */
-  private val SpanDfCap = 50
+  private[graft] val SpanDfCap = 50
 
   /** Cross-document EXACT-SUBSTRING extraction — the "which text is
     * duplicated" half of the Lee et al. story whose "how much" half is

@@ -775,6 +775,48 @@ object StreamOps {
     * DCT fingerprints and the batch-vs-all pairs it introduces,
     * exactly-once per micro-batch id.
     */
+  /** Streaming VERBATIM-COPY admission — the exact-substring twin of
+    * [[nearDupAdmissionStream]], closing the admission family over the
+    * newest index: each micro-batch of arriving documents computes its
+    * positional grams (the same `SpanGram`-token units as the batch
+    * span search) and probes the corpus GRAM INDEX — the maintained
+    * (doc_id, pos, g) relation — via a stream-static equi-join on the
+    * gram key. A hit means the probe shares a verbatim ≥`SpanGram`-
+    * token run with a corpus document; grams whose corpus df exceeds
+    * the span cap are boilerplate, not copying, and are excluded (the
+    * extraction's own eligibility rule — but df ≥ 2 does NOT apply:
+    * one corpus occurrence plus the probe is already a shared run).
+    * Verdict per doc: distinct source docs + matched gram count;
+    * any hit ⇒ review. Only the batch side is new data; per-interval
+    * work ∝ batch tokens × touched gram buckets.
+    */
+  def spanAdmissionStream(docs: DataFrame, grams: DataFrame,
+      gramDf: DataFrame, checkpoint: String)(
+      onBatch: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val probes = graft.operators.TextAnalysis.spanGramsOver(
+          batch.select(col("doc_id"), col("text")))
+        val hits = probes.select(col("doc_id"), col("g"))
+          .join(gramDf.filter(col("gdf") <=
+            graft.operators.TextAnalysis.SpanDfCap).select(col("g")), Seq("g"))
+          .join(grams.select(col("g"), col("doc_id").as("src_id")), Seq("g"))
+          .filter(col("doc_id") =!= col("src_id"))
+        val verdicts = batch.select(col("doc_id")).distinct()
+          .join(hits.groupBy(col("doc_id"))
+            .agg(countDistinct(col("src_id")).as("n_sources"),
+              count(lit(1)).as("n_gram_hits")),
+            Seq("doc_id"), "left")
+          .withColumn("n_sources", coalesce(col("n_sources"), lit(0L)))
+          .withColumn("n_gram_hits", coalesce(col("n_gram_hits"), lit(0L)))
+          .withColumn("action",
+            when(col("n_sources") > 0, "review").otherwise("admit"))
+        onBatch(verdicts)
+      }
+      .start()
+
   /** Streaming span-gram maintenance — the continuous form of
     * [[graft.operators.IndexMaintenance.refreshSpans]]: each
     * micro-batch of NEW documents inserts its positional grams and

@@ -416,6 +416,43 @@ class StreamingSpec extends SparkTestBase {
       s"stream candidates $streamCands != batch banding $batchCands")
   }
 
+  test("streaming span admission flags a verbatim run against the gram index; boilerplate excluded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // maintained gram index over a corpus: one real doc plus 60 docs
+    // of an over-cap boilerplate phrase
+    val boiler = "c1 c2 c3 c4 c5"
+    val corpus = ((100L, "alpha beta gamma delta epsilon zeta eta theta") +:
+      (200L until 260L).map(i => (i, s"x$i $boiler y$i"))).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("span_adm").toString
+    graft.operators.IndexMaintenance.bootstrapSpans(spark, root, corpus)
+    val grams = graft.operators.IndexMaintenance.spanGrams(spark, root)
+    val gdf = graft.operators.IndexMaintenance.spanGramDf(spark, root)
+    val stream = MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("span_adm_ckpt").toString
+    val q = StreamOps.spanAdmissionStream(
+      stream.toDF().toDF("doc_id", "text"), grams, gdf, ckpt) { verdicts =>
+      results ++= verdicts.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    }
+    try {
+      stream.addData(
+        // quotes a 6-token verbatim run from doc 100 -> 2 gram hits
+        (1L, "intro words alpha beta gamma delta epsilon zeta outro"),
+        // carries ONLY the over-cap boilerplate phrase -> must admit
+        (2L, s"p1 p2 $boiler p3"),
+        // novel -> admit
+        (3L, "entirely novel content with no shared five token runs"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byId = results.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(byId(1L) == ((1L, 2L, "review")), s"verbatim copy ${byId(1L)}")
+    assert(byId(2L) == ((0L, 0L, "admit")),
+      s"boilerplate-only doc flagged: ${byId(2L)}")
+    assert(byId(3L) == ((0L, 0L, "admit")), s"novel doc ${byId(3L)}")
+  }
+
   test("streaming phash admission flags a perceptual near-copy payload and admits novel media") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
