@@ -934,6 +934,55 @@ object TextAnalysis {
   def dedupSpanStrip(spark: SparkSession, dir: String): DataFrame =
     spanStripOver(Tables.documents(spark, dir))
 
+  /** Split modulus for the batch admission form — new docs are
+    * `doc_id % SpanAdmitMod == 0`, the `dedup_incremental` convention.
+    */
+  private val SpanAdmitMod = 4
+
+  /** BATCH VERBATIM-COPY ADMISSION (the oracle-checked twin of
+    * [[graft.streaming.StreamOps.spanAdmissionStream]], which shares
+    * this verdict logic): new docs' positional grams probe the corpus
+    * gram relation on the gram key — a hit IS a shared ≥`SpanGram`-
+    * token verbatim run. Corpus-df over the span cap is boilerplate,
+    * not copying, and is excluded; df ≥ 2 does NOT apply (one corpus
+    * occurrence plus the probe already shares a run). Verdict per new
+    * doc: distinct corpus sources, matched gram-occurrence count,
+    * review/admit. Work ∝ batch tokens × touched gram buckets —
+    * batch-vs-corpus only, old-vs-old structurally impossible.
+    */
+  def dedupSpanAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // checkpoint: the df aggregation and the hit join both read it
+    val cg = spanGramsOver(docs.filter(col("doc_id") % SpanAdmitMod =!= 0))
+      .localCheckpoint()
+    spanAdmitVerdicts(docs.filter(col("doc_id") % SpanAdmitMod === 0), cg,
+      cg.select(col("doc_id"), col("g")).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("gdf")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The admission verdicts over any (new docs, corpus grams, corpus
+    * gram df) triple — one body for the batch query and the streaming
+    * foreachBatch, so stream ≡ batch by construction.
+    */
+  private[graft] def spanAdmitVerdicts(newDocs: DataFrame, grams: DataFrame,
+      gramDf: DataFrame): DataFrame = {
+    val probes = spanGramsOver(newDocs)
+    val hits = probes.select(col("doc_id"), col("g"))
+      .join(gramDf.filter(col("gdf") <= SpanDfCap).select(col("g")), Seq("g"))
+      .join(grams.select(col("g"), col("doc_id").as("src_id")), Seq("g"))
+      .filter(col("doc_id") =!= col("src_id"))
+    newDocs.select(col("doc_id")).distinct()
+      .join(hits.groupBy(col("doc_id"))
+        .agg(countDistinct(col("src_id")).as("n_sources"),
+          count(lit(1)).as("n_gram_hits")),
+        Seq("doc_id"), "left")
+      .withColumn("n_sources", coalesce(col("n_sources"), lit(0L)))
+      .withColumn("n_gram_hits", coalesce(col("n_gram_hits"), lit(0L)))
+      .withColumn("action",
+        when(col("n_sources") > 0, "review").otherwise("admit"))
+  }
+
   /** The strip SERVED from the gram artifact: the span search reads
     * the bucketed `span_grams` table (the extraction's served plan),
     * only the token reassembly re-reads the corpus. Result-identical
@@ -1085,6 +1134,7 @@ object TextAnalysis {
     "dedup_exact_spans_served" -> (dedupExactSpansServed _),
     "dedup_span_strip"    -> (dedupSpanStrip _),
     "dedup_span_strip_served" -> (dedupSpanStripServed _),
+    "dedup_span_admit"    -> (dedupSpanAdmit _),
     "text_zipf_profile"   -> (textZipfProfile _),
     "text_perplexity"     -> (textPerplexity _),
     "text_winnowing"   -> (textWinnowing _),
@@ -1379,6 +1429,34 @@ object TextAnalysis {
     "dedup_span_strip" -> spanStripOracle,
     // served twin: identical spans from the artifact, same oracle
     "dedup_span_strip_served" -> spanStripOracle,
+    "dedup_span_admit" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id, i.i AS pos,
+         |    array_to_string(toks[i.i : i.i + ${SpanGram - 1}], ' ') AS g
+         |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents) d,
+         |       unnest(generate_series(1, len(toks) - ${SpanGram - 1})) i(i)
+         |  WHERE len(toks) >= $SpanGram),
+         |corpus AS (SELECT * FROM grams WHERE doc_id % $SpanAdmitMod <> 0),
+         |cdf AS (
+         |  SELECT g, count(DISTINCT doc_id) AS gdf FROM corpus GROUP BY g),
+         |hits AS (
+         |  SELECT p.doc_id, c.doc_id AS src_id
+         |  FROM grams p
+         |  JOIN cdf ON p.g = cdf.g AND cdf.gdf <= $SpanDfCap
+         |  JOIN corpus c ON c.g = p.g
+         |  WHERE p.doc_id % $SpanAdmitMod = 0),
+         |agg AS (
+         |  SELECT doc_id, count(DISTINCT src_id) AS n_sources,
+         |         count(*) AS n_gram_hits
+         |  FROM hits GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_sources, 0) AS BIGINT) AS n_sources,
+         |  CAST(coalesce(n_gram_hits, 0) AS BIGINT) AS n_gram_hits,
+         |  CASE WHEN coalesce(n_sources, 0) > 0 THEN 'review' ELSE 'admit' END
+         |    AS action
+         |FROM (SELECT DISTINCT doc_id FROM documents
+         |      WHERE doc_id % $SpanAdmitMod = 0) d
+         |LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "text_perplexity" ->
       s"""WITH $perplexityCtes
          |SELECT doc_id, n_grams,

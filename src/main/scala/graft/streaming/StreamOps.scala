@@ -797,23 +797,8 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val probes = graft.operators.TextAnalysis.spanGramsOver(
-          batch.select(col("doc_id"), col("text")))
-        val hits = probes.select(col("doc_id"), col("g"))
-          .join(gramDf.filter(col("gdf") <=
-            graft.operators.TextAnalysis.SpanDfCap).select(col("g")), Seq("g"))
-          .join(grams.select(col("g"), col("doc_id").as("src_id")), Seq("g"))
-          .filter(col("doc_id") =!= col("src_id"))
-        val verdicts = batch.select(col("doc_id")).distinct()
-          .join(hits.groupBy(col("doc_id"))
-            .agg(countDistinct(col("src_id")).as("n_sources"),
-              count(lit(1)).as("n_gram_hits")),
-            Seq("doc_id"), "left")
-          .withColumn("n_sources", coalesce(col("n_sources"), lit(0L)))
-          .withColumn("n_gram_hits", coalesce(col("n_gram_hits"), lit(0L)))
-          .withColumn("action",
-            when(col("n_sources") > 0, "review").otherwise("admit"))
-        onBatch(verdicts)
+        onBatch(graft.operators.TextAnalysis.spanAdmitVerdicts(
+          batch.select(col("doc_id"), col("text")), grams, gramDf))
       }
       .start()
 
