@@ -50,7 +50,11 @@ object ScalePointBench {
     // the df cap is the bound under test (replica salting keeps each
     // gram's df within its replica, so spans grow linearly by
     // construction and the measured exponent should show it)
-    "dedup_exact_spans", "dedup_exact_spans_served")
+    "dedup_exact_spans", "dedup_exact_spans_served",
+    // r11: the strip adds a corpus-linear removal explode + keyed
+    // strip over the span search; the admission is batch-vs-corpus
+    // gram probing (work ∝ new-doc tokens x touched buckets)
+    "dedup_span_strip", "dedup_span_admit")
 
   /** Versioned done-marker: v2 added lineitem replication (the ETL
     * temporal/scd2 targets); bumping the name forces a one-time
