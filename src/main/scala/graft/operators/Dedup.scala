@@ -305,7 +305,19 @@ object Dedup {
     * shingle relation); exact verification (`dedupNgramJaccard`) runs
     * only on survivors when bit-exact decisions are required.
     */
-  def dedupMinhashEst(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashEst(spark: SparkSession, dir: String): DataFrame =
+    candMatchCounts(spark, dir)
+      .withColumn("est_jaccard",
+        round(col("n_match") / lit(NumHashes.toDouble), 6))
+      .filter(col("est_jaccard") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  /** Banded candidate pairs with their signature agreement count
+    * (doc_a, doc_b, n_match) — shared by the estimate filter and the
+    * sensitivity audit.
+    */
+  private def candMatchCounts(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashFromShingles(shingles(spark, dir)).localCheckpoint()
     val sigLong = sig
       .select(col("doc_id"), posexplode(
@@ -323,10 +335,52 @@ object Dedup {
       .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
       .reduce(_ + _)
     pairs.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("est_jaccard", round(matches / lit(NumHashes.toDouble), 6))
-      .filter(col("est_jaccard") >= JaccardThreshold)
-      .select("doc_a", "doc_b", "est_jaccard")
-      .orderBy("doc_a", "doc_b")
+      .withColumn("n_match", matches.cast("long"))
+      .select("doc_a", "doc_b", "n_match")
+  }
+
+  /** The (bands × rows) configurations the sensitivity audit scores —
+    * every factorization of the 16-hash signature.
+    */
+  private val LshConfigs = Seq(16 -> 1, 8 -> 2, 4 -> 4, 2 -> 8)
+
+  /** LSH BANDING SENSITIVITY — the tuning table for choosing (b, r)
+    * at 100 TB: one row per possible signature agreement count
+    * m ∈ [0, 16] carrying the observed banded-candidate mass at that
+    * estimated similarity (m/16) and the ANALYTIC S-curve detection
+    * probability 1 − (1 − sʳ)ᵇ for every (b, r) factorization of the
+    * signature. Read it as: rows under the Jaccard threshold are
+    * candidate work the estimate filter discards (precision cost),
+    * rows above are the recall the current banding actually buys, and
+    * the config columns say what each alternative banding would catch
+    * at the same similarity. The observed side sees only pairs the
+    * CURRENT banding surfaced — the analytic columns are exact for
+    * every config, which is the tuning question; `dedup_prefix_filter`
+    * is the in-repo lossless path when observed ground truth is
+    * required.
+    *
+    * Determinism: m/16 is dyadic-exact; the S-curve is libm pow
+    * rounded to 6 dp on both engines (the `text_perplexity` pow
+    * precedent). One keyed aggregation over the candidate relation +
+    * a 17-row grid join — audit cost ≪ the pair search it audits.
+    */
+  def dedupLshSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    val observed = candMatchCounts(spark, dir)
+      .groupBy(col("n_match")).agg(count(lit(1)).as("n_pairs"))
+    val grid = spark.range(0, NumHashes + 1L)
+      .select(col("id").as("n_match"))
+    val s = col("n_match") / lit(NumHashes.toDouble)
+    val base = grid.join(observed, Seq("n_match"), "left")
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .withColumn("est_jaccard", round(s, 6))
+    LshConfigs.foldLeft(base) { case (df, (b, r)) =>
+      df.withColumn(s"p_b${b}r$r",
+        round(lit(1.0) - pow(lit(1.0) - pow(s, lit(r.toDouble)),
+          lit(b.toDouble)), 6))
+    }
+      .select(col("n_match") +: col("est_jaccard") +: col("n_pairs") +:
+        LshConfigs.map { case (b, r) => col(s"p_b${b}r$r") }: _*)
+      .orderBy("n_match")
   }
 
   /** 64-bit SimHash: per-bit majority vote over md5-derived token
@@ -1022,6 +1076,7 @@ object Dedup {
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_minhash_est"   -> (dedupMinhashEst _),
+    "dedup_lsh_sensitivity" -> (dedupLshSensitivity _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_prefix_filter" -> (dedupPrefixFilter _),
     "dedup_containment" -> (dedupContainment _),
@@ -1146,6 +1201,27 @@ object Dedup {
          |JOIN sig b ON b.doc_id = p.doc_b
          |WHERE round(($matches) / $NumHashes.0, 6) >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "dedup_lsh_sensitivity" -> {
+      val matches = (0 until NumHashes)
+        .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+      val pCols = LshConfigs.map { case (b, r) =>
+        s"round(1.0 - pow(1.0 - pow(g.i / $NumHashes.0, $r), $b), 6) AS p_b${b}r$r"
+      }.mkString(",\n  ")
+      s"""WITH $cpairsCtes,
+         |mm AS (
+         |  SELECT doc_a, doc_b, ($matches) AS n_match
+         |  FROM cpairs p
+         |  JOIN sig a ON a.doc_id = p.doc_a
+         |  JOIN sig b ON b.doc_id = p.doc_b),
+         |obs AS (SELECT n_match, count(*) AS n_pairs FROM mm GROUP BY n_match)
+         |SELECT CAST(g.i AS BIGINT) AS n_match,
+         |  round(g.i / $NumHashes.0, 6) AS est_jaccard,
+         |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  $pCols
+         |FROM (SELECT unnest(generate_series(0, $NumHashes)) AS i) g
+         |LEFT JOIN obs ON obs.n_match = g.i
+         |ORDER BY n_match""".stripMargin
     },
     "dedup_ngram_jaccard" ->
       s"WITH $jaccardCtes SELECT * FROM jpairs ORDER BY doc_a, doc_b",

@@ -564,6 +564,32 @@ class DedupAnnSpec extends SparkTestBase {
   }
 
 
+  test("lsh sensitivity: full grid, exact endpoints, S-curve dominance, observed mass present") {
+    val t = Dedup.dedupLshSensitivity(spark, sfDir).cache()
+    val rows = t.orderBy(col("n_match")).collect()
+    assert(rows.length == 17, s"grid not complete: ${rows.length}")
+    // endpoints are exact: s=0 detects nothing, s=1 always detects
+    val p = (r: org.apache.spark.sql.Row) => (3 to 6).map(r.getDouble)
+    assert(p(rows.head).forall(_ == 0.0) && p(rows.last).forall(_ == 1.0))
+    // fewer rows per band dominates at every similarity (provable:
+    // (1-s)^2 <= 1-s^2), and each curve is nondecreasing in s
+    rows.foreach { r =>
+      val Seq(p1, p2, p4, p8) = p(r)
+      assert(p1 >= p2 && p2 >= p4 && p4 >= p8, s"dominance broken at $r")
+    }
+    (3 to 6).foreach { c =>
+      val curve = rows.map(_.getDouble(c))
+      assert(curve.zip(curve.tail).forall { case (x, y) => y >= x },
+        s"column $c not monotone")
+    }
+    // banded candidates exist on this corpus and every one agrees on
+    // at least the 2 components of its shared band
+    assert(rows.map(_.getLong(2)).sum > 0, "no observed candidate mass")
+    assert(rows.take(2).forall(_.getLong(2) == 0L),
+      "candidate with <2 agreeing components is impossible under 2-hash bands")
+    t.unpersist()
+  }
+
   test("simhash pairs served == self-contained (fingerprints from the artifact table)") {
     val base = Dedup.dedupSimhashPairs(spark, sfDir)
     val served = Dedup.dedupSimhashPairsServed(spark, sfDir)
