@@ -184,6 +184,77 @@ object AnnSearch {
   private[operators] def bucketedVecs(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir).withColumn("bucket", bucket(col("v")))
 
+  /** The (tables × planes-per-table) configurations the angular
+    * sensitivity audit scores — every factorization of the 16
+    * table-planes.
+    */
+  private val AngularConfigs = Seq(16 -> 1, 8 -> 2, 4 -> 4, 2 -> 8)
+
+  /** All 16 table-plane sign bits of a vector as one string — the
+    * concatenation of the four 4-bit table buckets.
+    */
+  private def tableBits(v: Column): Column =
+    concat((0 until NumTables * PlanesPerTable).map { p =>
+      when(dot(v, typedLit(planes(p))) > 0, "1").otherwise("0")
+    }: _*)
+
+  /** ANGULAR LSH SENSITIVITY — the hyperplane twin of
+    * [[Dedup.dedupLshSensitivity]], tuning the multi-table scheme: one
+    * row per sign-bit agreement count m ∈ [0, 16] over the 16
+    * table-planes, carrying the observed candidate mass (pairs sharing
+    * ≥1 table bucket) at that agreement level and the ANALYTIC
+    * detection probability 1 − (1 − pᵏ)ᵀ for every (T tables ×
+    * k planes) factorization, where p = m/16 is the per-plane
+    * collision frequency (for random hyperplanes E[p] = 1 − θ/π, so
+    * the row also reports the implied angle). Mass at low agreement is
+    * bucket-join work the cosine filter discards; the config columns
+    * say what sharper or blunter tables would catch.
+    *
+    * Scale note: the observed side joins on table buckets, so its cost
+    * is bucket occupancy — at full 100 TB scale this audit runs on a
+    * CALIBRATION SAMPLE (the tuning answer does not need the whole
+    * corpus), exactly how banding parameters are chosen in practice.
+    */
+  def annLshSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    val P = NumTables * PlanesPerTable
+    val all = vecs(spark, dir)
+      .select(col("vec_id"), tableBits(col("v")).as("bits"))
+      .localCheckpoint() // key explode + both agreement sides read it
+    val keyed = all.select(col("vec_id"), posexplode(array(
+      (0 until NumTables).map(t =>
+        substring(col("bits"), t * PlanesPerTable + 1, PlanesPerTable)): _*))
+      .as(Seq("t", "b")))
+    val cand = keyed.select(col("vec_id").as("id_a"), col("t"), col("b"))
+      .join(keyed.select(col("vec_id").as("id_b"), col("t"), col("b")),
+        Seq("t", "b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val agree = (0 until P)
+      .map(j => when(substring(col("ba"), j + 1, 1) ===
+        substring(col("bb"), j + 1, 1), 1).otherwise(0))
+      .reduce(_ + _)
+    val observed = cand
+      .join(all.select(col("vec_id").as("id_a"), col("bits").as("ba")), "id_a")
+      .join(all.select(col("vec_id").as("id_b"), col("bits").as("bb")), "id_b")
+      .withColumn("n_agree", agree.cast("long"))
+      .groupBy(col("n_agree")).agg(count(lit(1)).as("n_pairs"))
+    val p = col("n_agree") / lit(P.toDouble)
+    val base = spark.range(0, P + 1L).select(col("id").as("n_agree"))
+      .join(observed, Seq("n_agree"), "left")
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .withColumn("est_plane_agree", round(p, 6))
+      .withColumn("est_angle_deg", round(lit(180.0) * (lit(1.0) - p), 6))
+    AngularConfigs.foldLeft(base) { case (df, (t, k)) =>
+      df.withColumn(s"p_t${t}k$k",
+        round(lit(1.0) - pow(lit(1.0) - pow(p, lit(k.toDouble)),
+          lit(t.toDouble)), 6))
+    }
+      .select(col("n_agree") +: col("est_plane_agree") +:
+        col("est_angle_deg") +: col("n_pairs") +:
+        AngularConfigs.map { case (t, k) => col(s"p_t${t}k$k") }: _*)
+      .orderBy("n_agree")
+  }
+
   /** Multi-table LSH ANN: candidates are vectors sharing a bucket with
     * the query in ANY of the 4 hash tables (equi-join on the exploded
     * (table, bucket) key, broadcast query side), deduplicated to one
@@ -1161,6 +1232,7 @@ object AnnSearch {
     "ann_topk"     -> (annTopk _),
     "ann_mips_topk" -> (annMipsTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
+    "ann_lsh_sensitivity" -> (annLshSensitivity _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_pq_topk"  -> (annPqTopk _),
     "ann_ivfadc_topk" -> (annIvfadcTopk _),
@@ -1664,6 +1736,50 @@ object AnnSearch {
       s"""WITH $lshRankedCtes
          |SELECT q_id, neighbor_id, n_shared, cosine, rank FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "ann_lsh_sensitivity" -> {
+      val np = NumTables * PlanesPerTable
+      val agree = (1 to np)
+        .map(j => s"CASE WHEN substr(ba.bits, $j, 1) = substr(bb.bits, $j, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val pCols = AngularConfigs.map { case (t, k) =>
+        s"round(1.0 - pow(1.0 - pow(g.i / $np.0, $k), $t), 6) AS p_t${t}k$k"
+      }.mkString(",\n  ")
+      s"""WITH planes AS (
+         |  SELECT p.p, d.d,
+         |    (CAST(('0x' || substr(md5(p.p || ':' || d.d), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS c
+         |  FROM generate_series(0, ${np - 1}) p(p),
+         |       generate_series(1, $Dims) d(d)),
+         |proj AS (
+         |  SELECT e.vec_id, pl.p,
+         |    CASE WHEN sum(e.embedding[pl.d] * pl.c) > 0 THEN '1' ELSE '0' END AS bit
+         |  FROM embeddings e CROSS JOIN planes pl
+         |  GROUP BY e.vec_id, pl.p),
+         |bits AS (
+         |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bits
+         |  FROM proj GROUP BY vec_id),
+         |tbuck AS (
+         |  SELECT vec_id, p // $PlanesPerTable AS t,
+         |    string_agg(bit, '' ORDER BY p) AS b
+         |  FROM proj GROUP BY vec_id, p // $PlanesPerTable),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM tbuck a
+         |  JOIN tbuck b ON b.t = a.t AND b.b = a.b AND a.vec_id < b.vec_id),
+         |mm AS (
+         |  SELECT id_a, id_b, ($agree) AS n_agree
+         |  FROM cand
+         |  JOIN bits ba ON ba.vec_id = cand.id_a
+         |  JOIN bits bb ON bb.vec_id = cand.id_b),
+         |obs AS (SELECT n_agree, count(*) AS n_pairs FROM mm GROUP BY n_agree)
+         |SELECT CAST(g.i AS BIGINT) AS n_agree,
+         |  round(g.i / $np.0, 6) AS est_plane_agree,
+         |  round(180.0 * (1.0 - g.i / $np.0), 6) AS est_angle_deg,
+         |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  $pCols
+         |FROM (SELECT unnest(generate_series(0, $np)) AS i) g
+         |LEFT JOIN obs ON obs.n_agree = g.i
+         |ORDER BY n_agree""".stripMargin
+    },
     "ann_ivf_topk" ->
       s"""WITH cent AS (
          |  SELECT label, d.d, round(avg(embedding[d.d]), 6) AS c

@@ -590,6 +590,26 @@ class DedupAnnSpec extends SparkTestBase {
     t.unpersist()
   }
 
+  test("angular lsh sensitivity: full grid, endpoints, dominance, bucket-share floor") {
+    val t = AnnSearch.annLshSensitivity(spark, sfDir).cache()
+    val rows = t.orderBy(col("n_agree")).collect()
+    assert(rows.length == 17)
+    val p = (r: org.apache.spark.sql.Row) => (4 to 7).map(r.getDouble)
+    assert(p(rows.head).forall(_ == 0.0) && p(rows.last).forall(_ == 1.0))
+    rows.foreach { r =>
+      val Seq(p1, p2, p4, p8) = p(r)
+      assert(p1 >= p2 && p2 >= p4 && p4 >= p8, s"dominance broken at $r")
+    }
+    // a candidate shares a whole 4-bit table bucket, so fewer than 4
+    // agreeing plane bits is impossible
+    assert(rows.take(4).forall(_.getLong(3) == 0L),
+      "candidate with <4 agreeing table-plane bits")
+    assert(rows.map(_.getLong(3)).sum > 0, "no observed candidate mass")
+    // implied angle decreases as agreement rises; endpoints exact
+    assert(rows.head.getDouble(2) == 180.0 && rows.last.getDouble(2) == 0.0)
+    t.unpersist()
+  }
+
   test("simhash pairs served == self-contained (fingerprints from the artifact table)") {
     val base = Dedup.dedupSimhashPairs(spark, sfDir)
     val served = Dedup.dedupSimhashPairsServed(spark, sfDir)
