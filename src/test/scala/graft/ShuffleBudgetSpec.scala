@@ -293,7 +293,14 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "dedup_exact_spans"     -> 4,
     // the g-bucketed artifact makes the df agg and the self-join
     // exchange-free on the table side — 2 exchanges saved
-    "dedup_exact_spans_served" -> 2)
+    "dedup_exact_spans_served" -> 2,
+    // span search (4) + removal distinct + token join/agg + output sort
+    "dedup_span_strip"      -> 8,
+    // corpus df agg + probe/hit joins + verdict agg + output sort
+    "dedup_span_admit"      -> 6,
+    // candidate distinct + agreement agg + 17-row grid join
+    "dedup_lsh_sensitivity" -> 3,
+    "ann_lsh_sensitivity"   -> 4)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
