@@ -426,6 +426,64 @@ object Dedup {
     * relation; this is the cheaper fingerprint-only verdict used when
     * the corpus no longer fits a shingle join.)
     */
+  /** Exact binomial coefficient (incremental form — every partial
+    * division is exact).
+    */
+  private def binom(n: Int, k: Int): BigInt =
+    if (k < 0 || k > n) BigInt(0)
+    else (1 to k).foldLeft(BigInt(1))((acc, i) => acc * (n - i + 1) / i)
+
+  /** Detection probability of a `bands`-way disjoint banding of a
+    * `bits`-bit fingerprint at Hamming distance h, assuming the h
+    * flipped bits are uniformly placed: P(at least one band untouched)
+    * by inclusion–exclusion over band subsets — exact BigInt
+    * hypergeometrics, half-up rounded to a 6-dp DECIMAL STRING so the
+    * engine and the oracle parse the identical literal (the DCT-basis
+    * precedent: constants computed once in Scala, embedded on both
+    * sides).
+    */
+  private def bandRecall6(bits: Int, bands: Int, h: Int): String = {
+    val c = bits / bands
+    val total = binom(bits, h)
+    val num = (1 to bands).map { j =>
+      val t = binom(bands, j) * binom(bits - c * j, h)
+      if (j % 2 == 1) t else -t
+    }.sum
+    val q = (num * 2000000 + total) / (total * 2) // micro-units, half-up
+    s"${q / 1000000}." + "%06d".format((q % 1000000).toLong)
+  }
+
+  /** Hamming grid ceiling for the sensitivity table. */
+  private val SimhashSensGrid = 16
+
+  /** HAMMING BANDING SENSITIVITY — the fingerprint twin of
+    * [[dedupLshSensitivity]], quantifying the exact trade the
+    * fine-vs-coarse band choice made: one row per Hamming distance
+    * h ∈ [0, 16] with the observed pair mass from the banded search
+    * (structurally zero beyond the radius) and the ANALYTIC detection
+    * probability of 4×16-, 8×8-, and 16×4-bit bandings of the 64-bit
+    * fingerprint under uniform error placement. Pigeonhole shows as
+    * computed 1.0 rows (h < bands); beyond them the table says exactly
+    * how much recall finer bands would buy — and what the candidate
+    * cost multiplier is (bucket occupancy ∝ n/2^bits-per-band). The
+    * analytic columns are exact rationals rounded once; audit cost is
+    * the pair search it audits + a 17-row grid join.
+    */
+  def dedupSimhashSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = (0 to SimhashSensGrid).map { h =>
+      (h.toLong, bandRecall6(64, 4, h).toDouble,
+        bandRecall6(64, 8, h).toDouble, bandRecall6(64, 16, h).toDouble)
+    }.toDF("hamming", "p_b4x16", "p_b8x8", "p_b16x4")
+    val observed = dedupSimhashPairs(spark, dir)
+      .groupBy(col("hamming").cast("long").as("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+    grid.join(observed, Seq("hamming"), "left")
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .select("hamming", "n_pairs", "p_b4x16", "p_b8x8", "p_b16x4")
+      .orderBy("hamming")
+  }
+
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     // checkpoint: both self-join sides read the fingerprints, and
     // without the materialization each side re-runs the whole
@@ -1083,6 +1141,7 @@ object Dedup {
     "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
+    "dedup_simhash_sensitivity" -> (dedupSimhashSensitivity _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "dedup_semantic"      -> (dedupSemantic _),
     "dedup_components_served" -> (dedupComponentsServed _),
@@ -1388,6 +1447,34 @@ object Dedup {
          |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(fa, fb)) <= $SimhashRadius
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash_sensitivity" -> {
+      val rows = (0 to SimhashSensGrid).map { h =>
+        s"($h, ${bandRecall6(64, 4, h)}, ${bandRecall6(64, 8, h)}, ${bandRecall6(64, 16, h)})"
+      }.mkString(",\n  ")
+      s"""WITH $simhashCtes,
+         |bands AS (
+         |  SELECT doc_id, simhash, b.b AS band_idx,
+         |    (simhash >> ($SimhashBandBits * b.b)) & ${(1L << SimhashBandBits) - 1} AS band_bits
+         |  FROM sim, generate_series(0, ${SimhashBands - 1}) b(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS fa, b.simhash AS fb
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+         |    AND a.doc_id < b.doc_id),
+         |obs AS (
+         |  SELECT CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming,
+         |    count(*) AS n_pairs
+         |  FROM cand WHERE bit_count(xor(fa, fb)) <= $SimhashRadius
+         |  GROUP BY 1),
+         |grid(hamming, p_b4x16, p_b8x8, p_b16x4) AS (VALUES
+         |  $rows)
+         |SELECT CAST(g.hamming AS BIGINT) AS hamming,
+         |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  g.p_b4x16, g.p_b8x8, g.p_b16x4
+         |FROM grid g LEFT JOIN obs ON obs.hamming = g.hamming
+         |ORDER BY hamming""".stripMargin
+    },
     "dedup_embedding_lsh" ->
       s"""WITH ${AnnSearch.bucketCte},
          |pairs AS (

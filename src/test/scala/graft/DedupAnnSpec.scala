@@ -610,6 +610,30 @@ class DedupAnnSpec extends SparkTestBase {
     t.unpersist()
   }
 
+  test("hamming banding sensitivity: pigeonhole regions exact, decay monotone, finer bands dominate") {
+    val t = Dedup.dedupSimhashSensitivity(spark, sfDir).cache()
+    val rows = t.orderBy(col("hamming")).collect()
+    assert(rows.length == 17)
+    rows.foreach { r =>
+      val h = r.getLong(0)
+      val (p4, p8, p16) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // pigeonhole: h flips cannot touch all bands when h < bands —
+      // the inclusion-exclusion must COMPUTE exactly 1, not be pinned
+      if (h < 4) assert(p4 == 1.0, s"4x16 not lossless at h=$h")
+      if (h < 8) assert(p8 == 1.0, s"8x8 not lossless at h=$h")
+      assert(p16 >= p8 && p8 >= p4, s"finer bands must dominate at $r")
+      // observed mass comes from the radius-bounded banded search
+      if (h > 3) assert(r.getLong(1) == 0L, s"pair beyond the radius at $r")
+    }
+    assert(rows.map(_.getLong(1)).sum > 0, "no observed pair mass")
+    Seq(2, 3, 4).foreach { c =>
+      val curve = rows.map(_.getDouble(c))
+      assert(curve.zip(curve.tail).forall { case (x, y) => y <= x },
+        s"column $c not non-increasing")
+    }
+    t.unpersist()
+  }
+
   test("simhash pairs served == self-contained (fingerprints from the artifact table)") {
     val base = Dedup.dedupSimhashPairs(spark, sfDir)
     val served = Dedup.dedupSimhashPairsServed(spark, sfDir)
