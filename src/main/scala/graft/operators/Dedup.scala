@@ -467,7 +467,10 @@ object Dedup {
     * how much recall finer bands would buy — and what the candidate
     * cost multiplier is (bucket occupancy ∝ n/2^bits-per-band). The
     * analytic columns are exact rationals rounded once; audit cost is
-    * the pair search it audits + a 17-row grid join.
+    * the pair search it audits + a 17-row grid join. The same geometry
+    * (64-bit fingerprint, 4×16 banding, radius 3) governs the DCT
+    * perceptual family ([[Multimodal]] `_r3`), so the analytic columns
+    * apply to it verbatim.
     */
   def dedupSimhashSensitivity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
