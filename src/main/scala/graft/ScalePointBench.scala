@@ -54,7 +54,11 @@ object ScalePointBench {
     // r11: the strip adds a corpus-linear removal explode + keyed
     // strip over the span search; the admission is batch-vs-corpus
     // gram probing (work ∝ new-doc tokens x touched buckets)
-    "dedup_span_strip", "dedup_span_admit")
+    "dedup_span_strip", "dedup_span_admit",
+    // r11: the sensitivity trio — each rides its candidate relation,
+    // so growth must track the pair search it audits
+    "dedup_lsh_sensitivity", "ann_lsh_sensitivity",
+    "dedup_simhash_sensitivity")
 
   /** Versioned done-marker: v2 added lineitem replication (the ETL
     * temporal/scd2 targets); bumping the name forces a one-time
