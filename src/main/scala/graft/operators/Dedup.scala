@@ -442,7 +442,7 @@ object Dedup {
     * precedent: constants computed once in Scala, embedded on both
     * sides).
     */
-  private def bandRecall6(bits: Int, bands: Int, h: Int): String = {
+  private[graft] def bandRecall6(bits: Int, bands: Int, h: Int): String = {
     val c = bits / bands
     val total = binom(bits, h)
     val num = (1 to bands).map { j =>

@@ -523,6 +523,34 @@ object Multimodal {
     * fingerprint artifact: this IS the production form.
     */
   val DctRadiusCoarse = 3
+  /** PERCEPTUAL Hamming sensitivity — [[Dedup.dedupSimhashSensitivity]]
+    * with the DCT family's OBSERVED column: the fine 16×4-band search
+    * is lossless to radius 15, so its pair mass at h ∈ [0, 10] is the
+    * TRUE pair count per distance, and the analytic columns price the
+    * production operating points against real mass — rows with
+    * p_b4x16 = 1.0 are exactly what the coarse `_r3` form catches
+    * (the spec asserts that equality against the r3 query itself),
+    * and the mass × probability product beyond them is the recall the
+    * coarse form trades for its 2^16-wide buckets. Same exact-rational
+    * analytic table as the simhash twin (shared [[Dedup.bandRecall6]]
+    * literals on both sides).
+    */
+  def multimodalPhashSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = (0 to 16).map { h =>
+      (h.toLong, Dedup.bandRecall6(64, 4, h).toDouble,
+        Dedup.bandRecall6(64, 8, h).toDouble,
+        Dedup.bandRecall6(64, 16, h).toDouble)
+    }.toDF("hamming", "p_b4x16", "p_b8x8", "p_b16x4")
+    val observed = multimodalPhashDctPairs(spark, dir)
+      .groupBy(col("hamming").cast("long").as("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+    grid.join(observed, Seq("hamming"), "left")
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .select("hamming", "n_pairs", "p_b4x16", "p_b8x8", "p_b16x4")
+      .orderBy("hamming")
+  }
+
   def multimodalPhashDctPairsR3(spark: SparkSession, dir: String): DataFrame =
     dctPairsOver(servedDctFingerprints(spark, dir),
       nBands = 4, bandBits = 16, radius = DctRadiusCoarse)
@@ -640,6 +668,7 @@ object Multimodal {
     "multimodal_phash_dct_pairs" -> (multimodalPhashDctPairs _),
     "multimodal_phash_dct_pairs_served" -> (multimodalPhashDctPairsServed _),
     "multimodal_phash_dct_pairs_r3" -> (multimodalPhashDctPairsR3 _),
+    "multimodal_phash_sensitivity" -> (multimodalPhashSensitivity _),
     "multimodal_shard_pack" -> (multimodalShardPack _))
 
   /** Fingerprint CTEs ending in `ph(doc_id, modality, payload_md5,
@@ -818,6 +847,36 @@ object Multimodal {
       s"""WITH $phashCtes
          |SELECT doc_id, modality, payload_md5, phash FROM ph
          |ORDER BY doc_id""".stripMargin,
+    "multimodal_phash_sensitivity" -> {
+      val rows = (0 to 16).map { h =>
+        s"($h, ${graft.operators.Dedup.bandRecall6(64, 4, h)}, " +
+          s"${graft.operators.Dedup.bandRecall6(64, 8, h)}, " +
+          s"${graft.operators.Dedup.bandRecall6(64, 16, h)})"
+      }.mkString(",\n  ")
+      s"""WITH $dctCtes,
+         |bands AS (
+         |  SELECT doc_id, modality, phash64,
+         |    b.b AS band_idx, (phash64 >> (4 * b.b)) & 15 AS band_bits
+         |  FROM ph64, generate_series(0, ${DctBands - 1}) b(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.modality, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.phash64 AS fa, b.phash64 AS fb
+         |  FROM bands a JOIN bands b
+         |    ON a.modality = b.modality AND a.band_idx = b.band_idx
+         |    AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id),
+         |obs AS (
+         |  SELECT CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming,
+         |    count(*) AS n_pairs
+         |  FROM cand WHERE bit_count(xor(fa, fb)) <= $DctRadius
+         |  GROUP BY 1),
+         |grid(hamming, p_b4x16, p_b8x8, p_b16x4) AS (VALUES
+         |  $rows)
+         |SELECT CAST(g.hamming AS BIGINT) AS hamming,
+         |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  g.p_b4x16, g.p_b8x8, g.p_b16x4
+         |FROM grid g LEFT JOIN obs ON obs.hamming = g.hamming
+         |ORDER BY hamming""".stripMargin
+    },
     // the self-contained coarse-banded twin of _r3 — identical result
     // by construction (same fingerprints, same bands, same radius), so
     // it shares the r3 oracle recipe

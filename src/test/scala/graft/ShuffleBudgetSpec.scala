@@ -301,7 +301,8 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // candidate distinct + agreement agg + 17-row grid join
     "dedup_lsh_sensitivity" -> 3,
     "ann_lsh_sensitivity"   -> 4,
-    "dedup_simhash_sensitivity" -> 3)
+    "dedup_simhash_sensitivity" -> 3,
+    "multimodal_phash_sensitivity" -> 4)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a

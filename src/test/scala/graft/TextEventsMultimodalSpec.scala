@@ -831,4 +831,21 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     fp.unpersist(); pairs.unpersist()
   }
 
+  test("phash sensitivity: observed mass is the fine search's true counts; 1.0 rows equal the r3 form") {
+    val t = Multimodal.multimodalPhashSensitivity(spark, sfDir).cache()
+    val rows = t.orderBy(col("hamming")).collect()
+    assert(rows.length == 17)
+    // observed column comes from the radius-10 fine search
+    rows.filter(_.getLong(0) > Multimodal.DctRadius)
+      .foreach(r => assert(r.getLong(1) == 0L, s"pair beyond the fine radius at $r"))
+    assert(rows.map(_.getLong(1)).sum > 0)
+    // the analytic 4x16 column prices the coarse production form
+    // against TRUE mass: its 1.0 rows (h <= 3) carry exactly the pair
+    // count the r3 query reports
+    val sureMass = rows.filter(_.getDouble(2) == 1.0).map(_.getLong(1)).sum
+    assert(sureMass == Multimodal.multimodalPhashDctPairsR3(spark, sfDir).count(),
+      "p_b4x16 = 1.0 mass diverges from the coarse-banded query")
+    t.unpersist()
+  }
+
 }
