@@ -198,6 +198,27 @@ object AnnSearch {
       when(dot(v, typedLit(planes(p))) > 0, "1").otherwise("0")
     }: _*)
 
+  /** Calibration-sample size target for [[annLshSensitivity]]'s
+    * observed side. A 4-bit bucket holds n/16 of the corpus per table,
+    * so the observed (t,b) self-join's candidates grow ∝ n² — fine for
+    * a tuning audit on ~10³ vectors, quadratic death on the full
+    * corpus. The audit therefore samples the corpus IN-QUERY down to
+    * ~this many vectors (deterministic md5-hash-mod, so both engines
+    * pick the same rows) and scales the observed pair mass back up by
+    * mod² — the unbiased pair-count estimator under uniform vertex
+    * sampling. The analytic S-curve columns never depended on the
+    * corpus at all; only the observed mass is estimated.
+    */
+  private val CalibTarget = 1000
+
+  /** Deterministic uniform hash of an id for sampling: first 8 hex
+    * chars of md5(decimal string), parsed as a non-negative long —
+    * replayable bit-for-bit in DuckDB as
+    * `('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT`.
+    */
+  private def sampleHash(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
   /** ANGULAR LSH SENSITIVITY — the hyperplane twin of
     * [[Dedup.dedupLshSensitivity]], tuning the multi-table scheme: one
     * row per sign-bit agreement count m ∈ [0, 16] over the 16
@@ -211,13 +232,35 @@ object AnnSearch {
     * say what sharper or blunter tables would catch.
     *
     * Scale note: the observed side joins on table buckets, so its cost
-    * is bucket occupancy — at full 100 TB scale this audit runs on a
-    * CALIBRATION SAMPLE (the tuning answer does not need the whole
-    * corpus), exactly how banding parameters are chosen in practice.
+    * is bucket occupancy — the audit runs on an in-query CALIBRATION
+    * SAMPLE of ~[[CalibTarget]] vectors (`sample_mod` = ⌈n/target⌉
+    * from a one-row broadcast count; membership by deterministic
+    * hash-mod so the DuckDB oracle samples identically) with observed
+    * mass scaled by mod², so the self-join is bounded by the target
+    * regardless of corpus size — exactly how banding parameters are
+    * chosen before a 100 TB run. Below the target (sf ≤ 0.01) mod = 1
+    * and the audit degenerates to the exact full-corpus count.
+    * `n_pairs` is the scaled estimate; `n_pairs_obs` the raw sampled
+    * count; `sample_mod` the modulus used.
     */
-  def annLshSensitivity(spark: SparkSession, dir: String): DataFrame = {
+  def annLshSensitivity(spark: SparkSession, dir: String): DataFrame =
+    annLshSensitivityAt(spark, dir, CalibTarget)
+
+  /** [[annLshSensitivity]] with an explicit sample-size target —
+    * exposed so specs can force mod > 1 on the small test corpora and
+    * pin sampled ≡ full grid shape.
+    */
+  private[graft] def annLshSensitivityAt(
+      spark: SparkSession, dir: String, target: Int): DataFrame = {
     val P = NumTables * PlanesPerTable
+    // one-row broadcast modulus: ⌈corpus / target⌉ (count-only scan)
+    val modRow = Tables.embeddings(spark, dir)
+      .agg(count(lit(1)).as("n_corpus"))
+      .select(greatest(lit(1L),
+        ceil(col("n_corpus") / lit(target.toDouble)).cast("long")).as("smod"))
     val all = vecs(spark, dir)
+      .crossJoin(broadcast(modRow))
+      .filter(sampleHash(col("vec_id")) % col("smod") === 0)
       .select(col("vec_id"), tableBits(col("v")).as("bits"))
       .localCheckpoint() // key explode + both agreement sides read it
     val keyed = all.select(col("vec_id"), posexplode(array(
@@ -241,7 +284,11 @@ object AnnSearch {
     val p = col("n_agree") / lit(P.toDouble)
     val base = spark.range(0, P + 1L).select(col("id").as("n_agree"))
       .join(observed, Seq("n_agree"), "left")
-      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .crossJoin(broadcast(modRow))
+      .withColumn("n_pairs_obs", coalesce(col("n_pairs"), lit(0L)))
+      .withColumn("n_pairs",
+        col("n_pairs_obs") * col("smod") * col("smod"))
+      .withColumn("sample_mod", col("smod"))
       .withColumn("est_plane_agree", round(p, 6))
       .withColumn("est_angle_deg", round(lit(180.0) * (lit(1.0) - p), 6))
     AngularConfigs.foldLeft(base) { case (df, (t, k)) =>
@@ -250,7 +297,8 @@ object AnnSearch {
           lit(t.toDouble)), 6))
     }
       .select(col("n_agree") +: col("est_plane_agree") +:
-        col("est_angle_deg") +: col("n_pairs") +:
+        col("est_angle_deg") +: col("n_pairs") +: col("n_pairs_obs") +:
+        col("sample_mod") +:
         AngularConfigs.map { case (t, k) => col(s"p_t${t}k$k") }: _*)
       .orderBy("n_agree")
   }
@@ -1744,7 +1792,13 @@ object AnnSearch {
       val pCols = AngularConfigs.map { case (t, k) =>
         s"round(1.0 - pow(1.0 - pow(g.i / $np.0, $k), $t), 6) AS p_t${t}k$k"
       }.mkString(",\n  ")
-      s"""WITH planes AS (
+      s"""WITH smod AS (
+         |  SELECT greatest(1, CAST(ceil(count(*) / $CalibTarget.0) AS BIGINT)) AS m
+         |  FROM embeddings),
+         |samp AS (
+         |  SELECT e.* FROM embeddings e, smod
+         |  WHERE CAST(('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % smod.m = 0),
+         |planes AS (
          |  SELECT p.p, d.d,
          |    (CAST(('0x' || substr(md5(p.p || ':' || d.d), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS c
          |  FROM generate_series(0, ${np - 1}) p(p),
@@ -1752,7 +1806,7 @@ object AnnSearch {
          |proj AS (
          |  SELECT e.vec_id, pl.p,
          |    CASE WHEN sum(e.embedding[pl.d] * pl.c) > 0 THEN '1' ELSE '0' END AS bit
-         |  FROM embeddings e CROSS JOIN planes pl
+         |  FROM samp e CROSS JOIN planes pl
          |  GROUP BY e.vec_id, pl.p),
          |bits AS (
          |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bits
@@ -1774,10 +1828,12 @@ object AnnSearch {
          |SELECT CAST(g.i AS BIGINT) AS n_agree,
          |  round(g.i / $np.0, 6) AS est_plane_agree,
          |  round(180.0 * (1.0 - g.i / $np.0), 6) AS est_angle_deg,
-         |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(n_pairs, 0) * smod.m * smod.m AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs_obs,
+         |  CAST(smod.m AS BIGINT) AS sample_mod,
          |  $pCols
          |FROM (SELECT unnest(generate_series(0, $np)) AS i) g
-         |LEFT JOIN obs ON obs.n_agree = g.i
+         |LEFT JOIN obs ON obs.n_agree = g.i, smod
          |ORDER BY n_agree""".stripMargin
     },
     "ann_ivf_topk" ->

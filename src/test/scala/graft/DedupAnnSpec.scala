@@ -594,7 +594,7 @@ class DedupAnnSpec extends SparkTestBase {
     val t = AnnSearch.annLshSensitivity(spark, sfDir).cache()
     val rows = t.orderBy(col("n_agree")).collect()
     assert(rows.length == 17)
-    val p = (r: org.apache.spark.sql.Row) => (4 to 7).map(r.getDouble)
+    val p = (r: org.apache.spark.sql.Row) => (6 to 9).map(r.getDouble)
     assert(p(rows.head).forall(_ == 0.0) && p(rows.last).forall(_ == 1.0))
     rows.foreach { r =>
       val Seq(p1, p2, p4, p8) = p(r)
@@ -605,9 +605,46 @@ class DedupAnnSpec extends SparkTestBase {
     assert(rows.take(4).forall(_.getLong(3) == 0L),
       "candidate with <4 agreeing table-plane bits")
     assert(rows.map(_.getLong(3)).sum > 0, "no observed candidate mass")
+    // below the calibration target the audit degenerates to the exact
+    // full-corpus count: mod = 1, estimate ≡ raw observed
+    rows.foreach { r =>
+      assert(r.getLong(5) == 1L, "corpus under target must use mod=1")
+      assert(r.getLong(3) == r.getLong(4), "mod=1 estimate must be exact")
+    }
     // implied angle decreases as agreement rises; endpoints exact
     assert(rows.head.getDouble(2) == 180.0 && rows.last.getDouble(2) == 0.0)
     t.unpersist()
+  }
+
+  test("angular lsh sensitivity: calibration sample preserves the grid, bounds the join, scales mass by mod^2") {
+    val full = AnnSearch.annLshSensitivityAt(spark, sfDir, 1000000)
+      .orderBy(col("n_agree")).collect()
+    // force mod = ceil(500/125) = 4 on the 500-vector test corpus
+    val samp = AnnSearch.annLshSensitivityAt(spark, sfDir, 125)
+      .orderBy(col("n_agree")).collect()
+    assert(samp.length == 17 && full.length == 17)
+    samp.zip(full).foreach { case (s, f) =>
+      // the grid and every ANALYTIC column are corpus-independent —
+      // bit-equal between the sampled and full audits
+      assert(s.getLong(0) == f.getLong(0))
+      (Seq(1, 2) ++ (6 to 9)).foreach(c =>
+        assert(s.getDouble(c) == f.getDouble(c),
+          s"analytic col $c diverged at n_agree=${s.getLong(0)}"))
+      assert(s.getLong(5) == 4L, "expected sample_mod=4")
+      // the estimator is exactly obs × mod²
+      assert(s.getLong(3) == s.getLong(4) * 16L)
+    }
+    // the sample genuinely shrank the observed join's input
+    val obsSum = samp.map(_.getLong(4)).sum
+    val fullSum = full.map(_.getLong(4)).sum
+    assert(obsSum > 0, "sampled audit lost all observed mass")
+    assert(obsSum < fullSum / 4,
+      s"sample did not shrink the pair join ($obsSum vs $fullSum)")
+    // and the scaled estimate lands in the right regime (unbiased
+    // estimator; fixed corpus so this is a deterministic reading)
+    val estSum = samp.map(_.getLong(3)).sum
+    assert(estSum > fullSum / 4 && estSum < fullSum * 4,
+      s"mass estimate off-regime: est $estSum vs full $fullSum")
   }
 
   test("hamming banding sensitivity: pigeonhole regions exact, decay monotone, finer bands dominate") {

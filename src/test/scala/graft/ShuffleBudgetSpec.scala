@@ -300,7 +300,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "dedup_span_admit"      -> 6,
     // candidate distinct + agreement agg + 17-row grid join
     "dedup_lsh_sensitivity" -> 3,
-    "ann_lsh_sensitivity"   -> 4,
+    // +1 r12: the single-row corpus-count agg behind the calibration
+    // sample's modulus (broadcast after; the pair join itself shrank)
+    "ann_lsh_sensitivity"   -> 5,
     "dedup_simhash_sensitivity" -> 3,
     "multimodal_phash_sensitivity" -> 4)
 
