@@ -25,7 +25,8 @@ object Bench {
     */
   def fullLine(results: Map[String, Double], sfDir: String,
       shuffle: Map[String, (Long, Long)] = Map.empty,
-      baseline: Map[String, (Long, Long)] = Map.empty): String = {
+      baseline: Map[String, (Long, Long)] = Map.empty,
+      baselineRef: Option[String] = None): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
@@ -43,7 +44,12 @@ object Bench {
         .map { case (q, ratio, cur, base) =>
           s"""{"q":"$q","ratio":${j(ratio)},"bytes":$cur,"base":$base}""" }
         .mkString("[", ",", "]")
-    s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":$full$sh$rat$mv,"sf":"$sfDir"}"""
+    // provenance: which committed artifact the byte gate diffed against
+    // — without it the committed trail can't prove the diff wasn't
+    // against the run's own bytes (the r11 self-diff gap)
+    val ref = if (baseline.isEmpty) "" else
+      baselineRef.fold("")(r => s""","baseline_commit":"$r"""")
+    s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":$full$sh$rat$mv$ref,"sf":"$sfDir"}"""
   }
 
   /** Per-query shuffle-byte regression gate: queries whose total
@@ -56,33 +62,64 @@ object Bench {
     * wall time swings up to 6× with driver-side contention: a flagged
     * mover means the PLAN moved.
     */
+  /** Finite ratio sentinel for a query whose baseline shuffled ZERO
+    * bytes: PositiveInfinity would serialize as bare `Infinity` inside
+    * `byte_movers` and make the detail artifact invalid JSON exactly
+    * when a zero-baseline mover fires.
+    */
+  val ZeroBaseRatio = 9999.0
+
   def byteMovers(cur: Map[String, (Long, Long)],
       base: Map[String, (Long, Long)],
       ratio: Double = 1.5, floorBytes: Long = 4L << 20): Seq[(String, Double, Long, Long)] =
     cur.toSeq
       .flatMap { case (q, (r, w)) => base.get(q).map { case (br, bw) =>
         val c = r + w; val b = br + bw
-        (q, if (b > 0) c.toDouble / b else Double.PositiveInfinity, c, b)
+        (q, if (b > 0) c.toDouble / b else ZeroBaseRatio, c, b)
       } }
       .filter { case (_, rat, c, b) => math.max(c, b) >= floorBytes && rat > ratio }
       .sortBy(-_._2)
 
-  /** Baseline shuffle bytes from a prior bench artifact (the committed
-    * quiet BENCH_FULL.json). Format is self-authored, so a two-regex
-    * parse is exact; any read/parse failure degrades to "no baseline"
-    * — the bench must never die on its own telemetry.
+  private def parseShuffleBytes(txt: String): Map[String, (Long, Long)] =
+    """"shuffle_bytes":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+      .map { m =>
+        """"([^"]+)":\[(\d+),(\d+)\]""".r.findAllMatchIn(m.group(1))
+          .map(g => g.group(1) -> (g.group(2).toLong, g.group(3).toLong))
+          .toMap
+      }.getOrElse(Map.empty)
+
+  /** Baseline shuffle bytes from a prior bench artifact (an explicit
+    * path, e.g. the SPARK_GRAFT_BENCH_BASELINE override). Format is
+    * self-authored, so a two-regex parse is exact; any read/parse
+    * failure degrades to "no baseline" — the bench must never die on
+    * its own telemetry.
     */
   def loadBaselineBytes(path: String): Map[String, (Long, Long)] =
+    try parseShuffleBytes(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Exception => Map.empty }
+
+  /** Baseline from the last COMMITTED quiet artifact: content comes
+    * from `git show HEAD:<file>`, NEVER the working-tree file — a
+    * quiet refresh copies its own output over the working-tree
+    * BENCH_FULL.json, so a path read would diff the run against its
+    * own bytes and carry no cross-round signal (the r11 gap: every
+    * committed byte_ratio was exactly 1.0). Returns the hash of the
+    * last commit touching the file as provenance for the artifact's
+    * `baseline_commit` field; degrades to ("none", empty) when git or
+    * the file is unavailable.
+    */
+  def loadCommittedBaseline(repoDir: String,
+      file: String = "BENCH_FULL.json"): (String, Map[String, (Long, Long)]) =
     try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-      """"shuffle_bytes":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-        .map { m =>
-          """"([^"]+)":\[(\d+),(\d+)\]""".r.findAllMatchIn(m.group(1))
-            .map(g => g.group(1) -> (g.group(2).toLong, g.group(3).toLong))
-            .toMap
-        }.getOrElse(Map.empty)
-    } catch { case _: Exception => Map.empty }
+      import scala.sys.process._
+      val dir = new java.io.File(repoDir)
+      val quiet = ProcessLogger(_ => (), _ => ())
+      val commit = Process(Seq("git", "log", "-1", "--format=%H", "--", file), dir)
+        .!!(quiet).trim
+      val txt = Process(Seq("git", "show", s"HEAD:$file"), dir).!!(quiet)
+      (if (commit.nonEmpty) commit else "none", parseShuffleBytes(txt))
+    } catch { case _: Exception => ("none", Map.empty) }
 
   /** The printed summary — MUST stay compact. The driver keeps only the
     * LAST ~2000 chars of bench output, so a full per-query map on the
@@ -202,8 +239,10 @@ object Bench {
     // a >1.5x byte mover means the PLAN moved (bytes are deterministic
     // per plan; wall time is not under contention) — fail loudly on
     // stderr and carry the list in the detail artifact
-    val baseline = loadBaselineBytes(sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_BASELINE", "/root/repo/BENCH_FULL.json"))
+    val (baseRef, baseline) = sys.env.get("SPARK_GRAFT_BENCH_BASELINE") match {
+      case Some(p) => (s"file:$p", loadBaselineBytes(p)) // explicit override
+      case None    => loadCommittedBaseline("/root/repo")
+    }
     val movers = byteMovers(shuffle, baseline)
     movers.foreach { case (q, ratio, cur, base) =>
       System.err.println(
@@ -224,7 +263,7 @@ object Bench {
       .toAbsolutePath
     try {
       val fw = new java.io.PrintWriter(outPath.toFile)
-      try fw.println(fullLine(results, sfDir, shuffle, baseline))
+      try fw.println(fullLine(results, sfDir, shuffle, baseline, Some(baseRef)))
       finally fw.close()
       System.err.println(s"[bench] full per-query medians: $outPath")
     } catch {

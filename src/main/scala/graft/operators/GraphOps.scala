@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object GraphOps {
 
   /** Neighbors kept per node in the kNN graph. */
-  private val KnnK = 4
+  private[graft] val KnnK = 4
 
   /** MUTUAL 4-nearest-neighbor price graph — the bounded-degree input
     * both graph operators run on. The raw band pair graph
@@ -101,14 +101,34 @@ object GraphOps {
     * costs O(n); all-distinct coordinates degrade gracefully to the
     * old g = n behaviour. The broadcast is of one row per distinct
     * coordinate — the collapse only wins when that is small, which is
-    * exactly when the hint is safe.
+    * exactly when the hint is safe — and the hint is GATED on the
+    * materialized group count ([[KnnBroadcastGroups]]): in an
+    * all-distinct regime the group heads are O(n) rows and a forced
+    * broadcast would be a driver OOM, so above the gate the final
+    * join degrades to a plain shuffle join (AQE may still broadcast
+    * at runtime if the actual size allows).
     */
-  private[graft] def knnListsSymmetric(nodes: DataFrame): DataFrame = {
+  private[graft] def knnListsSymmetric(nodes: DataFrame): DataFrame =
+    knnListsSymmetricAt(nodes, KnnBroadcastGroups)
+
+  /** One row per distinct coordinate ≈ ~100 B (K+1 longs + a double):
+    * 100k groups ≈ 10 MB — the conventional broadcast comfort bound.
+    */
+  private val KnnBroadcastGroups = 100000L
+
+  /** [[knnListsSymmetric]] with an explicit broadcast gate — exposed
+    * so specs can force the degraded plan on a small relation.
+    */
+  private[graft] def knnListsSymmetricAt(nodes: DataFrame,
+      broadcastGroups: Long): DataFrame = {
     val groups = nodes.groupBy(col("price").as("gprice"))
       .agg(call_function("bottom_k_by_key",
         lpad(col("key").cast("string"), 20, "0"), col("key"), lit(KnnK + 1))
         .as("low_keys"))
       .localCheckpoint()
+    // the checkpoint just materialized the groups, so the gate's count
+    // is a cheap scan of cached partitions, not a recompute
+    val nGroups = groups.count()
     val src = groups.select(col("gprice").as("ps"))
       .withColumn("band", explode(array((-1 to 1).map(d =>
         floor(col("ps") / KnnTol).cast("long") + d): _*)))
@@ -124,7 +144,8 @@ object GraphOps {
       .groupBy(col("ps"))
       .agg(expr("transform(array_sort(collect_list(struct(diff, v))), s -> s.v)")
         .as("cand_vs"))
-    nodes.join(broadcast(gcand), col("price") === col("ps"))
+    val head = if (nGroups <= broadcastGroups) broadcast(gcand) else gcand
+    nodes.join(head, col("price") === col("ps"))
       .select(col("key").as("u"),
         explode(expr(s"slice(filter(cand_vs, x -> x != key), 1, $KnnK)")).as("v"))
   }

@@ -79,4 +79,50 @@ class BenchLineSpec extends AnyFunSuite {
     val plain = Bench.fullLine(Map("qa" -> 1.0), "/tmp/x", shuffle)
     assert(!plain.contains("byte_ratio") && !plain.contains("byte_movers"))
   }
+
+  test("zero-baseline mover stays finite JSON, never bare Infinity") {
+    val mb = 1L << 20
+    val shuffle = Map("qz" -> (8 * mb, 0L))
+    val base = Map("qz" -> (0L, 0L))
+    val line = Bench.fullLine(Map("qz" -> 1.0), "/tmp/x", shuffle, base,
+      Some("deadbeef"))
+    assert(!line.contains("Infinity"), line)
+    assert(line.contains(s""""byte_movers":[{"q":"qz","ratio":9999.000"""), line)
+    assert(line.contains(""""baseline_commit":"deadbeef""""), line)
+    // still brace-balanced (parseable-shaped) with the mover present
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+  }
+
+  test("byte gate diffs against the COMMITTED artifact, rejecting the in-flight working-tree copy") {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("benchrepo").toFile
+    def git(args: String*): Unit = {
+      val quiet = ProcessLogger(_ => (), _ => ())
+      assert(Process("git" +: args.toSeq, dir).!(quiet) == 0, s"git $args failed")
+    }
+    try {
+      git("init", "-q")
+      git("-c", "user.email=t@t", "-c", "user.name=t", "commit", "-q",
+        "--allow-empty", "-m", "root")
+      val committed = Map("qa" -> (100L, 200L))
+      java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_FULL.json"),
+        Bench.fullLine(Map("qa" -> 1.0), "/tmp/x", committed))
+      git("add", "BENCH_FULL.json")
+      git("-c", "user.email=t@t", "-c", "user.name=t", "commit", "-q",
+        "-m", "quiet run")
+      // a quiet refresh overwrites the WORKING TREE with its own bytes —
+      // the r11 self-diff. The loader must keep returning the committed
+      // bytes, with the committing hash as provenance.
+      val inflight = Map("qa" -> (999L, 999L))
+      java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_FULL.json"),
+        Bench.fullLine(Map("qa" -> 1.0), "/tmp/x", inflight))
+      val (ref, bytes) = Bench.loadCommittedBaseline(dir.getAbsolutePath)
+      assert(bytes == committed, s"working-tree copy leaked into the baseline: $bytes")
+      val head = Process(Seq("git", "rev-parse", "HEAD"), dir).!!.trim
+      assert(ref == head, s"provenance $ref != committing hash $head")
+      // no committed artifact at all → no baseline, never a throw
+      val none = Bench.loadCommittedBaseline("/nonexistent")
+      assert(none == ("none", Map.empty))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }

@@ -200,6 +200,37 @@ class GraphOpsSpec extends SparkTestBase {
       "maintenance form lost its corpus-side coordinate collapse")
   }
 
+  test("group-head broadcast is gated on the distinct-coordinate count: degenerate inputs degrade to a shuffle join") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    def nBroadcasts(p: SparkPlan): Int = {
+      val self = p match { case _: BroadcastExchangeLike => 1; case _ => 0 }
+      self + p.children.map(nBroadcasts).sum + p.subqueries.map(nBroadcasts).sum
+    }
+    val nodes = GraphOps.partNodes(spark, sfDir)
+    // isolate the HINT from Spark's size-based auto-broadcast (which
+    // would mask the fallback on a small test relation) and from AQE's
+    // runtime join re-selection; exchanges land in executedPlan
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val hinted = GraphOps.knnListsSymmetricAt(nodes, broadcastGroups = Long.MaxValue)
+      val degraded = GraphOps.knnListsSymmetricAt(nodes, broadcastGroups = 0L)
+      assert(nBroadcasts(hinted.queryExecution.executedPlan) == 1,
+        "small distinct-coordinate regime must broadcast the group heads")
+      assert(nBroadcasts(degraded.queryExecution.executedPlan) == 0,
+        "above the gate the group-head join must degrade to a shuffle join")
+      // the gate changes the PLAN, never the answer
+      assert(hinted.exceptAll(degraded).count() == 0)
+      assert(degraded.exceptAll(hinted).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+  }
+
   test("graph_triangles invariants on the mutual-kNN price graph") {
     val t = GraphOps.graphTriangles(spark, sfDir).cache()
     assert(t.count() > 0)

@@ -60,6 +60,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q_rfm_segmentation", // 1-row broadcast reference date + customer count
     "q_basket_lift", // 1-row broadcast order-count lift normalizer
     "q_abc_analysis", // 1-row broadcast revenue total
+    "ann_lsh_sensitivity", // 1-row broadcast calibration-sample modulus
     "graph_modularity") // 1-row broadcast edge-count normalizer
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

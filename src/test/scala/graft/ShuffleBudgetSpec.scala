@@ -254,6 +254,10 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q_rfm_segmentation"    -> 7,
     // artifact scan + output sort only
     "graph_knn_edges"       -> 1,
+    // r12: the K-capped twin — the collapse build sits behind its
+    // checkpoint; the visible plan is two price join-backs + the
+    // per-key rank + output sort
+    "q_price_band_join_topk" -> 4,
     // the *_indexed twins: probe-side plans over the edge-table scan —
     // same per-iteration shapes as the base forms minus the build
     "graph_pagerank_indexed" -> 5,
