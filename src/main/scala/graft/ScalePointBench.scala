@@ -223,6 +223,145 @@ object ScalePointBench {
       }
       println(s"""{"query":"span_refresh","bootstrap_sec":${j(bootSec)},"median_sec":${j(times.sorted.apply(1))},"batch_docs":500,"replicas":$replicas}""")
     }
+    // adversarial df-cap scale point (r12): the synth's replica salting
+    // keeps every gram's df within its replica, so span extraction
+    // grows linearly BY CONSTRUCTION — this section makes the cap
+    // itself do the bounding. A fixed 12-token boilerplate phrase is
+    // pasted into every 8th doc ACROSS replicas (gram df ≈ n/8, far
+    // over SpanDfCap): without the cap that alone would add ~(n/8)²
+    // gram-pair hits; with it, extraction over the boilerplate-heavy
+    // corpus must stay near the clean corpus's cost (both timed here,
+    // same process). And the cap's NON-ADDITIVE retraction is pinned
+    // at this scale: a second phrase sits at EXACTLY the cap in the
+    // base corpus, one refresh batch pushes it across, and the
+    // maintained extraction must equal the from-scratch build.
+    if (selected("span_boilerplate")) {
+      val cap = graft.operators.TextAnalysis.SpanDfCap
+      val docs0 = Tables.documents(spark, dst)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val boiler = (1 to 12).map(i => s"graftboiler$i").mkString(" ")
+      val phrase = (1 to 12).map(i => s"graftcap$i").mkString(" ")
+      // exactly `cap` base docs carry the at-the-cap phrase (avoiding
+      // the boilerplate residue class so the two injections compose
+      // predictably); every 8th doc carries the over-the-cap one
+      val capped = docs0.filter(pmod(col("doc_id"), lit(8)) =!= 0)
+        .orderBy(col("doc_id")).limit(cap).select(col("doc_id"))
+        .localCheckpoint()
+      val base = docs0.join(capped.withColumnRenamed("doc_id", "cd"),
+          col("doc_id") === col("cd"), "left")
+        .select(col("doc_id"), concat(
+          when(pmod(col("doc_id"), lit(8)) === 0, lit(boiler + " ")).otherwise(lit("")),
+          when(col("cd").isNotNull, lit(phrase + " ")).otherwise(lit("")),
+          col("text")).as("text"))
+        .localCheckpoint()
+      def timeSpans(docs: org.apache.spark.sql.DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = graft.operators.TextAnalysis.exactSpansOver(docs).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (cleanSec, cleanSpans) = timeSpans(docs0)
+      val (heavySec, heavySpans) = timeSpans(base)
+      // retraction: bootstrap over the base, then one new doc pushes
+      // the at-the-cap phrase's grams to df = cap + 1 — every pair
+      // they generated must retract from the maintained extraction
+      val root = s"$dst/span_grams_boiler"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      graft.operators.IndexMaintenance.bootstrapSpans(spark, root, base)
+      val batch = spark.range(1, 2)
+        .select((col("id") + lit(2000000000L)).as("doc_id"),
+          lit(phrase + " graftfiller1 graftfiller2 graftfiller3").as("text"))
+      val t1 = System.nanoTime()
+      graft.operators.IndexMaintenance.refreshSpans(spark, root, batch, "boiler-batch")
+      val refreshSec = (System.nanoTime() - t1) / 1e9
+      val maintained = graft.operators.IndexMaintenance.exactSpans(spark, root)
+        .localCheckpoint()
+      val scratch = graft.operators.TextAnalysis
+        .exactSpansOver(base.unionByName(batch)).localCheckpoint()
+      val onlyM = maintained.exceptAll(scratch).count()
+      val onlyS = scratch.exceptAll(maintained).count()
+      require(onlyM == 0 && onlyS == 0,
+        s"maintained != from-scratch after the cap crossing ($onlyM/$onlyS rows differ)")
+      // the batch doc's own grams are all ineligible (phrase grams now
+      // over the cap, filler-boundary grams df=1), so the span delta is
+      // EXACTLY the retraction — and it must be non-vacuous: the
+      // crossing kills every pair the at-the-cap phrase generated
+      val retracted = heavySpans - scratch.count()
+      require(retracted > 0, s"cap crossing retracted nothing (delta $retracted)")
+      println(s"""{"query":"span_boilerplate","clean_sec":${j(cleanSec)},"heavy_sec":${j(heavySec)},"clean_spans":$cleanSpans,"heavy_spans":$heavySpans,"refresh_sec":${j(refreshSec)},"retracted_spans":$retracted,"maintained_eq":true,"replicas":$replicas}""")
+    }
+    // streaming admission latency at scale (r12, VERDICT r11 stretch):
+    // the probe side of the nearDup / span / phash admission streams
+    // must stay flat as the CORPUS grows — per-interval work is batch
+    // payload × touched buckets, never corpus size. Measured directly:
+    // the same 3×200-doc probe batches run against the 1× and the 5×
+    // corpus index in one process; the claim is the 5×/1× ratio ≈ 1.
+    if (selected("stream_admission")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.DataFrame
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val probeRows = Tables.documents(spark, src)
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(600)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      def feeds(tag: String): Seq[Seq[(Long, String)]] =
+        probeRows.grouped(200).toSeq.take(3).zipWithIndex.map { case (g, i) =>
+          g.map { case (id, t) => (id + 3000000000L + i * 100000L, t) } }
+      def medianLatency(tag: String)(
+          start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Double = {
+        val stream = MemoryStream[(Long, String)]
+        val q = start(stream.toDF().toDF("doc_id", "text"))
+        try {
+          val times = feeds(tag).map { b =>
+            stream.addData(b: _*)
+            val t0 = System.nanoTime()
+            q.processAllAvailable()
+            (System.nanoTime() - t0) / 1e9
+          }
+          times.sorted.apply(times.size / 2)
+        } finally q.stop()
+      }
+      def ckpt(n: String) = java.nio.file.Files
+        .createTempDirectory(s"scale_stream_$n").toString
+      def docsAt(dir: String) = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      def report(family: String, s1: Double, s5: Double): Unit =
+        println(s"""{"query":"stream_${family}_admission","batch_docs":200,"sec_1x":${j(s1)},"sec_5x":${j(s5)},"ratio":${j(s5 / s1)},"replicas":$replicas}""")
+
+      // near-dup: banded shingle-signature index probe
+      def nearDupSec(dir: String, tag: String): Double = {
+        val index = graft.operators.Dedup.bandKeysOf(docsAt(dir))
+          .withColumnRenamed("doc_id", "cand_id").localCheckpoint()
+        medianLatency(tag)(df => graft.streaming.StreamOps
+          .nearDupAdmissionStream(df, index, ckpt(s"nd$tag"))(_.count()))
+      }
+      report("neardup", nearDupSec(src, "n1"), nearDupSec(dst, "n5"))
+
+      // exact-substring: df-capped gram probe against the gram tables
+      def spanSec(dir: String, tag: String): Double = {
+        val grams = graft.operators.TextAnalysis.spanGramsOver(docsAt(dir))
+          .localCheckpoint()
+        val gdf = grams.select(col("doc_id"), col("g")).distinct()
+          .groupBy(col("g")).agg(count(lit(1)).as("gdf")).localCheckpoint()
+        medianLatency(tag)(df => graft.streaming.StreamOps
+          .spanAdmissionStream(df, grams, gdf, ckpt(s"sp$tag"))(_.count()))
+      }
+      report("span", spanSec(src, "s1"), spanSec(dst, "s5"))
+
+      // perceptual: banded 16-bit fingerprint index probe
+      def hexed(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        lit("image").as("modality"),
+        lower(hex(encode(col("text"), "UTF-8"))).as("payload_hex"),
+        md5(col("text")).as("payload_md5"))
+      def phashSec(dir: String, tag: String): Double = {
+        val index = graft.operators.Multimodal.phashBandKeysOf(hexed(docsAt(dir)))
+          .select(col("doc_id").as("cand_id"), col("modality"),
+            col("band_idx"), col("band_bits"), col("phash").as("cand_phash"))
+          .localCheckpoint()
+        medianLatency(tag)(df => graft.streaming.StreamOps
+          .phashAdmissionStream(hexed(df), index, ckpt(s"ph$tag"))(_.count()))
+      }
+      report("phash", phashSec(src, "p1"), phashSec(dst, "p5"))
+    }
     spark.stop()
   }
 }

@@ -142,12 +142,12 @@ object GraphOps {
         round(abs(col("ps") - col("pt")), 6).as("diff"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= KnnK + 1)
       .groupBy(col("ps"))
-      .agg(expr("transform(array_sort(collect_list(struct(diff, v))), s -> s.v)")
-        .as("cand_vs"))
+      .agg(expr("array_sort(collect_list(struct(diff, v)))").as("cand_vs"))
     val head = if (nGroups <= broadcastGroups) broadcast(gcand) else gcand
     nodes.join(head, col("price") === col("ps"))
       .select(col("key").as("u"),
-        explode(expr(s"slice(filter(cand_vs, x -> x != key), 1, $KnnK)")).as("v"))
+        explode(expr(s"slice(filter(cand_vs, x -> x.v != key), 1, $KnnK)")).as("c"))
+      .select(col("u"), col("c.v").as("v"), col("c.diff").as("diff"))
   }
 
   /** The MAINTENANCE form over a probe ≠ corpus pair: probe explodes
@@ -202,7 +202,7 @@ object GraphOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u")).orderBy(col("diff"), col("v"))
     cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= KnnK).select(col("u"), col("v"))
+      .filter(col("rn") <= KnnK).select(col("u"), col("v"), col("diff"))
   }
 
   /** Base-corpus node keys whose maintained top-K lists a batch of NEW
@@ -217,13 +217,15 @@ object GraphOps {
     * requires min-batch-diff ≤ u's current WORST neighbor diff (the ≤
     * keeps the equal-diff tiebreak cases as a safe superset), or an
     * under-full/absent list (< K rows — including isolated nodes).
-    * The worst diffs come from the maintained lists themselves
-    * (≤ K·n rows, priced by two joins against the base relation), so
-    * touched-set discovery costs one bounded list scan and the
-    * recompute is ∝ nodes with a genuinely contested list — in the
-    * duplication regime, same-coordinate groups and boundary nodes,
-    * not band occupancy. Passing `lists = None` (no committed table
-    * yet) falls back to full band reach.
+    * The worst diffs come straight off the maintained lists — since
+    * r12 the list table PERSISTS each row's diff, so discovery is one
+    * scan + per-u max/count with NO price join-backs (the previous
+    * form shuffled the K·n list relation through two joins against
+    * the base relation every refresh) — and the recompute is ∝ nodes
+    * with a genuinely contested list: in the duplication regime,
+    * same-coordinate groups and boundary nodes, not band occupancy.
+    * Passing `lists = None` (no committed table yet) falls back to
+    * full band reach.
     */
   private[graft] def touchedByBatch(base: DataFrame, batch: DataFrame,
       lists: Option[DataFrame]): DataFrame = {
@@ -239,12 +241,8 @@ object GraphOps {
     lists match {
       case None => reach.select(col("key"))
       case Some(l) =>
-        val worst = l.select(col("u"), col("v"))
-          .join(base.select(col("key").as("u"), col("price").as("lpu")), "u")
-          .join(base.select(col("key").as("v"), col("price").as("lpv")), "v")
-          .groupBy(col("u").as("key"))
-          .agg(max(round(abs(col("lpu") - col("lpv")), 6)).as("worst"),
-            count(lit(1)).as("deg"))
+        val worst = l.groupBy(col("u").as("key"))
+          .agg(max(col("diff")).as("worst"), count(lit(1)).as("deg"))
         reach.join(worst, Seq("key"), "left")
           .filter(col("worst").isNull || col("deg") < KnnK ||
             col("best_new") <= col("worst"))

@@ -95,12 +95,18 @@ object IndexMaintenance {
     val maintained = IdempotentMergeSink.read(spark, root)
     val touched = baseNodes
       .join(GraphOps.touchedByBatch(baseNodes, batchNodes,
-        maintained.map(_.select(col("u"), col("v")))), Seq("key"), "left_semi")
+        maintained.map(_.select(col("u"), col("v"), col("diff")))),
+        Seq("key"), "left_semi")
       .unionByName(batchNodes)
+      // materialize the (small) touched set: its derivation embeds the
+      // full-table worst-diff aggregation, and both the fresh-list
+      // build and the evicted anti-join consume it — without the
+      // checkpoint that aggregation runs twice per refresh
+      .localCheckpoint()
     val fresh = GraphOps.knnListsOf(touched, baseNodes.unionByName(batchNodes))
       .localCheckpoint() // feeds both the upserts and the evicted anti-join
     val evicted = maintained
-      .map(_.select(col("u"), col("v"))
+      .map(_.select(col("u"), col("v"), col("diff"))
         .join(touched.select(col("key").as("u")), Seq("u"), "left_semi")
         .join(fresh, Seq("u", "v"), "left_anti")
         .withColumn("op", lit("D")))

@@ -11,18 +11,32 @@ import java.nio.file.{Files, Paths}
   * its product updates, and the warehouse must not double-apply them
   * when a batch retries after a timeout). Two disciplines compose:
   *
-  *  - **Versioned commits, one atomic publish.** Each merge STAGES a
-  *    complete new table state plus its commit marker (`_GRAFT_COMMIT`)
-  *    in a hidden temp directory, then publishes it with a single
-  *    atomic rename to `v=<n>/`. Readers resolve the HIGHEST version
-  *    that carries a marker; a crash mid-write leaves only an unnamed
-  *    temp directory no reader ever sees. Because the rename either
-  *    claims the version number or fails (a directory cannot be
-  *    renamed onto a non-empty one), TWO CONCURRENT WRITERS cannot
-  *    both commit `v=<n>`: the loser's rename fails, it re-reads the
-  *    winner's committed state and re-merges at `v=<n+1>` — the
-  *    optimistic-concurrency loop Delta/Iceberg run against their
-  *    commit logs, expressed with filesystem rename as the CAS.
+  *  - **Versioned commits, one atomic publish.** Each merge STAGES its
+  *    commit plus marker (`_GRAFT_COMMIT`) in a hidden temp directory,
+  *    then publishes it with a single atomic rename to `v=<n>/`.
+  *    Readers resolve the HIGHEST version that carries a marker; a
+  *    crash mid-write leaves only an unnamed temp directory no reader
+  *    ever sees. Because the rename either claims the version number
+  *    or fails (a directory cannot be renamed onto a non-empty one),
+  *    TWO CONCURRENT WRITERS cannot both commit `v=<n>`: the loser's
+  *    rename fails, it re-reads the winner's committed state and
+  *    re-merges at `v=<n+1>` — the optimistic-concurrency loop
+  *    Delta/Iceberg run against their commit logs, expressed with
+  *    filesystem rename as the CAS.
+  *  - **Delta commits, bounded compaction.** A committed version is
+  *    either a BASE (the complete table state — parquet directly in
+  *    the version dir, the only form before r12) or a DELTA carrying
+  *    just the commit's change set (`upserts/` + `removes/` for keyed
+  *    merges, `increments/` for additive ones, tagged by a
+  *    `_GRAFT_DELTA` file naming the kind and key column). Readers
+  *    reconstruct state from the newest base forward. This is what
+  *    removes the snapshot floor from maintenance: a kNN refresh that
+  *    touches 10³ of 10⁶·K list rows commits 10³ rows, not K·n.
+  *    Every [[CompactEvery]]-th commit writes a base instead (on-write
+  *    compaction — the scheduled-compaction slot a table format's
+  *    rewrite job occupies), so a read never folds more than
+  *    CompactEvery−1 deltas and vacuum always has a recent base to
+  *    retain from.
   *  - **Batch-id dedup.** Every merge call carries a `batchId`; applied
   *    ids are recorded inside the commit marker and a re-run of an
   *    already-committed batch is a structural NO-OP (no read, no
@@ -49,6 +63,73 @@ import java.nio.file.{Files, Paths}
 object IdempotentMergeSink {
 
   private val Marker = "_GRAFT_COMMIT"
+  private val DeltaTag = "_GRAFT_DELTA"
+
+  /** Delta-chain bound: every CompactEvery-th commit is a full base,
+    * so reconstruction folds at most CompactEvery − 1 deltas.
+    */
+  val CompactEvery = 8
+
+  /** How a committed version stores its content. */
+  private sealed trait Kind
+  private case object Base extends Kind
+  private case class UpsertDelta(key: String) extends Kind
+  private case class AdditiveDelta(key: String) extends Kind
+
+  private def kindOf(root: String, v: Int): Kind = {
+    val tag = Paths.get(root, s"v=$v", DeltaTag)
+    if (!Files.exists(tag)) Base
+    else {
+      val lines = Files.readAllLines(tag, StandardCharsets.UTF_8)
+      lines.get(0) match {
+        case "upsert"   => UpsertDelta(lines.get(1))
+        case "additive" => AdditiveDelta(lines.get(1))
+        case other => throw new IllegalStateException(
+          s"unknown delta kind '$other' at $root/v=$v")
+      }
+    }
+  }
+
+  /** Newest base at or below `v` — always exists (the first commit of
+    * a table is a base by construction).
+    */
+  private def newestBase(root: String, v: Int): Int =
+    (v to 1 by -1).find(kindOf(root, _) == Base).getOrElse(
+      throw new IllegalStateException(s"no base version at or below v=$v in $root"))
+
+  /** Number of delta commits sitting on top of the newest base. */
+  private def deltaChainLen(root: String, v: Int): Int =
+    v - newestBase(root, v)
+
+  private def sumByKey(df: DataFrame, key: String): DataFrame = {
+    val cols = df.columns.filterNot(_ == key).toSeq
+    df.groupBy(col(key))
+      .agg(sum(col(cols.head)).as(cols.head),
+        cols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  /** Reconstruct the table state at version `v`: the newest base at or
+    * below it, folded forward through the delta chain in commit order.
+    * An upsert delta anti-joins its removed keys then unions its
+    * upserts; an additive delta unions its increments and re-sums.
+    * The chain is ≤ [[CompactEvery]] − 1 steps by construction.
+    */
+  private def stateAt(spark: SparkSession, root: String, v: Int): DataFrame = {
+    val b = newestBase(root, v)
+    (b + 1 to v).foldLeft(spark.read.parquet(s"$root/v=$b")) { (df, w) =>
+      kindOf(root, w) match {
+        case UpsertDelta(key) =>
+          // a delta's change set is one batch — broadcast it so the
+          // whole chain fold stays map-side over the single base scan
+          df.join(broadcast(spark.read.parquet(s"$root/v=$w/removes")),
+              Seq(key), "left_anti")
+            .unionByName(spark.read.parquet(s"$root/v=$w/upserts"))
+        case AdditiveDelta(key) =>
+          sumByKey(df.unionByName(spark.read.parquet(s"$root/v=$w/increments")), key)
+        case Base => df // unreachable: b is the newest base ≤ v
+      }
+    }
+  }
 
   /** Applied batch ids + version number of the newest committed
     * version, or None for an empty table root.
@@ -67,9 +148,11 @@ object IdempotentMergeSink {
     }
   }
 
-  /** The newest committed state, or None for an empty table. */
+  /** The newest committed state, or None for an empty table —
+    * reconstructed from the newest base through the delta chain.
+    */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
-    committed(root).map { case (v, _) => spark.read.parquet(s"$root/v=$v") }
+    committed(root).map { case (v, _) => stateAt(spark, root, v) }
 
   /** Version the newest commit carries (0 = empty table) — exposed so
     * a spec can assert "re-run produced NO new version".
@@ -125,31 +208,45 @@ object IdempotentMergeSink {
         (ranked.filter(col("op") =!= "D").drop("op"),
           ranked.filter(col("op") === "D").select(col(key)))
       else (ranked, ranked.limit(0).select(col(key)))
-    commitLoop(root, batchId, maxAttempts, "merge") { cur =>
-      cur.map { case (v, _) => spark.read.parquet(s"$root/v=$v") }
-        .map(_.join(ranked.select(col(key)), Seq(key), "left_anti")
-          .unionByName(upserts))
-        .getOrElse(upserts)
-        .join(deletes, Seq(key), "left_anti")
+    commitLoop(root, batchId, maxAttempts, "merge") { (cur, tmp) =>
+      cur match {
+        case None => // first commit: the filtered batch IS the base
+          upserts.join(deletes, Seq(key), "left_anti")
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        case Some((v, _)) if deltaChainLen(root, v) + 1 >= CompactEvery =>
+          // compacting commit: fold the chain + this batch into a base
+          stateAt(spark, root, v)
+            .join(ranked.select(col(key)), Seq(key), "left_anti")
+            .unionByName(upserts)
+            .join(deletes, Seq(key), "left_anti")
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        case Some(_) => // delta commit: just this batch's change set
+          ranked.select(col(key))
+            .write.mode(SaveMode.Overwrite).parquet(tmp.resolve("removes").toString)
+          upserts.write.mode(SaveMode.Overwrite).parquet(tmp.resolve("upserts").toString)
+          Files.write(tmp.resolve(DeltaTag),
+            s"upsert\n$key".getBytes(StandardCharsets.UTF_8))
+      }
     }
   }
 
   /** The optimistic-concurrency commit loop both merge flavors share:
-    * `stateOf(cur)` builds the complete next table state FROM the
-    * currently-committed version — re-invoked per attempt, so a
-    * lost-CAS retry always rebases on the winner's commit.
+    * `stage(cur, tmp)` writes the commit's CONTENT (a full base or a
+    * delta change set) into the staging dir FROM the currently-
+    * committed version — re-invoked per attempt, so a lost-CAS retry
+    * always rebases on the winner's commit.
     */
   private def commitLoop(root: String, batchId: String, maxAttempts: Int,
-      what: String)(stateOf: Option[(Int, Seq[String])] => DataFrame): Boolean = {
+      what: String)(
+      stage: (Option[(Int, Seq[String])], java.nio.file.Path) => Unit): Boolean = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val cur = committed(root)
       if (cur.exists(_._2.contains(batchId))) return false // retry after success
-      val newState = stateOf(cur)
       val nextV = cur.map(_._1).getOrElse(0) + 1
       val target = Paths.get(root, s"v=$nextV")
       val tmp = Paths.get(root, s".stage-${java.util.UUID.randomUUID()}")
-      newState.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      stage(cur, tmp)
       val ids = cur.map(_._2).getOrElse(Seq.empty) :+ batchId
       Files.write(tmp.resolve(Marker),
         ids.mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -192,21 +289,52 @@ object IdempotentMergeSink {
       key: String, batchId: String, maxAttempts: Int = 20): Boolean = {
     new File(root).mkdirs()
     if (committed(root).exists(_._2.contains(batchId))) return false
-    val incCols = increments.columns.filterNot(_ == key).toSeq
     // one evaluation: a lost-race retry re-adds the very same deltas
     val inc = increments.localCheckpoint()
-    commitLoop(root, batchId, maxAttempts, "mergeAdditive") { cur =>
-      cur.map { case (v, _) => spark.read.parquet(s"$root/v=$v") }
-        .map(_.unionByName(inc))
-        .getOrElse(inc)
-        .groupBy(col(key))
-        .agg(sum(col(incCols.head)).as(incCols.head),
-          incCols.tail.map(c => sum(col(c)).as(c)): _*)
+    commitLoop(root, batchId, maxAttempts, "mergeAdditive") { (cur, tmp) =>
+      cur match {
+        case None => // first commit: the batch's sums ARE the base
+          sumByKey(inc, key).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        case Some((v, _)) if deltaChainLen(root, v) + 1 >= CompactEvery =>
+          sumByKey(stateAt(spark, root, v).unionByName(inc), key)
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        case Some(_) => // delta commit: just this batch's per-key sums
+          sumByKey(inc, key)
+            .write.mode(SaveMode.Overwrite).parquet(tmp.resolve("increments").toString)
+          Files.write(tmp.resolve(DeltaTag),
+            s"additive\n$key".getBytes(StandardCharsets.UTF_8))
+      }
     }
   }
 
+  /** Rewrite the current state as a fresh BASE version through the
+    * same commit CAS — the explicit compaction entry for a maintenance
+    * schedule (on-write compaction already bounds chains at
+    * [[CompactEvery]]; this one exists so [[vacuum]] can advance its
+    * retention floor on demand). No-op (false) on an empty table or
+    * when the newest version is already a base. The synthetic batch id
+    * is derived from the compacted version, so a crashed compact
+    * retries idempotently.
+    */
+  def compact(spark: SparkSession, root: String,
+      maxAttempts: Int = 20): Boolean =
+    committed(root) match {
+      case None => false
+      case Some((v, _)) if kindOf(root, v) == Base => false
+      case Some((v, _)) =>
+        commitLoop(root, s"_compact_v$v", maxAttempts, "compact") { (cur, tmp) =>
+          val w = cur.map(_._1).getOrElse(
+            throw new IllegalStateException(s"compact($root): table vanished"))
+          stateAt(spark, root, w)
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        }
+    }
+
   /** Retention: drop all committed versions older than the newest
-    * `keep`, plus crashed writers' staged `.stage-*` directories whose
+    * `keep` AND older than the newest base (a delta is only readable
+    * through the base its chain starts from — run [[compact]] first
+    * when the goal is reclaiming a long-lived chain), plus crashed
+    * writers' staged `.stage-*` directories whose
     * NEWEST inner file is older than `stageGraceMs`. The age gate
     * reads the newest mtime INSIDE the stage, not the stage dir's own
     * mtime: a directory's mtime only changes when entries are added at
@@ -230,13 +358,17 @@ object IdempotentMergeSink {
     require(keep >= 1, "must keep at least the newest committed version")
     val entries = Option(new File(root).listFiles()).getOrElse(Array.empty)
     committed(root).foreach { case (newest, _) =>
+      // a delta version is only readable through the base its chain
+      // starts from: retention can never cross the newest base, or the
+      // versions `keep` promises to retain stop reconstructing
+      val chainFloor = newestBase(root, newest)
       entries
         .filter(f => f.isDirectory && f.getName.startsWith("v="))
-        .filter(_.getName.stripPrefix("v=").toInt <= newest - keep)
-        .foreach { d =>
-          d.listFiles().foreach(_.delete())
-          d.delete()
+        .filter { f =>
+          val n = f.getName.stripPrefix("v=").toInt
+          n <= newest - keep && n < chainFloor
         }
+        .foreach(deleteRecursively)
     }
     def newestMtime(f: File): Long = {
       val inner = Option(f.listFiles()).getOrElse(Array.empty)

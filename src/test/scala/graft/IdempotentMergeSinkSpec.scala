@@ -81,20 +81,84 @@ class IdempotentMergeSinkSpec extends SparkTestBase {
     assert(!IdempotentMergeSink.merge(spark, root, b2, "key", "b2"))
   }
 
-  test("vacuum drops old versions without weakening idempotence") {
+  test("vacuum drops old versions without weakening idempotence; compact advances its floor") {
     import spark.implicits._
     val root = freshRoot()
     val b1 = Seq((1L, "I", "a")).toDF("key", "op", "payload")
     val b2 = Seq((2L, "I", "b")).toDF("key", "op", "payload")
     IdempotentMergeSink.merge(spark, root, b1, "key", "b1")
     IdempotentMergeSink.merge(spark, root, b2, "key", "b2")
+    // v=2 is a delta riding on the v=1 base: retention must NOT cross
+    // the base the chain reads through, whatever `keep` says
     IdempotentMergeSink.vacuum(root, keep = 1)
-    // old version gone, newest intact, applied ids survive the vacuum
-    assert(!new File(s"$root/v=1").exists())
-    assert(IdempotentMergeSink.version(root) == 2)
+    assert(new File(s"$root/v=1").exists(),
+      "vacuum severed a live delta chain from its base")
+    assert(state(root) == Set((1L, "a"), (2L, "b")))
+    // compact rewrites the state as a fresh base (v=3); re-compacting a
+    // base-topped table is a no-op
+    assert(IdempotentMergeSink.compact(spark, root))
+    assert(!IdempotentMergeSink.compact(spark, root))
+    assert(IdempotentMergeSink.version(root) == 3)
+    // now retention can reclaim: old versions gone, newest intact,
+    // applied ids survive the vacuum
+    IdempotentMergeSink.vacuum(root, keep = 1)
+    assert(!new File(s"$root/v=1").exists() && !new File(s"$root/v=2").exists())
     assert(state(root) == Set((1L, "a"), (2L, "b")))
     assert(IdempotentMergeSink.applied(root, "b1"))
     assert(!IdempotentMergeSink.merge(spark, root, b1, "key", "b1"))
+  }
+
+  test("delta commits carry only the change set; every CompactEvery-th commit writes a base") {
+    import spark.implicits._
+    val root = freshRoot()
+    def put(k: Long, p: String, id: String) = IdempotentMergeSink.merge(
+      spark, root, Seq((k, "I", p)).toDF("key", "op", "payload"), "key", id)
+    put(0L, "p0", "b0")
+    // the first commit is a base (parquet directly in the version dir)
+    assert(!new File(s"$root/v=1/$DeltaTagName").exists())
+    (1 until IdempotentMergeSink.CompactEvery).foreach(i => put(i.toLong, s"p$i", s"b$i"))
+    // v=2..v=CompactEvery ride the v=1 base as upsert deltas
+    (2 to IdempotentMergeSink.CompactEvery).foreach { v =>
+      assert(new File(s"$root/v=$v/$DeltaTagName").exists(), s"v=$v should be a delta")
+      assert(new File(s"$root/v=$v/upserts").exists() &&
+        new File(s"$root/v=$v/removes").exists(), s"v=$v missing its change set")
+    }
+    // the commit that would make the chain CompactEvery long compacts
+    put(99L, "px", "bx")
+    val compacted = IdempotentMergeSink.CompactEvery + 1
+    assert(!new File(s"$root/v=$compacted/$DeltaTagName").exists(),
+      s"v=$compacted should be a compacting base")
+    val want = (0 until IdempotentMergeSink.CompactEvery)
+      .map(i => (i.toLong, s"p$i")).toSet + ((99L, "px"))
+    assert(state(root) == want)
+    // a delete through a delta reconstructs correctly too
+    IdempotentMergeSink.merge(spark, root,
+      Seq((0L, "D", "")).toDF("key", "op", "payload"), "key", "bdel")
+    assert(state(root) == want - ((0L, "p0")))
+  }
+
+  private val DeltaTagName = "_GRAFT_DELTA"
+
+  test("additive deltas reconstruct: chained increments equal the all-at-once sums") {
+    import spark.implicits._
+    val root = freshRoot()
+    val batches = Seq(
+      Seq(("t1", 2L), ("t2", 3L)),
+      Seq(("t1", 5L), ("t3", 7L)),
+      Seq(("t2", 11L), ("t3", 13L), ("t1", 1L)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IdempotentMergeSink.mergeAdditive(spark, root,
+        b.toDF("key", "n"), "key", s"inc$i")
+    }
+    // base + two additive deltas on disk
+    assert(!new File(s"$root/v=1/$DeltaTagName").exists())
+    Seq(2, 3).foreach { v =>
+      assert(new File(s"$root/v=$v/$DeltaTagName").exists() &&
+        new File(s"$root/v=$v/increments").exists(), s"v=$v not an additive delta")
+    }
+    val got = IdempotentMergeSink.read(spark, root).get.collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("n")).toMap
+    assert(got == Map("t1" -> 8L, "t2" -> 14L, "t3" -> 20L))
   }
 
   test("property: any batch splitting of a log converges to the same state") {

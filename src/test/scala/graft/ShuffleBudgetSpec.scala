@@ -308,7 +308,17 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // sample's modulus (broadcast after; the pair join itself shrank)
     "ann_lsh_sensitivity"   -> 5,
     "dedup_simhash_sensitivity" -> 3,
-    "multimodal_phash_sensitivity" -> 4)
+    "multimodal_phash_sensitivity" -> 4,
+    // r12: the SQL-text twins go through the same Catalyst pipeline as
+    // their Scala forms. sql_simhash_pairs probes the artifact: band
+    // join + distinct ride one exchange with the output sort;
+    // sql_bm25_topk matches text_bm25_topk's 7 (the tf relation is
+    // inlined SQL, not a checkpoint, so its branches re-plan);
+    // quality_gate/ann_topk: 1-row agg + rank/output exchange
+    "sql_simhash_pairs"     -> 1,
+    "sql_bm25_topk"         -> 7,
+    "sql_quality_gate"      -> 2,
+    "sql_ann_topk"          -> 2)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
