@@ -62,7 +62,11 @@ object ScalePointBench {
     // r11: the sensitivity trio — each rides its candidate relation,
     // so growth must track the pair search it audits
     "dedup_lsh_sensitivity", "ann_lsh_sensitivity",
-    "dedup_simhash_sensitivity")
+    "dedup_simhash_sensitivity",
+    // r12: the perceptual audit, now calibration-sampled like the
+    // angular one — its fine 4-bit-bucket search was the remaining
+    // full-corpus-quadratic audit shape
+    "multimodal_phash_sensitivity")
 
   /** Versioned done-marker: v2 added lineitem replication (the ETL
     * temporal/scd2 targets); bumping the name forces a one-time

@@ -215,8 +215,9 @@ object AnnSearch {
     * chars of md5(decimal string), parsed as a non-negative long —
     * replayable bit-for-bit in DuckDB as
     * `('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT`.
+    * Shared by every sensitivity audit's calibration sample.
     */
-  private def sampleHash(id: Column): Column =
+  private[operators] def sampleHash(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
 
   /** ANGULAR LSH SENSITIVITY — the hyperplane twin of

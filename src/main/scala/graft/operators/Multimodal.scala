@@ -534,20 +534,52 @@ object Multimodal {
     * coarse form trades for its 2^16-wide buckets. Same exact-rational
     * analytic table as the simhash twin (shared [[Dedup.bandRecall6]]
     * literals on both sides).
+    *
+    * Scale note (r12, the [[AnnSearch.annLshSensitivity]] discipline):
+    * the fine search's 4-bit buckets make its candidates ∝ n²/16, so
+    * the audit samples the fingerprint relation IN-QUERY down to
+    * ~[[PhashCalibTarget]] rows (modulus = ⌈n/target⌉ from a 1-row
+    * broadcast count, deterministic md5-hash-mod membership replayed
+    * identically by the oracle) and scales observed mass by mod².
+    * Below the target mod = 1 and the observed column is the exact
+    * TRUE mass (all spec claims — including p=1.0 mass ≡ the coarse
+    * r3 count — are stated there); above it the column is the
+    * unbiased estimate, which is what a banding audit needs.
     */
-  def multimodalPhashSensitivity(spark: SparkSession, dir: String): DataFrame = {
+  def multimodalPhashSensitivity(spark: SparkSession, dir: String): DataFrame =
+    multimodalPhashSensitivityAt(spark, dir, PhashCalibTarget)
+
+  /** Calibration-sample size target for the perceptual audit. */
+  private val PhashCalibTarget = 1000
+
+  /** [[multimodalPhashSensitivity]] with an explicit target — exposed
+    * so specs can force mod > 1 on the small test corpora.
+    */
+  private[graft] def multimodalPhashSensitivityAt(
+      spark: SparkSession, dir: String, target: Int): DataFrame = {
     import spark.implicits._
     val grid = (0 to 16).map { h =>
       (h.toLong, Dedup.bandRecall6(64, 4, h).toDouble,
         Dedup.bandRecall6(64, 8, h).toDouble,
         Dedup.bandRecall6(64, 16, h).toDouble)
     }.toDF("hamming", "p_b4x16", "p_b8x8", "p_b16x4")
-    val observed = multimodalPhashDctPairs(spark, dir)
+    val fp = servedDctFingerprints(spark, dir)
+    val modRow = fp.agg(count(lit(1)).as("n_fp"))
+      .select(greatest(lit(1L),
+        ceil(col("n_fp") / lit(target.toDouble)).cast("long")).as("smod"))
+    val sampled = fp.crossJoin(broadcast(modRow))
+      .filter(AnnSearch.sampleHash(col("doc_id")) % col("smod") === 0)
+      .drop("smod")
+    val observed = dctPairsOver(sampled)
       .groupBy(col("hamming").cast("long").as("hamming"))
       .agg(count(lit(1)).as("n_pairs"))
     grid.join(observed, Seq("hamming"), "left")
-      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
-      .select("hamming", "n_pairs", "p_b4x16", "p_b8x8", "p_b16x4")
+      .crossJoin(broadcast(modRow))
+      .withColumn("n_pairs_obs", coalesce(col("n_pairs"), lit(0L)))
+      .withColumn("n_pairs", col("n_pairs_obs") * col("smod") * col("smod"))
+      .withColumn("sample_mod", col("smod"))
+      .select("hamming", "n_pairs", "n_pairs_obs", "sample_mod",
+        "p_b4x16", "p_b8x8", "p_b16x4")
       .orderBy("hamming")
   }
 
@@ -854,10 +886,16 @@ object Multimodal {
           s"${graft.operators.Dedup.bandRecall6(64, 16, h)})"
       }.mkString(",\n  ")
       s"""WITH $dctCtes,
+         |smod AS (
+         |  SELECT greatest(1, CAST(ceil(count(*) / 1000.0) AS BIGINT)) AS m
+         |  FROM ph64),
+         |samp AS (
+         |  SELECT p.* FROM ph64 p, smod
+         |  WHERE CAST(('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % smod.m = 0),
          |bands AS (
          |  SELECT doc_id, modality, phash64,
          |    b.b AS band_idx, (phash64 >> (4 * b.b)) & 15 AS band_bits
-         |  FROM ph64, generate_series(0, ${DctBands - 1}) b(b)),
+         |  FROM samp, generate_series(0, ${DctBands - 1}) b(b)),
          |cand AS (
          |  SELECT DISTINCT a.modality, a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.phash64 AS fa, b.phash64 AS fb
@@ -872,9 +910,11 @@ object Multimodal {
          |grid(hamming, p_b4x16, p_b8x8, p_b16x4) AS (VALUES
          |  $rows)
          |SELECT CAST(g.hamming AS BIGINT) AS hamming,
-         |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(n_pairs, 0) * smod.m * smod.m AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs_obs,
+         |  CAST(smod.m AS BIGINT) AS sample_mod,
          |  g.p_b4x16, g.p_b8x8, g.p_b16x4
-         |FROM grid g LEFT JOIN obs ON obs.hamming = g.hamming
+         |FROM grid g LEFT JOIN obs ON obs.hamming = g.hamming, smod
          |ORDER BY hamming""".stripMargin
     },
     // the self-contained coarse-banded twin of _r3 — identical result

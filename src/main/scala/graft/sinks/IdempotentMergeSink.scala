@@ -111,21 +111,37 @@ object IdempotentMergeSink {
   /** Reconstruct the table state at version `v`: the newest base at or
     * below it, folded forward through the delta chain in commit order.
     * An upsert delta anti-joins its removed keys then unions its
-    * upserts; an additive delta unions its increments and re-sums.
-    * The chain is ≤ [[CompactEvery]] − 1 steps by construction.
+    * upserts; additive deltas are order-independent among themselves
+    * (sums commute), so each CONTIGUOUS additive run coalesces into
+    * one union-all + a single re-sum instead of a chained aggregation
+    * per delta — the all-additive df tables fold with exactly one
+    * aggregation however long the chain. ≤ [[CompactEvery]] − 1 steps
+    * by construction.
     */
   private def stateAt(spark: SparkSession, root: String, v: Int): DataFrame = {
     val b = newestBase(root, v)
-    (b + 1 to v).foldLeft(spark.read.parquet(s"$root/v=$b")) { (df, w) =>
-      kindOf(root, w) match {
-        case UpsertDelta(key) =>
-          // a delta's change set is one batch — broadcast it so the
-          // whole chain fold stays map-side over the single base scan
-          df.join(broadcast(spark.read.parquet(s"$root/v=$w/removes")),
-              Seq(key), "left_anti")
-            .unionByName(spark.read.parquet(s"$root/v=$w/upserts"))
+    val kinds = (b + 1 to v).map(w => w -> kindOf(root, w))
+    // group contiguous same-kind runs, preserving commit order
+    val runs = kinds.foldLeft(List.empty[List[(Int, Kind)]]) {
+      case (acc @ (run @ ((_, rk) :: _)) :: rest, wk @ (_, k))
+        if k.getClass == rk.getClass => (wk :: run) :: rest
+      case (acc, wk) => List(wk) :: acc
+    }.map(_.reverse).reverse
+    runs.foldLeft(spark.read.parquet(s"$root/v=$b")) { (df, run) =>
+      run.head._2 match {
+        case UpsertDelta(_) =>
+          run.foldLeft(df) { case (d, (w, UpsertDelta(key))) =>
+            // a delta's change set is one batch — broadcast it so the
+            // chain fold stays map-side over the single base scan
+            d.join(broadcast(spark.read.parquet(s"$root/v=$w/removes")),
+                Seq(key), "left_anti")
+              .unionByName(spark.read.parquet(s"$root/v=$w/upserts"))
+            case (d, _) => d // unreachable: run is kind-homogeneous
+          }
         case AdditiveDelta(key) =>
-          sumByKey(df.unionByName(spark.read.parquet(s"$root/v=$w/increments")), key)
+          sumByKey(run.map { case (w, _) =>
+            spark.read.parquet(s"$root/v=$w/increments")
+          }.foldLeft(df)(_ unionByName _), key)
         case Base => df // unreachable: b is the newest base ≤ v
       }
     }

@@ -161,6 +161,29 @@ class IdempotentMergeSinkSpec extends SparkTestBase {
     assert(got == Map("t1" -> 8L, "t2" -> 14L, "t3" -> 20L))
   }
 
+  test("mixed delta chains reconstruct in commit order; contiguous additive runs coalesce") {
+    import spark.implicits._
+    val root = freshRoot()
+    def n(root: String): Map[String, Long] =
+      IdempotentMergeSink.read(spark, root).get.collect()
+        .map(r => r.getAs[String]("key") -> r.getAs[Long]("n")).toMap
+    // base (upsert) → additive ×2 (one coalesced run) → upsert
+    // (whole-row replace must CUT the additive history) → additive
+    IdempotentMergeSink.merge(spark, root,
+      Seq(("k", 10L)).toDF("key", "n"), "key", "b1")
+    IdempotentMergeSink.mergeAdditive(spark, root,
+      Seq(("k", 5L)).toDF("key", "n"), "key", "b2")
+    IdempotentMergeSink.mergeAdditive(spark, root,
+      Seq(("k", 2L), ("j", 1L)).toDF("key", "n"), "key", "b3")
+    assert(n(root) == Map("k" -> 17L, "j" -> 1L))
+    IdempotentMergeSink.merge(spark, root,
+      Seq(("k", 100L)).toDF("key", "n"), "key", "b4")
+    IdempotentMergeSink.mergeAdditive(spark, root,
+      Seq(("k", 1L)).toDF("key", "n"), "key", "b5")
+    assert(n(root) == Map("k" -> 101L, "j" -> 1L),
+      "upsert must replace (not sum with) the coalesced additive history")
+  }
+
   test("property: any batch splitting of a log converges to the same state") {
     import spark.implicits._
     // three seeded random logs × random batch boundaries: final state

@@ -61,6 +61,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q_basket_lift", // 1-row broadcast order-count lift normalizer
     "q_abc_analysis", // 1-row broadcast revenue total
     "ann_lsh_sensitivity", // 1-row broadcast calibration-sample modulus
+    "multimodal_phash_sensitivity", // same calibration-sample modulus
     // the SQL-text twins keep their base forms' 1-row broadcast /
     // brute-force-baseline loops, written as SQL
     "sql_ann_topk", // the declared brute-force baseline, from SQL

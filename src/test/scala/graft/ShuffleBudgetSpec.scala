@@ -308,7 +308,8 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // sample's modulus (broadcast after; the pair join itself shrank)
     "ann_lsh_sensitivity"   -> 5,
     "dedup_simhash_sensitivity" -> 3,
-    "multimodal_phash_sensitivity" -> 4,
+    // +1 r12: the calibration-sample modulus count agg
+    "multimodal_phash_sensitivity" -> 5,
     // r12: the SQL-text twins go through the same Catalyst pipeline as
     // their Scala forms. sql_simhash_pairs probes the artifact: band
     // join + distinct ride one exchange with the output sort;

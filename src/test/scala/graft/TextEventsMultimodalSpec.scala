@@ -835,6 +835,12 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     val t = Multimodal.multimodalPhashSensitivity(spark, sfDir).cache()
     val rows = t.orderBy(col("hamming")).collect()
     assert(rows.length == 17)
+    // below the calibration target the audit is the exact full count:
+    // mod = 1 and the estimate equals the raw observed
+    rows.foreach { r =>
+      assert(r.getLong(3) == 1L, "corpus under target must use mod=1")
+      assert(r.getLong(1) == r.getLong(2), "mod=1 estimate must be exact")
+    }
     // observed column comes from the radius-10 fine search
     rows.filter(_.getLong(0) > Multimodal.DctRadius)
       .foreach(r => assert(r.getLong(1) == 0L, s"pair beyond the fine radius at $r"))
@@ -842,10 +848,32 @@ class TextEventsMultimodalSpec extends SparkTestBase {
     // the analytic 4x16 column prices the coarse production form
     // against TRUE mass: its 1.0 rows (h <= 3) carry exactly the pair
     // count the r3 query reports
-    val sureMass = rows.filter(_.getDouble(2) == 1.0).map(_.getLong(1)).sum
+    val sureMass = rows.filter(_.getDouble(4) == 1.0).map(_.getLong(1)).sum
     assert(sureMass == Multimodal.multimodalPhashDctPairsR3(spark, sfDir).count(),
       "p_b4x16 = 1.0 mass diverges from the coarse-banded query")
     t.unpersist()
+  }
+
+  test("phash sensitivity: calibration sample preserves the grid and scales mass by mod^2") {
+    val full = Multimodal.multimodalPhashSensitivityAt(spark, sfDir, 1000000)
+      .orderBy(col("hamming")).collect()
+    // force a real modulus (> 1) on the small test corpus
+    val samp = Multimodal.multimodalPhashSensitivityAt(spark, sfDir, 125)
+      .orderBy(col("hamming")).collect()
+    assert(samp.length == 17 && full.length == 17)
+    val mod = samp.head.getLong(3)
+    assert(mod > 1L, "target 125 must force sampling on the test corpus")
+    samp.zip(full).foreach { case (s, f) =>
+      assert(s.getLong(0) == f.getLong(0))
+      // the analytic columns are corpus-independent — bit-equal
+      (4 to 6).foreach(c => assert(s.getDouble(c) == f.getDouble(c)))
+      assert(s.getLong(3) == mod)
+      assert(s.getLong(1) == s.getLong(2) * mod * mod,
+        "estimate must be obs x mod^2")
+    }
+    // the sample genuinely shrank the fine self-join's input
+    assert(samp.map(_.getLong(2)).sum < full.map(_.getLong(2)).sum,
+      "sample did not shrink the observed join")
   }
 
 }
