@@ -70,6 +70,17 @@ object IdempotentMergeSink {
     */
   val CompactEvery = 8
 
+  /** Batch-size bound for a DELTA commit: the read path broadcasts a
+    * delta's change set (that is what keeps the chain fold map-side),
+    * so a huge batch committed as a delta would be a driver-side
+    * broadcast of the batch on every subsequent read. Above this many
+    * rows the commit writes a compacting BASE instead — for a batch
+    * that large the snapshot write is proportional cost anyway, and
+    * the delta economics (tiny change set vs full table) are gone.
+    * ~500k keyed rows ≈ tens of MB — the broadcast comfort bound.
+    */
+  val DeltaMaxRows = 500000L
+
   /** How a committed version stores its content. */
   private sealed trait Kind
   private case object Base extends Kind
@@ -198,7 +209,8 @@ object IdempotentMergeSink {
     * rather than spin.
     */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
-      key: String, batchId: String, maxAttempts: Int = 20): Boolean = {
+      key: String, batchId: String, maxAttempts: Int = 20,
+      deltaMaxRows: Long = DeltaMaxRows): Boolean = {
     new File(root).mkdirs()
     // the retry-after-success fast path stays STRUCTURAL: already
     // applied → return before the updates plan is even evaluated (the
@@ -224,13 +236,17 @@ object IdempotentMergeSink {
         (ranked.filter(col("op") =!= "D").drop("op"),
           ranked.filter(col("op") === "D").select(col(key)))
       else (ranked, ranked.limit(0).select(col(key)))
+    // checkpointed above, so the gate's count is a cached-partition scan
+    val batchRows = ranked.count()
     commitLoop(root, batchId, maxAttempts, "merge") { (cur, tmp) =>
       cur match {
         case None => // first commit: the filtered batch IS the base
           upserts.join(deletes, Seq(key), "left_anti")
             .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        case Some((v, _)) if deltaChainLen(root, v) + 1 >= CompactEvery =>
+        case Some((v, _)) if deltaChainLen(root, v) + 1 >= CompactEvery
+            || batchRows > deltaMaxRows =>
           // compacting commit: fold the chain + this batch into a base
+          // (also the path for a batch too big to broadcast as a delta)
           stateAt(spark, root, v)
             .join(ranked.select(col(key)), Seq(key), "left_anti")
             .unionByName(upserts)
@@ -302,16 +318,19 @@ object IdempotentMergeSink {
     * each batch's deltas exactly-once, same as [[merge]].
     */
   def mergeAdditive(spark: SparkSession, root: String, increments: DataFrame,
-      key: String, batchId: String, maxAttempts: Int = 20): Boolean = {
+      key: String, batchId: String, maxAttempts: Int = 20,
+      deltaMaxRows: Long = DeltaMaxRows): Boolean = {
     new File(root).mkdirs()
     if (committed(root).exists(_._2.contains(batchId))) return false
     // one evaluation: a lost-race retry re-adds the very same deltas
     val inc = increments.localCheckpoint()
+    val batchRows = inc.count() // checkpointed: a cached-partition scan
     commitLoop(root, batchId, maxAttempts, "mergeAdditive") { (cur, tmp) =>
       cur match {
         case None => // first commit: the batch's sums ARE the base
           sumByKey(inc, key).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        case Some((v, _)) if deltaChainLen(root, v) + 1 >= CompactEvery =>
+        case Some((v, _)) if deltaChainLen(root, v) + 1 >= CompactEvery
+            || batchRows > deltaMaxRows =>
           sumByKey(stateAt(spark, root, v).unionByName(inc), key)
             .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         case Some(_) => // delta commit: just this batch's per-key sums

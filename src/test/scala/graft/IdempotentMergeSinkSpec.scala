@@ -184,6 +184,83 @@ class IdempotentMergeSinkSpec extends SparkTestBase {
       "upsert must replace (not sum with) the coalesced additive history")
   }
 
+  test("a batch too big to broadcast as a delta commits as a compacting base") {
+    import spark.implicits._
+    val root = freshRoot()
+    IdempotentMergeSink.merge(spark, root,
+      Seq((1L, "I", "a")).toDF("key", "op", "payload"), "key", "b1")
+    // under the gate: a delta
+    IdempotentMergeSink.merge(spark, root,
+      Seq((2L, "I", "b")).toDF("key", "op", "payload"), "key", "b2",
+      deltaMaxRows = 2)
+    assert(new File(s"$root/v=2/$DeltaTagName").exists())
+    // over the gate: forced base mid-chain (the read path would
+    // otherwise broadcast this batch's change set on every read)
+    IdempotentMergeSink.merge(spark, root,
+      Seq((3L, "I", "c"), (4L, "I", "d"), (5L, "I", "e"))
+        .toDF("key", "op", "payload"), "key", "b3", deltaMaxRows = 2)
+    assert(!new File(s"$root/v=3/$DeltaTagName").exists(),
+      "oversized batch must compact, not commit a delta")
+    assert(state(root) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // additive: same gate
+    val aroot = freshRoot()
+    IdempotentMergeSink.mergeAdditive(spark, aroot,
+      Seq(("t", 1L)).toDF("key", "n"), "key", "a1")
+    IdempotentMergeSink.mergeAdditive(spark, aroot,
+      Seq(("t", 1L), ("u", 1L), ("v", 1L)).toDF("key", "n"), "key", "a2",
+      deltaMaxRows = 2)
+    assert(!new File(s"$aroot/v=2/$DeltaTagName").exists())
+  }
+
+  test("property: random merge/additive/compact/vacuum interleavings track the model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815)
+    (0 until 3).foreach { trial =>
+      val root = freshRoot()
+      // model: key -> value under upsert/sum semantics (disjoint key
+      // spaces: upserts use keys 0..9, additive uses keys 100..104, so
+      // one table exercises both flavors without semantic collision)
+      var upModel = Map.empty[Long, Long]
+      var addModel = Map.empty[Long, Long]
+      var batch = 0
+      (0 until 14).foreach { _ =>
+        rnd.nextInt(5) match {
+          case 0 | 1 => // keyed merge (upsert or delete)
+            val k = rnd.nextInt(10).toLong
+            if (rnd.nextBoolean() || !upModel.contains(k)) {
+              val v = rnd.nextInt(1000).toLong
+              IdempotentMergeSink.merge(spark, root,
+                Seq((k, "I", v)).toDF("key", "op", "n"), "key", s"m$batch",
+                deltaMaxRows = if (rnd.nextBoolean()) 0 else 1000)
+              upModel += k -> v
+            } else {
+              IdempotentMergeSink.merge(spark, root,
+                Seq((k, "D", 0L)).toDF("key", "op", "n"), "key", s"m$batch")
+              upModel -= k
+            }
+          case 2 | 3 => // additive increment on the high key space
+            val k = 100L + rnd.nextInt(5)
+            val v = rnd.nextInt(50).toLong
+            IdempotentMergeSink.mergeAdditive(spark, root,
+              Seq((k, v)).toDF("key", "n"), "key", s"m$batch",
+              deltaMaxRows = if (rnd.nextBoolean()) 0 else 1000)
+            addModel += k -> (addModel.getOrElse(k, 0L) + v)
+          case 4 =>
+            if (rnd.nextBoolean()) IdempotentMergeSink.compact(spark, root)
+            else if (IdempotentMergeSink.version(root) > 0)
+              IdempotentMergeSink.vacuum(root, keep = 1)
+        }
+        batch += 1
+        val got = IdempotentMergeSink.read(spark, root)
+          .map(_.collect().map(r =>
+            r.getAs[Long]("key") -> r.getAs[Long]("n")).toMap)
+          .getOrElse(Map.empty)
+        assert(got == upModel ++ addModel,
+          s"trial $trial diverged after batch $batch: $got vs ${upModel ++ addModel}")
+      }
+    }
+  }
+
   test("property: any batch splitting of a log converges to the same state") {
     import spark.implicits._
     // three seeded random logs × random batch boundaries: final state
