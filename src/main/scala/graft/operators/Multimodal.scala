@@ -495,9 +495,40 @@ object Multimodal {
       .select(col("doc_id"), col("modality"), col("phash64"),
         col("bb.band_idx"), col("bb.band_bits"))
 
-  private[graft] def dctPairsOver(fp: DataFrame, nBands: Int = DctBands,
+  /** The EXACT search's banding, r12: 11 uneven bands (widths 5-6)
+    * over the 64 bits — the minimum band count pigeonhole-lossless at
+    * [[DctRadius]] = 10 (10 flips cannot touch all 11 bands), with the
+    * WIDEST buckets that count allows. Candidate mass per modality is
+    * Σ_bands occupancy² ∝ n²·Σ 2^−width = 0.20 n², versus the old
+    * uniform 16×4's 16·n²/16 = n² — ~5× fewer candidates for the
+    * identical result set (any lossless banding yields the same pairs,
+    * so the DuckDB oracle's uniform banding replays unchanged).
+    */
+  private val FineBands: Seq[(Int, Int, Int)] = { // (band_idx, lo_bit, width)
+    val cuts = (0 to DctRadius + 1).map(b => 64 * b / (DctRadius + 1))
+    cuts.sliding(2).toSeq.zipWithIndex.map {
+      case (Seq(lo, hi), i) => (i, lo, hi - lo)
+    }
+  }
+
+  private def dctFineBandsOf(fp: DataFrame): DataFrame =
+    fp.select(col("doc_id"), col("modality"), col("phash64"),
+      explode(array(FineBands.map { case (i, lo, w) => struct(
+        lit(i).as("band_idx"),
+        shiftright(col("phash64"), lo)
+          .bitwiseAND(lit((1L << w) - 1)).as("band_bits"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("modality"), col("phash64"),
+        col("bb.band_idx"), col("bb.band_bits"))
+
+  /** nBands = 0 selects the exact search's [[FineBands]] scheme;
+    * explicit (nBands, bandBits) select a uniform banding (the coarse
+    * production form passes 4 × 16).
+    */
+  private[graft] def dctPairsOver(fp: DataFrame, nBands: Int = 0,
       bandBits: Int = 4, radius: Int = DctRadius): DataFrame = {
-    val bands = dctBandsOf(fp, nBands, bandBits)
+    val bands = if (nBands == 0) dctFineBandsOf(fp)
+      else dctBandsOf(fp, nBands, bandBits)
     bands.select(col("modality"), col("band_idx"), col("band_bits"),
         col("doc_id").as("doc_a"), col("phash64").as("fa"))
       .join(bands.select(col("modality"), col("band_idx"), col("band_bits"),
@@ -511,22 +542,24 @@ object Multimodal {
   }
 
   /** The coarse-banded production operating point: 4 bands × 16 bits,
-    * lossless to radius [[DctRadiusCoarse]]. The radius-15-lossless
-    * 16×4-bit banding above is exact for the published ≤10 cut but its
-    * bucket space is only 2^4 per band — occupancy grows ∝ n and
-    * candidates ∝ n² (measured 4× candidates for 5× data at the sf0.5
-    * point). 16-bit bands give 2^16 buckets per band: occupancy
-    * ∝ n/2^16, the same pigeonhole machinery at the coarseness a
-    * billion-image corpus actually runs (every planted re-encode
-    * variant sits at hamming ≤ 2, well inside the coarse radius —
-    * spec-pinned banded ≡ brute-force at radius 3). Reads the served
-    * fingerprint artifact: this IS the production form.
+    * lossless to radius [[DctRadiusCoarse]]. The exact ≤10 search's
+    * banding ([[FineBands]]: 11 uneven 5-6-bit bands since r12) is
+    * lossless at the full cut but its buckets are at most 2^6 wide —
+    * occupancy grows ∝ n and candidates ∝ 0.2 n² (quadratic however
+    * banded: 11 bands cannot be wider). 16-bit bands give 2^16
+    * buckets per band: occupancy ∝ n/2^16, the same pigeonhole
+    * machinery at the coarseness a billion-image corpus actually runs
+    * (every planted re-encode variant sits at hamming ≤ 2, well
+    * inside the coarse radius — spec-pinned banded ≡ brute-force at
+    * radius 3). Reads the served fingerprint artifact: this IS the
+    * production form.
     */
   val DctRadiusCoarse = 3
   /** PERCEPTUAL Hamming sensitivity — [[Dedup.dedupSimhashSensitivity]]
-    * with the DCT family's OBSERVED column: the fine 16×4-band search
-    * is lossless to radius 15, so its pair mass at h ∈ [0, 10] is the
-    * TRUE pair count per distance, and the analytic columns price the
+    * with the DCT family's OBSERVED column: the exact search's banding
+    * ([[FineBands]]) is lossless at the full ≤10 cut, so its pair mass
+    * at h ∈ [0, 10] is the TRUE pair count per distance, and the
+    * analytic columns price the
     * production operating points against real mass — rows with
     * p_b4x16 = 1.0 are exactly what the coarse `_r3` form catches
     * (the spec asserts that equality against the r3 query itself),
@@ -596,7 +629,7 @@ object Multimodal {
     * Work ∝ batch × touched band buckets.
     */
   private[graft] def dctNewPairs(batchFp: DataFrame, baseFp: DataFrame): DataFrame = {
-    val bands = dctBandsOf(baseFp.unionByName(batchFp))
+    val bands = dctFineBandsOf(baseFp.unionByName(batchFp))
       .join(batchFp.select(col("doc_id").as("nid")).distinct(),
         col("doc_id") === col("nid"), "left")
       .withColumn("is_new", col("nid").isNotNull)
