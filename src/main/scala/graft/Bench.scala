@@ -42,7 +42,13 @@ object Bench {
     val mv = if (baseline.isEmpty) "" else
       ",\"byte_movers\":" + byteMovers(shuffle, baseline)
         .map { case (q, ratio, cur, base) =>
-          s"""{"q":"$q","ratio":${j(ratio)},"bytes":$cur,"base":$base}""" }
+          // base == 0 is a DISTINCT condition, not a big ratio: emit
+          // null so a genuine mover whose tiny baseline yields a real
+          // ratio ≥ ZeroBaseRatio can never alias the sentinel (the
+          // "base":0 field alone already disambiguates, but only for
+          // readers who know to check it)
+          val r = if (base == 0) "null" else j(ratio)
+          s"""{"q":"$q","ratio":$r,"bytes":$cur,"base":$base}""" }
         .mkString("[", ",", "]")
     // provenance: which committed artifact the byte gate diffed against
     // — without it the committed trail can't prove the diff wasn't

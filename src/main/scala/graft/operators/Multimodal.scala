@@ -920,7 +920,7 @@ object Multimodal {
       }.mkString(",\n  ")
       s"""WITH $dctCtes,
          |smod AS (
-         |  SELECT greatest(1, CAST(ceil(count(*) / 1000.0) AS BIGINT)) AS m
+         |  SELECT greatest(1, CAST(ceil(count(*) / $PhashCalibTarget.0) AS BIGINT)) AS m
          |  FROM ph64),
          |samp AS (
          |  SELECT p.* FROM ph64 p, smod

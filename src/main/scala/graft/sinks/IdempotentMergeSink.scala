@@ -88,6 +88,14 @@ object IdempotentMergeSink {
   private case class AdditiveDelta(key: String) extends Kind
 
   private def kindOf(root: String, v: Int): Kind = {
+    // distinguish "directory absent" from "base": a missing version dir
+    // (partial vacuum, external deletion) must fail HERE with a clear
+    // message, not resolve to Base and crash later inside a parquet
+    // scan with a confusing missing-file error
+    if (!Files.exists(Paths.get(root, s"v=$v", Marker)))
+      throw new IllegalStateException(
+        s"version v=$v at $root is absent or unmarked (vacuumed?) — " +
+          "cannot classify it on the delta chain")
     val tag = Paths.get(root, s"v=$v", DeltaTag)
     if (!Files.exists(tag)) Base
     else {
@@ -132,10 +140,15 @@ object IdempotentMergeSink {
   private def stateAt(spark: SparkSession, root: String, v: Int): DataFrame = {
     val b = newestBase(root, v)
     val kinds = (b + 1 to v).map(w => w -> kindOf(root, w))
-    // group contiguous same-kind runs, preserving commit order
+    // group contiguous same-kind runs, preserving commit order. Runs
+    // group on the WHOLE Kind (case-class equality = kind + key
+    // column), not just the class: two contiguous additive deltas
+    // committed with different key columns must fold as separate runs,
+    // each re-summed by its own key, instead of run.head's key being
+    // silently applied to both
     val runs = kinds.foldLeft(List.empty[List[(Int, Kind)]]) {
       case (acc @ (run @ ((_, rk) :: _)) :: rest, wk @ (_, k))
-        if k.getClass == rk.getClass => (wk :: run) :: rest
+        if k == rk => (wk :: run) :: rest
       case (acc, wk) => List(wk) :: acc
     }.map(_.reverse).reverse
     runs.foldLeft(spark.read.parquet(s"$root/v=$b")) { (df, run) =>
@@ -180,6 +193,19 @@ object IdempotentMergeSink {
     */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     committed(root).map { case (v, _) => stateAt(spark, root, v) }
+
+  /** Time-travel read: the table state as of committed version `v` —
+    * the versionAsOf contract. [[vacuum]]'s `keep` promises the newest
+    * `keep` versions stay reconstructable through here (their base
+    * chains are the retention floor). Throws a descriptive error for a
+    * version that was never committed or has been vacuumed.
+    */
+  def readAt(spark: SparkSession, root: String, v: Int): DataFrame = {
+    if (!Files.exists(Paths.get(root, s"v=$v", Marker)))
+      throw new IllegalStateException(
+        s"readAt($root, v=$v): version absent or unmarked (vacuumed?)")
+    stateAt(spark, root, v)
+  }
 
   /** Version the newest commit carries (0 = empty table) — exposed so
     * a spec can assert "re-run produced NO new version".
@@ -394,9 +420,13 @@ object IdempotentMergeSink {
     val entries = Option(new File(root).listFiles()).getOrElse(Array.empty)
     committed(root).foreach { case (newest, _) =>
       // a delta version is only readable through the base its chain
-      // starts from: retention can never cross the newest base, or the
-      // versions `keep` promises to retain stop reconstructing
-      val chainFloor = newestBase(root, newest)
+      // starts from, and `keep` promises the newest `keep` versions
+      // stay READABLE — so the floor is the base chain of the OLDEST
+      // retained version, not of the newest (with keep > 1 and a
+      // recent compaction, the newest version's base can sit ABOVE
+      // retained delta versions that still read through an older base)
+      val oldestRetained = math.max(1, newest - keep + 1)
+      val chainFloor = newestBase(root, oldestRetained)
       entries
         .filter(f => f.isDirectory && f.getName.startsWith("v="))
         .filter { f =>

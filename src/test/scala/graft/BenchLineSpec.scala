@@ -87,10 +87,19 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.fullLine(Map("qz" -> 1.0), "/tmp/x", shuffle, base,
       Some("deadbeef"))
     assert(!line.contains("Infinity"), line)
-    assert(line.contains(s""""byte_movers":[{"q":"qz","ratio":9999.000"""), line)
+    // a zero-baseline mover serializes ratio as null — a DISTINCT
+    // condition a genuine huge-ratio mover can never alias (the
+    // ZeroBaseRatio sentinel stays internal, for sorting only)
+    assert(line.contains(s""""byte_movers":[{"q":"qz","ratio":null"""), line)
+    assert(line.contains(""""base":0}"""), line)
     assert(line.contains(""""baseline_commit":"deadbeef""""), line)
     // still brace-balanced (parseable-shaped) with the mover present
     assert(line.count(_ == '{') == line.count(_ == '}'))
+    // a real mover with a tiny-but-nonzero baseline whose true ratio
+    // exceeds the sentinel keeps its REAL ratio, not null
+    val tiny = Bench.fullLine(Map("qt" -> 1.0), "/tmp/x",
+      Map("qt" -> (80000L * mb, 0L)), Map("qt" -> (4L * mb, 0L)))
+    assert(tiny.contains(""""byte_movers":[{"q":"qt","ratio":20000.000"""), tiny)
   }
 
   test("byte gate diffs against the COMMITTED artifact, rejecting the in-flight working-tree copy") {

@@ -108,6 +108,78 @@ class IdempotentMergeSinkSpec extends SparkTestBase {
     assert(!IdempotentMergeSink.merge(spark, root, b1, "key", "b1"))
   }
 
+  test("vacuum keep>1 protects the base chain of the OLDEST retained version") {
+    import spark.implicits._
+    // the ADVICE shape: base v1, deltas v2..v8, compacting base v9.
+    // vacuum(keep=3) retains v7/v8/v9 — v7/v8 are DELTAS reading
+    // through the v1 base, so the floor must be newestBase(v7)=1, not
+    // newestBase(v9)=9 (which would delete v1..v6 and sever them)
+    val root = freshRoot()
+    def put(k: Long, p: String, id: String) = IdempotentMergeSink.merge(
+      spark, root, Seq((k, "I", p)).toDF("key", "op", "payload"), "key", id)
+    (0 until 9).foreach(i => put(i.toLong, s"p$i", s"b$i"))
+    assert(IdempotentMergeSink.version(root) == 9)
+    assert(!new File(s"$root/v=9/$DeltaTagName").exists(), "v9 should have compacted")
+    assert(new File(s"$root/v=8/$DeltaTagName").exists(), "v8 should be a delta")
+    IdempotentMergeSink.vacuum(root, keep = 3)
+    // every retained version still reconstructs through its own chain
+    (7 to 9).foreach { v =>
+      val got = IdempotentMergeSink.readAt(spark, root, v).collect()
+        .map(r => (r.getAs[Long]("key"), r.getAs[String]("payload"))).toSet
+      assert(got == (0 until v).map(i => (i.toLong, s"p$i")).toSet,
+        s"retained v=$v no longer reconstructs after vacuum(keep=3)")
+    }
+    // with keep=1 the newest version IS the newest base: now v1..v8 go
+    IdempotentMergeSink.vacuum(root, keep = 1)
+    assert((1 to 8).forall(v => !new File(s"$root/v=$v").exists()))
+    assert(state(root) == (0 until 9).map(i => (i.toLong, s"p$i")).toSet)
+  }
+
+  test("a vacuumed or absent version fails loudly with a clear message, not a parquet error") {
+    import spark.implicits._
+    val root = freshRoot()
+    IdempotentMergeSink.merge(spark, root,
+      Seq((1L, "I", "a")).toDF("key", "op", "payload"), "key", "b1")
+    IdempotentMergeSink.merge(spark, root,
+      Seq((2L, "I", "b")).toDF("key", "op", "payload"), "key", "b2")
+    // readAt of a never-committed version
+    val e1 = intercept[IllegalStateException] {
+      IdempotentMergeSink.readAt(spark, root, 7)
+    }
+    assert(e1.getMessage.contains("absent or unmarked"))
+    // simulate a broken external deletion severing the chain: the v=1
+    // base vanishes while the v=2 delta survives — the failure must
+    // name the vacuumed version, not surface as a missing-parquet scan
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(new File(s"$root/v=1"))
+    val e2 = intercept[IllegalStateException] {
+      IdempotentMergeSink.read(spark, root).get.collect()
+    }
+    assert(e2.getMessage.contains("vacuumed"), e2.getMessage)
+  }
+
+  test("contiguous additive deltas with DIFFERENT key columns fold as separate runs") {
+    import spark.implicits._
+    val root = freshRoot()
+    // base: (a=1, b=10)
+    IdempotentMergeSink.mergeAdditive(spark, root,
+      Seq((1L, 10L)).toDF("a", "b"), "a", "s1")
+    // delta keyed by "a": +(1, 5) → state (1, 15)
+    IdempotentMergeSink.mergeAdditive(spark, root,
+      Seq((1L, 5L)).toDF("a", "b"), "a", "s2")
+    // delta keyed by "b": +(2, 15) groups ON b — state row (a=1,b=15)
+    // and the increment (a=2,b=15) sum their a's → (3, 15). A coalesce
+    // that applied run.head's key ("a") to this delta would instead
+    // produce {(1,15),(2,15)} — the silent mis-aggregation
+    IdempotentMergeSink.mergeAdditive(spark, root,
+      Seq((2L, 15L)).toDF("a", "b"), "b", "s3")
+    val got = IdempotentMergeSink.read(spark, root).get.collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(got == Set((3L, 15L)), s"mixed-key additive chain mis-folded: $got")
+  }
+
   test("delta commits carry only the change set; every CompactEvery-th commit writes a base") {
     import spark.implicits._
     val root = freshRoot()
