@@ -1223,7 +1223,7 @@ object AnnSearch {
       .select(col("q_id"), col("doc_id").as("id"), col("lex_rank"))
   }
 
-  private def servedBm25(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+  private[operators] def servedBm25(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import graft.sources.ArtifactStore
     val tf = ArtifactStore.ensure(spark, dir, "bm25_tf", "doc_id", 8)(
       bm25Tf(Tables.documents(spark, dir)))
@@ -1235,6 +1235,17 @@ object AnnSearch {
       tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
     (tf, df, dl)
   }
+
+  /** The (vec_id, v, nrm) corpus relation SERVED from its bucketed
+    * artifact table: the decoded double vectors WITH their norms
+    * precomputed at build time — what a vector store's sealed segment
+    * holds. A reader pays one table scan instead of the per-query
+    * binary→double cast plus a `vec_dot(v, v)` per row per reference
+    * (SQL `WITH` CTEs inline, so the text form was paying that twice).
+    */
+  private[operators] def servedVecNorms(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ArtifactStore.ensure(spark, dir, "vec_norms", "vec_id", 8)(
+      vecs(spark, dir))
 
   /** [[annRrfFusion]] served from the artifact tier: identical legs
     * and fusion, zero index construction in the query — the most

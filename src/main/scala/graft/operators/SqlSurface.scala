@@ -80,36 +80,37 @@ object SqlSurface {
         |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
-  /** Okapi BM25 top-10, pure SQL text over the `documents` view — the
-    * inverted-index chain (tf → df/dl → 1-row stats → rarest-term
-    * query probe → integer-scaled scoring) written the way a SQL-first
-    * analyst would tune it (k1/b live in the text). Same arithmetic
-    * order as [[TextAnalysis.textBm25Topk]], whose oracle it shares.
+  /** Okapi BM25 top-10, pure SQL text over the SERVED inverted-index
+    * artifacts — the `bm25_tf` / `bm25_df` / `bm25_dl` posting
+    * relations registered as views (the exact tables
+    * [[graft.streaming.IndexMaintenance]] keeps fresh), 1-row stats →
+    * rarest-term query probe → integer-scaled scoring with k1/b in the
+    * text. Same arithmetic order as [[TextAnalysis.textBm25Topk]],
+    * whose oracle it shares. The r12 form tokenized `documents` inside
+    * a `tf` CTE referenced three times — Spark inlines `WITH` CTEs, so
+    * the corpus was re-tokenized per reference; postings tables are
+    * what a SQL analyst would (and here does) query instead.
     */
-  def bm25TopkSql(spark: SparkSession, dir: String): DataFrame =
-    withViews(spark, dir) {
-      spark.sql(
-        """WITH terms AS (
-          |  SELECT doc_id, term
-          |  FROM documents
-          |  LATERAL VIEW explode(split(lower(trim(text)), '\\s+')) t AS term
-          |  WHERE term <> ''),
-          |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
-          |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
-          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-          |stats AS (SELECT count(*) AS n_docs,
-          |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-          |qterms AS (SELECT term, df FROM df ORDER BY df ASC, term LIMIT 3),
-          |contrib AS (
-          |  SELECT tf.doc_id, dl.dl,
-          |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-          |      * (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS c
-          |  FROM tf JOIN qterms USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
-          |SELECT doc_id, count(*) AS n_terms_hit, dl,
-          |  round(sum(CAST(round(c * 1000000, 0) AS BIGINT)) / 1000000.0, 6) AS score
-          |FROM contrib GROUP BY doc_id, dl
-          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
-    }
+  def bm25TopkSql(spark: SparkSession, dir: String): DataFrame = {
+    val (tf, df, dl) = AnnSearch.servedBm25(spark, dir)
+    tf.createOrReplaceTempView("bm25_tf")
+    df.createOrReplaceTempView("bm25_df")
+    dl.createOrReplaceTempView("bm25_dl")
+    spark.sql(
+      """WITH stats AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM bm25_dl),
+        |qterms AS (SELECT term, df FROM bm25_df ORDER BY df ASC, term LIMIT 3),
+        |contrib AS (
+        |  SELECT tf.doc_id, dl.dl,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS c
+        |  FROM bm25_tf tf JOIN qterms USING (term)
+        |  JOIN bm25_dl dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, count(*) AS n_terms_hit, dl,
+        |  round(sum(CAST(round(c * 1000000, 0) AS BIGINT)) / 1000000.0, 6) AS score
+        |FROM contrib GROUP BY doc_id, dl
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
+  }
 
   /** The quantile-threshold quality gate, pure SQL text: the sigmoid
     * quality score (log-length, stopword, punctuation, uppercase
@@ -122,18 +123,21 @@ object SqlSurface {
   def qualityGateSql(spark: SparkSession, dir: String): DataFrame =
     withViews(spark, dir) {
       spark.sql(
-        """WITH s AS (
+        """WITH toks AS (
+          |  SELECT doc_id, text, split(lower(trim(text)), '\\s+') AS tok
+          |  FROM documents),
+          |s AS (
           |  SELECT doc_id,
           |    round(1.0 / (1.0 + exp(-(
-          |      ln(CAST(size(split(lower(trim(text)), '\\s+')) AS DOUBLE) + 1) * 0.3
-          |      + CAST(size(filter(split(lower(trim(text)), '\\s+'),
+          |      ln(CAST(size(tok) AS DOUBLE) + 1) * 0.3
+          |      + CAST(size(filter(tok,
           |          x -> array_contains(array('the','a','and','of','to','in','is','it','for','on'), x))) AS DOUBLE)
-          |        / CAST(size(split(lower(trim(text)), '\\s+')) AS DOUBLE) * 2.0
+          |        / CAST(size(tok) AS DOUBLE) * 2.0
           |      - (CAST(length(text) AS DOUBLE) - CAST(length(regexp_replace(text, '[^A-Za-z0-9\\s]', '')) AS DOUBLE))
           |        / CAST(length(text) AS DOUBLE) * 3.0
           |      - (CAST(length(text) AS DOUBLE) - CAST(length(regexp_replace(text, '[A-Z]', '')) AS DOUBLE))
           |        / CAST(length(text) AS DOUBLE) * 2.0))), 6) AS quality_score
-          |  FROM documents),
+          |  FROM toks),
           |t AS (SELECT round(percentile(quality_score, 0.25D), 6) AS p25 FROM s)
           |SELECT doc_id, quality_score, p25 FROM s CROSS JOIN t
           |WHERE quality_score >= p25 ORDER BY doc_id""".stripMargin)
@@ -141,27 +145,27 @@ object SqlSurface {
 
   /** Brute-force cosine top-k from SQL text — the native codegen'd
     * `vec_dot` kernel called as a SQL function (like `upc_valid`
-    * above), norms precomputed per vector, broadcast query subset, the
-    * windowed rank in the text. Shares [[AnnSearch.annTopk]]'s oracle.
+    * above) over the SERVED `vec_norms` artifact (decoded vectors with
+    * norms precomputed at build time — the sealed-segment shape), a
+    * broadcast query subset, the windowed rank in the text. The r12
+    * form cast + re-normed `embeddings` inside a CTE referenced twice
+    * (CTE inlining re-planned it per reference). Shares
+    * [[AnnSearch.annTopk]]'s oracle.
     */
-  def annTopkSql(spark: SparkSession, dir: String): DataFrame =
-    withViews(spark, dir) {
-      spark.sql(
-        """WITH n AS (
-          |  SELECT vec_id, v, sqrt(vec_dot(v, v)) AS nrm
-          |  FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
-          |        FROM embeddings)),
-          |scored AS (
-          |  SELECT /*+ BROADCAST(q) */ q.vec_id AS q_id, e.vec_id AS vec_id,
-          |    round(vec_dot(q.v, e.v) / (q.nrm * e.nrm), 6) AS cosine
-          |  FROM n e JOIN (SELECT * FROM n WHERE vec_id % 50 = 0) q
-          |    ON e.vec_id <> q.vec_id)
-          |SELECT q_id, vec_id AS neighbor_id, cosine, rank
-          |FROM (SELECT *, row_number() OVER (
-          |        PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
-          |      FROM scored)
-          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
-    }
+  def annTopkSql(spark: SparkSession, dir: String): DataFrame = {
+    AnnSearch.servedVecNorms(spark, dir).createOrReplaceTempView("vec_norms")
+    spark.sql(
+      """WITH scored AS (
+        |  SELECT /*+ BROADCAST(q) */ q.vec_id AS q_id, e.vec_id AS vec_id,
+        |    round(vec_dot(q.v, e.v) / (q.nrm * e.nrm), 6) AS cosine
+        |  FROM vec_norms e JOIN (SELECT * FROM vec_norms WHERE vec_id % 50 = 0) q
+        |    ON e.vec_id <> q.vec_id)
+        |SELECT q_id, vec_id AS neighbor_id, cosine, rank
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_revenue_by_nation" -> (revenueByNation _),

@@ -312,12 +312,13 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "multimodal_phash_sensitivity" -> 5,
     // r12: the SQL-text twins go through the same Catalyst pipeline as
     // their Scala forms. sql_simhash_pairs probes the artifact: band
-    // join + distinct ride one exchange with the output sort;
-    // sql_bm25_topk matches text_bm25_topk's 7 (the tf relation is
-    // inlined SQL, not a checkpoint, so its branches re-plan);
-    // quality_gate/ann_topk: 1-row agg + rank/output exchange
+    // join + distinct ride one exchange with the output sort.
+    // r13: bm25/ann serve from the artifact tier too — bm25's postings
+    // joins ride the doc_id bucketing (was 7 when the inlined tf CTE
+    // re-planned per reference), leaving only the 1-row stats agg;
+    // ann reads stored (v, nrm), keeping just the rank + output sort
     "sql_simhash_pairs"     -> 1,
-    "sql_bm25_topk"         -> 7,
+    "sql_bm25_topk"         -> 1,
     "sql_quality_gate"      -> 2,
     "sql_ann_topk"          -> 2)
 
