@@ -284,9 +284,9 @@ object GraphOps {
     * and `0.15` are DIFFERENT doubles, so both engines must use the
     * same literal form or ranks drift in the last ulp per iteration.
     */
-  private val Damping = 0.85
-  private val Teleport = 0.15
-  private val Iters = 3
+  private[operators] val Damping = 0.85
+  private[operators] val Teleport = 0.15
+  private[operators] val Iters = 3
 
   /** Fixed-iteration PageRank (3 rounds, d=0.85) over the undirected
     * pair graph, unrolled into ONE Catalyst plan — no driver loop, no
@@ -307,26 +307,31 @@ object GraphOps {
   def graphPagerank(spark: SparkSession, dir: String): DataFrame =
     pagerankOf(knnEdges(spark, dir))
 
-  /** PageRank over any (a, b) pair relation with a < b — exposed for
-    * specs to drive degenerate graphs (single edge, path, star).
+  /** The PageRank preprocessing shared by the DataFrame form and the
+    * SQL-text twin: per-node degrees, the degree-weighted adjacency
+    * (src, dst, d) MATERIALIZED once (without it every unrolled
+    * iteration re-plans the edge-building subtree and the static plan
+    * grows an Exchange tower — 19 exchanges for 3 iterations when left
+    * pure; localCheckpoint also truncates lineage, reliable
+    * checkpoint() on a real cluster), and the checkpointed 1-row node
+    * count that is crossJoin-broadcast into every iteration.
     */
-  def pagerankOf(pairs: DataFrame): DataFrame = {
+  private[operators] def pagerankAdjacency(
+      pairs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val jp = pairs.toDF("a", "b")
     val edges = jp.select(col("a").as("src"), col("b").as("dst"))
       .union(jp.select(col("b").as("src"), col("a").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    // materialize the degree-weighted adjacency ONCE (the standard
-    // PageRank preprocessing): without it every unrolled iteration
-    // re-plans the edge-building subtree and the static plan grows an
-    // Exchange tower (19 exchanges for 3 iterations when left pure).
-    // localCheckpoint also truncates lineage, same trade as
-    // [[Dedup.connectedComponents]]; reliable checkpoint() on a real
-    // cluster.
     val weighted = edges.join(deg, "src").localCheckpoint()
-    // the 1-row node count is crossJoin-broadcast into EVERY iteration's
-    // projection — checkpoint it so the degree aggregation isn't
-    // re-planned once per iteration
     val nRel = deg.agg(count(lit(1)).as("n_nodes")).localCheckpoint()
+    (deg, weighted, nRel)
+  }
+
+  /** PageRank over any (a, b) pair relation with a < b — exposed for
+    * specs to drive degenerate graphs (single edge, path, star).
+    */
+  def pagerankOf(pairs: DataFrame): DataFrame = {
+    val (deg, weighted, nRel) = pagerankAdjacency(pairs)
     var ranks = deg.crossJoin(broadcast(nRel))
       .select(col("src").as("doc_id"), (lit(1.0) / col("n_nodes")).as("r"))
     for (_ <- 1 to Iters) {

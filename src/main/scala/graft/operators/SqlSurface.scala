@@ -167,13 +167,67 @@ object SqlSurface {
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
   }
 
+  /** PageRank from SQL text — the unrolled power-iteration chain an
+    * analyst writes against a PREPARED adjacency table: the served
+    * `knn_edges` artifact is preprocessed once into the checkpointed
+    * degree-weighted adjacency + 1-row node count
+    * ([[GraphOps.pagerankAdjacency]], the same relations the DataFrame
+    * form iterates over), registered as the `pr_adj` / `pr_n` views;
+    * each round is then one join + keyed aggregation in the text, with
+    * the same per-round 6-dp re-rounding discipline. A raw-CTE version
+    * (deg/weighted as `WITH` clauses) would re-plan the adjacency per
+    * iteration under CTE inlining — the exact blow-up
+    * [[bm25TopkSql]] shed this round. Shares
+    * [[GraphOps.oracles]]("graph_pagerank")'s SQL.
+    */
+  def pagerankSql(spark: SparkSession, dir: String): DataFrame = {
+    val (_, weighted, nRel) =
+      GraphOps.pagerankAdjacency(GraphOps.knnEdgesServed(spark, dir))
+    weighted.createOrReplaceTempView("pr_adj")
+    nRel.createOrReplaceTempView("pr_n")
+    val d = GraphOps.Damping
+    val t = GraphOps.Teleport
+    // CROSS JOIN the 1-row count (broadcast) instead of a scalar
+    // subquery per iteration: each scalar subquery is its own tiny
+    // job, and 2 × Iters of them cost ~0.5 s of pure scheduling
+    val iter = (prev: String, out: String) =>
+      s"""$out AS (
+         |  SELECT doc_id, round($t / n_nodes + $d * contrib, 6) AS r FROM (
+         |    SELECT a.dst AS doc_id, n_nodes, sum(r.r / a.d) AS contrib
+         |    FROM pr_adj a JOIN $prev r ON r.doc_id = a.src CROSS JOIN pr_n
+         |    GROUP BY a.dst, n_nodes))""".stripMargin
+    spark.sql(
+      s"""WITH r0 AS (
+         |  SELECT DISTINCT src AS doc_id, 1.0 / n_nodes AS r
+         |  FROM pr_adj CROSS JOIN pr_n),
+         |${(1 to GraphOps.Iters).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")}
+         |SELECT doc_id, r AS pagerank FROM r${GraphOps.Iters}
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Connected-component membership from SQL text over the SERVED
+    * `dedup_labels` artifact (the min-label fixpoint's output table) —
+    * the component-size policy query an analyst actually runs: one
+    * window over the label table, no pair search, no fixpoint in the
+    * query. Shares [[Dedup.oracles]]("dedup_components")'s SQL.
+    */
+  def componentsSql(spark: SparkSession, dir: String): DataFrame = {
+    Dedup.servedLabels(spark, dir).createOrReplaceTempView("dedup_labels")
+    spark.sql(
+      """SELECT doc_id, component,
+        |  count(*) OVER (PARTITION BY component) AS component_size
+        |FROM dedup_labels ORDER BY doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_revenue_by_nation" -> (revenueByNation _),
     "sql_upc_valid_share"   -> (upcValidShare _),
     "sql_simhash_pairs"     -> (simhashPairsSql _),
     "sql_bm25_topk"         -> (bm25TopkSql _),
     "sql_quality_gate"      -> (qualityGateSql _),
-    "sql_ann_topk"          -> (annTopkSql _))
+    "sql_ann_topk"          -> (annTopkSql _),
+    "sql_pagerank"          -> (pagerankSql _),
+    "sql_components"        -> (componentsSql _))
 
   val oracles: Map[String, String] = Map(
     "sql_revenue_by_nation" ->
@@ -205,5 +259,7 @@ object SqlSurface {
     "sql_simhash_pairs" -> Dedup.oracles("dedup_simhash_pairs"),
     "sql_bm25_topk"     -> TextAnalysis.oracles("text_bm25_topk"),
     "sql_quality_gate"  -> CorpusOps.oracles("corpus_quality_gate"),
-    "sql_ann_topk"      -> AnnSearch.oracles("ann_topk"))
+    "sql_ann_topk"      -> AnnSearch.oracles("ann_topk"),
+    "sql_pagerank"      -> GraphOps.oracles("graph_pagerank"),
+    "sql_components"    -> Dedup.oracles("dedup_components"))
 }

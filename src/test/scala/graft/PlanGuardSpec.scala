@@ -67,6 +67,7 @@ class PlanGuardSpec extends SparkTestBase {
     "sql_ann_topk", // the declared brute-force baseline, from SQL
     "sql_bm25_topk", // 1-row (N, avgdl) stats relation
     "sql_quality_gate", // 1-row percentile threshold
+    "sql_pagerank", // 1-row broadcast node count joined per iteration
     "graph_modularity") // 1-row broadcast edge-count normalizer
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

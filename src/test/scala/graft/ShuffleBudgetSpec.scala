@@ -320,7 +320,14 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "sql_simhash_pairs"     -> 1,
     "sql_bm25_topk"         -> 1,
     "sql_quality_gate"      -> 2,
-    "sql_ann_topk"          -> 2)
+    "sql_ann_topk"          -> 2,
+    // r13: the SQL graph twins match their Scala twins exactly —
+    // pagerank: 3 per-iteration aggs over the checkpointed adjacency
+    // views + r0 distinct + output sort (graph_pagerank_indexed is
+    // also 5); components: size window + output sort over the label
+    // artifact (dedup_components_served is also 2)
+    "sql_pagerank"          -> 5,
+    "sql_components"        -> 2)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
