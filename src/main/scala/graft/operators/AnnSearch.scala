@@ -1187,27 +1187,23 @@ object AnnSearch {
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
 
-  /** The BM25 leg of the RRF fusion over any (tf, df, dl) posting
+  /** Per-(term, doc) BM25 IMPACT WEIGHTS from any (tf, df, dl) posting
     * relations: Robertson/Spärck-Jones idf × the k1/b-saturated tf
-    * term, integer-scaled before the order-free per-(query, doc) sum,
-    * top-`RrfCand` per query. One body for the self-contained build,
-    * the artifact-served twin, and the maintained-postings path — the
-    * relations differ, the scoring never does.
+    * term, integer-scaled to a bigint. The weight is a property of the
+    * INDEX, not of any query — computing it here, once per (term, doc)
+    * posting (3.7M rows at 5×), instead of once per (query, term, doc)
+    * candidate (43.5M rows — the r13 profile's dominant cost) is the
+    * impact-ordered-postings idea from the IR literature (Anh &
+    * Moffat): the per-candidate work degrades to an integer sum.
     */
-  private[graft] def bm25LexRanked(tf: DataFrame, df: DataFrame,
+  private def bm25Weights(tf: DataFrame, df: DataFrame,
       dl: DataFrame): DataFrame = {
     val k1 = 1.2
     val b = 0.75
     val stats = dl.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val qTerms = tf.filter(expr("doc_id % 50 = 0"))
-      .select(col("doc_id").as("q_id"), col("term"))
-    val wLex = Window.partitionBy(col("q_id"))
-      .orderBy(col("bm25").desc, col("doc_id"))
     tf
-      .join(broadcast(qTerms), "term")
-      .filter(col("doc_id") =!= col("q_id"))
       .join(df, "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -1215,13 +1211,49 @@ object AnnSearch {
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
           (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+      .select(col("term"), col("doc_id"),
+        round(col("c") * 1000000, 0).cast("bigint").as("w6"))
+  }
+
+  /** The BM25 leg of the RRF fusion over a per-(term, doc) weight
+    * relation: broadcast the query terms into the postings fan-out,
+    * integer-sum per (query, doc), top-`RrfCand` per query. The
+    * candidate relation carries only (term, doc_id, w6) — no float
+    * math after the fan-out — and when `w` is the doc_id-bucketed
+    * artifact the aggregation rides the bucketing; the only exchange
+    * left is the per-query rank window.
+    */
+  private def bm25LexRankedFromW(w: DataFrame, qTerms: DataFrame): DataFrame = {
+    val wLex = Window.partitionBy(col("q_id"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    w
+      .join(broadcast(qTerms), "term")
+      .filter(col("doc_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("doc_id"))
-      .agg(sum(round(col("c") * 1000000, 0).cast("bigint")).as("s6"))
+      .agg(sum(col("w6")).as("s6"))
       .withColumn("bm25", round(col("s6") / 1000000.0, 6))
       .withColumn("lex_rank", row_number().over(wLex))
       .filter(col("lex_rank") <= RrfCand)
       .select(col("q_id"), col("doc_id").as("id"), col("lex_rank"))
   }
+
+  /** The query-term relation of the fixed fusion query model (every
+    * 50th document probes with all its terms).
+    */
+  private def bm25QTerms(tf: DataFrame): DataFrame =
+    tf.filter(expr("doc_id % 50 = 0"))
+      .select(col("doc_id").as("q_id"), col("term"))
+
+  /** The BM25 leg over raw (tf, df, dl) postings — weights computed
+    * in-query. One scoring body for the self-contained build, the
+    * artifact-served twin, and the maintained-postings path — the
+    * relations differ, the arithmetic never does (a per-(term, doc)
+    * weight rounds identically whether computed per posting here or
+    * persisted by the `bm25_w` artifact build).
+    */
+  private[graft] def bm25LexRanked(tf: DataFrame, df: DataFrame,
+      dl: DataFrame): DataFrame =
+    bm25LexRankedFromW(bm25Weights(tf, df, dl), bm25QTerms(tf))
 
   private[operators] def servedBm25(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import graft.sources.ArtifactStore
@@ -1234,6 +1266,20 @@ object AnnSearch {
     val dl = ArtifactStore.ensure(spark, dir, "bm25_dl", "doc_id", 8)(
       tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
     (tf, df, dl)
+  }
+
+  /** The per-(term, doc) BM25 impact weights SERVED from their
+    * doc_id-bucketed artifact — the impact-ordered posting list a
+    * lexical engine actually stores hot. Built once from the posting
+    * artifacts ([[bm25Weights]] — the same expression the
+    * self-contained form evaluates in-query, so served and
+    * self-contained can never round differently); per query the leg
+    * is fan-out + integer sum + rank.
+    */
+  private def servedBm25W(spark: SparkSession, dir: String): DataFrame = {
+    val (tf, df, dl) = servedBm25(spark, dir)
+    graft.sources.ArtifactStore.ensure(spark, dir, "bm25_w", "doc_id", 8)(
+      bm25Weights(tf, df, dl))
   }
 
   /** The (vec_id, v, nrm) corpus relation SERVED from its bucketed
@@ -1272,8 +1318,8 @@ object AnnSearch {
       .filter(col("vec_rank") <= RrfCand)
       .select(col("q_id"), col("vec_id").as("id"), col("vec_rank"))
 
-    val (tf, df, dl) = servedBm25(spark, dir)
-    val lexRanked = bm25LexRanked(tf, df, dl)
+    val (tf, _, _) = servedBm25(spark, dir)
+    val lexRanked = bm25LexRankedFromW(servedBm25W(spark, dir), bm25QTerms(tf))
 
     val wFuse = Window.partitionBy(col("q_id"))
       .orderBy(col("rrf").desc, col("id"))

@@ -271,7 +271,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // training chains (10-11 exchanges in the base forms) are gone
     "ann_ivfadc_served"     -> 4,
     "ann_ivfadc_rerank_served" -> 4,
-    "ann_rrf_fusion_served" -> 7,
+    // r13: the lex leg reads the bm25_w impact-weight artifact — the
+    // per-candidate df/dl joins are gone (weights precomputed at build)
+    "ann_rrf_fusion_served" -> 6,
     // served dedup policy/audit: label/pair artifact scans + the view
     // aggregations; the pair build + fixpoint live at artifact-write
     "dedup_components_served" -> 2,
