@@ -293,6 +293,54 @@ object ScalePointBench {
       require(retracted > 0, s"cap crossing retracted nothing (delta $retracted)")
       println(s"""{"query":"span_boilerplate","clean_sec":${j(cleanSec)},"heavy_sec":${j(heavySec)},"clean_spans":$cleanSpans,"heavy_spans":$heavySpans,"refresh_sec":${j(refreshSec)},"retracted_spans":$retracted,"maintained_eq":true,"replicas":$replicas}""")
     }
+    // delta-chain read amplification (r13, VERDICT r12 item 3): a
+    // reader folds ≤ CompactEvery−1 deltas by the on-write compaction
+    // bound. Measure what that fold actually COSTS at 5×: commit a
+    // lineitem-sized base (~3 M keyed rows), stack the maximum-length
+    // delta chain (7 × 1,000-row batches), and time a full read at
+    // chain 7 vs after compact() — the broadcast-fold claim is that
+    // the chain adds per-delta constant work, not per-delta scans of
+    // the base. (IdempotentMergeSinkSpec pins the plan SHAPE — zero
+    // shuffles, 2 scans per delta; this row prices it.)
+    if (selected("delta_chain_read")) {
+      import graft.sinks.IdempotentMergeSink
+      val chain = IdempotentMergeSink.CompactEvery - 1
+      def measure(srcDir: String, tag: String): (Double, Double) = {
+        val root = s"$dst/delta_chain_scale_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val base = spark.read.parquet(s"$srcDir/lineitem.parquet")
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).as("key"),
+            col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        IdempotentMergeSink.merge(spark, root, base, "key", "chain-base")
+        (1 to chain).foreach { i =>
+          val batch = base.orderBy(col("key")).limit(1000)
+            .withColumn("key", col("key") + lit(i * 1000000000000L))
+          IdempotentMergeSink.merge(spark, root, batch, "key", s"chain-$i")
+        }
+        def readSec(): Double = {
+          val ts = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            IdempotentMergeSink.read(spark, root).get
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          ts.sorted.apply(1)
+        }
+        val chainSec = readSec()
+        require(IdempotentMergeSink.compact(spark, root), "compact was a no-op")
+        (chainSec, readSec())
+      }
+      // two base sizes, SAME chain: if the fold overhead is per-delta
+      // constant (broadcast build + join setup, independent of base
+      // rows), (chain − compacted)/chain reads equal at 1× and 5× and
+      // the amplification RATIO falls as the base grows — the claim
+      // that matters at 100 TB, where the base scan dominates any
+      // constant per-delta cost
+      val (c1, b1) = measure(src, "1x")
+      val (c5, b5) = measure(dst, "5x")
+      println(s"""{"query":"delta_chain_read","chain_len":$chain,"chain_sec_1x":${j(c1)},"compacted_sec_1x":${j(b1)},"per_delta_1x":${j((c1 - b1) / chain)},"chain_sec_5x":${j(c5)},"compacted_sec_5x":${j(b5)},"per_delta_5x":${j((c5 - b5) / chain)},"ratio_5x":${j(c5 / b5)},"replicas":$replicas}""")
+    }
+
     // streaming admission latency at scale (r12, VERDICT r11 stretch):
     // the probe side of the nearDup / span / phash admission streams
     // must stay flat as the CORPUS grows — per-interval work is batch

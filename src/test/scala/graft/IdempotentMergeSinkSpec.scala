@@ -284,6 +284,51 @@ class IdempotentMergeSinkSpec extends SparkTestBase {
     assert(!new File(s"$aroot/v=2/$DeltaTagName").exists())
   }
 
+  test("a full-length delta chain reads with a bounded plan shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(nodes) ++ p.subqueries.flatMap(nodes))
+    def shape(df: org.apache.spark.sql.DataFrame): (Int, Int, Int) = {
+      val ns = nodes(df.queryExecution.executedPlan)
+      (ns.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+        ns.count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+        ns.count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeLike]))
+    }
+    val chain = IdempotentMergeSink.CompactEvery - 1 // the longest chain a read can see
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // upsert chain: base + `chain` deltas. Each fold step is ONE
+      // broadcast anti-join + union over the running relation — the
+      // read plan must carry exactly 1 + 2×chain parquet scans
+      // (base + upserts/removes per delta), one broadcast per delta,
+      // and ZERO shuffle exchanges: a cadence change that turned the
+      // fold into per-delta shuffles would fail here before it shipped
+      val root = freshRoot()
+      (0 until IdempotentMergeSink.CompactEvery).foreach { i =>
+        IdempotentMergeSink.merge(spark, root,
+          Seq((i.toLong, "I", s"p$i")).toDF("key", "op", "payload"), "key", s"b$i")
+      }
+      assert(IdempotentMergeSink.version(root) == IdempotentMergeSink.CompactEvery)
+      val (scans, shuffles, bcasts) = shape(IdempotentMergeSink.read(spark, root).get)
+      assert(scans == 1 + 2 * chain, s"expected ${1 + 2 * chain} scans, got $scans")
+      assert(shuffles == 0, s"upsert chain fold must be shuffle-free, got $shuffles")
+      assert(bcasts == chain, s"expected $chain broadcast deltas, got $bcasts")
+      // additive chain: contiguous additive runs coalesce — ONE
+      // re-aggregation however long the chain, 1 + chain scans
+      val aroot = freshRoot()
+      (0 until IdempotentMergeSink.CompactEvery).foreach { i =>
+        IdempotentMergeSink.mergeAdditive(spark, aroot,
+          Seq(("k", 1L), (s"k$i", 2L)).toDF("key", "n"), "key", s"a$i")
+      }
+      val (ascans, ashuffles, _) = shape(IdempotentMergeSink.read(spark, aroot).get)
+      assert(ascans == 1 + chain, s"expected ${1 + chain} scans, got $ascans")
+      assert(ashuffles == 1,
+        s"coalesced additive chain folds with exactly one aggregation exchange, got $ashuffles")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("property: random merge/additive/compact/vacuum interleavings track the model") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260815)
