@@ -495,6 +495,84 @@ class IdempotentMergeSinkSpec extends SparkTestBase {
     assert(state(root).size == 10)
   }
 
+  test("compact racing live merge/mergeAdditive writers: all converge, nothing lost") {
+    import spark.implicits._
+    // compact goes through the same rename-CAS commitLoop as the
+    // writers but was never raced against them live: a compact that
+    // loses the CAS to a merge must rebase on the winner's state (its
+    // staged base would otherwise silently drop the winner's batch),
+    // and a merge that loses to a compact must re-read the compacted
+    // base. Disjoint key spaces keep upsert and additive semantics
+    // separable, same as the interleaving property test.
+    val root = freshRoot()
+    IdempotentMergeSink.merge(spark, root,
+      Seq((0L, "I", 0L)).toDF("key", "op", "n"), "key", "seed")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 3).map { i =>
+      Future(IdempotentMergeSink.merge(spark, root,
+        Seq((i.toLong, "I", i.toLong)).toDF("key", "op", "n"), "key", s"up$i"))
+    }
+    val adders = (1 to 2).map { i =>
+      Future(IdempotentMergeSink.mergeAdditive(spark, root,
+        Seq((100L, 10L)).toDF("key", "n"), "key", s"add$i"))
+    }
+    val compacts = (1 to 2).map { _ =>
+      Future(IdempotentMergeSink.compact(spark, root))
+    }
+    val results = Await.result(
+      Future.sequence(writers ++ adders), 180.seconds)
+    Await.result(Future.sequence(compacts), 180.seconds)
+    assert(results.forall(identity), "every writer must eventually commit")
+    val got = IdempotentMergeSink.read(spark, root).get.collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Long]("n")).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 100L -> 20L),
+      s"state diverged under the compact race: $got")
+    assert((1 to 3).forall(i => IdempotentMergeSink.applied(root, s"up$i")))
+    assert((1 to 2).forall(i => IdempotentMergeSink.applied(root, s"add$i")))
+    // and a compact AFTER the dust settles still converges to a base
+    IdempotentMergeSink.compact(spark, root)
+    val v = IdempotentMergeSink.version(root)
+    assert(IdempotentMergeSink.readAt(spark, root, v).count() == 5)
+  }
+
+  test("vacuum's keep protects an in-flight reader's unevaluated plan mid-fold") {
+    import spark.implicits._
+    // the reader hazard: a plan captured at version v is LAZY — it
+    // reads its base chain's parquet only when an action runs. If a
+    // newer compacting commit lands and vacuum then uses the NEWEST
+    // base as its floor (the pre-r13 bug), the reader's chain is
+    // severed between plan and action. keep must cover the reader.
+    val root = freshRoot()
+    def put(k: Long, p: String, id: String) = IdempotentMergeSink.merge(
+      spark, root, Seq((k, "I", p)).toDF("key", "op", "payload"), "key", id)
+    (0 until IdempotentMergeSink.CompactEvery).foreach(i => put(i.toLong, s"p$i", s"b$i"))
+    val vReader = IdempotentMergeSink.version(root) // chain of 7 on the v1 base
+    val inFlight = IdempotentMergeSink.read(spark, root).get // NOT evaluated yet
+    // a newer compacting commit moves the newest base past the reader
+    put(99L, "px", "bnew")
+    assert(!new File(s"$root/v=${vReader + 1}/$DeltaTagName").exists(),
+      "the follow-up commit should have compacted")
+    // keep=2 covers versions {vReader, vReader+1}: the reader's base
+    // chain (v1!) must survive this vacuum
+    IdempotentMergeSink.vacuum(root, keep = 2)
+    val got = inFlight.collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[String]("payload"))).toSet
+    assert(got == (0 until IdempotentMergeSink.CompactEvery)
+      .map(i => (i.toLong, s"p$i")).toSet,
+      "in-flight reader saw a severed chain despite keep covering it")
+    // once the reader's version falls outside keep, ITS chain may go —
+    // and a late readAt of the vacuumed version fails loudly, not with
+    // a parquet error
+    IdempotentMergeSink.vacuum(root, keep = 1)
+    assert(!new File(s"$root/v=1").exists(), "keep=1 should reclaim the old chain")
+    val e = intercept[IllegalStateException] {
+      IdempotentMergeSink.readAt(spark, root, vReader)
+    }
+    assert(e.getMessage.contains("absent or unmarked"))
+  }
+
   test("merge state matches etl_cdc_apply replayed through the sink") {
     import spark.implicits._
     val root = freshRoot()
