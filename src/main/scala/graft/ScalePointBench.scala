@@ -341,6 +341,20 @@ object ScalePointBench {
       println(s"""{"query":"delta_chain_read","chain_len":$chain,"chain_sec_1x":${j(c1)},"compacted_sec_1x":${j(b1)},"per_delta_1x":${j((c1 - b1) / chain)},"chain_sec_5x":${j(c5)},"compacted_sec_5x":${j(b5)},"per_delta_5x":${j((c5 - b5) / chain)},"ratio_5x":${j(c5 / b5)},"replicas":$replicas}""")
     }
 
+    // calibration-sample boundedness (r13, VERDICT r12 item 6): the
+    // sensitivity audits' sampled pair term is bounded at ANY corpus
+    // size because the md5-mod membership holds the sample near the
+    // 1000-row target — prove the modulus actually grew at this scale
+    // (mod = 1 would mean the audit was still running the full
+    // quadratic) alongside the generic wall rows.
+    if (selected("calib_sample_mod")) {
+      val annMod = SparkEntry.queries("ann_lsh_sensitivity")(spark, dst)
+        .agg(max(col("sample_mod"))).head().getLong(0)
+      val phashMod = SparkEntry.queries("multimodal_phash_sensitivity")(spark, dst)
+        .agg(max(col("sample_mod"))).head().getLong(0)
+      println(s"""{"query":"calib_sample_mod","ann_mod":$annMod,"phash_mod":$phashMod,"replicas":$replicas}""")
+    }
+
     // streaming admission latency at scale (r12, VERDICT r11 stretch):
     // the probe side of the nearDup / span / phash admission streams
     // must stay flat as the CORPUS grows — per-interval work is batch
@@ -376,8 +390,8 @@ object ScalePointBench {
         .createTempDirectory(s"scale_stream_$n").toString
       def docsAt(dir: String) = Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))
-      def report(family: String, s1: Double, s5: Double): Unit =
-        println(s"""{"query":"stream_${family}_admission","batch_docs":200,"sec_1x":${j(s1)},"sec_5x":${j(s5)},"ratio":${j(s5 / s1)},"replicas":$replicas}""")
+      def report(family: String, s1: Double, sN: Double): Unit =
+        println(s"""{"query":"stream_${family}_admission","batch_docs":200,"sec_1x":${j(s1)},"sec_scaled":${j(sN)},"ratio":${j(sN / s1)},"replicas":$replicas}""")
 
       // near-dup: banded shingle-signature index probe
       def nearDupSec(dir: String, tag: String): Double = {
