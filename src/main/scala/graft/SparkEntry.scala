@@ -34,7 +34,8 @@ object SparkEntry {
       (Pipeline.queries, Pipeline.oracles),
       (Incremental.queries, Incremental.oracles),
       (DataQuality.queries, DataQuality.oracles),
-      (SqlSurface.queries, SqlSurface.oracles))
+      (SqlSurface.queries, SqlSurface.oracles),
+      (MaintQueries.queries, MaintQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

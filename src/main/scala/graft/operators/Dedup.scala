@@ -1196,8 +1196,12 @@ object Dedup {
   /** The jaccard pair relation as reusable CTEs ending in `jpairs` —
     * shared by the pair oracle and the connected-components oracle.
     */
-  private val jaccardCtes: String = {
-    s"""$cpairsCtes,
+  /** [[jaccardCtes]] over an arbitrary (doc_id, text) relation —
+    * the maintenance-tier oracle builds the pair relation over a
+    * deterministic corpus subset CTE ([[MaintQueries]]).
+    */
+  private[graft] def jaccardCtesOver(rel: String): String = {
+    s"""${cpairsCtesOver(rel)},
        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
@@ -1213,6 +1217,8 @@ object Dedup {
        |  JOIN sizes zb ON zb.doc_id = doc_b
        |  WHERE round(n_inter * 1.0 / (za.n_grams + zb.n_grams - n_inter), 6) >= $JaccardThreshold)""".stripMargin
   }
+
+  private val jaccardCtes: String = jaccardCtesOver("documents")
 
   /** SimHash fingerprints as CTEs ending in `sim` — shared by the
     * fingerprint dump and the banded pair-search oracle. The 64-bit

@@ -264,11 +264,11 @@ object GraphOps {
   /** The same mutual-kNN edge relation as SQL CTEs ending in `edges`
     * (a < b) — shared by both oracles.
     */
-  private val knnEdgesCte: String =
+  private[graft] def knnEdgesCteOver(rel: String): String =
     s"""cand AS (
        |  SELECT a.p_partkey AS u, b.p_partkey AS v,
        |    round(abs(a.p_retailprice - b.p_retailprice), 6) AS diff
-       |  FROM part a JOIN part b
+       |  FROM $rel a JOIN $rel b
        |    ON a.p_partkey < b.p_partkey
        |    AND abs(a.p_retailprice - b.p_retailprice) <= 0.5),
        |sym AS (SELECT u, v, diff FROM cand UNION ALL SELECT v, u, diff FROM cand),
@@ -279,6 +279,8 @@ object GraphOps {
        |  SELECT k1.u AS a, k1.v AS b
        |  FROM knn k1 JOIN knn k2 ON k1.u = k2.v AND k1.v = k2.u
        |  WHERE k1.u < k1.v)""".stripMargin
+
+  private val knnEdgesCte: String = knnEdgesCteOver("part")
 
   /** Damping factor and its complement as separate literals: `1 - 0.85`
     * and `0.15` are DIFFERENT doubles, so both engines must use the

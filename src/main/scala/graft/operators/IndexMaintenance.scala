@@ -181,6 +181,14 @@ object IndexMaintenance {
     a | b | c
   }
 
+  /** Time-travel read of the maintained per-term document-frequency
+    * relation as of df-table version `v` — [[IdempotentMergeSink.readAt]]
+    * over the additive increment chain: the state equals the df of
+    * exactly the batches committed up to `v`, later commits invisible.
+    */
+  def bm25DfAt(spark: SparkSession, root: String, v: Int): DataFrame =
+    IdempotentMergeSink.readAt(spark, dfRoot(root), v).select("term", "df")
+
   /** The maintained (tf, df, dl) posting relations — drop-in for
     * [[AnnSearch.bm25LexRanked]]'s inputs.
     */

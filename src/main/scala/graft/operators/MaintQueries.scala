@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The incremental-maintenance tier AS oracle-checked queries: each
+  * query runs a bootstrap → refresh chain through
+  * [[graft.sinks.IdempotentMergeSink]] inside the query itself, reads
+  * the maintained (or time-travelled) state back, and hash-compares it
+  * against a from-scratch DuckDB replay. Until now the maintenance
+  * invariant ("maintained ≡ from-scratch at every version") was
+  * spec-pinned only; these put every delta kind through the driver's
+  * correctness gate:
+  *
+  *  - `maint_pairs_refresh` — UPSERT deltas: the near-dup pair table
+  *    bootstrapped from one md5-mod half of the working corpus and
+  *    refreshed with the other must hash-equal the from-scratch build
+  *    (the oracle is built by the same `jaccardCtesOver` generator as
+  *    `dedup_ngram_jaccard`'s — zero aliasing drift possible);
+  *  - `maint_knn_refresh` — upserts + DELETES: the mutual-kNN list
+  *    table refreshed with a node batch (fresh lists for touched
+  *    nodes, delete rows for evicted neighbors) must reproduce the
+  *    from-scratch edge set (`graph_knn_edges`'s oracle);
+  *  - `maint_bm25_df_time_travel` — ADDITIVE increments + time travel:
+  *    three doc batches committed into the BM25 df table, read back
+  *    `AS OF` version 2 — the answer counts exactly the first two
+  *    batches' documents, proving a later commit is invisible to a
+  *    historical read (the versionAsOf contract, oracle-replayed).
+  *
+  * The batch split is the repo's deterministic md5-hash-mod membership
+  * (the calibration-sample expression, AnnSearch.scala's
+  * `('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT` twin), so
+  * DuckDB reconstructs the same batches bit-for-bit. Each run commits
+  * into a fresh temp root, materializes the answer with
+  * `localCheckpoint()`, and deletes the root — re-runs never share
+  * state, so the queries are safe under the bench's median loop.
+  *
+  * This is the reference's update flow made exactly-once and
+  * versioned: its nightly job re-PUTs changed menu entities against
+  * the served index (batch_processor.py:1044-1129, retried PUTs with
+  * no idempotency guard) — here a retried batch is a structural no-op
+  * and yesterday's index state remains a readable version.
+  */
+object MaintQueries {
+
+  /** Deterministic md5-hash-mod class of an id — both engines evaluate
+    * the identical expression (see [[AnnSearch]]'s calibration sample).
+    */
+  private def hmod(c: Column, m: Int): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % m
+
+  private def hmodSql(c: String, m: Int): String =
+    s"CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 8)) AS BIGINT) % $m"
+
+  private def tempRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_maintq_$tag")
+      .toAbsolutePath.toString
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Materialize the answer (the maintained table is about to be
+    * deleted out from under the lazy plan), then drop the temp root.
+    */
+  private def finish(out: DataFrame, root: String): DataFrame = {
+    val m = out.localCheckpoint()
+    deleteRecursively(new java.io.File(root))
+    m
+  }
+
+  /** Upsert-delta maintenance vs from-scratch: bootstrap the near-dup
+    * pair table from the md5-mod-class-2 half of the working corpus,
+    * refresh with the class-0 half (batch-vs-all candidates, never
+    * old-vs-old), read the maintained pairs. Oracle = the SAME
+    * `jaccardCtesOver` generator as `dedup_ngram_jaccard`, built over
+    * the working-subset CTE — maintained ≡ from-scratch, replayed by
+    * DuckDB. (The working set is the md5-mod even half so the e2e
+    * double-build stays a mid-tier bench cost; the invariant is
+    * corpus-independent.)
+    */
+  def maintPairsRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val root = tempRoot("pairs")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .filter(hmod(col("doc_id"), 2) === 0)
+    val base = docs.filter(hmod(col("doc_id"), 4) === 2)
+    val batch = docs.filter(hmod(col("doc_id"), 4) === 0)
+    IndexMaintenance.bootstrap(spark, root, base)
+    IndexMaintenance.refresh(spark, root, base, batch, "b2")
+    finish(IndexMaintenance.pairs(spark, root).orderBy("doc_a", "doc_b"), root)
+  }
+
+  /** Upsert + DELETE maintenance vs from-scratch: bootstrap the kNN
+    * list table from the md5-mod-class-2 half of the part nodes,
+    * refresh with the class-0 half (evicted neighbors committed as
+    * delete rows), and read the mutual edge set over the maintained
+    * lists. Oracle = the same `knnEdgesCteOver` generator as
+    * `graph_knn_edges`, built over the working-subset CTE.
+    */
+  def maintKnnRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val root = tempRoot("knn")
+    val nodes = GraphOps.partNodes(spark, dir)
+      .filter(hmod(col("key"), 2) === 0)
+    val base = nodes.filter(hmod(col("key"), 4) === 2)
+    val batch = nodes.filter(hmod(col("key"), 4) === 0)
+    IndexMaintenance.bootstrapKnn(spark, root, base)
+    IndexMaintenance.refreshKnn(spark, root, base, batch, "b2")
+    finish(IndexMaintenance.knnEdges(spark, root).orderBy("a", "b"), root)
+  }
+
+  /** Additive-increment maintenance + TIME TRAVEL: commit three doc
+    * batches into the BM25 df table (bootstrap base, then two
+    * `mergeAdditive` increment deltas), read the df relation AS OF
+    * version 2. The answer counts exactly batches 1-2's documents —
+    * the version-3 commit is invisible to the historical read, and the
+    * additive chain folds through the coalesced re-sum path. Oracle =
+    * per-term document frequency over the md5-mod {1,2,3} subset.
+    */
+  def maintBm25DfTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = tempRoot("bm25")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val b1 = docs.filter(hmod(col("doc_id"), 4).isin(1, 2))
+    val b2 = docs.filter(hmod(col("doc_id"), 4) === 3)
+    val b3 = docs.filter(hmod(col("doc_id"), 4) === 0)
+    IndexMaintenance.bootstrapBm25(spark, root, b1, "b1")
+    IndexMaintenance.refreshBm25(spark, root, b2, "b2")
+    IndexMaintenance.refreshBm25(spark, root, b3, "b3")
+    finish(IndexMaintenance.bm25DfAt(spark, root, 2).orderBy("term"), root)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_pairs_refresh" -> (maintPairsRefresh _),
+    "maint_knn_refresh" -> (maintKnnRefresh _),
+    "maint_bm25_df_time_travel" -> (maintBm25DfTimeTravel _))
+
+  val oracles: Map[String, String] = Map(
+    // maintained ≡ from-scratch: the oracle is the SAME CTE generator
+    // the from-scratch query's oracle uses, over the working subset
+    "maint_pairs_refresh" ->
+      s"""WITH sub AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ${hmodSql("doc_id", 2)} = 0),
+         |${Dedup.jaccardCtesOver("sub")}
+         |SELECT * FROM jpairs ORDER BY doc_a, doc_b""".stripMargin,
+    "maint_knn_refresh" ->
+      s"""WITH sub AS (
+         |  SELECT p_partkey, p_retailprice FROM part
+         |  WHERE ${hmodSql("p_partkey", 2)} = 0),
+         |${GraphOps.knnEdgesCteOver("sub")}
+         |SELECT a, b FROM edges ORDER BY a, b""".stripMargin,
+    "maint_bm25_df_time_travel" ->
+      s"""WITH sub AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ${hmodSql("doc_id", 4)} <> 0),
+         |terms AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         |    FROM sub)
+         |  WHERE term <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2)
+         |SELECT term, count(*) AS df FROM tf GROUP BY term ORDER BY term""".stripMargin)
+}

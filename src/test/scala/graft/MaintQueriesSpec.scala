@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{AnnSearch, Dedup, GraphOps, MaintQueries}
+import org.apache.spark.sql.functions._
+
+/** The maintenance-tier oracle queries: semantics the DuckDB parity
+  * gate can't see from one run — the time-travel read really excludes
+  * the later commit, the refreshed tables really equal from-scratch
+  * builds, and each run cleans its temp root.
+  */
+class MaintQueriesSpec extends SparkTestBase {
+
+  private def hmod(c: org.apache.spark.sql.Column, m: Int) =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % m
+
+  private def dfSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+  test("bm25 df time travel reads v2: batches 1-2 counted, batch 3 invisible") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val got = dfSet(MaintQueries.maintBm25DfTimeTravel(spark, sfDir)
+      .select("term", "df"))
+    val v2Docs = docs.filter(hmod(col("doc_id"), 4) =!= 0)
+    val expectV2 = dfSet(AnnSearch.bm25Tf(v2Docs)
+      .groupBy("term").agg(count(lit(1)).as("df")))
+    assert(got == expectV2, "time-travel state diverges from batches 1-2's df")
+    val expectV3 = dfSet(AnnSearch.bm25Tf(docs)
+      .groupBy("term").agg(count(lit(1)).as("df")))
+    assert(got != expectV3,
+      "v2 read equals the full-corpus df — the later commit leaked into history")
+  }
+
+  test("refreshed pair table equals the from-scratch build over the working set") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(hmod(col("doc_id"), 2) === 0)
+    val got = MaintQueries.maintPairsRefresh(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val scratch = Dedup.ngramJaccardOf(docs).collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == scratch)
+  }
+
+  test("refreshed kNN edge set equals from-scratch; eviction deletes applied") {
+    val nodes = GraphOps.partNodes(spark, sfDir)
+      .filter(hmod(col("key"), 2) === 0)
+    val got = MaintQueries.maintKnnRefresh(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scratch = graft.operators.GraphOps.mutualEdgesOf(
+      graft.operators.GraphOps.knnListsSymmetric(nodes))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got == scratch)
+  }
+
+  test("each maintenance query deletes its temp root") {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def roots() = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_maintq_")).map(_.getName).toSet
+    val before = roots()
+    MaintQueries.maintBm25DfTimeTravel(spark, sfDir).count()
+    assert(roots() == before, "maintenance query left its temp root behind")
+  }
+}
