@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  private val SessionGapMicros = 30L * 60 * 1000000 // 30 min
+  private[operators] val SessionGapMicros = 30L * 60 * 1000000 // 30 min
 
   /** Hourly tumbling-window aggregate per event type. */
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =

@@ -219,6 +219,53 @@ object SqlSurface {
         |FROM dedup_labels ORDER BY doc_id""".stripMargin)
   }
 
+  /** The 30-min gaps-and-islands sessionizer, pure SQL text over the
+    * `events` view — the lag-flag + running-sum idiom an analyst
+    * writes, with the same strict-`>` gap boundary and `(ts,
+    * event_id)` tie-break as [[Events.eventsSessionize]], whose oracle
+    * it shares. Both windows share one (user_id, ts, event_id) sort, so
+    * the text plans to a single exchange like the DataFrame form.
+    */
+  def sessionizeSql(spark: SparkSession, dir: String): DataFrame =
+    withViews(spark, dir) {
+      spark.sql(
+        s"""WITH flags AS (
+           |  SELECT user_id, ts, event_id, value,
+           |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           |           OR unix_micros(ts) - unix_micros(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           |              > ${Events.SessionGapMicros}
+           |         THEN 1L ELSE 0L END AS new_session
+           |  FROM events),
+           |sess AS (
+           |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           |  FROM flags)
+           |SELECT user_id, session_idx,
+           |  min(ts) AS session_start, max(ts) AS session_end,
+           |  count(*) AS n_events, round(sum(value), 6) AS sum_value
+           |FROM sess GROUP BY user_id, session_idx
+           |ORDER BY user_id, session_idx""".stripMargin)
+    }
+
+  /** Day-N cohort retention, pure SQL text over the `events` view —
+    * first-active-day cohorts × distinct active users per day offset,
+    * the two grouped passes of [[Events.eventsRetention]] (whose
+    * oracle it shares) with no window over the corpus.
+    */
+  def retentionSql(spark: SparkSession, dir: String): DataFrame =
+    withViews(spark, dir) {
+      spark.sql(
+        """WITH days AS (
+          |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+          |cohorts AS (
+          |  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+          |SELECT cohort_day, datediff(day, cohort_day) AS day_offset,
+          |  count(DISTINCT user_id) AS n_users
+          |FROM days JOIN cohorts USING (user_id)
+          |GROUP BY cohort_day, datediff(day, cohort_day)
+          |ORDER BY cohort_day, day_offset""".stripMargin)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_revenue_by_nation" -> (revenueByNation _),
     "sql_upc_valid_share"   -> (upcValidShare _),
@@ -227,7 +274,9 @@ object SqlSurface {
     "sql_quality_gate"      -> (qualityGateSql _),
     "sql_ann_topk"          -> (annTopkSql _),
     "sql_pagerank"          -> (pagerankSql _),
-    "sql_components"        -> (componentsSql _))
+    "sql_components"        -> (componentsSql _),
+    "sql_sessionize"        -> (sessionizeSql _),
+    "sql_retention"         -> (retentionSql _))
 
   val oracles: Map[String, String] = Map(
     "sql_revenue_by_nation" ->
@@ -261,5 +310,7 @@ object SqlSurface {
     "sql_quality_gate"  -> CorpusOps.oracles("corpus_quality_gate"),
     "sql_ann_topk"      -> AnnSearch.oracles("ann_topk"),
     "sql_pagerank"      -> GraphOps.oracles("graph_pagerank"),
-    "sql_components"    -> Dedup.oracles("dedup_components"))
+    "sql_components"    -> Dedup.oracles("dedup_components"),
+    "sql_sessionize"    -> Events.oracles("events_sessionize"),
+    "sql_retention"     -> Events.oracles("events_retention"))
 }

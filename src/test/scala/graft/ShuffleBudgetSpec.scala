@@ -329,7 +329,15 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // also 5); components: size window + output sort over the label
     // artifact (dedup_components_served is also 2)
     "sql_pagerank"          -> 5,
-    "sql_components"        -> 2)
+    "sql_components"        -> 2,
+    // r13: the SQL events twins match their Scala forms exactly —
+    // sessionize: both windows share one (user_id, ts, event_id) sort
+    // + output sort (events_sessionize is also 2); retention: day
+    // distinct + cohort agg + two-phase countDistinct expand + output
+    // sort (events_retention, pinned below, is also 5)
+    "sql_sessionize"        -> 2,
+    "sql_retention"         -> 5,
+    "events_retention"      -> 5)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
