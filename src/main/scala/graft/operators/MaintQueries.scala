@@ -26,7 +26,17 @@ import org.apache.spark.sql.functions._
   *    three doc batches committed into the BM25 df table, read back
   *    `AS OF` version 2 — the answer counts exactly the first two
   *    batches' documents, proving a later commit is invisible to a
-  *    historical read (the versionAsOf contract, oracle-replayed).
+  *    historical read (the versionAsOf contract, oracle-replayed);
+  *  - `maint_phash_refresh` — pure-insert fingerprints + additive
+  *    pair table for the perceptual-hash family, against the full
+  *    integer-DCT DuckDB replay;
+  *  - `maint_spans_refresh` — gram inserts + additive df with
+  *    NON-LOCAL span recomputation (cap-crossing retractions
+  *    included), against the maximal-span replay.
+  *
+  * Together the five put every [[IndexMaintenance]] family and every
+  * delta kind the sink commits (upsert, delete, additive increment)
+  * through the driver's DuckDB gate, not just the spec suite.
   *
   * The batch split is the repo's deterministic md5-hash-mod membership
   * (the calibration-sample expression, AnnSearch.scala's
@@ -130,10 +140,54 @@ object MaintQueries {
     finish(IndexMaintenance.bm25DfAt(spark, root, 2).orderBy("term"), root)
   }
 
+  /** Pure-insert + ADDITIVE-pair maintenance for the perceptual-hash
+    * family: bootstrap the fingerprint + DCT pair tables from the
+    * md5-mod-class-2 half of the (re-encode-augmented) media, refresh
+    * with the class-0 half ([[Multimodal.dctNewPairs]] — batch-vs-all,
+    * never old-vs-old), read the maintained pair relation. Oracle =
+    * the same `dctPairsOracleWhere` generator as
+    * `multimodal_phash_dct_pairs`, filtered to the working subset —
+    * the full integer-DCT replay, subset-filtered at the fingerprint.
+    */
+  def maintPhashRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val root = tempRoot("phash")
+    val media = Multimodal.augmentedMedia(spark, dir)
+      .filter(hmod(col("doc_id"), 2) === 0)
+    val base = media.filter(hmod(col("doc_id"), 4) === 2)
+    val batch = media.filter(hmod(col("doc_id"), 4) === 0)
+    IndexMaintenance.bootstrapPhash(spark, root, base)
+    IndexMaintenance.refreshPhash(spark, root, batch, "b2")
+    finish(IndexMaintenance.dctPairs(spark, root).orderBy("doc_a", "doc_b"), root)
+  }
+
+  /** Insert + additive-df maintenance with NON-LOCAL recomputation for
+    * the exact-span family: bootstrap the positional-gram + gram-df
+    * tables from the md5-mod-class-2 half of the corpus, refresh with
+    * the class-0 half (grams insert, df increments ride
+    * `mergeAdditive`), extract maximal cross-document spans over the
+    * MAINTAINED relations — including any cap-crossing retractions the
+    * batch causes, since eligibility reads the maintained df. Oracle =
+    * the same `exactSpansCtesOver` generator as `dedup_exact_spans`,
+    * over the working-subset CTE.
+    */
+  def maintSpansRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val root = tempRoot("spans")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .filter(hmod(col("doc_id"), 2) === 0)
+    val base = docs.filter(hmod(col("doc_id"), 4) === 2)
+    val batch = docs.filter(hmod(col("doc_id"), 4) === 0)
+    IndexMaintenance.bootstrapSpans(spark, root, base)
+    IndexMaintenance.refreshSpans(spark, root, batch, "b2")
+    finish(IndexMaintenance.exactSpans(spark, root)
+      .orderBy("doc_a", "doc_b", "start_a", "start_b"), root)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_pairs_refresh" -> (maintPairsRefresh _),
     "maint_knn_refresh" -> (maintKnnRefresh _),
-    "maint_bm25_df_time_travel" -> (maintBm25DfTimeTravel _))
+    "maint_bm25_df_time_travel" -> (maintBm25DfTimeTravel _),
+    "maint_phash_refresh" -> (maintPhashRefresh _),
+    "maint_spans_refresh" -> (maintSpansRefresh _))
 
   val oracles: Map[String, String] = Map(
     // maintained ≡ from-scratch: the oracle is the SAME CTE generator
@@ -161,5 +215,14 @@ object MaintQueries {
          |    FROM sub)
          |  WHERE term <> ''),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2)
-         |SELECT term, count(*) AS df FROM tf GROUP BY term ORDER BY term""".stripMargin)
+         |SELECT term, count(*) AS df FROM tf GROUP BY term ORDER BY term""".stripMargin,
+    "maint_phash_refresh" ->
+      Multimodal.dctPairsOracleWhere(s"${hmodSql("doc_id", 2)} = 0"),
+    "maint_spans_refresh" ->
+      s"""WITH sub AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ${hmodSql("doc_id", 2)} = 0),
+         |${TextAnalysis.exactSpansCtesOver("sub")}
+         |SELECT doc_a, doc_b, start_a, start_b, span_len
+         |FROM spans ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin)
 }

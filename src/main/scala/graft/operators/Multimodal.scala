@@ -852,26 +852,36 @@ object Multimodal {
        |  GROUP BY 1, 2)""".stripMargin
   }
 
+  /** The uniform-4-bit-banded DCT pair-search oracle over fingerprints
+    * passing `where` — shared by the full-corpus oracles (where = TRUE)
+    * and the maintenance-tier subset oracle ([[MaintQueries]]). Any
+    * LOSSLESS banding yields the same pair set at radius ≤
+    * [[DctRadius]] (pigeonhole), so this one replay oracles every
+    * engine-side banding, including the r12 11-uneven-band form.
+    */
+  private[graft] def dctPairsOracleWhere(where: String): String =
+    s"""WITH $dctCtes,
+       |fps AS (SELECT * FROM ph64 WHERE $where),
+       |bands AS (
+       |  SELECT doc_id, modality, phash64,
+       |    b.b AS band_idx, (phash64 >> (4 * b.b)) & 15 AS band_bits
+       |  FROM fps, generate_series(0, ${DctBands - 1}) b(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.modality, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.phash64 AS fa, b.phash64 AS fb
+       |  FROM bands a JOIN bands b
+       |    ON a.modality = b.modality AND a.band_idx = b.band_idx
+       |    AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id)
+       |SELECT modality, doc_a, doc_b,
+       |  CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= $DctRadius
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the served twin computes the identical relation from the
     // persisted fingerprint table — same oracle (the established
     // served/indexed aliasing convention)
-    "multimodal_phash_dct_pairs_served" ->
-      s"""WITH $dctCtes,
-         |bands AS (
-         |  SELECT doc_id, modality, phash64,
-         |    b.b AS band_idx, (phash64 >> (4 * b.b)) & 15 AS band_bits
-         |  FROM ph64, generate_series(0, ${DctBands - 1}) b(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.modality, a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.phash64 AS fa, b.phash64 AS fb
-         |  FROM bands a JOIN bands b
-         |    ON a.modality = b.modality AND a.band_idx = b.band_idx
-         |    AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id)
-         |SELECT modality, doc_a, doc_b,
-         |  CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(fa, fb)) <= $DctRadius
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "multimodal_phash_dct_pairs_served" -> dctPairsOracleWhere("TRUE"),
     "multimodal_phash_dct_pairs_r3" ->
       s"""WITH $dctCtes,
          |bands AS (
@@ -892,22 +902,7 @@ object Multimodal {
       s"""WITH $dctCtes
          |SELECT doc_id, modality, phash64 FROM ph64
          |ORDER BY doc_id""".stripMargin,
-    "multimodal_phash_dct_pairs" ->
-      s"""WITH $dctCtes,
-         |bands AS (
-         |  SELECT doc_id, modality, phash64,
-         |    b.b AS band_idx, (phash64 >> (4 * b.b)) & 15 AS band_bits
-         |  FROM ph64, generate_series(0, ${DctBands - 1}) b(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.modality, a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.phash64 AS fa, b.phash64 AS fb
-         |  FROM bands a JOIN bands b
-         |    ON a.modality = b.modality AND a.band_idx = b.band_idx
-         |    AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id)
-         |SELECT modality, doc_a, doc_b,
-         |  CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(fa, fb)) <= $DctRadius
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "multimodal_phash_dct_pairs" -> dctPairsOracleWhere("TRUE"),
     "multimodal_phash" ->
       s"""WITH $phashCtes
          |SELECT doc_id, modality, payload_md5, phash FROM ph

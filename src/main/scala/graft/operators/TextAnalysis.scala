@@ -1325,11 +1325,15 @@ object TextAnalysis {
   /** The span CTE chain shared by the extraction oracles and the strip
     * oracle — `spans` is the maximal-span relation.
     */
-  private val exactSpansCtes: String =
+  /** [[exactSpansCtes]] over an arbitrary (doc_id, text) relation —
+    * the maintenance-tier oracle builds the span relation over a
+    * deterministic corpus subset CTE ([[MaintQueries]]).
+    */
+  private[graft] def exactSpansCtesOver(rel: String): String =
     s"""grams AS (
        |  SELECT doc_id, i.i AS pos,
        |    array_to_string(toks[i.i : i.i + ${SpanGram - 1}], ' ') AS g
-       |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents) d,
+       |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM $rel) d,
        |       unnest(generate_series(1, len(toks) - ${SpanGram - 1})) i(i)
        |  WHERE len(toks) >= $SpanGram),
        |elig AS (
@@ -1353,6 +1357,8 @@ object TextAnalysis {
        |    CAST(min(pos_b) AS BIGINT) AS start_b,
        |    CAST(max(pos_a) - min(pos_a) + $SpanGram AS BIGINT) AS span_len
        |  FROM isl GROUP BY doc_a, doc_b, diag, isl)""".stripMargin
+
+  private val exactSpansCtes: String = exactSpansCtesOver("documents")
 
   /** One oracle for both span-extraction forms: the served twin reads
     * the same grams from the artifact, so its result set is identical.

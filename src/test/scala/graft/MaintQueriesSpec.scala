@@ -50,6 +50,28 @@ class MaintQueriesSpec extends SparkTestBase {
     assert(got.nonEmpty && got == scratch)
   }
 
+  test("refreshed DCT pair table equals from-scratch over the working media") {
+    val media = graft.operators.Multimodal.augmentedMedia(spark, sfDir)
+      .filter(hmod(col("doc_id"), 2) === 0)
+    val got = MaintQueries.maintPhashRefresh(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val scratch = graft.operators.Multimodal
+      .dctPairsOver(graft.operators.Multimodal.dctFingerprintsOf(media))
+      .select("modality", "doc_a", "doc_b", "hamming")
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == scratch)
+  }
+
+  test("refreshed span extraction equals from-scratch over the working corpus") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(hmod(col("doc_id"), 2) === 0)
+    val got = MaintQueries.maintSpansRefresh(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val scratch = graft.operators.TextAnalysis.exactSpansOver(docs)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == scratch)
+  }
+
   test("each maintenance query deletes its temp root") {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     def roots() = Option(tmp.listFiles()).getOrElse(Array.empty)
