@@ -341,6 +341,30 @@ object ScalePointBench {
       println(s"""{"query":"delta_chain_read","chain_len":$chain,"chain_sec_1x":${j(c1)},"compacted_sec_1x":${j(b1)},"per_delta_1x":${j((c1 - b1) / chain)},"chain_sec_5x":${j(c5)},"compacted_sec_5x":${j(b5)},"per_delta_5x":${j((c5 - b5) / chain)},"ratio_5x":${j(c5 / b5)},"replicas":$replicas}""")
     }
 
+    // maintenance contract queries at scale (r13): each runs its
+    // bootstrap → refresh → read chain inside the query, and PLANS.md
+    // claims the wall is commit machinery (constant in corpus) plus
+    // the subset's linear build work — so at 5× replicas the wall
+    // must grow far below 5×. The bm25 form is the purest machinery
+    // probe (9 exactly-once commits around a cheap tokenize).
+    if (selected("maint_contract")) {
+      Seq("maint_bm25_df_time_travel", "maint_pairs_refresh",
+          "maint_spans_refresh").foreach { name =>
+        def med(dir: String): Double = {
+          val ts = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          ts.sorted.apply(1)
+        }
+        val m1 = med(src)
+        val m5 = med(dst)
+        println(s"""{"query":"$name","sec_1x":${j(m1)},"sec_5x":${j(m5)},"ratio_5x":${j(m5 / m1)},"replicas":$replicas}""")
+      }
+    }
+
     // calibration-sample boundedness (r13, VERDICT r12 item 6): the
     // sensitivity audits' sampled pair term is bounded at ANY corpus
     // size because the md5-mod membership holds the sample near the
