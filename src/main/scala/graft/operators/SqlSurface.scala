@@ -266,6 +266,30 @@ object SqlSurface {
           |ORDER BY cohort_day, day_offset""".stripMargin)
     }
 
+  /** The three-stage ordered funnel, pure SQL text over the `events`
+    * view — one conditional-min aggregate per user, stage reach as
+    * ordered first-occurrence comparisons (the exact predicates of
+    * [[Events.eventsFunnel]], whose oracle it shares).
+    */
+  def funnelSql(spark: SparkSession, dir: String): DataFrame =
+    withViews(spark, dir) {
+      spark.sql(
+        """WITH pu AS (
+          |  SELECT user_id,
+          |    min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+          |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+          |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+          |  FROM events GROUP BY user_id)
+          |SELECT user_id,
+          |  first_click IS NOT NULL AS reached_click,
+          |  first_click IS NOT NULL AND first_view IS NOT NULL
+          |    AND first_view >= first_click AS reached_view,
+          |  first_click IS NOT NULL AND first_view IS NOT NULL
+          |    AND first_view >= first_click AND first_purchase IS NOT NULL
+          |    AND first_purchase >= first_view AS reached_purchase
+          |FROM pu ORDER BY user_id""".stripMargin)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_revenue_by_nation" -> (revenueByNation _),
     "sql_upc_valid_share"   -> (upcValidShare _),
@@ -276,7 +300,8 @@ object SqlSurface {
     "sql_pagerank"          -> (pagerankSql _),
     "sql_components"        -> (componentsSql _),
     "sql_sessionize"        -> (sessionizeSql _),
-    "sql_retention"         -> (retentionSql _))
+    "sql_retention"         -> (retentionSql _),
+    "sql_funnel"            -> (funnelSql _))
 
   val oracles: Map[String, String] = Map(
     "sql_revenue_by_nation" ->
@@ -312,5 +337,6 @@ object SqlSurface {
     "sql_pagerank"      -> GraphOps.oracles("graph_pagerank"),
     "sql_components"    -> Dedup.oracles("dedup_components"),
     "sql_sessionize"    -> Events.oracles("events_sessionize"),
-    "sql_retention"     -> Events.oracles("events_retention"))
+    "sql_retention"     -> Events.oracles("events_retention"),
+    "sql_funnel"        -> Events.oracles("events_funnel"))
 }

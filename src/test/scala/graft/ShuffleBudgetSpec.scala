@@ -337,7 +337,8 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // sort (events_retention, pinned below, is also 5)
     "sql_sessionize"        -> 2,
     "sql_retention"         -> 5,
-    "events_retention"      -> 5)
+    "events_retention"      -> 5,
+    "sql_funnel"            -> 2) // agg + output sort, = events_funnel
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
