@@ -53,6 +53,14 @@ object IndexMaintenance {
       .map(_.select("doc_a", "doc_b", "n_inter", "jaccard"))
       .getOrElse(throw new IllegalStateException(s"no committed pair table at $root"))
 
+  /** Time-travel read of the pair relation as of version `v` — the
+    * upsert-chain counterpart of [[bm25DfAt]]: the state folds the
+    * base plus exactly the upsert deltas committed up to `v`.
+    */
+  def pairsAt(spark: SparkSession, root: String, v: Int): DataFrame =
+    IdempotentMergeSink.readAt(spark, root, v)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+
   /** Component labels over the maintained pairs — recomputed, not
     * merged: the fixpoint over the pair relation is the cheap step
     * (pairs are ≪ corpus), and labels cannot be merged locally anyway

@@ -32,9 +32,12 @@ import org.apache.spark.sql.functions._
   *    integer-DCT DuckDB replay;
   *  - `maint_spans_refresh` — gram inserts + additive df with
   *    NON-LOCAL span recomputation (cap-crossing retractions
-  *    included), against the maximal-span replay.
+  *    included), against the maximal-span replay;
+  *  - `maint_pairs_time_travel` — UPSERT-chain time travel: `readAt`
+  *    version 2 of a 3-commit pair chain, so BOTH delta kinds with a
+  *    fold path have their historical reads oracle-checked.
   *
-  * Together the five put every [[IndexMaintenance]] family and every
+  * Together these put every [[IndexMaintenance]] family and every
   * delta kind the sink commits (upsert, delete, additive increment)
   * through the driver's DuckDB gate, not just the spec suite.
   *
@@ -140,6 +143,28 @@ object MaintQueries {
     finish(IndexMaintenance.bm25DfAt(spark, root, 2).orderBy("term"), root)
   }
 
+  /** UPSERT-chain time travel — the [[maintBm25DfTimeTravel]]
+    * counterpart for upsert deltas: three doc batches committed into
+    * the pair table (bootstrap + two refresh deltas), read back AS OF
+    * version 2 via `readAt`. The answer is the from-scratch pair build
+    * over batches 1-2's documents — version 3's upserts fold into
+    * nothing, proving the upsert chain's anti-join + union replay
+    * stops at the requested version.
+    */
+  def maintPairsTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = tempRoot("pairs_tt")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .filter(hmod(col("doc_id"), 2) === 0)
+    val b1 = docs.filter(hmod(col("doc_id"), 8).isin(2, 6))
+    val b2 = docs.filter(hmod(col("doc_id"), 8) === 4)
+    val b3 = docs.filter(hmod(col("doc_id"), 8) === 0)
+    IndexMaintenance.bootstrap(spark, root, b1)
+    IndexMaintenance.refresh(spark, root, b1, b2, "b2")
+    IndexMaintenance.refresh(spark, root, b1.unionByName(b2), b3, "b3")
+    finish(IndexMaintenance.pairsAt(spark, root, 2)
+      .orderBy("doc_a", "doc_b"), root)
+  }
+
   /** Pure-insert + ADDITIVE-pair maintenance for the perceptual-hash
     * family: bootstrap the fingerprint + DCT pair tables from the
     * md5-mod-class-2 half of the (re-encode-augmented) media, refresh
@@ -187,7 +212,8 @@ object MaintQueries {
     "maint_knn_refresh" -> (maintKnnRefresh _),
     "maint_bm25_df_time_travel" -> (maintBm25DfTimeTravel _),
     "maint_phash_refresh" -> (maintPhashRefresh _),
-    "maint_spans_refresh" -> (maintSpansRefresh _))
+    "maint_spans_refresh" -> (maintSpansRefresh _),
+    "maint_pairs_time_travel" -> (maintPairsTimeTravel _))
 
   val oracles: Map[String, String] = Map(
     // maintained ≡ from-scratch: the oracle is the SAME CTE generator
@@ -218,6 +244,12 @@ object MaintQueries {
          |SELECT term, count(*) AS df FROM tf GROUP BY term ORDER BY term""".stripMargin,
     "maint_phash_refresh" ->
       Multimodal.dctPairsOracleWhere(s"${hmodSql("doc_id", 2)} = 0"),
+    "maint_pairs_time_travel" ->
+      s"""WITH sub AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ${hmodSql("doc_id", 2)} = 0 AND ${hmodSql("doc_id", 8)} <> 0),
+         |${Dedup.jaccardCtesOver("sub")}
+         |SELECT * FROM jpairs ORDER BY doc_a, doc_b""".stripMargin,
     "maint_spans_refresh" ->
       s"""WITH sub AS (
          |  SELECT doc_id, text FROM documents

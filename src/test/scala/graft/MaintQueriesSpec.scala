@@ -72,6 +72,20 @@ class MaintQueriesSpec extends SparkTestBase {
     assert(got.nonEmpty && got == scratch)
   }
 
+  test("pairs time travel reads v2: batches 1-2's pairs, batch 3 invisible") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(hmod(col("doc_id"), 2) === 0)
+    val got = MaintQueries.maintPairsTimeTravel(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val v2Docs = docs.filter(hmod(col("doc_id"), 8) =!= 0)
+    val expectV2 = Dedup.ngramJaccardOf(v2Docs).collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == expectV2,
+      "time-travel state diverges from the from-scratch build over batches 1-2")
+    val expectV3 = Dedup.ngramJaccardOf(docs).collect().map(_.toSeq).toSet
+    assert(got != expectV3,
+      "v2 read equals the full working-set pairs — the later commit leaked")
+  }
+
   test("each maintenance query deletes its temp root") {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     def roots() = Option(tmp.listFiles()).getOrElse(Array.empty)
