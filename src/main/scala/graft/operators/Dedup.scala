@@ -1193,12 +1193,12 @@ object Dedup {
     cpairsCtesOver("documents")
   }
 
-  /** The jaccard pair relation as reusable CTEs ending in `jpairs` —
-    * shared by the pair oracle and the connected-components oracle.
-    */
-  /** [[jaccardCtes]] over an arbitrary (doc_id, text) relation —
-    * the maintenance-tier oracle builds the pair relation over a
-    * deterministic corpus subset CTE ([[MaintQueries]]).
+  /** The jaccard pair relation as reusable CTEs ending in `jpairs`
+    * over an arbitrary (doc_id, text) relation — shared (via
+    * [[jaccardCtes]]) by the pair and connected-components oracles,
+    * and directly by the maintenance-tier oracle, which builds the
+    * relation over a deterministic corpus subset CTE
+    * ([[MaintQueries]]).
     */
   private[graft] def jaccardCtesOver(rel: String): String = {
     s"""${cpairsCtesOver(rel)},

@@ -66,22 +66,18 @@ object MaintQueries {
   private def hmodSql(c: String, m: Int): String =
     s"CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 8)) AS BIGINT) % $m"
 
-  private def tempRoot(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_maintq_$tag")
-      .toAbsolutePath.toString
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(); ()
-  }
-
-  /** Materialize the answer (the maintained table is about to be
-    * deleted out from under the lazy plan), then drop the temp root.
+  /** Run `build` against a fresh temp root, materialize its answer
+    * (the maintained table is about to be deleted out from under the
+    * lazy plan — `localCheckpoint` pins the rows first), and delete
+    * the root even when a commit or the checkpoint THROWS — a failed
+    * bench/verify run must not leave half-committed tables in tmpdir.
     */
-  private def finish(out: DataFrame, root: String): DataFrame = {
-    val m = out.localCheckpoint()
-    deleteRecursively(new java.io.File(root))
-    m
+  private def withRoot(tag: String)(build: String => DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft_maintq_$tag")
+      .toAbsolutePath.toString
+    try build(root).localCheckpoint()
+    finally graft.sinks.IdempotentMergeSink
+      .deleteRecursively(new java.io.File(root))
   }
 
   /** Upsert-delta maintenance vs from-scratch: bootstrap the near-dup
@@ -94,16 +90,16 @@ object MaintQueries {
     * double-build stays a mid-tier bench cost; the invariant is
     * corpus-independent.)
     */
-  def maintPairsRefresh(spark: SparkSession, dir: String): DataFrame = {
-    val root = tempRoot("pairs")
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
-      .filter(hmod(col("doc_id"), 2) === 0)
-    val base = docs.filter(hmod(col("doc_id"), 4) === 2)
-    val batch = docs.filter(hmod(col("doc_id"), 4) === 0)
-    IndexMaintenance.bootstrap(spark, root, base)
-    IndexMaintenance.refresh(spark, root, base, batch, "b2")
-    finish(IndexMaintenance.pairs(spark, root).orderBy("doc_a", "doc_b"), root)
-  }
+  def maintPairsRefresh(spark: SparkSession, dir: String): DataFrame =
+    withRoot("pairs") { root =>
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+        .filter(hmod(col("doc_id"), 2) === 0)
+      val base = docs.filter(hmod(col("doc_id"), 4) === 2)
+      val batch = docs.filter(hmod(col("doc_id"), 4) === 0)
+      IndexMaintenance.bootstrap(spark, root, base)
+      IndexMaintenance.refresh(spark, root, base, batch, "b2")
+      IndexMaintenance.pairs(spark, root).orderBy("doc_a", "doc_b")
+    }
 
   /** Upsert + DELETE maintenance vs from-scratch: bootstrap the kNN
     * list table from the md5-mod-class-2 half of the part nodes,
@@ -112,16 +108,16 @@ object MaintQueries {
     * lists. Oracle = the same `knnEdgesCteOver` generator as
     * `graph_knn_edges`, built over the working-subset CTE.
     */
-  def maintKnnRefresh(spark: SparkSession, dir: String): DataFrame = {
-    val root = tempRoot("knn")
-    val nodes = GraphOps.partNodes(spark, dir)
-      .filter(hmod(col("key"), 2) === 0)
-    val base = nodes.filter(hmod(col("key"), 4) === 2)
-    val batch = nodes.filter(hmod(col("key"), 4) === 0)
-    IndexMaintenance.bootstrapKnn(spark, root, base)
-    IndexMaintenance.refreshKnn(spark, root, base, batch, "b2")
-    finish(IndexMaintenance.knnEdges(spark, root).orderBy("a", "b"), root)
-  }
+  def maintKnnRefresh(spark: SparkSession, dir: String): DataFrame =
+    withRoot("knn") { root =>
+      val nodes = GraphOps.partNodes(spark, dir)
+        .filter(hmod(col("key"), 2) === 0)
+      val base = nodes.filter(hmod(col("key"), 4) === 2)
+      val batch = nodes.filter(hmod(col("key"), 4) === 0)
+      IndexMaintenance.bootstrapKnn(spark, root, base)
+      IndexMaintenance.refreshKnn(spark, root, base, batch, "b2")
+      IndexMaintenance.knnEdges(spark, root).orderBy("a", "b")
+    }
 
   /** Additive-increment maintenance + TIME TRAVEL: commit three doc
     * batches into the BM25 df table (bootstrap base, then two
@@ -131,17 +127,17 @@ object MaintQueries {
     * additive chain folds through the coalesced re-sum path. Oracle =
     * per-term document frequency over the md5-mod {1,2,3} subset.
     */
-  def maintBm25DfTimeTravel(spark: SparkSession, dir: String): DataFrame = {
-    val root = tempRoot("bm25")
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    val b1 = docs.filter(hmod(col("doc_id"), 4).isin(1, 2))
-    val b2 = docs.filter(hmod(col("doc_id"), 4) === 3)
-    val b3 = docs.filter(hmod(col("doc_id"), 4) === 0)
-    IndexMaintenance.bootstrapBm25(spark, root, b1, "b1")
-    IndexMaintenance.refreshBm25(spark, root, b2, "b2")
-    IndexMaintenance.refreshBm25(spark, root, b3, "b3")
-    finish(IndexMaintenance.bm25DfAt(spark, root, 2).orderBy("term"), root)
-  }
+  def maintBm25DfTimeTravel(spark: SparkSession, dir: String): DataFrame =
+    withRoot("bm25") { root =>
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      val b1 = docs.filter(hmod(col("doc_id"), 4).isin(1, 2))
+      val b2 = docs.filter(hmod(col("doc_id"), 4) === 3)
+      val b3 = docs.filter(hmod(col("doc_id"), 4) === 0)
+      IndexMaintenance.bootstrapBm25(spark, root, b1, "b1")
+      IndexMaintenance.refreshBm25(spark, root, b2, "b2")
+      IndexMaintenance.refreshBm25(spark, root, b3, "b3")
+      IndexMaintenance.bm25DfAt(spark, root, 2).orderBy("term")
+    }
 
   /** UPSERT-chain time travel — the [[maintBm25DfTimeTravel]]
     * counterpart for upsert deltas: three doc batches committed into
@@ -151,19 +147,18 @@ object MaintQueries {
     * nothing, proving the upsert chain's anti-join + union replay
     * stops at the requested version.
     */
-  def maintPairsTimeTravel(spark: SparkSession, dir: String): DataFrame = {
-    val root = tempRoot("pairs_tt")
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
-      .filter(hmod(col("doc_id"), 2) === 0)
-    val b1 = docs.filter(hmod(col("doc_id"), 8).isin(2, 6))
-    val b2 = docs.filter(hmod(col("doc_id"), 8) === 4)
-    val b3 = docs.filter(hmod(col("doc_id"), 8) === 0)
-    IndexMaintenance.bootstrap(spark, root, b1)
-    IndexMaintenance.refresh(spark, root, b1, b2, "b2")
-    IndexMaintenance.refresh(spark, root, b1.unionByName(b2), b3, "b3")
-    finish(IndexMaintenance.pairsAt(spark, root, 2)
-      .orderBy("doc_a", "doc_b"), root)
-  }
+  def maintPairsTimeTravel(spark: SparkSession, dir: String): DataFrame =
+    withRoot("pairs_tt") { root =>
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+        .filter(hmod(col("doc_id"), 2) === 0)
+      val b1 = docs.filter(hmod(col("doc_id"), 8).isin(2, 6))
+      val b2 = docs.filter(hmod(col("doc_id"), 8) === 4)
+      val b3 = docs.filter(hmod(col("doc_id"), 8) === 0)
+      IndexMaintenance.bootstrap(spark, root, b1)
+      IndexMaintenance.refresh(spark, root, b1, b2, "b2")
+      IndexMaintenance.refresh(spark, root, b1.unionByName(b2), b3, "b3")
+      IndexMaintenance.pairsAt(spark, root, 2).orderBy("doc_a", "doc_b")
+    }
 
   /** Pure-insert + ADDITIVE-pair maintenance for the perceptual-hash
     * family: bootstrap the fingerprint + DCT pair tables from the
@@ -174,16 +169,16 @@ object MaintQueries {
     * `multimodal_phash_dct_pairs`, filtered to the working subset —
     * the full integer-DCT replay, subset-filtered at the fingerprint.
     */
-  def maintPhashRefresh(spark: SparkSession, dir: String): DataFrame = {
-    val root = tempRoot("phash")
-    val media = Multimodal.augmentedMedia(spark, dir)
-      .filter(hmod(col("doc_id"), 2) === 0)
-    val base = media.filter(hmod(col("doc_id"), 4) === 2)
-    val batch = media.filter(hmod(col("doc_id"), 4) === 0)
-    IndexMaintenance.bootstrapPhash(spark, root, base)
-    IndexMaintenance.refreshPhash(spark, root, batch, "b2")
-    finish(IndexMaintenance.dctPairs(spark, root).orderBy("doc_a", "doc_b"), root)
-  }
+  def maintPhashRefresh(spark: SparkSession, dir: String): DataFrame =
+    withRoot("phash") { root =>
+      val media = Multimodal.augmentedMedia(spark, dir)
+        .filter(hmod(col("doc_id"), 2) === 0)
+      val base = media.filter(hmod(col("doc_id"), 4) === 2)
+      val batch = media.filter(hmod(col("doc_id"), 4) === 0)
+      IndexMaintenance.bootstrapPhash(spark, root, base)
+      IndexMaintenance.refreshPhash(spark, root, batch, "b2")
+      IndexMaintenance.dctPairs(spark, root).orderBy("doc_a", "doc_b")
+    }
 
   /** Insert + additive-df maintenance with NON-LOCAL recomputation for
     * the exact-span family: bootstrap the positional-gram + gram-df
@@ -195,17 +190,17 @@ object MaintQueries {
     * the same `exactSpansCtesOver` generator as `dedup_exact_spans`,
     * over the working-subset CTE.
     */
-  def maintSpansRefresh(spark: SparkSession, dir: String): DataFrame = {
-    val root = tempRoot("spans")
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
-      .filter(hmod(col("doc_id"), 2) === 0)
-    val base = docs.filter(hmod(col("doc_id"), 4) === 2)
-    val batch = docs.filter(hmod(col("doc_id"), 4) === 0)
-    IndexMaintenance.bootstrapSpans(spark, root, base)
-    IndexMaintenance.refreshSpans(spark, root, batch, "b2")
-    finish(IndexMaintenance.exactSpans(spark, root)
-      .orderBy("doc_a", "doc_b", "start_a", "start_b"), root)
-  }
+  def maintSpansRefresh(spark: SparkSession, dir: String): DataFrame =
+    withRoot("spans") { root =>
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+        .filter(hmod(col("doc_id"), 2) === 0)
+      val base = docs.filter(hmod(col("doc_id"), 4) === 2)
+      val batch = docs.filter(hmod(col("doc_id"), 4) === 0)
+      IndexMaintenance.bootstrapSpans(spark, root, base)
+      IndexMaintenance.refreshSpans(spark, root, batch, "b2")
+      IndexMaintenance.exactSpans(spark, root)
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_pairs_refresh" -> (maintPairsRefresh _),

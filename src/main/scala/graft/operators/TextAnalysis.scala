@@ -1322,11 +1322,10 @@ object TextAnalysis {
        |WHERE w <> ''
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** The span CTE chain shared by the extraction oracles and the strip
-    * oracle — `spans` is the maximal-span relation.
-    */
-  /** [[exactSpansCtes]] over an arbitrary (doc_id, text) relation —
-    * the maintenance-tier oracle builds the span relation over a
+  /** The span CTE chain ending in `spans` (the maximal-span relation)
+    * over an arbitrary (doc_id, text) relation — shared (via
+    * [[exactSpansCtes]]) by the extraction and strip oracles, and
+    * directly by the maintenance-tier oracle, which builds it over a
     * deterministic corpus subset CTE ([[MaintQueries]]).
     */
   private[graft] def exactSpansCtesOver(rel: String): String =

@@ -216,7 +216,7 @@ object IdempotentMergeSink {
   def applied(root: String, batchId: String): Boolean =
     committed(root).exists(_._2.contains(batchId))
 
-  private def deleteRecursively(f: File): Unit = {
+  private[graft] def deleteRecursively(f: File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()
   }

@@ -70,8 +70,18 @@ class PlanGuardSpec extends SparkTestBase {
     "sql_pagerank", // 1-row broadcast node count joined per iteration
     "graph_modularity") // 1-row broadcast edge-count normalizer
 
+  // The maint_* contract queries EXECUTE their bootstrap→refresh→
+  // commit chain on construction and return a localCheckpoint, so
+  // sweeping them here would (a) run 6 heavy maintenance chains per
+  // guard test and (b) inspect only the post-checkpoint scan — a
+  // vacuous guard. Their unique plan pieces are covered instead by
+  // the dedicated refresh-relation test below (the build-side plans
+  // they share with regular queries are already swept through those).
+  private def swept = SparkEntry.queries.toSeq
+    .filterNot(_._1.startsWith("maint_")).sortBy(_._1)
+
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val offenders = swept.flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")
       val bnlj = plan.contains("BroadcastNestedLoopJoin") && !nestedLoopAllowed(name)
@@ -97,7 +107,7 @@ class PlanGuardSpec extends SparkTestBase {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val offenders = swept.flatMap { case (name, fn) =>
         windowsOf(fn(spark, sfDir).queryExecution.executedPlan)
           .filter(_.partitionSpec.isEmpty)
           .filterNot(_.child.collect { case a: BaseAggregateExec => a }.nonEmpty)
@@ -105,5 +115,51 @@ class PlanGuardSpec extends SparkTestBase {
       }
       assert(offenders.isEmpty, offenders.mkString("\n"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("maintenance refresh relations pass the same plan guards") {
+    // The maint_* queries' only plan pieces NOT already swept through
+    // regular queries are the refresh-side builders (batch-vs-all
+    // candidates, touched-set derivation, maintained-relation
+    // recomputation). Build each directly — no sink commits — and
+    // apply both guards to its physical plan.
+    import org.apache.spark.sql.functions._
+    import graft.operators._
+    def hmod(c: org.apache.spark.sql.Column, m: Int) =
+      conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % m
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = docs.filter(hmod(col("doc_id"), 4) === 2)
+    val batch = docs.filter(hmod(col("doc_id"), 4) === 0)
+    val nodes = GraphOps.partNodes(spark, sfDir)
+    val nBase = nodes.filter(hmod(col("key"), 4) === 2)
+    val nBatch = nodes.filter(hmod(col("key"), 4) === 0)
+      .select((col("key") + lit(100000000L)).as("key"), col("price"))
+    val grams = TextAnalysis.spanGramsOver(docs).localCheckpoint()
+    val gdf = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    val media = Multimodal.augmentedMedia(spark, sfDir)
+    val baseFp = Multimodal.dctFingerprintsOf(
+      media.filter(hmod(col("doc_id"), 4) === 2)).localCheckpoint()
+    val batchFp = Multimodal.dctFingerprintsOf(
+      media.filter(hmod(col("doc_id"), 4) === 0)).localCheckpoint()
+    val rels = Seq(
+      "ngramJaccardNewPairs" -> Dedup.ngramJaccardNewPairs(base, batch),
+      "knnListsOf" -> GraphOps.knnListsOf(nBatch, nBase.unionByName(nBatch)),
+      "touchedByBatch" -> GraphOps.touchedByBatch(nBase, nBatch, None),
+      "spansFromGramsWithDf" ->
+        TextAnalysis.spansFromGramsWithDf(grams, gdf),
+      "dctNewPairs" -> Multimodal.dctNewPairs(batchFp, baseFp))
+    val offenders = rels.flatMap { case (name, df) =>
+      val plan = df.queryExecution.executedPlan
+      val txt = plan.toString
+      val cart = if (txt.contains("CartesianProduct") ||
+        txt.contains("BroadcastNestedLoopJoin")) Seq(s"$name: cartesian/BNLJ") else Nil
+      val wins = windowsOf(plan)
+        .filter(_.partitionSpec.isEmpty)
+        .filterNot(_.child.collect { case a: BaseAggregateExec => a }.nonEmpty)
+        .map(w => s"$name: unpartitioned window: $w")
+      cart ++ wins
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 }
