@@ -563,19 +563,32 @@ object AnnSearch {
     */
   private def pqModelOverSub(sub: DataFrame): (DataFrame, DataFrame) = {
     // one Lloyd assignment over ALL subspaces at once: the codebook is
-    // M×Ks rows → broadcast; argmin per (vector, subspace)
-    def assign(cb: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"), col("m"))
-        .orderBy(col("dsub"), col("code"))
-      sub.join(broadcast(cb), "m")
+    // M×Ks rows → broadcast; argmin per (vector, subspace).
+    // The subvector relation is materialized ONCE (the seed codebook
+    // and every assignment pass read it) with its self-dot
+    // precomputed: of the three dots in ‖sv − cv‖² = sv·sv − 2 sv·cv
+    // + cv·cv, only the cross term depends on the (subvector,
+    // codeword) PAIR — evaluating the two self-dots under the ×Ks
+    // candidate fan-out was 2/3 of the training flops (r13 profile:
+    // 2.5 → 1.0 s at sf0.1). Same association and rounding, so the
+    // trained model is bit-identical.
+    val subN = sub.withColumn("svn", dot(col("sv"), col("sv"))).localCheckpoint()
+    def assign(cb: DataFrame): DataFrame =
+      subN.join(broadcast(cb.withColumn("cvn", dot(col("cv"), col("cv")))), "m")
         .withColumn("dsub", round(
-          dot(col("sv"), col("sv")) - lit(2) * dot(col("sv"), col("cv"))
-            + dot(col("cv"), col("cv")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("code"), col("sv"))
-    }
-    var cb = sub.filter(col("vec_id") < PqKs)
+          col("svn") - lit(2) * dot(col("sv"), col("cv")) + col("cvn"), 6))
+        // argmin as an AGGREGATION, not a window: min_by gets a
+        // map-side partial combine, so the exchange carries one row
+        // per (vector, subspace) instead of the ×Ks scored fan-out —
+        // the shuffle that decides whether training holds at 100 TB.
+        // (dsub, code) is duplicate-free per group (code is unique),
+        // so the pick ≡ the old row_number(dsub, code) = 1.
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(struct(col("code"), col("sv")),
+          struct(col("dsub"), col("code"))).as("best"))
+        .select(col("vec_id"), col("m"),
+          col("best.code").as("code"), col("best.sv").as("sv"))
+    var cb = subN.filter(col("vec_id") < PqKs)
       .select(col("m"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
     var assigned = assign(cb)
     for (_ <- 1 until PqIters) {
@@ -1110,30 +1123,7 @@ object AnnSearch {
     */
   def annRrfFusion(spark: SparkSession, dir: String): DataFrame = {
     // vector leg: LSH candidates → cosine rank ≤ RrfCand per query
-    val all = vecs(spark, dir)
-    // bucket keys read twice (corpus side + query side): checkpoint so
-    // the 16 hyperplane projections per vector run once
-    val keyed = all
-      .select(col("vec_id"), explode(tableKeys(col("v"))).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
-      .localCheckpoint()
-    val qKeys = keyed.filter(expr(QueryFilter))
-      .select(col("vec_id").as("q_id"), col("t"), col("b"))
-    val vecCand = keyed.join(broadcast(qKeys), Seq("t", "b"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select("q_id", "vec_id").distinct()
-    val q = all.filter(expr(QueryFilter))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val wVec = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    val vecRanked = vecCand
-      .join(all, "vec_id")
-      .join(broadcast(q), "q_id")
-      .withColumn("cosine",
-        round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6))
-      .withColumn("vec_rank", row_number().over(wVec))
-      .filter(col("vec_rank") <= RrfCand)
-      .select(col("q_id"), col("vec_id").as("id"), col("vec_rank"))
+    val vecRanked = rrfVecRanked(spark, dir)
 
     // lexical leg: BM25 of each candidate doc against the query doc's
     // distinct terms (same arithmetic + integer-scaled order-free sum
@@ -1175,6 +1165,37 @@ object AnnSearch {
         .select(col("vec_id"), explode(tableKeys(col("v"))).as("tb"))
         .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b")))
 
+  /** The vector leg of the RRF fusion, self-contained: multi-table LSH
+    * bucket candidates (the bucket keys checkpointed so the 16
+    * hyperplane projections per vector run once across the corpus and
+    * query sides), cosine from precomputed norms, rank ≤ [[RrfCand]]
+    * per query via a q_id-partitioned window.
+    */
+  private[graft] def rrfVecRanked(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val keyed = all
+      .select(col("vec_id"), explode(tableKeys(col("v"))).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+      .localCheckpoint()
+    val qKeys = keyed.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("t"), col("b"))
+    val vecCand = keyed.join(broadcast(qKeys), Seq("t", "b"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val q = all.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wVec = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    vecCand
+      .join(all, "vec_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("cosine",
+        round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6))
+      .withColumn("vec_rank", row_number().over(wVec))
+      .filter(col("vec_rank") <= RrfCand)
+      .select(col("q_id"), col("vec_id").as("id"), col("vec_rank"))
+  }
+
   /** The BM25 tf posting relation (doc_id, term, tf) for any documents
     * relation — lowercased whitespace tokenization, one explode + one
     * keyed aggregation. Shared by the self-contained fusion query, the
@@ -1196,7 +1217,7 @@ object AnnSearch {
     * impact-ordered-postings idea from the IR literature (Anh &
     * Moffat): the per-candidate work degrades to an integer sum.
     */
-  private def bm25Weights(tf: DataFrame, df: DataFrame,
+  private[graft] def bm25Weights(tf: DataFrame, df: DataFrame,
       dl: DataFrame): DataFrame = {
     val k1 = 1.2
     val b = 0.75
@@ -1253,7 +1274,15 @@ object AnnSearch {
     */
   private[graft] def bm25LexRanked(tf: DataFrame, df: DataFrame,
       dl: DataFrame): DataFrame =
-    bm25LexRankedFromW(bm25Weights(tf, df, dl), bm25QTerms(tf))
+    // materialize the weights before the query-term fan-out: inlined,
+    // the weight expression (log + saturation arithmetic and the
+    // df/dl broadcast probes) re-evaluates once per FAN-OUT row —
+    // |postings| × |matching queries| times — instead of once per
+    // posting (measured 4.9 s vs 1.8 s at sf0.1's 8.7 M-row fan-out).
+    // The served twin gets the same barrier for free from its
+    // persisted `bm25_w` artifact.
+    bm25LexRankedFromW(bm25Weights(tf, df, dl).localCheckpoint(),
+      bm25QTerms(tf))
 
   private[operators] def servedBm25(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import graft.sources.ArtifactStore

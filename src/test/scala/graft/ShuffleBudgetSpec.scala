@@ -127,9 +127,10 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // budget as text_bm25_topk's model branches
     "text_perplexity"       -> 7,
     // two independent retrieval legs (LSH candidate distinct + cosine
-    // window; BM25's tf/df/dl/stats branches) + the rank fusion join —
-    // each leg alone matches its standalone query's budget
-    "ann_rrf_fusion"        -> 12,
+    // window; BM25 probe over the CHECKPOINTED impact-weight relation —
+    // the df/dl/stats branches run once at weight-build, r13) + the
+    // rank fusion join
+    "ann_rrf_fusion"        -> 8,
     // same banded-candidate + intersection shape as dedup_ngram_jaccard;
     // signature/shingle relations checkpointed once
     "dedup_containment"     -> 2,
