@@ -568,26 +568,27 @@ object AnnSearch {
     // and every assignment pass read it) with its self-dot
     // precomputed: of the three dots in ‖sv − cv‖² = sv·sv − 2 sv·cv
     // + cv·cv, only the cross term depends on the (subvector,
-    // codeword) PAIR — evaluating the two self-dots under the ×Ks
-    // candidate fan-out was 2/3 of the training flops (r13 profile:
-    // 2.5 → 1.0 s at sf0.1). Same association and rounding, so the
-    // trained model is bit-identical.
+    // codeword) PAIR — the two self-dots don't belong under the ×Ks
+    // candidate fan-out (2/3 of the scoring flops there). Same
+    // association and rounding, so the trained model is bit-identical.
     val subN = sub.withColumn("svn", dot(col("sv"), col("sv"))).localCheckpoint()
-    def assign(cb: DataFrame): DataFrame =
+    // argmin stays a rank-1 window on purpose: WindowGroupLimit's
+    // PARTIAL mode already truncates to one row per (vector, subspace)
+    // per task BEFORE the exchange, so the ×Ks scored fan-out never
+    // shuffles. A min_by aggregation was tried here (r13) and
+    // discarded: identical row counts, but its (value, ordering)
+    // struct-in-struct buffers serialized ~1.5-1.7× the bytes of the
+    // window's flat rows — the byte gate flagged both PQ queries.
+    def assign(cb: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("dsub"), col("code"))
       subN.join(broadcast(cb.withColumn("cvn", dot(col("cv"), col("cv")))), "m")
         .withColumn("dsub", round(
           col("svn") - lit(2) * dot(col("sv"), col("cv")) + col("cvn"), 6))
-        // argmin as an AGGREGATION, not a window: min_by gets a
-        // map-side partial combine, so the exchange carries one row
-        // per (vector, subspace) instead of the ×Ks scored fan-out —
-        // the shuffle that decides whether training holds at 100 TB.
-        // (dsub, code) is duplicate-free per group (code is unique),
-        // so the pick ≡ the old row_number(dsub, code) = 1.
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min_by(struct(col("code"), col("sv")),
-          struct(col("dsub"), col("code"))).as("best"))
-        .select(col("vec_id"), col("m"),
-          col("best.code").as("code"), col("best.sv").as("sv"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("code"), col("sv"))
+    }
     var cb = subN.filter(col("vec_id") < PqKs)
       .select(col("m"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
     var assigned = assign(cb)
