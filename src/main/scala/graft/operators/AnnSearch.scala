@@ -1092,9 +1092,9 @@ object AnnSearch {
   }
 
   /** RRF constant (the published default) and per-leg candidate depth. */
-  private val RrfK = 60
-  private val RrfCand = 10
-  private val RrfTopK = 5
+  private[operators] val RrfK = 60
+  private[operators] val RrfCand = 10
+  private[operators] val RrfTopK = 5
 
   /** Hybrid retrieval: multi-table-LSH vector ranking fused with an
     * Okapi-BM25 lexical ranking by reciprocal rank fusion —
@@ -1160,7 +1160,7 @@ object AnnSearch {
     * while raw text/vectors stay cold; per query only the probe joins
     * and the fusion run.
     */
-  private def servedLshKeys(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def servedLshKeys(spark: SparkSession, dir: String): DataFrame =
     graft.sources.ArtifactStore.ensure(spark, dir, "lsh_keys", "vec_id", 8)(
       vecs(spark, dir)
         .select(col("vec_id"), explode(tableKeys(col("v"))).as("tb"))
@@ -1306,7 +1306,7 @@ object AnnSearch {
     * self-contained can never round differently); per query the leg
     * is fan-out + integer sum + rank.
     */
-  private def servedBm25W(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def servedBm25W(spark: SparkSession, dir: String): DataFrame = {
     val (tf, df, dl) = servedBm25(spark, dir)
     graft.sources.ArtifactStore.ensure(spark, dir, "bm25_w", "doc_id", 8)(
       bm25Weights(tf, df, dl))

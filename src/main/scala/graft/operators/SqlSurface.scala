@@ -290,6 +290,72 @@ object SqlSurface {
           |FROM pu ORDER BY user_id""".stripMargin)
     }
 
+  /** Hybrid retrieval — reciprocal-rank fusion of the LSH vector leg
+    * and the BM25 lexical leg — as pure SQL text over the SERVED
+    * artifact tier: the `lsh_keys` bucket table, the `vec_norms`
+    * sealed-segment vectors (native `vec_dot` called from SQL), the
+    * `bm25_w` impact-weight postings, and `bm25_tf` for the query-term
+    * probe. The capstone of the SQL surface: every relation a
+    * production hybrid store keeps hot is one view away, and the full
+    * two-leg fusion is a single statement. Every CTE is referenced
+    * once (no inlining re-evaluation); the only relations read twice
+    * are the artifact tables themselves. Same constants, rounding and
+    * tie-breaks as [[AnnSearch.annRrfFusionServed]], whose oracle it
+    * shares.
+    */
+  def rrfFusionSql(spark: SparkSession, dir: String): DataFrame = {
+    AnnSearch.servedLshKeys(spark, dir).createOrReplaceTempView("lsh_keys")
+    AnnSearch.servedVecNorms(spark, dir).createOrReplaceTempView("vec_norms")
+    AnnSearch.servedBm25W(spark, dir).createOrReplaceTempView("bm25_w")
+    val (tf, _, _) = AnnSearch.servedBm25(spark, dir)
+    tf.createOrReplaceTempView("bm25_tf")
+    val (rk, rcand, rtop) =
+      (AnnSearch.RrfK, AnnSearch.RrfCand, AnnSearch.RrfTopK)
+    spark.sql(
+      s"""WITH qk AS (
+         |  SELECT vec_id AS q_id, t, b FROM lsh_keys WHERE vec_id % 50 = 0),
+         |cand AS (
+         |  SELECT /*+ BROADCAST(qk) */ DISTINCT qk.q_id, k.vec_id
+         |  FROM lsh_keys k JOIN qk ON k.t = qk.t AND k.b = qk.b
+         |  WHERE k.vec_id <> qk.q_id),
+         |qv AS (SELECT vec_id AS q_id, v, nrm FROM vec_norms WHERE vec_id % 50 = 0),
+         |vscored AS (
+         |  SELECT /*+ BROADCAST(q) */ c.q_id, c.vec_id,
+         |    round(vec_dot(q.v, e.v) / (q.nrm * e.nrm), 6) AS cosine
+         |  FROM cand c JOIN vec_norms e ON c.vec_id = e.vec_id
+         |  JOIN qv q ON c.q_id = q.q_id),
+         |vleg AS (
+         |  SELECT q_id, vec_id AS id, vec_rank FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS vec_rank
+         |    FROM vscored)
+         |  WHERE vec_rank <= $rcand),
+         |qt AS (SELECT doc_id AS q_id, term FROM bm25_tf WHERE doc_id % 50 = 0),
+         |lscored AS (
+         |  SELECT /*+ BROADCAST(qt) */ qt.q_id, w.doc_id,
+         |    round(sum(w.w6) / 1000000.0, 6) AS bm25
+         |  FROM bm25_w w JOIN qt ON w.term = qt.term
+         |  WHERE w.doc_id <> qt.q_id
+         |  GROUP BY qt.q_id, w.doc_id),
+         |lleg AS (
+         |  SELECT q_id, doc_id AS id, lex_rank FROM (
+         |    SELECT q_id, doc_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS lex_rank
+         |    FROM lscored)
+         |  WHERE lex_rank <= $rcand),
+         |fused AS (
+         |  SELECT coalesce(v.q_id, l.q_id) AS q_id, coalesce(v.id, l.id) AS id,
+         |    v.vec_rank, l.lex_rank,
+         |    round(coalesce(1.0 / (v.vec_rank + $rk), 0.0)
+         |      + coalesce(1.0 / (l.lex_rank + $rk), 0.0), 6) AS rrf
+         |  FROM vleg v FULL OUTER JOIN lleg l
+         |    ON v.q_id = l.q_id AND v.id = l.id)
+         |SELECT q_id, id AS neighbor_id, vec_rank, lex_rank, rrf, rank
+         |FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY rrf DESC, id) AS rank FROM fused)
+         |WHERE rank <= $rtop ORDER BY q_id, rank""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_revenue_by_nation" -> (revenueByNation _),
     "sql_upc_valid_share"   -> (upcValidShare _),
@@ -301,7 +367,8 @@ object SqlSurface {
     "sql_components"        -> (componentsSql _),
     "sql_sessionize"        -> (sessionizeSql _),
     "sql_retention"         -> (retentionSql _),
-    "sql_funnel"            -> (funnelSql _))
+    "sql_funnel"            -> (funnelSql _),
+    "sql_rrf_fusion"        -> (rrfFusionSql _))
 
   val oracles: Map[String, String] = Map(
     "sql_revenue_by_nation" ->
@@ -338,5 +405,6 @@ object SqlSurface {
     "sql_components"    -> Dedup.oracles("dedup_components"),
     "sql_sessionize"    -> Events.oracles("events_sessionize"),
     "sql_retention"     -> Events.oracles("events_retention"),
-    "sql_funnel"        -> Events.oracles("events_funnel"))
+    "sql_funnel"        -> Events.oracles("events_funnel"),
+    "sql_rrf_fusion"    -> AnnSearch.oracles("ann_rrf_fusion"))
 }

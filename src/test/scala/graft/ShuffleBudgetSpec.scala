@@ -339,7 +339,10 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "sql_sessionize"        -> 2,
     "sql_retention"         -> 5,
     "events_retention"      -> 5,
-    "sql_funnel"            -> 2) // agg + output sort, = events_funnel
+    "sql_funnel"            -> 2, // agg + output sort, = events_funnel
+    // r13: the hybrid-retrieval capstone — plans to exactly the served
+    // DataFrame twin's shape (6 exchanges + 4 broadcasts)
+    "sql_rrf_fusion"        -> 6)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
