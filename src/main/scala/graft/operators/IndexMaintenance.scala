@@ -137,6 +137,15 @@ object IndexMaintenance {
   def knnEdges(spark: SparkSession, root: String): DataFrame =
     GraphOps.mutualEdgesOf(knnLists(spark, root))
 
+  /** Time-travel read of the mutual edge set as of version `v` — the
+    * DELETE-bearing counterpart of [[pairsAt]]: the kNN chain's deltas
+    * carry eviction delete rows alongside upserts, so the historical
+    * fold exercises the removes anti-join path, not just the union.
+    */
+  def knnEdgesAt(spark: SparkSession, root: String, v: Int): DataFrame =
+    GraphOps.mutualEdgesOf(
+      IdempotentMergeSink.readAt(spark, root, v).select("u", "v"))
+
   // --- BM25 postings maintenance (the bm25_tf/df/dl artifacts'
   // trickle path). tf and dl are doc-keyed — a batch of NEW docs is a
   // pure insert. df is term-keyed and ADDITIVE: the refresh commits

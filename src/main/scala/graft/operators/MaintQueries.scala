@@ -35,7 +35,11 @@ import org.apache.spark.sql.functions._
   *    included), against the maximal-span replay;
   *  - `maint_pairs_time_travel` — UPSERT-chain time travel: `readAt`
   *    version 2 of a 3-commit pair chain, so BOTH delta kinds with a
-  *    fold path have their historical reads oracle-checked.
+  *    fold path have their historical reads oracle-checked;
+  *  - `maint_knn_time_travel` — DELETE-bearing-chain time travel:
+  *    `readAt` version 2 of a 3-commit kNN list chain whose deltas
+  *    carry eviction delete rows, so the historical fold's removes
+  *    anti-join (not just the upsert union) is oracle-checked.
   *
   * Together these put every [[IndexMaintenance]] family and every
   * delta kind the sink commits (upsert, delete, additive increment)
@@ -202,7 +206,32 @@ object MaintQueries {
         .orderBy("doc_a", "doc_b", "start_a", "start_b")
     }
 
+  /** DELETE-bearing-chain time travel — the last (family × fold-path)
+    * combination: three node batches committed into the kNN list table
+    * (bootstrap + two refreshes, each refresh delta carrying fresh
+    * lists AND eviction delete rows), the mutual edge set read back AS
+    * OF version 2. The answer is the from-scratch kNN build over
+    * batches 1-2's nodes: the v2 fold must APPLY v2's deletions
+    * (neighbors evicted by batch 2 are gone) while v3's upserts and
+    * deletions are both invisible — the historical read exercises the
+    * removes anti-join, which [[maintPairsTimeTravel]]'s delete-free
+    * upsert chain never does.
+    */
+  def maintKnnTimeTravel(spark: SparkSession, dir: String): DataFrame =
+    withRoot("knn_tt") { root =>
+      val nodes = GraphOps.partNodes(spark, dir)
+        .filter(hmod(col("key"), 2) === 0)
+      val b1 = nodes.filter(hmod(col("key"), 8).isin(2, 6))
+      val b2 = nodes.filter(hmod(col("key"), 8) === 4)
+      val b3 = nodes.filter(hmod(col("key"), 8) === 0)
+      IndexMaintenance.bootstrapKnn(spark, root, b1)
+      IndexMaintenance.refreshKnn(spark, root, b1, b2, "b2")
+      IndexMaintenance.refreshKnn(spark, root, b1.unionByName(b2), b3, "b3")
+      IndexMaintenance.knnEdgesAt(spark, root, 2).orderBy("a", "b")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_knn_time_travel" -> (maintKnnTimeTravel _),
     "maint_pairs_refresh" -> (maintPairsRefresh _),
     "maint_knn_refresh" -> (maintKnnRefresh _),
     "maint_bm25_df_time_travel" -> (maintBm25DfTimeTravel _),
@@ -223,6 +252,15 @@ object MaintQueries {
       s"""WITH sub AS (
          |  SELECT p_partkey, p_retailprice FROM part
          |  WHERE ${hmodSql("p_partkey", 2)} = 0),
+         |${GraphOps.knnEdgesCteOver("sub")}
+         |SELECT a, b FROM edges ORDER BY a, b""".stripMargin,
+    // the v2 state is the from-scratch build over batches 1-2's nodes
+    // (hmod-8 classes {2, 6} ∪ {4}); v3's class-0 nodes are invisible
+    "maint_knn_time_travel" ->
+      s"""WITH sub AS (
+         |  SELECT p_partkey, p_retailprice FROM part
+         |  WHERE ${hmodSql("p_partkey", 2)} = 0
+         |    AND ${hmodSql("p_partkey", 8)} <> 0),
          |${GraphOps.knnEdgesCteOver("sub")}
          |SELECT a, b FROM edges ORDER BY a, b""".stripMargin,
     "maint_bm25_df_time_travel" ->

@@ -86,6 +86,25 @@ class MaintQueriesSpec extends SparkTestBase {
       "v2 read equals the full working-set pairs — the later commit leaked")
   }
 
+  test("knn time travel reads v2: deletes applied, batch 3 invisible") {
+    val nodes = GraphOps.partNodes(spark, sfDir)
+      .filter(hmod(col("key"), 2) === 0)
+    val got = MaintQueries.maintKnnTimeTravel(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the v2 state ≡ from-scratch over batches 1-2's nodes: any
+    // eviction delete v2 failed to fold would leave a stale b1-era
+    // neighbor pair the scratch build lacks
+    val v2Nodes = nodes.filter(hmod(col("key"), 8) =!= 0)
+    val expectV2 = GraphOps.mutualEdgesOf(GraphOps.knnListsSymmetric(v2Nodes))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got == expectV2,
+      "time-travel edge set diverges from the from-scratch build over batches 1-2")
+    val expectV3 = GraphOps.mutualEdgesOf(GraphOps.knnListsSymmetric(nodes))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got != expectV3,
+      "v2 read equals the full working-set edges — the later commit leaked")
+  }
+
   test("each maintenance query deletes its temp root") {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     def roots() = Option(tmp.listFiles()).getOrElse(Array.empty)
