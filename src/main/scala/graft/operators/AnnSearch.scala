@@ -1178,6 +1178,15 @@ object AnnSearch {
       .select(col("vec_id"), explode(tableKeys(col("v"))).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
       .localCheckpoint()
+    rrfVecRankedOver(all, keyed)
+  }
+
+  /** The leg body over ANY (vec_id, t, b) key relation — in-query keys
+    * for the self-contained form, the `lsh_keys` artifact for the
+    * served one: one body, so the forms sharing an oracle cannot drift
+    * in candidate generation, cosine rounding, or the rank tie-break.
+    */
+  private def rrfVecRankedOver(all: DataFrame, keyed: DataFrame): DataFrame = {
     val qKeys = keyed.filter(expr(QueryFilter))
       .select(col("vec_id").as("q_id"), col("t"), col("b"))
     val vecCand = keyed.join(broadcast(qKeys), Seq("t", "b"))
@@ -1328,25 +1337,7 @@ object AnnSearch {
     * expensive fleet query (7.1 s quiet r8) reduced to its probe work.
     */
   def annRrfFusionServed(spark: SparkSession, dir: String): DataFrame = {
-    val all = vecs(spark, dir)
-    val keyed = servedLshKeys(spark, dir)
-    val qKeys = keyed.filter(expr(QueryFilter))
-      .select(col("vec_id").as("q_id"), col("t"), col("b"))
-    val vecCand = keyed.join(broadcast(qKeys), Seq("t", "b"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select("q_id", "vec_id").distinct()
-    val q = all.filter(expr(QueryFilter))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val wVec = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    val vecRanked = vecCand
-      .join(all, "vec_id")
-      .join(broadcast(q), "q_id")
-      .withColumn("cosine",
-        round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6))
-      .withColumn("vec_rank", row_number().over(wVec))
-      .filter(col("vec_rank") <= RrfCand)
-      .select(col("q_id"), col("vec_id").as("id"), col("vec_rank"))
+    val vecRanked = rrfVecRankedOver(vecs(spark, dir), servedLshKeys(spark, dir))
 
     val (tf, _, _) = servedBm25(spark, dir)
     val lexRanked = bm25LexRankedFromW(servedBm25W(spark, dir), bm25QTerms(tf))

@@ -103,6 +103,29 @@ class MaintQueriesSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got != expectV3,
       "v2 read equals the full working-set edges — the later commit leaked")
+    // guard against a vacuous pass: the v2 delta must actually carry
+    // eviction DELETE rows, or got == expectV2 would hold through the
+    // plain upsert-union path and prove nothing about delete folding.
+    // Replay the same b1 → b2 chain into an inspectable root and read
+    // the delta's removes/ set minus its own upsert keys (an upsert
+    // also lists its key under removes; a PURE delete appears only
+    // there).
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_kttspec").toAbsolutePath.toString
+    try {
+      val b1 = nodes.filter(hmod(col("key"), 8).isin(2, 6))
+      val b2 = nodes.filter(hmod(col("key"), 8) === 4)
+      graft.operators.IndexMaintenance.bootstrapKnn(spark, root, b1)
+      graft.operators.IndexMaintenance.refreshKnn(spark, root, b1, b2, "b2")
+      val pureDeletes = spark.read.parquet(s"$root/v=2/removes")
+        .join(spark.read.parquet(s"$root/v=2/upserts"),
+          Seq("list_key"), "left_anti")
+        .count()
+      assert(pureDeletes > 0,
+        "b2 evicted no neighbors at this scale — the time-travel query " +
+          "is not exercising the removes anti-join it exists to pin")
+    } finally graft.sinks.IdempotentMergeSink
+      .deleteRecursively(new java.io.File(root))
   }
 
   test("each maintenance query deletes its temp root") {
