@@ -29,6 +29,9 @@ object ScalePointBench {
     */
   private val targets = Seq(
     "ann_rrf_fusion", "ann_rrf_fusion_served",
+    // r13: the SQL-text fusion must scale like the served twin it
+    // plans identically to
+    "sql_rrf_fusion",
     "ann_ivfadc_topk", "ann_ivfadc_served",
     "ann_ivfadc_rerank", "ann_ivfadc_rerank_served",
     "ann_ivfpq_residual",
