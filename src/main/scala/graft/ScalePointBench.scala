@@ -352,7 +352,7 @@ object ScalePointBench {
     // probe (9 exactly-once commits around a cheap tokenize).
     if (selected("maint_contract")) {
       Seq("maint_bm25_df_time_travel", "maint_pairs_refresh",
-          "maint_spans_refresh").foreach { name =>
+          "maint_spans_refresh", "maint_knn_time_travel").foreach { name =>
         def med(dir: String): Double = {
           val ts = (1 to 3).map { _ =>
             val t0 = System.nanoTime()
