@@ -134,6 +134,114 @@ object ScalePointBench {
     new java.io.File(fs, SynthMarker).createNewFile()
   }
 
+  /** ORGANIC ×N corpus (r14, VERDICT r13 item 6): the replica synth
+    * above keeps replicas mutually invisible BY CONSTRUCTION (salted
+    * word rehash, nudged embeddings), which pins per-family exponents
+    * but can't show organic band occupancy — candidate sets that grow
+    * because NEW content genuinely collides with OLD content. This
+    * synth grows the corpus the way a real crawl does:
+    *  - documents: copy i is a CROSSOVER — the first half of its
+    *    source doc's words + the second half of a hash-chosen partner
+    *    doc's words. Every new doc shares real grams/shingles with two
+    *    existing docs (and transitively with their other crossovers),
+    *    so minhash bands, span grams, and winnowing buckets all gain
+    *    organic cross-corpus collisions;
+    *  - embeddings: copy i is a 0.8/0.2 MIXTURE of its source and
+    *    partner vectors (queries L2-normalize on read) — new points
+    *    land inside existing cosine neighborhoods instead of in a
+    *    nudged-off shell;
+    *  - part: prices JITTER ±0.5 around the source price (exactly the
+    *    kNN band tolerance), so every price band's occupancy grows ∝ n
+    *    — the adversarial regime for the banded builds.
+    * Everything is hash-derived from the driver's testdata — no new
+    * content, only recombination — and deterministic on re-runs.
+    */
+  private val OrganicMarker = "_ORGANIC_DONE_v1"
+
+  private def synthesizeOrganic(spark: SparkSession, src: String,
+      dst: String, factor: Int): Unit = {
+    val fs = new java.io.File(dst)
+    if (new java.io.File(fs, OrganicMarker).exists()) return
+    fs.mkdirs()
+    val docs = Tables.documents(spark, src).select("doc_id", "text")
+      .localCheckpoint()
+    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val maxPart = Tables.part(spark, src)
+      .agg(max(col("p_partkey"))).head().getLong(0)
+    require(maxDoc < 100000L && maxPart < 1000000L,
+      s"organic strides too small (max doc_id $maxDoc, max p_partkey $maxPart)")
+    def crossed(i: Int): DataFrame = {
+      // partner chosen by a fixed-multiplier hash — never the doc
+      // itself for i > 0 unless the corpus is degenerate; a missing
+      // partner id (sparse keyspace) falls back to self-crossover
+      val partner = pmod(col("a.doc_id") * lit(7919L) + lit(i * 104729L),
+        lit(maxDoc + 1))
+      docs.as("a")
+        .withColumn("p", partner)
+        .join(docs.as("b"), col("p") === col("b.doc_id"), "left")
+        .select(
+          (col("a.doc_id") + lit(i * 100000L)).as("doc_id"),
+          concat_ws(" ",
+            expr("""concat(
+              slice(split(a.text, '\\s+'), 1,
+                cast(ceil(size(split(a.text, '\\s+')) / 2.0) as int)),
+              slice(split(coalesce(b.text, a.text), '\\s+'),
+                cast(floor(size(split(coalesce(b.text, a.text), '\\s+')) / 2.0) as int) + 1,
+                size(split(coalesce(b.text, a.text), '\\s+'))))"""))
+            .as("text"))
+    }
+    ((docs: DataFrame) +: (1 until factor).map(crossed))
+      .reduce(_ unionByName _)
+      .coalesce(8).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet").localCheckpoint()
+    val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0)
+    def mixed(i: Int): DataFrame = {
+      val partner = pmod(col("a.vec_id") * lit(6151L) + lit(i * 93911L),
+        lit(maxVec + 1))
+      emb.as("a")
+        .withColumn("p", partner)
+        .join(emb.select(col("vec_id").as("bv"),
+          col("embedding").as("bemb")), col("p") === col("bv"), "left")
+        .select(
+          (col("a.vec_id") + lit(i * 100000L)).as("vec_id"),
+          expr("""transform(
+            zip_with(a.embedding, coalesce(bemb, a.embedding),
+              (x, y) -> 0.8D * x + 0.2D * y),
+            z -> CAST(z AS FLOAT))""").as("embedding"))
+    }
+    ((emb: DataFrame) +: (1 until factor).map(mixed))
+      .reduce(_ unionByName _)
+      .coalesce(8).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    val part = Tables.part(spark, src)
+    (0 until factor).map { i =>
+      if (i == 0) part
+      else part.withColumn("p_partkey", col("p_partkey") + lit(i * 1000000L))
+        .withColumn("p_retailprice", round(col("p_retailprice") +
+          (pmod(col("p_partkey") * lit(31L) + lit(i * 17L), lit(101L)) - lit(50L))
+            * lit(0.01), 2))
+    }.reduce(_ unionByName _)
+      .coalesce(8).write.mode("overwrite").parquet(s"$dst/part.parquet")
+    Seq("region", "nation", "customer", "supplier", "orders",
+      "events", "lineitem").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .coalesce(4).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    new java.io.File(fs, OrganicMarker).createNewFile()
+  }
+
+  /** The families whose exponents the organic point pins — the top
+    * cost drivers whose growth depends on CROSS-CORPUS collision
+    * structure, not just row count.
+    */
+  private val organicTargets = Seq(
+    "graph_knn_edges", "graph_pagerank",
+    "dedup_minhash", "dedup_keep_best",
+    "dedup_components", "dedup_components_star",
+    "dedup_exact_spans", "dedup_simhash_pairs",
+    "multimodal_phash_dct_pairs",
+    "ann_rrf_fusion", "ann_ivfadc_topk", "ann_ivfpq_residual_served",
+    "text_bm25_topk")
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dst = sys.env.getOrElse("SPARK_GRAFT_SYNTH_DIR", "/tmp/graft_sfhalf")
@@ -146,6 +254,34 @@ object ScalePointBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // per-query shuffle accounting (same listener discipline as Bench):
+    // bytes are deterministic per plan, so byte EXPONENTS across scale
+    // points catch a family whose constant is fine and whose growth is
+    // not — walls alone can hide that under contention (r13 item 7)
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          done: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = done.stageInfo.taskMetrics
+        if (m != null) {
+          shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+    def settledBytes(): Long = {
+      var prev = shuffleRead.get() + shuffleWrite.get()
+      var stable = 0
+      var polls = 0
+      while (stable < 2 && polls < 30) {
+        Thread.sleep(30)
+        val cur = shuffleRead.get() + shuffleWrite.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        polls += 1
+      }
+      prev
+    }
     synthesize(spark, src, dst, replicas)
 
     def run(name: String): Double = {
@@ -170,6 +306,42 @@ object ScalePointBench {
       val rest = (1 to 2).map(_ => run(name))
       val med = (first +: rest).sorted.apply(1)
       println(s"""{"query":"$name","first_sec":${j(first)},"median_sec":${j(med)},"replicas":$replicas}""")
+    }
+
+    // ORGANIC scale point (r14): sf0.1 × ORGANIC_FACTOR via content
+    // recombination (see synthesizeOrganic) — walls AND shuffle bytes
+    // at 1× and at the organic point, with measured exponents
+    // (log-ratio over log-factor). A family whose byte exponent
+    // exceeds its documented wall exponent is growing data movement
+    // faster than work — the 100 TB failure mode the replica synth's
+    // mutually-invisible copies structurally cannot produce.
+    if (selected("organic")) {
+      val orgDir = sys.env.getOrElse("SPARK_GRAFT_ORGANIC_DIR", "/tmp/graft_sforganic")
+      val factor = sys.env.getOrElse("SPARK_GRAFT_ORGANIC_FACTOR", "10").toInt
+      synthesizeOrganic(spark, src, orgDir, factor)
+      def measure(name: String, dir: String): (Double, Long) = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => System.err.println(s"[organic] $name: $e") }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val earlier = (1 to 2).map(_ => once()) // run 1 also builds artifacts
+        val b0 = settledBytes()
+        val last = once()
+        val bytes = settledBytes() - b0
+        ((earlier :+ last).sorted.apply(1), bytes)
+      }
+      organicTargets.foreach { name =>
+        val (s1, b1) = measure(name, src)
+        val (sN, bN) = measure(name, orgDir)
+        val wallExp = math.log(sN / s1) / math.log(factor.toDouble)
+        val byteExp =
+          if (b1 > 0 && bN > 0) math.log(bN.toDouble / b1) / math.log(factor.toDouble)
+          else 0.0
+        println(s"""{"query":"$name","sec_1x":${j(s1)},"sec_${factor}x":${j(sN)},"wall_exp":${j(wallExp)},"bytes_1x":$b1,"bytes_${factor}x":$bN,"byte_exp":${j(byteExp)},"organic_factor":$factor}""")
+      }
     }
 
     // kNN list MAINTENANCE at scale (not a SparkEntry query — the

@@ -826,6 +826,82 @@ object AnnSearch {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The RESIDUAL-PQ model artifacts SERVED: folded residual codes
+    * (bucketed on vec_id, the ADC scan's join key) and the M×Ks
+    * residual codebook, trained ONCE on the residuals left over after
+    * the SERVED coarse quantizer ([[servedIvfArtifacts]] — k-means is
+    * deterministic here, so the served centroids are bit-identical to
+    * the self-contained chain's and the residual model cannot drift
+    * from the lists it serves next to). Codes and codebook persist
+    * together, same group-lock discipline as [[servedPqArtifacts]].
+    */
+  private def servedResidualPqArtifacts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import graft.sources.ArtifactStore
+    val arts = ArtifactStore.ensureMany(spark, dir,
+      Seq(("pq_res_codes", "vec_id", 8), ("pq_res_codebook", "m", 1))) {
+      val (lists, cent) = servedIvfArtifacts(spark, dir)
+      // the stored list table is (vec_id, cl); the residual subtraction
+      // needs the vector back — one bucketed join, training-time only
+      val rsub = normVecs(spark, dir)
+        .join(lists, "vec_id")
+        .join(broadcast(cent.select(col("cl"), col("cv"))), "cl")
+        .select(col("vec_id"),
+          expr("zip_with(v, cv, (a, b) -> a - b)").as("rv"))
+        .select(col("vec_id"), posexplode(expr(
+          s"transform(sequence(0, ${PqM - 1}), m -> slice(rv, m * $PqSub + 1, $PqSub))"))
+          .as(Seq("m", "sv")))
+      val (codes, cb) = pqModelOverSub(rsub)
+      Map("pq_res_codes" -> foldedCodes(codes), "pq_res_codebook" -> cb)
+    }
+    (arts("pq_res_codes"), arts("pq_res_codebook"))
+  }
+
+  /** [[annIvfpqResidual]] served from the artifact tier: coarse lists,
+    * centroids, residual codes and residual codebook are all table
+    * scans, so the query pays only its probe work — the per-(query,
+    * probed list) residual ADC tables (still broadcast: #queries ×
+    * nprobe × M × Ks rows) and the pruned ADC scan. Identical math and
+    * rounding to the self-contained form; shares its oracle.
+    */
+  def annIvfpqResidualServed(spark: SparkSession, dir: String): DataFrame = {
+    val (codes, cb) = servedResidualPqArtifacts(spark, dir)
+    val (lists, cent) = servedIvfArtifacts(spark, dir)
+    val q = normVecs(spark, dir).filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdist2"), col("cl"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("cdist2", round(
+        dot(col("qv"), col("qv")) - lit(2) * dot(col("qv"), col("cv"))
+          + dot(col("cv"), col("cv")), 6))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= NProbe)
+      .select(col("q_id"), col("cl"), col("qv"))
+    val qrsub = probes
+      .join(broadcast(cent.select(col("cl"), col("cv"))), "cl")
+      .select(col("q_id"), col("cl"),
+        expr("zip_with(qv, cv, (a, b) -> a - b)").as("rq"))
+      .select(col("q_id"), col("cl"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> slice(rq, m * $PqSub + 1, $PqSub))"))
+        .as(Seq("m", "qs")))
+    val dt = qrsub.join(broadcast(cb), "m")
+      .withColumn("dsub", round(
+        dot(col("qs"), col("qs")) - lit(2) * dot(col("qs"), col("cv"))
+          + dot(col("cv"), col("cv")), 6))
+      .select(col("q_id"), col("cl"), col("m"), col("code"), col("dsub"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist2"), col("vec_id"))
+    lists
+      .join(broadcast(probes.select("q_id", "cl")), "cl")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(codes, "vec_id")
+      .join(broadcast(foldedTables(dt, Seq("q_id", "cl"))), Seq("q_id", "cl"))
+      .withColumn("adist2", round(
+        call_function("adc_dist6", col("codes"), col("dtab")) / 1000000.0, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adist2"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** IVFPQ with RESIDUAL encoding — the EXACT published IVFADC recipe
     * (Jégou et al. §III: "the residual vector r(x) = x − q1(x) is
     * quantized by the product quantizer"): PQ codebooks train on the
@@ -1373,6 +1449,7 @@ object AnnSearch {
     "ann_rrf_fusion" -> (annRrfFusion _),
     "ann_ivfadc_served" -> (annIvfadcServed _),
     "ann_ivfadc_rerank_served" -> (annIvfadcRerankServed _),
+    "ann_ivfpq_residual_served" -> (annIvfpqResidualServed _),
     "ann_rrf_fusion_served" -> (annRrfFusionServed _))
 
   /** Shared oracle CTE: per-vector LSH bucket via the same md5-derived
@@ -1720,6 +1797,7 @@ object AnnSearch {
     "ann_ivfadc_served" -> ivfadcSql,
     "ann_ivfadc_rerank_served" -> ivfadcRerankSql,
     "ann_ivfpq_residual" -> ivfpqResidualSql,
+    "ann_ivfpq_residual_served" -> ivfpqResidualSql,
     "ann_bq_topk" ->
       s"""WITH nv AS (
          |  SELECT vec_id, list_transform(embedding::DOUBLE[],

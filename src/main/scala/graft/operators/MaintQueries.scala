@@ -39,7 +39,11 @@ import org.apache.spark.sql.functions._
   *  - `maint_knn_time_travel` — DELETE-bearing-chain time travel:
   *    `readAt` version 2 of a 3-commit kNN list chain whose deltas
   *    carry eviction delete rows, so the historical fold's removes
-  *    anti-join (not just the upsert union) is oracle-checked.
+  *    anti-join (not just the upsert union) is oracle-checked;
+  *  - `maint_pairs_vacuum_travel` — retention interaction: `readAt`
+  *    of the oldest RETAINED version after `vacuum(keep=2)` really
+  *    deleted the pre-compaction versions — historical reads survive
+  *    snapshot expiry exactly as a table format promises.
   *
   * Together these put every [[IndexMaintenance]] family and every
   * delta kind the sink commits (upsert, delete, additive increment)
@@ -206,6 +210,18 @@ object MaintQueries {
         .orderBy("doc_a", "doc_b", "start_a", "start_b")
     }
 
+  /** The fixed node-count of [[maintKnnTimeTravel]]'s working slice:
+    * the kNN build family's cost scales with its working set (banded
+    * candidates), so a PROPORTIONAL md5-mod slice made this contract
+    * query the fleet's most expensive (6.73 s at sf0.01, 3.68× at a
+    * 5× corpus). The invariant under test — the historical fold
+    * applies v2's deletions and hides v3 — is corpus-independent, so
+    * the chain runs over the `KnnSliceN` md5-RANK-smallest part keys:
+    * deterministic on both engines (ORDER BY md5(key) LIMIT n), and
+    * constant-cost at any corpus ≥ n parts.
+    */
+  private[graft] val KnnSliceN = 512
+
   /** DELETE-bearing-chain time travel — the last (family × fold-path)
     * combination: three node batches committed into the kNN list table
     * (bootstrap + two refreshes, each refresh delta carrying fresh
@@ -215,19 +231,56 @@ object MaintQueries {
     * (neighbors evicted by batch 2 are gone) while v3's upserts and
     * deletions are both invisible — the historical read exercises the
     * removes anti-join, which [[maintPairsTimeTravel]]'s delete-free
-    * upsert chain never does.
+    * upsert chain never does. Scoped to the fixed-size [[KnnSliceN]]
+    * slice (see there); batches split by md5-mod-4 class within it.
     */
   def maintKnnTimeTravel(spark: SparkSession, dir: String): DataFrame =
     withRoot("knn_tt") { root =>
-      val nodes = GraphOps.partNodes(spark, dir)
-        .filter(hmod(col("key"), 2) === 0)
-      val b1 = nodes.filter(hmod(col("key"), 8).isin(2, 6))
-      val b2 = nodes.filter(hmod(col("key"), 8) === 4)
-      val b3 = nodes.filter(hmod(col("key"), 8) === 0)
+      // one 512-row materialization: the slice feeds six batch plans
+      val slice = GraphOps.partNodes(spark, dir)
+        .orderBy(md5(col("key").cast("string")))
+        .limit(KnnSliceN)
+        .localCheckpoint()
+      val b1 = slice.filter(hmod(col("key"), 4).isin(1, 2))
+      val b2 = slice.filter(hmod(col("key"), 4) === 3)
+      val b3 = slice.filter(hmod(col("key"), 4) === 0)
       IndexMaintenance.bootstrapKnn(spark, root, b1)
       IndexMaintenance.refreshKnn(spark, root, b1, b2, "b2")
       IndexMaintenance.refreshKnn(spark, root, b1.unionByName(b2), b3, "b3")
       IndexMaintenance.knnEdgesAt(spark, root, 2).orderBy("a", "b")
+    }
+
+  /** Retained-version time travel AFTER VACUUM — the retention
+    * interaction the spec suite covers but the driver gate (until now)
+    * did not: a 4-commit pair chain (bootstrap v1, refresh v2, COMPACT
+    * v3, refresh v4) is vacuumed with keep=2, which really deletes
+    * v1-v2 (v3 is a base, so the retained chain's floor is v3 itself),
+    * and the query answers `readAt(v3)` — the OLDEST retained version,
+    * reconstructed with its entire pre-compaction history gone. The
+    * answer equals the from-scratch build over batches 1-2's documents
+    * (compaction and vacuum change the physical layout, never the
+    * logical state), which is exactly [[maintPairsTimeTravel]]'s
+    * oracle — the same subset replayed by DuckDB.
+    */
+  def maintPairsVacuumTravel(spark: SparkSession, dir: String): DataFrame =
+    withRoot("pairs_vac") { root =>
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+        .filter(hmod(col("doc_id"), 2) === 0)
+      val b1 = docs.filter(hmod(col("doc_id"), 8).isin(2, 6))
+      val b2 = docs.filter(hmod(col("doc_id"), 8) === 4)
+      val b3 = docs.filter(hmod(col("doc_id"), 8) === 0)
+      IndexMaintenance.bootstrap(spark, root, b1)
+      IndexMaintenance.refresh(spark, root, b1, b2, "b2")
+      require(graft.sinks.IdempotentMergeSink.compact(spark, root),
+        "compact was a no-op — the v2 refresh did not commit a delta")
+      IndexMaintenance.refresh(spark, root, b1.unionByName(b2), b3, "b3")
+      graft.sinks.IdempotentMergeSink.vacuum(root, keep = 2)
+      // the vacuum must have REMOVED the pre-compaction versions —
+      // otherwise this query degenerates into maint_pairs_time_travel
+      require(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "v=1")) &&
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(root, "v=2")),
+        s"vacuum(keep=2) left v=1/v=2 in place at $root")
+      IndexMaintenance.pairsAt(spark, root, 3).orderBy("doc_a", "doc_b")
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -237,7 +290,8 @@ object MaintQueries {
     "maint_bm25_df_time_travel" -> (maintBm25DfTimeTravel _),
     "maint_phash_refresh" -> (maintPhashRefresh _),
     "maint_spans_refresh" -> (maintSpansRefresh _),
-    "maint_pairs_time_travel" -> (maintPairsTimeTravel _))
+    "maint_pairs_time_travel" -> (maintPairsTimeTravel _),
+    "maint_pairs_vacuum_travel" -> (maintPairsVacuumTravel _))
 
   val oracles: Map[String, String] = Map(
     // maintained ≡ from-scratch: the oracle is the SAME CTE generator
@@ -254,13 +308,16 @@ object MaintQueries {
          |  WHERE ${hmodSql("p_partkey", 2)} = 0),
          |${GraphOps.knnEdgesCteOver("sub")}
          |SELECT a, b FROM edges ORDER BY a, b""".stripMargin,
-    // the v2 state is the from-scratch build over batches 1-2's nodes
-    // (hmod-8 classes {2, 6} ∪ {4}); v3's class-0 nodes are invisible
+    // the v2 state is the from-scratch build over batches 1-2's nodes:
+    // within the fixed md5-rank slice, the hmod-4 classes {1,2} ∪ {3};
+    // v3's class-0 nodes are invisible
     "maint_knn_time_travel" ->
-      s"""WITH sub AS (
+      s"""WITH slice AS (
          |  SELECT p_partkey, p_retailprice FROM part
-         |  WHERE ${hmodSql("p_partkey", 2)} = 0
-         |    AND ${hmodSql("p_partkey", 8)} <> 0),
+         |  ORDER BY md5(CAST(p_partkey AS VARCHAR)) LIMIT $KnnSliceN),
+         |sub AS (
+         |  SELECT p_partkey, p_retailprice FROM slice
+         |  WHERE ${hmodSql("p_partkey", 4)} <> 0),
          |${GraphOps.knnEdgesCteOver("sub")}
          |SELECT a, b FROM edges ORDER BY a, b""".stripMargin,
     "maint_bm25_df_time_travel" ->
@@ -278,6 +335,14 @@ object MaintQueries {
     "maint_phash_refresh" ->
       Multimodal.dctPairsOracleWhere(s"${hmodSql("doc_id", 2)} = 0"),
     "maint_pairs_time_travel" ->
+      s"""WITH sub AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ${hmodSql("doc_id", 2)} = 0 AND ${hmodSql("doc_id", 8)} <> 0),
+         |${Dedup.jaccardCtesOver("sub")}
+         |SELECT * FROM jpairs ORDER BY doc_a, doc_b""".stripMargin,
+    // compaction + vacuum never change logical state: the retained
+    // version's read equals the same from-scratch subset build
+    "maint_pairs_vacuum_travel" ->
       s"""WITH sub AS (
          |  SELECT doc_id, text FROM documents
          |  WHERE ${hmodSql("doc_id", 2)} = 0 AND ${hmodSql("doc_id", 8)} <> 0),

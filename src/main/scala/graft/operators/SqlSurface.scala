@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** The SQL-text surface of the engine: the same tables exposed as temp
   * views and queried via `spark.sql(...)` — for users who drive the
@@ -107,7 +108,7 @@ object SqlSurface {
         |  FROM bm25_tf tf JOIN qterms USING (term)
         |  JOIN bm25_dl dl USING (doc_id) CROSS JOIN stats)
         |SELECT doc_id, count(*) AS n_terms_hit, dl,
-        |  round(sum(CAST(round(c * 1000000, 0) AS BIGINT)) / 1000000.0, 6) AS score
+        |  round(sum(CAST(round(c * 1000000, 0) AS BIGINT)) / 1000000.0D, 6) AS score
         |FROM contrib GROUP BY doc_id, dl
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
   }
@@ -190,15 +191,20 @@ object SqlSurface {
     // CROSS JOIN the 1-row count (broadcast) instead of a scalar
     // subquery per iteration: each scalar subquery is its own tiny
     // job, and 2 × Iters of them cost ~0.5 s of pure scheduling
+    // D-suffix every fractional literal: Spark SQL parses a bare
+    // decimal-point literal as DECIMAL, which would run the whole
+    // unrolled rank chain in decimal arithmetic while the DataFrame
+    // twin (lit(1.0) = double) and the DuckDB oracle run doubles —
+    // after 3+ rounds of 6-dp re-rounding the 6th decimal diverges
     val iter = (prev: String, out: String) =>
       s"""$out AS (
-         |  SELECT doc_id, round($t / n_nodes + $d * contrib, 6) AS r FROM (
+         |  SELECT doc_id, round(${t}D / n_nodes + ${d}D * contrib, 6) AS r FROM (
          |    SELECT a.dst AS doc_id, n_nodes, sum(r.r / a.d) AS contrib
          |    FROM pr_adj a JOIN $prev r ON r.doc_id = a.src CROSS JOIN pr_n
          |    GROUP BY a.dst, n_nodes))""".stripMargin
     spark.sql(
       s"""WITH r0 AS (
-         |  SELECT DISTINCT src AS doc_id, 1.0 / n_nodes AS r
+         |  SELECT DISTINCT src AS doc_id, 1.0D / n_nodes AS r
          |  FROM pr_adj CROSS JOIN pr_n),
          |${(1 to GraphOps.Iters).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")}
          |SELECT doc_id, r AS pagerank FROM r${GraphOps.Iters}
@@ -290,6 +296,65 @@ object SqlSurface {
           |FROM pu ORDER BY user_id""".stripMargin)
     }
 
+  /** The as-of join as pure SQL text over the `events` view — the
+    * union + carry-forward-window form an analyst writes where the
+    * engine has no ASOF keyword: tag both sides, one window
+    * partitioned on user_id, lexicographic struct max carries the
+    * latest click at-or-before each purchase (clicks order before
+    * purchases at equal timestamps via the side tag — ASOF `>=`
+    * semantics). Plans to the same single exchange as
+    * [[Events.eventsAsofJoin]], whose oracle (DuckDB's NATIVE ASOF
+    * JOIN) it shares — three implementation tiers, one oracle.
+    */
+  def asofSql(spark: SparkSession, dir: String): DataFrame =
+    withViews(spark, dir) {
+      spark.sql(
+        """WITH tagged AS (
+          |  SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'click'
+          |  UNION ALL
+          |  SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_type = 'purchase'),
+          |carried AS (
+          |  SELECT *,
+          |    max(CASE WHEN side = 0
+          |             THEN named_struct('c_ts', ts, 'c_id', event_id) END)
+          |      OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+          |  FROM tagged)
+          |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+          |  last_click.c_id AS click_id, last_click.c_ts AS click_ts,
+          |  round((unix_micros(ts) - unix_micros(last_click.c_ts)) / 1e6, 6) AS gap_s
+          |FROM carried WHERE side = 1 AND last_click IS NOT NULL
+          |ORDER BY purchase_id""".stripMargin)
+    }
+
+  /** The point-in-time SCD2 lookup as pure SQL text — the backfill
+    * correctness query every feature store runs: each lineitem row
+    * joins the price version VALID AT ITS OWN SHIP DATE against the
+    * maintained version history, registered as the `scd2_price` view
+    * ([[EtlEnrichment.scd2History]]'s output relation — the table a
+    * warehouse keeps materialized). Equi-join on partkey with the
+    * interval predicate as a residual filter, same aggregation as
+    * [[EtlEnrichment.temporalJoin]], whose oracle it shares.
+    */
+  def temporalJoinSql(spark: SparkSession, dir: String): DataFrame =
+    withViews(spark, dir) {
+      EtlEnrichment.scd2History(spark, dir)
+        .select(col("l_partkey").as("pk"), col("version"), col("price"),
+          col("valid_from"), col("valid_to"))
+        .createOrReplaceTempView("scd2_price")
+      spark.sql(
+        """SELECT l.l_partkey, v.version, v.price,
+          |  count(*) AS n_lines,
+          |  min(l.l_shipdate) AS first_ship,
+          |  max(l.l_shipdate) AS last_ship
+          |FROM lineitem l JOIN scd2_price v
+          |  ON l.l_partkey = v.pk
+          |  AND l.l_shipdate >= v.valid_from
+          |  AND (v.valid_to IS NULL OR l.l_shipdate < v.valid_to)
+          |GROUP BY l.l_partkey, v.version, v.price
+          |ORDER BY l.l_partkey, v.version""".stripMargin)
+    }
+
   /** Hybrid retrieval — reciprocal-rank fusion of the LSH vector leg
     * and the BM25 lexical leg — as pure SQL text over the SERVED
     * artifact tier: the `lsh_keys` bucket table, the `vec_norms`
@@ -333,7 +398,7 @@ object SqlSurface {
          |qt AS (SELECT doc_id AS q_id, term FROM bm25_tf WHERE doc_id % 50 = 0),
          |lscored AS (
          |  SELECT /*+ BROADCAST(qt) */ qt.q_id, w.doc_id,
-         |    round(sum(w.w6) / 1000000.0, 6) AS bm25
+         |    round(sum(w.w6) / 1000000.0D, 6) AS bm25
          |  FROM bm25_w w JOIN qt ON w.term = qt.term
          |  WHERE w.doc_id <> qt.q_id
          |  GROUP BY qt.q_id, w.doc_id),
@@ -346,8 +411,8 @@ object SqlSurface {
          |fused AS (
          |  SELECT coalesce(v.q_id, l.q_id) AS q_id, coalesce(v.id, l.id) AS id,
          |    v.vec_rank, l.lex_rank,
-         |    round(coalesce(1.0 / (v.vec_rank + $rk), 0.0)
-         |      + coalesce(1.0 / (l.lex_rank + $rk), 0.0), 6) AS rrf
+         |    round(coalesce(1.0D / (v.vec_rank + $rk), 0.0D)
+         |      + coalesce(1.0D / (l.lex_rank + $rk), 0.0D), 6) AS rrf
          |  FROM vleg v FULL OUTER JOIN lleg l
          |    ON v.q_id = l.q_id AND v.id = l.id)
          |SELECT q_id, id AS neighbor_id, vec_rank, lex_rank, rrf, rank
@@ -368,7 +433,32 @@ object SqlSurface {
     "sql_sessionize"        -> (sessionizeSql _),
     "sql_retention"         -> (retentionSql _),
     "sql_funnel"            -> (funnelSql _),
+    "sql_asof"              -> (asofSql _),
+    "sql_temporal_join"     -> (temporalJoinSql _),
     "sql_rrf_fusion"        -> (rrfFusionSql _))
+
+  /** SQL twin → the DataFrame query whose oracle (and therefore exact
+    * output contract) it shares. SqlSurfaceSpec asserts schema parity
+    * (names AND types) across every pair, so a literal-typing drift —
+    * Spark parses bare `1.0` as DECIMAL while `lit(1.0)` is DOUBLE —
+    * fails at dev time instead of as a driver-gate hash mismatch
+    * (`sql_pagerank`, round 13). The two twins absent here
+    * (`sql_revenue_by_nation`, `sql_upc_valid_share`) have no
+    * DataFrame counterpart; they carry their own oracles.
+    */
+  val twins: Map[String, String] = Map(
+    "sql_simhash_pairs" -> "dedup_simhash_pairs",
+    "sql_bm25_topk"     -> "text_bm25_topk",
+    "sql_quality_gate"  -> "corpus_quality_gate",
+    "sql_ann_topk"      -> "ann_topk",
+    "sql_pagerank"      -> "graph_pagerank",
+    "sql_components"    -> "dedup_components",
+    "sql_sessionize"    -> "events_sessionize",
+    "sql_retention"     -> "events_retention",
+    "sql_funnel"        -> "events_funnel",
+    "sql_asof"          -> "events_asof_join",
+    "sql_temporal_join" -> "etl_temporal_join",
+    "sql_rrf_fusion"    -> "ann_rrf_fusion_served")
 
   val oracles: Map[String, String] = Map(
     "sql_revenue_by_nation" ->
@@ -406,5 +496,7 @@ object SqlSurface {
     "sql_sessionize"    -> Events.oracles("events_sessionize"),
     "sql_retention"     -> Events.oracles("events_retention"),
     "sql_funnel"        -> Events.oracles("events_funnel"),
+    "sql_asof"          -> Events.oracles("events_asof_join"),
+    "sql_temporal_join" -> EtlEnrichment.oracles("etl_temporal_join"),
     "sql_rrf_fusion"    -> AnnSearch.oracles("ann_rrf_fusion"))
 }

@@ -68,6 +68,11 @@ class ArtifactStoreSpec extends SparkTestBase {
       == rows(AnnSearch.annIvfadcRerank(spark, sfDir)))
     assert(rows(AnnSearch.annRrfFusionServed(spark, sfDir))
       == rows(AnnSearch.annRrfFusion(spark, sfDir)))
+    // residual PQ: the served form's codes/codebook trained on
+    // residuals vs the SERVED centroids must reproduce the
+    // self-contained chain bit-for-bit (k-means here is deterministic)
+    assert(rows(AnnSearch.annIvfpqResidualServed(spark, sfDir))
+      == rows(AnnSearch.annIvfpqResidual(spark, sfDir)))
   }
 
   test("dedup served twins equal their self-contained forms") {

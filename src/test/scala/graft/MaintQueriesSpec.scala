@@ -87,19 +87,22 @@ class MaintQueriesSpec extends SparkTestBase {
   }
 
   test("knn time travel reads v2: deletes applied, batch 3 invisible") {
-    val nodes = GraphOps.partNodes(spark, sfDir)
-      .filter(hmod(col("key"), 2) === 0)
+    // the query's working set: the KnnSliceN md5-rank-smallest keys
+    val slice = GraphOps.partNodes(spark, sfDir)
+      .orderBy(md5(col("key").cast("string")))
+      .limit(MaintQueries.KnnSliceN)
+      .localCheckpoint()
     val got = MaintQueries.maintKnnTimeTravel(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // the v2 state ≡ from-scratch over batches 1-2's nodes: any
     // eviction delete v2 failed to fold would leave a stale b1-era
     // neighbor pair the scratch build lacks
-    val v2Nodes = nodes.filter(hmod(col("key"), 8) =!= 0)
+    val v2Nodes = slice.filter(hmod(col("key"), 4) =!= 0)
     val expectV2 = GraphOps.mutualEdgesOf(GraphOps.knnListsSymmetric(v2Nodes))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.nonEmpty && got == expectV2,
       "time-travel edge set diverges from the from-scratch build over batches 1-2")
-    val expectV3 = GraphOps.mutualEdgesOf(GraphOps.knnListsSymmetric(nodes))
+    val expectV3 = GraphOps.mutualEdgesOf(GraphOps.knnListsSymmetric(slice))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got != expectV3,
       "v2 read equals the full working-set edges — the later commit leaked")
@@ -113,10 +116,17 @@ class MaintQueriesSpec extends SparkTestBase {
     val root = java.nio.file.Files
       .createTempDirectory("graft_kttspec").toAbsolutePath.toString
     try {
-      val b1 = nodes.filter(hmod(col("key"), 8).isin(2, 6))
-      val b2 = nodes.filter(hmod(col("key"), 8) === 4)
+      val b1 = slice.filter(hmod(col("key"), 4).isin(1, 2))
+      val b2 = slice.filter(hmod(col("key"), 4) === 3)
       graft.operators.IndexMaintenance.bootstrapKnn(spark, root, b1)
       graft.operators.IndexMaintenance.refreshKnn(spark, root, b1, b2, "b2")
+      // if the b2 batch ever lands as a full base (delta overflow or a
+      // compacting commit), v=2 has no removes/ at all — fail with the
+      // diagnosis, not a path-not-found AnalysisException
+      assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(root, "v=2", "removes")),
+        "v=2 was written as a base, not a delta — shrink the batch so " +
+          "the refresh stays under the sink's delta threshold")
       val pureDeletes = spark.read.parquet(s"$root/v=2/removes")
         .join(spark.read.parquet(s"$root/v=2/upserts"),
           Seq("list_key"), "left_anti")
@@ -126,6 +136,22 @@ class MaintQueriesSpec extends SparkTestBase {
           "is not exercising the removes anti-join it exists to pin")
     } finally graft.sinks.IdempotentMergeSink
       .deleteRecursively(new java.io.File(root))
+  }
+
+  test("pairs vacuum travel: retained version readable, earlier versions gone") {
+    // the query itself asserts v1/v2 were really deleted (a require in
+    // the operator); here pin the LOGICAL claim — reading the oldest
+    // retained version after vacuum equals the from-scratch build over
+    // batches 1-2, i.e. retention never changes answers
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(hmod(col("doc_id"), 2) === 0)
+    val got = MaintQueries.maintPairsVacuumTravel(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val v2Docs = docs.filter(hmod(col("doc_id"), 8) =!= 0)
+    val expectV2 = Dedup.ngramJaccardOf(v2Docs).collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == expectV2,
+      "post-vacuum read of the retained version diverges from the " +
+        "from-scratch build over batches 1-2")
   }
 
   test("each maintenance query deletes its temp root") {

@@ -53,6 +53,7 @@ class PlanGuardSpec extends SparkTestBase {
     // centroid probe / 1-row normalizer loops — the artifact changes
     // WHERE the trained relations come from, not the probe plan shape
     "ann_ivfadc_served", "ann_ivfadc_rerank_served",
+    "ann_ivfpq_residual_served", // same K-constant centroid probe
     "ann_rrf_fusion_served", // same 1-row (N, avgdl) stats relation
     "graph_pagerank_indexed", "graph_modularity_indexed",
     "corpus_epoch_plan", // 1-row broadcast mixture normalizer Z

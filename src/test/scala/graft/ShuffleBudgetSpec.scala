@@ -342,7 +342,15 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "sql_funnel"            -> 2, // agg + output sort, = events_funnel
     // r13: the hybrid-retrieval capstone — plans to exactly the served
     // DataFrame twin's shape (6 exchanges + 4 broadcasts)
-    "sql_rrf_fusion"        -> 6)
+    "sql_rrf_fusion"        -> 6,
+    // r14: the SQL temporal twins plan to exactly their DataFrame
+    // forms — asof: union + one user_id window sort + output sort
+    // share 2 exchanges; temporal join: the scd2 windows share the
+    // partkey sort, + the fact join's aggregation + output sort
+    "sql_asof"              -> 2,
+    "events_asof_join"      -> 2,
+    "sql_temporal_join"     -> 3,
+    "etl_temporal_join"     -> 3)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
