@@ -163,8 +163,10 @@ object ScalePointBench {
     val fs = new java.io.File(dst)
     if (new java.io.File(fs, OrganicMarker).exists()) return
     fs.mkdirs()
-    val docs = Tables.documents(spark, src).select("doc_id", "text")
-      .localCheckpoint()
+    // carry the FULL source schemas: a crossover keeps its a-side
+    // lang/source (and recomputes n_chars), a mixture keeps its a-side
+    // label — downstream accessors and oracles read these columns
+    val docs = spark.read.parquet(s"$src/documents.parquet").localCheckpoint()
     val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0)
     val maxPart = Tables.part(spark, src)
       .agg(max(col("p_partkey"))).head().getLong(0)
@@ -178,17 +180,21 @@ object ScalePointBench {
         lit(maxDoc + 1))
       docs.as("a")
         .withColumn("p", partner)
-        .join(docs.as("b"), col("p") === col("b.doc_id"), "left")
+        .join(docs.select(col("doc_id").as("bid"), col("text").as("btext")),
+          col("p") === col("bid"), "left")
         .select(
           (col("a.doc_id") + lit(i * 100000L)).as("doc_id"),
           concat_ws(" ",
             expr("""concat(
               slice(split(a.text, '\\s+'), 1,
                 cast(ceil(size(split(a.text, '\\s+')) / 2.0) as int)),
-              slice(split(coalesce(b.text, a.text), '\\s+'),
-                cast(floor(size(split(coalesce(b.text, a.text), '\\s+')) / 2.0) as int) + 1,
-                size(split(coalesce(b.text, a.text), '\\s+'))))"""))
-            .as("text"))
+              slice(split(coalesce(btext, a.text), '\\s+'),
+                cast(floor(size(split(coalesce(btext, a.text), '\\s+')) / 2.0) as int) + 1,
+                size(split(coalesce(btext, a.text), '\\s+'))))"""))
+            .as("text"),
+          col("a.lang").as("lang"),
+          col("a.source").as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }
     ((docs: DataFrame) +: (1 until factor).map(crossed))
       .reduce(_ unionByName _)
@@ -207,7 +213,8 @@ object ScalePointBench {
           expr("""transform(
             zip_with(a.embedding, coalesce(bemb, a.embedding),
               (x, y) -> 0.8D * x + 0.2D * y),
-            z -> CAST(z AS FLOAT))""").as("embedding"))
+            z -> CAST(z AS FLOAT))""").as("embedding"),
+          col("a.label").as("label"))
     }
     ((emb: DataFrame) +: (1 until factor).map(mixed))
       .reduce(_ unionByName _)
