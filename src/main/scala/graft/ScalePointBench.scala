@@ -246,7 +246,8 @@ object ScalePointBench {
     "dedup_components", "dedup_components_star",
     "dedup_exact_spans", "dedup_simhash_pairs",
     "multimodal_phash_dct_pairs",
-    "ann_rrf_fusion", "ann_ivfadc_topk", "ann_ivfpq_residual_served",
+    "ann_rrf_fusion", "ann_rrf_fusion_capped",
+    "ann_ivfadc_topk", "ann_ivfpq_residual_served",
     "text_bm25_topk")
 
   def main(args: Array[String]): Unit = {
@@ -340,7 +341,11 @@ object ScalePointBench {
         val bytes = settledBytes() - b0
         ((earlier :+ last).sorted.apply(1), bytes)
       }
-      organicTargets.foreach { name =>
+      // local iteration aid: regex over the organic target names
+      val orgOnly = sys.env.get("SPARK_GRAFT_ORGANIC_ONLY").map(_.r)
+      organicTargets
+        .filter(n => orgOnly.forall(_.findFirstIn(n).isDefined))
+        .foreach { name =>
         val (s1, b1) = measure(name, src)
         val (sN, bN) = measure(name, orgDir)
         val wallExp = math.log(sN / s1) / math.log(factor.toDouble)

@@ -1170,7 +1170,7 @@ object AnnSearch {
   /** RRF constant (the published default) and per-leg candidate depth. */
   private[operators] val RrfK = 60
   private[operators] val RrfCand = 10
-  private[operators] val RrfTopK = 5
+  private[graft] val RrfTopK = 5
 
   /** Hybrid retrieval: multi-table-LSH vector ranking fused with an
     * Okapi-BM25 lexical ranking by reciprocal rank fusion —
@@ -1215,6 +1215,14 @@ object AnnSearch {
     val lexRanked = bm25LexRanked(tf, df, dl)
 
     // fusion: two ≤ RrfCand-per-query rank lists, full outer on (q, id)
+    rrfFuse(vecRanked, lexRanked)
+  }
+
+  /** The fusion tail shared by all three forms (self-contained,
+    * served, capped) — one body, so the reciprocal-rank arithmetic,
+    * rounding, and tie-breaks cannot drift between them.
+    */
+  private def rrfFuse(vecRanked: DataFrame, lexRanked: DataFrame): DataFrame = {
     val wFuse = Window.partitionBy(col("q_id"))
       .orderBy(col("rrf").desc, col("id"))
     vecRanked.join(lexRanked, Seq("q_id", "id"), "full_outer")
@@ -1262,10 +1270,20 @@ object AnnSearch {
     * served one: one body, so the forms sharing an oracle cannot drift
     * in candidate generation, cosine rounding, or the rank tie-break.
     */
-  private def rrfVecRankedOver(all: DataFrame, keyed: DataFrame): DataFrame = {
-    val qKeys = keyed.filter(expr(QueryFilter))
+  private def rrfVecRankedOver(all: DataFrame, keyed: DataFrame): DataFrame =
+    rrfVecRankedSplit(all, keyed, keyed)
+
+  /** The leg body with SEPARATE corpus-side and probe-side key
+    * relations — the capped form reads candidates from the
+    * scan-depth-capped bucket table while queries keep probing with
+    * their own (uncapped) keys: a query past the cap depth must still
+    * search, it just can't be FOUND deeper than the cap.
+    */
+  private def rrfVecRankedSplit(all: DataFrame, corpusKeys: DataFrame,
+      probeKeys: DataFrame): DataFrame = {
+    val qKeys = probeKeys.filter(expr(QueryFilter))
       .select(col("vec_id").as("q_id"), col("t"), col("b"))
-    val vecCand = keyed.join(broadcast(qKeys), Seq("t", "b"))
+    val vecCand = corpusKeys.join(broadcast(qKeys), Seq("t", "b"))
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id").distinct()
     val q = all.filter(expr(QueryFilter))
@@ -1414,21 +1432,71 @@ object AnnSearch {
     */
   def annRrfFusionServed(spark: SparkSession, dir: String): DataFrame = {
     val vecRanked = rrfVecRankedOver(vecs(spark, dir), servedLshKeys(spark, dir))
-
     val (tf, _, _) = servedBm25(spark, dir)
     val lexRanked = bm25LexRankedFromW(servedBm25W(spark, dir), bm25QTerms(tf))
+    rrfFuse(vecRanked, lexRanked)
+  }
 
-    val wFuse = Window.partitionBy(col("q_id"))
-      .orderBy(col("rrf").desc, col("id"))
-    vecRanked.join(lexRanked, Seq("q_id", "id"), "full_outer")
-      .withColumn("rrf", round(
-        coalesce(lit(1.0) / (col("vec_rank") + RrfK), lit(0.0)) +
-          coalesce(lit(1.0) / (col("lex_rank") + RrfK), lit(0.0)), 6))
-      .withColumn("rank", row_number().over(wFuse))
-      .filter(col("rank") <= RrfTopK)
-      .select(col("q_id"), col("id").as("neighbor_id"),
-        col("vec_rank"), col("lex_rank"), col("rrf"), col("rank"))
-      .orderBy(col("q_id"), col("rank"))
+  /** Scan-depth cap per LSH bucket and impact-ordered posting
+    * truncation depth — the two index-side levers the organic ×10
+    * scale point demanded (PLANS.md r14): on a duplicate-heavy corpus
+    * BOTH fusion legs' per-query candidate sets grow ∝ corpus (bucket
+    * occupancy and posting length both ∝ n), so the uncapped fusion's
+    * shuffle bytes measured exp 2.68. The caps bound per-query work by
+    * a CONSTANT: ≤ `RrfBucketCap` candidates per probed bucket (the
+    * max-partition-scan-depth rule every production ANN service runs)
+    * and ≤ `RrfPostCap` postings per term, kept in IMPACT order
+    * (Anh & Moffat: highest-w6 postings first — the docs a truncated
+    * scan keeps are exactly the docs the full scan would rank
+    * highest for that term).
+    */
+  private[graft] val RrfBucketCap = 128
+  private[graft] val RrfPostCap = 64
+
+  /** The scan-depth-capped LSH bucket table: within each (t, b)
+    * bucket only the first [[RrfBucketCap]] vectors by vec_id remain
+    * — deterministic, and replayable by the oracle. Derived from the
+    * full `lsh_keys` artifact at build time; the cap is a property of
+    * the SERVED index, not of any query.
+    */
+  private def servedLshKeysCapped(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ArtifactStore.ensure(spark, dir, "lsh_keys_capped", "vec_id", 8) {
+      val w = Window.partitionBy(col("t"), col("b")).orderBy(col("vec_id"))
+      servedLshKeys(spark, dir)
+        .withColumn("pos", row_number().over(w))
+        .filter(col("pos") <= RrfBucketCap).drop("pos")
+    }
+
+  /** The impact-truncated posting table: per term only the top
+    * [[RrfPostCap]] (w6 DESC, doc_id) postings survive — the static
+    * index-pruning shape of impact-ordered lists.
+    */
+  private def servedBm25WCapped(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ArtifactStore.ensure(spark, dir, "bm25_w_capped", "doc_id", 8) {
+      val w = Window.partitionBy(col("term"))
+        .orderBy(col("w6").desc, col("doc_id"))
+      servedBm25W(spark, dir)
+        .withColumn("pos", row_number().over(w))
+        .filter(col("pos") <= RrfPostCap).drop("pos")
+    }
+
+  /** [[annRrfFusionServed]] with BOUNDED per-query cost — the form a
+    * 100 TB deployment actually serves: candidates come from the
+    * scan-depth-capped bucket table (queries still PROBE with their
+    * uncapped keys — a vector past the cap depth can search, it just
+    * can't be found deeper than the cap) and the lexical leg reads
+    * the impact-truncated postings. Per query the work is ≤ #tables ×
+    * RrfBucketCap cosine evaluations + ≤ #query-terms × RrfPostCap
+    * integer adds, INDEPENDENT of corpus size — the organic ×10 point
+    * measures the exponent drop (PLANS.md). Own oracle: DuckDB
+    * replays both caps (same bucket order, same impact order).
+    */
+  def annRrfFusionCapped(spark: SparkSession, dir: String): DataFrame = {
+    val vecRanked = rrfVecRankedSplit(vecs(spark, dir),
+      servedLshKeysCapped(spark, dir), servedLshKeys(spark, dir))
+    val (tf, _, _) = servedBm25(spark, dir)
+    val lexRanked = bm25LexRankedFromW(servedBm25WCapped(spark, dir), bm25QTerms(tf))
+    rrfFuse(vecRanked, lexRanked)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1450,7 +1518,8 @@ object AnnSearch {
     "ann_ivfadc_served" -> (annIvfadcServed _),
     "ann_ivfadc_rerank_served" -> (annIvfadcRerankServed _),
     "ann_ivfpq_residual_served" -> (annIvfpqResidualServed _),
-    "ann_rrf_fusion_served" -> (annRrfFusionServed _))
+    "ann_rrf_fusion_served" -> (annRrfFusionServed _),
+    "ann_rrf_fusion_capped" -> (annRrfFusionCapped _))
 
   /** Shared oracle CTE: per-vector LSH bucket via the same md5-derived
     * hyperplanes (DuckDB lists are 1-based like the d index).
@@ -1474,7 +1543,7 @@ object AnnSearch {
     * shared by the `ann_lsh_topk` oracle and the vector leg of the
     * `ann_rrf_fusion` oracle.
     */
-  private val lshRankedCtes: String =
+  private val lshTbuckCtes: String =
     s"""planes AS (
        |  SELECT p.p, d.d,
        |    (CAST(('0x' || substr(md5(p.p || ':' || d.d), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS c
@@ -1488,12 +1557,44 @@ object AnnSearch {
        |tbuck AS (
        |  SELECT vec_id, p // $PlanesPerTable AS t,
        |    string_agg(bit, '' ORDER BY p) AS b
-       |  FROM proj GROUP BY vec_id, p // $PlanesPerTable),
+       |  FROM proj GROUP BY vec_id, p // $PlanesPerTable)""".stripMargin
+
+  private val lshRankedCtes: String =
+    s"""$lshTbuckCtes,
        |cand AS (
        |  SELECT bq.vec_id AS q_id, be.vec_id AS neighbor_id,
        |    count(*) AS n_shared
        |  FROM tbuck bq
        |  JOIN tbuck be ON be.t = bq.t AND be.b = bq.b AND be.vec_id <> bq.vec_id
+       |  WHERE bq.vec_id % 50 = 0
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT c.q_id, c.neighbor_id, c.n_shared,
+       |    round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+       |  FROM cand c
+       |  JOIN embeddings q ON q.vec_id = c.q_id
+       |  JOIN embeddings e ON e.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)""".stripMargin
+
+  /** The CAPPED vector-leg CTEs: the corpus side of the bucket join
+    * reads only the first [[RrfBucketCap]] vectors per (t, b) — the
+    * query side (bq) stays uncapped, mirroring
+    * [[rrfVecRankedSplit]]'s corpus/probe split.
+    */
+  private val lshRankedCappedCtes: String =
+    s"""$lshTbuckCtes,
+       |tcap AS (
+       |  SELECT vec_id, t, b FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY t, b ORDER BY vec_id) AS pos
+       |    FROM tbuck) c
+       |  WHERE pos <= $RrfBucketCap),
+       |cand AS (
+       |  SELECT bq.vec_id AS q_id, be.vec_id AS neighbor_id,
+       |    count(*) AS n_shared
+       |  FROM tbuck bq
+       |  JOIN tcap be ON be.t = bq.t AND be.b = bq.b AND be.vec_id <> bq.vec_id
        |  WHERE bq.vec_id % 50 = 0
        |  GROUP BY 1, 2),
        |scored AS (
@@ -1768,6 +1869,69 @@ object AnnSearch {
          |  JOIN df USING (term)
          |  JOIN dl ON dl.doc_id = tf.doc_id, stats s
          |  WHERE tf.doc_id <> qt.q_id
+         |  GROUP BY 1, 2),
+         |lexr AS (
+         |  SELECT q_id, id, lex_rank FROM (
+         |    SELECT q_id, id, row_number() OVER (
+         |      PARTITION BY q_id
+         |      ORDER BY round(s6 / 1000000.0, 6) DESC, id) AS lex_rank
+         |    FROM lexscored) r
+         |  WHERE lex_rank <= $RrfCand),
+         |fused AS (
+         |  SELECT coalesce(v.q_id, l.q_id) AS q_id, coalesce(v.id, l.id) AS id,
+         |    v.vec_rank, l.lex_rank,
+         |    round(coalesce(1.0 / (v.vec_rank + $RrfK), 0.0)
+         |      + coalesce(1.0 / (l.lex_rank + $RrfK), 0.0), 6) AS rrf
+         |  FROM vecr v FULL OUTER JOIN lexr l
+         |    ON l.q_id = v.q_id AND l.id = v.id),
+         |final AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY rrf DESC, id) AS rank
+         |  FROM fused)
+         |SELECT q_id, id AS neighbor_id, vec_rank, lex_rank, rrf, rank
+         |FROM final WHERE rank <= $RrfTopK ORDER BY q_id, rank""".stripMargin,
+    // the capped form's own oracle: DuckDB replays BOTH caps — the
+    // per-(t, b) scan-depth cut (tcap) and the impact-ordered posting
+    // truncation (wpost) — with the same deterministic orders
+    "ann_rrf_fusion_capped" ->
+      s"""WITH $lshRankedCappedCtes,
+         |vecr AS (
+         |  SELECT q_id, neighbor_id AS id, rank AS vec_rank
+         |  FROM ranked WHERE rank <= $RrfCand),
+         |terms AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         |    FROM documents)
+         |  WHERE term <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |qt AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id % 50 = 0),
+         |wraw AS (
+         |  SELECT tf.term, tf.doc_id,
+         |    CAST(round(
+         |      ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+         |        * (tf.tf * ${1.2 + 1}) /
+         |          (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         |      * 1000000, 0) AS BIGINT) AS w6
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN dl ON dl.doc_id = tf.doc_id, stats s),
+         |wpost AS (
+         |  SELECT term, doc_id, w6 FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY term ORDER BY w6 DESC, doc_id) AS pos
+         |    FROM wraw) w
+         |  WHERE pos <= $RrfPostCap),
+         |lexscored AS (
+         |  SELECT qt.q_id, w.doc_id AS id, CAST(sum(w.w6) AS BIGINT) AS s6
+         |  FROM wpost w
+         |  JOIN qt USING (term)
+         |  WHERE w.doc_id <> qt.q_id
          |  GROUP BY 1, 2),
          |lexr AS (
          |  SELECT q_id, id, lex_rank FROM (

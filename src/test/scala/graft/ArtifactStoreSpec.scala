@@ -87,6 +87,27 @@ class ArtifactStoreSpec extends SparkTestBase {
       == rows(Dedup.dedupIncremental(spark, sfDir)))
   }
 
+  test("capped fusion artifacts respect their scan-depth and posting caps") {
+    // run the query first so its artifacts exist (build-once path),
+    // then inspect them: a cap that silently stopped binding (or
+    // stopped existing) would make ann_rrf_fusion_capped a slower
+    // alias of the served twin
+    val out = AnnSearch.annRrfFusionCapped(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.agg(max("rank")).head().getInt(0) <= AnnSearch.RrfTopK)
+    def built(name: String, key: String) =
+      ArtifactStore.ensure(spark, sfDir, name, key, 8)(
+        sys.error(s"$name must already exist after the capped query ran"))
+    val maxBucket = built("lsh_keys_capped", "vec_id")
+      .groupBy("t", "b").count().agg(max("count")).head().getLong(0)
+    assert(maxBucket <= AnnSearch.RrfBucketCap,
+      s"bucket scan depth $maxBucket exceeds cap ${AnnSearch.RrfBucketCap}")
+    val maxPost = built("bm25_w_capped", "doc_id")
+      .groupBy("term").count().agg(max("count")).head().getLong(0)
+    assert(maxPost <= AnnSearch.RrfPostCap,
+      s"posting depth $maxPost exceeds cap ${AnnSearch.RrfPostCap}")
+  }
+
   test("served ivfadc reads its artifacts as bucketed scans") {
     // the lists ⋈ codes join rides two tables bucketed on vec_id —
     // the storage-level claim: the shuffle was paid at write time

@@ -343,6 +343,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // r13: the hybrid-retrieval capstone — plans to exactly the served
     // DataFrame twin's shape (6 exchanges + 4 broadcasts)
     "sql_rrf_fusion"        -> 6,
+    // r14: the capped fusion reads two extra pre-capped artifacts; its
+    // probe plan keeps the served twin's exact shape (6, = sql_rrf)
+    "ann_rrf_fusion_capped" -> 6,
     // r14: the SQL temporal twins plan to exactly their DataFrame
     // forms — asof: union + one user_id window sort + output sort
     // share 2 exchanges; temporal join: the scd2 windows share the
