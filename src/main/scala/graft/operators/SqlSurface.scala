@@ -355,6 +355,40 @@ object SqlSurface {
           |ORDER BY l.l_partkey, v.version""".stripMargin)
     }
 
+  /** The SCD2 version-history BUILD as pure SQL text — the other half
+    * of the temporal story ([[temporalJoinSql]] consumes the history;
+    * this constructs it): daily min-price observations, lag-flagged
+    * version starts, validity intervals via lead over the surviving
+    * rows. All three windows share one (l_partkey, obs_date) sort —
+    * the named-WINDOW form makes that sharing explicit in the text —
+    * so the whole history build stays a single partkey exchange like
+    * [[EtlEnrichment.scd2History]], whose oracle it shares.
+    */
+  def scd2HistorySql(spark: SparkSession, dir: String): DataFrame =
+    withViews(spark, dir) {
+      spark.sql(
+        """WITH obs AS (
+          |  SELECT l_partkey, l_shipdate AS obs_date,
+          |    min(l_extendedprice) AS price
+          |  FROM lineitem GROUP BY l_partkey, l_shipdate),
+          |flagged AS (
+          |  SELECT *, lag(price) OVER (
+          |    PARTITION BY l_partkey ORDER BY obs_date) AS prev_price
+          |  FROM obs),
+          |starts AS (
+          |  SELECT l_partkey, obs_date, price FROM flagged
+          |  WHERE prev_price IS NULL OR price <> prev_price)
+          |SELECT l_partkey, version, price, valid_from, valid_to,
+          |  valid_to IS NULL AS is_current
+          |FROM (
+          |  SELECT l_partkey, price, obs_date AS valid_from,
+          |    lead(obs_date) OVER w AS valid_to,
+          |    row_number() OVER w AS version
+          |  FROM starts
+          |  WINDOW w AS (PARTITION BY l_partkey ORDER BY obs_date))
+          |ORDER BY l_partkey, version""".stripMargin)
+    }
+
   /** Hybrid retrieval — reciprocal-rank fusion of the LSH vector leg
     * and the BM25 lexical leg — as pure SQL text over the SERVED
     * artifact tier: the `lsh_keys` bucket table, the `vec_norms`
@@ -435,6 +469,7 @@ object SqlSurface {
     "sql_funnel"            -> (funnelSql _),
     "sql_asof"              -> (asofSql _),
     "sql_temporal_join"     -> (temporalJoinSql _),
+    "sql_scd2_history"      -> (scd2HistorySql _),
     "sql_rrf_fusion"        -> (rrfFusionSql _))
 
   /** SQL twin → the DataFrame query whose oracle (and therefore exact
@@ -458,6 +493,7 @@ object SqlSurface {
     "sql_funnel"        -> "events_funnel",
     "sql_asof"          -> "events_asof_join",
     "sql_temporal_join" -> "etl_temporal_join",
+    "sql_scd2_history"  -> "etl_scd2_history",
     "sql_rrf_fusion"    -> "ann_rrf_fusion_served")
 
   val oracles: Map[String, String] = Map(
@@ -498,5 +534,6 @@ object SqlSurface {
     "sql_funnel"        -> Events.oracles("events_funnel"),
     "sql_asof"          -> Events.oracles("events_asof_join"),
     "sql_temporal_join" -> EtlEnrichment.oracles("etl_temporal_join"),
+    "sql_scd2_history"  -> EtlEnrichment.oracles("etl_scd2_history"),
     "sql_rrf_fusion"    -> AnnSearch.oracles("ann_rrf_fusion"))
 }

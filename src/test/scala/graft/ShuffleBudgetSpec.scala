@@ -353,7 +353,10 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "sql_asof"              -> 2,
     "events_asof_join"      -> 2,
     "sql_temporal_join"     -> 3,
-    "etl_temporal_join"     -> 3)
+    "etl_temporal_join"     -> 3,
+    // the named-WINDOW text shares all three windows on one partkey
+    // sort, = etl_scd2_history (pinned above at 3)
+    "sql_scd2_history"      -> 3)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
