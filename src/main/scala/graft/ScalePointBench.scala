@@ -170,8 +170,13 @@ object ScalePointBench {
     val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0)
     val maxPart = Tables.part(spark, src)
       .agg(max(col("p_partkey"))).head().getLong(0)
-    require(maxDoc < 100000L && maxPart < 1000000L,
-      s"organic strides too small (max doc_id $maxDoc, max p_partkey $maxPart)")
+    val maxVecGuard = spark.read.parquet(s"$src/embeddings.parquet")
+      .agg(max(col("vec_id"))).head().getLong(0)
+    // all THREE strided id spaces must fit under their strides —
+    // assert rather than silently alias replicas on a bigger source
+    require(maxDoc < 100000L && maxPart < 1000000L && maxVecGuard < 100000L,
+      s"organic strides too small (max doc_id $maxDoc, max p_partkey " +
+        s"$maxPart, max vec_id $maxVecGuard)")
     def crossed(i: Int): DataFrame = {
       // partner chosen by a fixed-multiplier hash — never the doc
       // itself for i > 0 unless the corpus is degenerate; a missing
@@ -327,32 +332,42 @@ object ScalePointBench {
       val orgDir = sys.env.getOrElse("SPARK_GRAFT_ORGANIC_DIR", "/tmp/graft_sforganic")
       val factor = sys.env.getOrElse("SPARK_GRAFT_ORGANIC_FACTOR", "10").toInt
       synthesizeOrganic(spark, src, orgDir, factor)
-      def measure(name: String, dir: String): (Double, Long) = {
+      // a failed run must NOT produce a healthy-looking exponent row:
+      // time-to-crash + ~0 bytes is indistinguishable from a fast
+      // linear query, so failures are counted and stamped INTO the
+      // JSON line the conclusions are read from
+      def measure(name: String, dir: String): (Double, Long, Int) = {
+        var errs = 0
         def once(): Double = {
           val t0 = System.nanoTime()
           try SparkEntry.queries(name)(spark, dir)
             .write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable => System.err.println(s"[organic] $name: $e") }
+          catch {
+            case e: Throwable =>
+              errs += 1
+              System.err.println(s"[organic] $name: $e")
+          }
           (System.nanoTime() - t0) / 1e9
         }
         val earlier = (1 to 2).map(_ => once()) // run 1 also builds artifacts
         val b0 = settledBytes()
         val last = once()
         val bytes = settledBytes() - b0
-        ((earlier :+ last).sorted.apply(1), bytes)
+        ((earlier :+ last).sorted.apply(1), bytes, errs)
       }
       // local iteration aid: regex over the organic target names
       val orgOnly = sys.env.get("SPARK_GRAFT_ORGANIC_ONLY").map(_.r)
       organicTargets
         .filter(n => orgOnly.forall(_.findFirstIn(n).isDefined))
         .foreach { name =>
-        val (s1, b1) = measure(name, src)
-        val (sN, bN) = measure(name, orgDir)
+        val (s1, b1, e1) = measure(name, src)
+        val (sN, bN, eN) = measure(name, orgDir)
         val wallExp = math.log(sN / s1) / math.log(factor.toDouble)
         val byteExp =
           if (b1 > 0 && bN > 0) math.log(bN.toDouble / b1) / math.log(factor.toDouble)
           else 0.0
-        println(s"""{"query":"$name","sec_1x":${j(s1)},"sec_${factor}x":${j(sN)},"wall_exp":${j(wallExp)},"bytes_1x":$b1,"bytes_${factor}x":$bN,"byte_exp":${j(byteExp)},"organic_factor":$factor}""")
+        val errField = if (e1 + eN > 0) s""","errors":${e1 + eN}""" else ""
+        println(s"""{"query":"$name","sec_1x":${j(s1)},"sec_${factor}x":${j(sN)},"wall_exp":${j(wallExp)},"bytes_1x":$b1,"bytes_${factor}x":$bN,"byte_exp":${j(byteExp)},"organic_factor":$factor$errField}""")
       }
     }
 

@@ -826,24 +826,29 @@ object AnnSearch {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** The RESIDUAL-PQ model artifacts SERVED: folded residual codes
-    * (bucketed on vec_id, the ADC scan's join key) and the M×Ks
-    * residual codebook, trained ONCE on the residuals left over after
-    * the SERVED coarse quantizer ([[servedIvfArtifacts]] — k-means is
-    * deterministic here, so the served centroids are bit-identical to
-    * the self-contained chain's and the residual model cannot drift
-    * from the lists it serves next to). Codes and codebook persist
-    * together, same group-lock discipline as [[servedPqArtifacts]].
+  /** The RESIDUAL-PQ serving group — all FOUR relations the serving
+    * query reads (coarse lists, centroids, folded residual codes,
+    * residual codebook), persisted together from ONE training pass.
+    * The lists/centroids are intentionally duplicated from the ivf
+    * group (n + K tiny rows): the scan joins codes AGAINST lists and
+    * probes AGAINST centroids, so all four must come from the same
+    * training run — making that a single `ensureMany` group makes the
+    * coherence STRUCTURAL (the group commits or rebuilds as a unit)
+    * instead of resting on k-means determinism across independently
+    * rebuilt groups. Determinism still holds (the oracle depends on
+    * it), but it is no longer load-bearing for cross-table coherence.
     */
-  private def servedResidualPqArtifacts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def servedResidualPqArtifacts(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.sources.ArtifactStore
     val arts = ArtifactStore.ensureMany(spark, dir,
-      Seq(("pq_res_codes", "vec_id", 8), ("pq_res_codebook", "m", 1))) {
-      val (lists, cent) = servedIvfArtifacts(spark, dir)
-      // the stored list table is (vec_id, cl); the residual subtraction
-      // needs the vector back — one bucketed join, training-time only
-      val rsub = normVecs(spark, dir)
-        .join(lists, "vec_id")
+      Seq(("pq_res_lists", "vec_id", 8), ("pq_res_centroids", "cl", 1),
+        ("pq_res_codes", "vec_id", 8), ("pq_res_codebook", "m", 1))) {
+      val trained = kmeansAssignmentsOver(normVecs(spark, dir)).localCheckpoint()
+      val lists = trained.select(col("vec_id"), col("cl"))
+      val cent = kmCentroids(trained.select(col("cl"), col("v")))
+        .localCheckpoint() // read by the residual subtraction AND persisted
+      val rsub = trained.select(col("vec_id"), col("cl"), col("v"))
         .join(broadcast(cent.select(col("cl"), col("cv"))), "cl")
         .select(col("vec_id"),
           expr("zip_with(v, cv, (a, b) -> a - b)").as("rv"))
@@ -851,21 +856,23 @@ object AnnSearch {
           s"transform(sequence(0, ${PqM - 1}), m -> slice(rv, m * $PqSub + 1, $PqSub))"))
           .as(Seq("m", "sv")))
       val (codes, cb) = pqModelOverSub(rsub)
-      Map("pq_res_codes" -> foldedCodes(codes), "pq_res_codebook" -> cb)
+      Map("pq_res_lists" -> lists, "pq_res_centroids" -> cent,
+        "pq_res_codes" -> foldedCodes(codes), "pq_res_codebook" -> cb)
     }
-    (arts("pq_res_codes"), arts("pq_res_codebook"))
+    (arts("pq_res_lists"), arts("pq_res_centroids"),
+      arts("pq_res_codes"), arts("pq_res_codebook"))
   }
 
   /** [[annIvfpqResidual]] served from the artifact tier: coarse lists,
     * centroids, residual codes and residual codebook are all table
-    * scans, so the query pays only its probe work — the per-(query,
+    * scans (one coherent group — see [[servedResidualPqArtifacts]]),
+    * so the query pays only its probe work — the per-(query,
     * probed list) residual ADC tables (still broadcast: #queries ×
     * nprobe × M × Ks rows) and the pruned ADC scan. Identical math and
     * rounding to the self-contained form; shares its oracle.
     */
   def annIvfpqResidualServed(spark: SparkSession, dir: String): DataFrame = {
-    val (codes, cb) = servedResidualPqArtifacts(spark, dir)
-    val (lists, cent) = servedIvfArtifacts(spark, dir)
+    val (lists, cent, codes, cb) = servedResidualPqArtifacts(spark, dir)
     val q = normVecs(spark, dir).filter(expr(QueryFilter))
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdist2"), col("cl"))
@@ -1559,13 +1566,22 @@ object AnnSearch {
        |    string_agg(bit, '' ORDER BY p) AS b
        |  FROM proj GROUP BY vec_id, p // $PlanesPerTable)""".stripMargin
 
-  private val lshRankedCtes: String =
+  /** Multi-table LSH candidate generation + cosine ranking as CTEs
+    * ending in `ranked(q_id, neighbor_id, n_shared, cosine, rank)`,
+    * over a given CORPUS-side bucket relation — `tbuck` (full), or
+    * the scan-depth-capped `tcap` injected via `extraCtes`. One
+    * generator, so the capped and uncapped vector legs cannot drift
+    * in candidate semantics, cosine rounding, or the rank tie-break.
+    * The query side (bq) always reads the full `tbuck`, mirroring
+    * [[rrfVecRankedSplit]]'s corpus/probe split.
+    */
+  private def lshRankedCtesOver(corpusRel: String, extraCtes: String): String =
     s"""$lshTbuckCtes,
-       |cand AS (
+       |${extraCtes}cand AS (
        |  SELECT bq.vec_id AS q_id, be.vec_id AS neighbor_id,
        |    count(*) AS n_shared
        |  FROM tbuck bq
-       |  JOIN tbuck be ON be.t = bq.t AND be.b = bq.b AND be.vec_id <> bq.vec_id
+       |  JOIN $corpusRel be ON be.t = bq.t AND be.b = bq.b AND be.vec_id <> bq.vec_id
        |  WHERE bq.vec_id % 50 = 0
        |  GROUP BY 1, 2),
        |scored AS (
@@ -1578,34 +1594,62 @@ object AnnSearch {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM scored)""".stripMargin
 
-  /** The CAPPED vector-leg CTEs: the corpus side of the bucket join
-    * reads only the first [[RrfBucketCap]] vectors per (t, b) — the
-    * query side (bq) stays uncapped, mirroring
-    * [[rrfVecRankedSplit]]'s corpus/probe split.
-    */
-  private val lshRankedCappedCtes: String =
-    s"""$lshTbuckCtes,
-       |tcap AS (
+  private val lshRankedCtes: String = lshRankedCtesOver("tbuck", "")
+
+  private val lshRankedCappedCtes: String = lshRankedCtesOver("tcap",
+    s"""tcap AS (
        |  SELECT vec_id, t, b FROM (
        |    SELECT *, row_number() OVER (PARTITION BY t, b ORDER BY vec_id) AS pos
        |    FROM tbuck) c
        |  WHERE pos <= $RrfBucketCap),
-       |cand AS (
-       |  SELECT bq.vec_id AS q_id, be.vec_id AS neighbor_id,
-       |    count(*) AS n_shared
-       |  FROM tbuck bq
-       |  JOIN tcap be ON be.t = bq.t AND be.b = bq.b AND be.vec_id <> bq.vec_id
-       |  WHERE bq.vec_id % 50 = 0
-       |  GROUP BY 1, 2),
-       |scored AS (
-       |  SELECT c.q_id, c.neighbor_id, c.n_shared,
-       |    round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
-       |  FROM cand c
-       |  JOIN embeddings q ON q.vec_id = c.q_id
-       |  JOIN embeddings e ON e.vec_id = c.neighbor_id),
-       |ranked AS (
-       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
-       |  FROM scored)""".stripMargin
+       |""".stripMargin)
+
+  /** The full RRF-fusion oracle over a given vector-leg CTE chain
+    * (ending in `ranked`) and a given lexical-scoring CTE chain
+    * (ending in `lexscored(q_id, id, s6)`) — the tokenization,
+    * posting-stats, rank-cut and fusion-tail SQL exists ONCE, so the
+    * capped and uncapped oracles can only differ where their Spark
+    * twins differ: the candidate source and the posting source.
+    */
+  private def rrfFusionOracleOver(vecCtes: String, lexScoredCtes: String): String =
+    s"""WITH $vecCtes,
+       |vecr AS (
+       |  SELECT q_id, neighbor_id AS id, rank AS vec_rank
+       |  FROM ranked WHERE rank <= $RrfCand),
+       |terms AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       |    FROM documents)
+       |  WHERE term <> ''),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |qt AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id % 50 = 0),
+       |$lexScoredCtes,
+       |lexr AS (
+       |  SELECT q_id, id, lex_rank FROM (
+       |    SELECT q_id, id, row_number() OVER (
+       |      PARTITION BY q_id
+       |      ORDER BY round(s6 / 1000000.0, 6) DESC, id) AS lex_rank
+       |    FROM lexscored) r
+       |  WHERE lex_rank <= $RrfCand),
+       |fused AS (
+       |  SELECT coalesce(v.q_id, l.q_id) AS q_id, coalesce(v.id, l.id) AS id,
+       |    v.vec_rank, l.lex_rank,
+       |    round(coalesce(1.0 / (v.vec_rank + $RrfK), 0.0)
+       |      + coalesce(1.0 / (l.lex_rank + $RrfK), 0.0), 6) AS rrf
+       |  FROM vecr v FULL OUTER JOIN lexr l
+       |    ON l.q_id = v.q_id AND l.id = v.id),
+       |final AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY rrf DESC, id) AS rank
+       |  FROM fused)
+       |SELECT q_id, id AS neighbor_id, vec_rank, lex_rank, rrf, rank
+       |FROM final WHERE rank <= $RrfTopK ORDER BY q_id, rank""".stripMargin
 
   /** Unrolled Lloyd iterations as CTEs — the oracle mirrors the exact
     * arithmetic (same dist² expansion, same left-to-right inner product,
@@ -1839,25 +1883,8 @@ object AnnSearch {
 
   private val oraclesBase: Map[String, String] = Map(
     "ann_kmeans_train" -> kmeansSql,
-    "ann_rrf_fusion" ->
-      s"""WITH $lshRankedCtes,
-         |vecr AS (
-         |  SELECT q_id, neighbor_id AS id, rank AS vec_rank
-         |  FROM ranked WHERE rank <= $RrfCand),
-         |terms AS (
-         |  SELECT * FROM (
-         |    SELECT doc_id,
-         |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
-         |    FROM documents)
-         |  WHERE term <> ''),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |stats AS (
-         |  SELECT count(*) AS n_docs,
-         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-         |qt AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id % 50 = 0),
-         |lexscored AS (
+    "ann_rrf_fusion" -> rrfFusionOracleOver(lshRankedCtes,
+      s"""lexscored AS (
          |  SELECT qt.q_id, tf.doc_id AS id,
          |    CAST(sum(CAST(round(
          |      ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
@@ -1869,49 +1896,14 @@ object AnnSearch {
          |  JOIN df USING (term)
          |  JOIN dl ON dl.doc_id = tf.doc_id, stats s
          |  WHERE tf.doc_id <> qt.q_id
-         |  GROUP BY 1, 2),
-         |lexr AS (
-         |  SELECT q_id, id, lex_rank FROM (
-         |    SELECT q_id, id, row_number() OVER (
-         |      PARTITION BY q_id
-         |      ORDER BY round(s6 / 1000000.0, 6) DESC, id) AS lex_rank
-         |    FROM lexscored) r
-         |  WHERE lex_rank <= $RrfCand),
-         |fused AS (
-         |  SELECT coalesce(v.q_id, l.q_id) AS q_id, coalesce(v.id, l.id) AS id,
-         |    v.vec_rank, l.lex_rank,
-         |    round(coalesce(1.0 / (v.vec_rank + $RrfK), 0.0)
-         |      + coalesce(1.0 / (l.lex_rank + $RrfK), 0.0), 6) AS rrf
-         |  FROM vecr v FULL OUTER JOIN lexr l
-         |    ON l.q_id = v.q_id AND l.id = v.id),
-         |final AS (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY q_id ORDER BY rrf DESC, id) AS rank
-         |  FROM fused)
-         |SELECT q_id, id AS neighbor_id, vec_rank, lex_rank, rrf, rank
-         |FROM final WHERE rank <= $RrfTopK ORDER BY q_id, rank""".stripMargin,
+         |  GROUP BY 1, 2)""".stripMargin),
     // the capped form's own oracle: DuckDB replays BOTH caps — the
-    // per-(t, b) scan-depth cut (tcap) and the impact-ordered posting
-    // truncation (wpost) — with the same deterministic orders
-    "ann_rrf_fusion_capped" ->
-      s"""WITH $lshRankedCappedCtes,
-         |vecr AS (
-         |  SELECT q_id, neighbor_id AS id, rank AS vec_rank
-         |  FROM ranked WHERE rank <= $RrfCand),
-         |terms AS (
-         |  SELECT * FROM (
-         |    SELECT doc_id,
-         |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
-         |    FROM documents)
-         |  WHERE term <> ''),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |stats AS (
-         |  SELECT count(*) AS n_docs,
-         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-         |qt AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id % 50 = 0),
-         |wraw AS (
+    // per-(t, b) scan-depth cut (tcap, inside lshRankedCappedCtes)
+    // and the impact-ordered posting truncation (wpost) — with the
+    // same deterministic orders; everything else comes from the SAME
+    // generators as the uncapped oracle
+    "ann_rrf_fusion_capped" -> rrfFusionOracleOver(lshRankedCappedCtes,
+      s"""wraw AS (
          |  SELECT tf.term, tf.doc_id,
          |    CAST(round(
          |      ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
@@ -1932,27 +1924,7 @@ object AnnSearch {
          |  FROM wpost w
          |  JOIN qt USING (term)
          |  WHERE w.doc_id <> qt.q_id
-         |  GROUP BY 1, 2),
-         |lexr AS (
-         |  SELECT q_id, id, lex_rank FROM (
-         |    SELECT q_id, id, row_number() OVER (
-         |      PARTITION BY q_id
-         |      ORDER BY round(s6 / 1000000.0, 6) DESC, id) AS lex_rank
-         |    FROM lexscored) r
-         |  WHERE lex_rank <= $RrfCand),
-         |fused AS (
-         |  SELECT coalesce(v.q_id, l.q_id) AS q_id, coalesce(v.id, l.id) AS id,
-         |    v.vec_rank, l.lex_rank,
-         |    round(coalesce(1.0 / (v.vec_rank + $RrfK), 0.0)
-         |      + coalesce(1.0 / (l.lex_rank + $RrfK), 0.0), 6) AS rrf
-         |  FROM vecr v FULL OUTER JOIN lexr l
-         |    ON l.q_id = v.q_id AND l.id = v.id),
-         |final AS (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY q_id ORDER BY rrf DESC, id) AS rank
-         |  FROM fused)
-         |SELECT q_id, id AS neighbor_id, vec_rank, lex_rank, rrf, rank
-         |FROM final WHERE rank <= $RrfTopK ORDER BY q_id, rank""".stripMargin,
+         |  GROUP BY 1, 2)""".stripMargin),
     "ann_pq_topk" -> pqSql,
     "ann_ivfadc_topk" -> ivfadcSql,
     "ann_ivfadc_rerank" -> ivfadcRerankSql,

@@ -293,6 +293,18 @@ object MaintQueries {
     "maint_pairs_time_travel" -> (maintPairsTimeTravel _),
     "maint_pairs_vacuum_travel" -> (maintPairsVacuumTravel _))
 
+  /** The from-scratch pair build over batches 1-2's documents — the
+    * answer BOTH `maint_pairs_time_travel` (v2 read of a live chain)
+    * and `maint_pairs_vacuum_travel` (read of the oldest retained
+    * version after vacuum) must reproduce.
+    */
+  private val pairsBatch12Oracle: String =
+    s"""WITH sub AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE ${hmodSql("doc_id", 2)} = 0 AND ${hmodSql("doc_id", 8)} <> 0),
+       |${Dedup.jaccardCtesOver("sub")}
+       |SELECT * FROM jpairs ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // maintained ≡ from-scratch: the oracle is the SAME CTE generator
     // the from-scratch query's oracle uses, over the working subset
@@ -334,20 +346,11 @@ object MaintQueries {
          |SELECT term, count(*) AS df FROM tf GROUP BY term ORDER BY term""".stripMargin,
     "maint_phash_refresh" ->
       Multimodal.dctPairsOracleWhere(s"${hmodSql("doc_id", 2)} = 0"),
-    "maint_pairs_time_travel" ->
-      s"""WITH sub AS (
-         |  SELECT doc_id, text FROM documents
-         |  WHERE ${hmodSql("doc_id", 2)} = 0 AND ${hmodSql("doc_id", 8)} <> 0),
-         |${Dedup.jaccardCtesOver("sub")}
-         |SELECT * FROM jpairs ORDER BY doc_a, doc_b""".stripMargin,
+    "maint_pairs_time_travel" -> pairsBatch12Oracle,
     // compaction + vacuum never change logical state: the retained
-    // version's read equals the same from-scratch subset build
-    "maint_pairs_vacuum_travel" ->
-      s"""WITH sub AS (
-         |  SELECT doc_id, text FROM documents
-         |  WHERE ${hmodSql("doc_id", 2)} = 0 AND ${hmodSql("doc_id", 8)} <> 0),
-         |${Dedup.jaccardCtesOver("sub")}
-         |SELECT * FROM jpairs ORDER BY doc_a, doc_b""".stripMargin,
+    // version's read equals the SAME from-scratch subset build, so
+    // the two queries share one oracle definition (no copy to drift)
+    "maint_pairs_vacuum_travel" -> pairsBatch12Oracle,
     "maint_spans_refresh" ->
       s"""WITH sub AS (
          |  SELECT doc_id, text FROM documents

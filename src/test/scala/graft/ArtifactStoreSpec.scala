@@ -98,14 +98,33 @@ class ArtifactStoreSpec extends SparkTestBase {
     def built(name: String, key: String) =
       ArtifactStore.ensure(spark, sfDir, name, key, 8)(
         sys.error(s"$name must already exist after the capped query ran"))
-    val maxBucket = built("lsh_keys_capped", "vec_id")
-      .groupBy("t", "b").count().agg(max("count")).head().getLong(0)
-    assert(maxBucket <= AnnSearch.RrfBucketCap,
-      s"bucket scan depth $maxBucket exceeds cap ${AnnSearch.RrfBucketCap}")
-    val maxPost = built("bm25_w_capped", "doc_id")
+    // posting cap: must BIND at this scale (common terms have df >> 64
+    // over 500 docs), so a deleted cap shows as equal row counts —
+    // not just a vacuous <= assertion
+    val wFull = built("bm25_w", "doc_id")
+    val wCapped = built("bm25_w_capped", "doc_id")
+    assert(wCapped.count() < wFull.count(),
+      "posting cap does not bind at test scale — the capped table " +
+        "equals the full postings, so the truncation is untested")
+    val maxPost = wCapped
       .groupBy("term").count().agg(max("count")).head().getLong(0)
     assert(maxPost <= AnnSearch.RrfPostCap,
       s"posting depth $maxPost exceeds cap ${AnnSearch.RrfPostCap}")
+    // bucket cap: 500 vectors over 16-bit-pattern buckets may never
+    // reach 128 here, so binding can't be asserted at this scale —
+    // instead pin the LOGIC exactly: the capped table must equal the
+    // independently recomputed rank-<=-cap truncation of the full keys
+    val keysFull = built("lsh_keys", "vec_id")
+    val expected = keysFull
+      .withColumn("pos", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("t"), col("b")).orderBy(col("vec_id"))))
+      .filter(col("pos") <= AnnSearch.RrfBucketCap).drop("pos")
+      .collect().map(_.toSeq).toSet
+    val actual = built("lsh_keys_capped", "vec_id")
+      .collect().map(_.toSeq).toSet
+    assert(actual == expected,
+      "lsh_keys_capped diverges from the recomputed per-bucket truncation")
   }
 
   test("served ivfadc reads its artifacts as bucketed scans") {

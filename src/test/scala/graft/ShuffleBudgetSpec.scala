@@ -352,8 +352,8 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // partkey sort, + the fact join's aggregation + output sort
     "sql_asof"              -> 2,
     "events_asof_join"      -> 2,
+    // = etl_temporal_join (pinned above at 3)
     "sql_temporal_join"     -> 3,
-    "etl_temporal_join"     -> 3,
     // the named-WINDOW text shares all three windows on one partkey
     // sort, = etl_scd2_history (pinned above at 3)
     "sql_scd2_history"      -> 3)
