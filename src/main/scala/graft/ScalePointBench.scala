@@ -34,7 +34,11 @@ object ScalePointBench {
     "sql_rrf_fusion",
     "ann_ivfadc_topk", "ann_ivfadc_served",
     "ann_ivfadc_rerank", "ann_ivfadc_rerank_served",
-    "ann_ivfpq_residual",
+    // r14: the residual path gained a served twin, and the capped
+    // fusion is the bounded-per-query production form — both belong
+    // in the replica scale sweep alongside their self-contained kin
+    "ann_ivfpq_residual", "ann_ivfpq_residual_served",
+    "ann_rrf_fusion_capped",
     "dedup_keep_best", "dedup_keep_best_served",
     "dedup_components", "dedup_components_served",
     "dedup_cluster_stats", "dedup_cluster_stats_served",
