@@ -26,7 +26,8 @@ object Bench {
   def fullLine(results: Map[String, Double], sfDir: String,
       shuffle: Map[String, (Long, Long)] = Map.empty,
       baseline: Map[String, (Long, Long)] = Map.empty,
-      baselineRef: Option[String] = None): String = {
+      baselineRef: Option[String] = None,
+      provenance: String = ""): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
@@ -55,7 +56,34 @@ object Bench {
     // against the run's own bytes (the r11 self-diff gap)
     val ref = if (baseline.isEmpty) "" else
       baselineRef.fold("")(r => s""","baseline_commit":"$r"""")
-    s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":$full$sh$rat$mv$ref,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":$full$sh$rat$mv$ref$provenance,"sf":"$sfDir"}"""
+  }
+
+  /** 1-minute load average from /proc/loadavg — the ambient-host
+    * figure the wall-clock provenance records. NaN when unreadable
+    * (non-Linux dev box); the bench must never die on telemetry.
+    */
+  def loadAvg1m(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")),
+      java.nio.charset.StandardCharsets.UTF_8).split("\\s+")(0).toDouble
+    catch { case _: Exception => Double.NaN }
+
+  /** Host-load provenance for the detail artifact (VERDICT r14 item
+    * 4): the r14 wall story ("~1.3× ambient inflation") rested on a
+    * PLANS.md note because the bench recorded nothing about host load
+    * — now every BENCH_FULL/BENCH_LAST carries the 1-minute loadavg
+    * at start and end, the bench's own worker count, the run
+    * timestamp, and a load_ok verdict (ambient load at start ≤
+    * threshold). A wall comparison across rounds cites these fields;
+    * a gate run with load_ok=false is annotated as contended, not
+    * trusted.
+    */
+  def provenanceFields(loadStart: Double, loadEnd: Double, cpus: Int,
+      tsMs: Long, thresh: Double): String = {
+    def f(v: Double) = if (v.isNaN) "null" else j(v)
+    val ok = !loadStart.isNaN && loadStart <= thresh
+    s""","load_start":${f(loadStart)},"load_end":${f(loadEnd)},"bench_cpus":$cpus,"load_thresh":${j(thresh)},"load_ok":$ok,"ts_ms":$tsMs"""
   }
 
   /** Per-query shuffle-byte regression gate: queries whose total
@@ -151,6 +179,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // ambient load BEFORE the bench adds its own: this is the number
+    // that says whether the run was quiet (the end figure mostly
+    // reflects the bench itself)
+    val loadStart = loadAvg1m()
+    val tsMs = System.currentTimeMillis()
+    val loadThresh = cpus.toInt / 2.0
+    if (!loadStart.isNaN && loadStart > loadThresh)
+      System.err.println(f"[bench] AMBIENT LOAD $loadStart%.2f > $loadThresh%.2f " +
+        "at start — wall totals from this run are contended; trust bytes, not seconds")
     // ERROR, not WARN: the driver parses the bench JSON from the LAST
     // ~2000 chars of combined output, and r4's line was drowned by
     // WindowExec partition warnings flushed after the summary
@@ -267,9 +304,11 @@ object Bench {
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json"))
       .toAbsolutePath
+    val prov = provenanceFields(loadStart, loadAvg1m(), cpus.toInt,
+      tsMs, loadThresh)
     try {
       val fw = new java.io.PrintWriter(outPath.toFile)
-      try fw.println(fullLine(results, sfDir, shuffle, baseline, Some(baseRef)))
+      try fw.println(fullLine(results, sfDir, shuffle, baseline, Some(baseRef), prov))
       finally fw.close()
       System.err.println(s"[bench] full per-query medians: $outPath")
     } catch {

@@ -162,7 +162,7 @@ object ScalePointBench {
     */
   private val OrganicMarker = "_ORGANIC_DONE_v1"
 
-  private def synthesizeOrganic(spark: SparkSession, src: String,
+  private[graft] def synthesizeOrganic(spark: SparkSession, src: String,
       dst: String, factor: Int): Unit = {
     val fs = new java.io.File(dst)
     if (new java.io.File(fs, OrganicMarker).exists()) return
@@ -257,7 +257,19 @@ object ScalePointBench {
     "multimodal_phash_dct_pairs",
     "ann_rrf_fusion", "ann_rrf_fusion_capped",
     "ann_ivfadc_topk", "ann_ivfpq_residual_served",
-    "text_bm25_topk")
+    "text_bm25_topk",
+    // r15: the CAPPED pair tier — the bounded operating point VERDICT
+    // r14 item 1 demanded; its byte exponent is the claim under test
+    "dedup_pairs_capped", "dedup_components_capped",
+    "dedup_keep_best_capped",
+    // r15 (VERDICT item 6): the SERVED tier's organic exponents — the
+    // probe-side-cost-∝-queries claim gets the same organic evidence
+    // the self-contained forms got in r14
+    "graph_pagerank_indexed", "dedup_components_served",
+    "dedup_keep_best_served", "dedup_cluster_stats_served",
+    "dedup_incremental_served", "dedup_simhash_pairs_served",
+    "dedup_exact_spans_served", "multimodal_phash_dct_pairs_served",
+    "ann_rrf_fusion_served")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -332,7 +344,11 @@ object ScalePointBench {
     // exceeds its documented wall exponent is growing data movement
     // faster than work — the 100 TB failure mode the replica synth's
     // mutually-invisible copies structurally cannot produce.
-    if (selected("organic")) {
+    // EXPLICIT opt-in only (ADVICE r14): the organic point synthesizes
+    // a 10× corpus in /tmp and runs multi-minute measurements, so a
+    // default run (no SPARK_GRAFT_SCALE_ONLY) must stay the replica
+    // sweep — `selected` defaults true when the env var is unset.
+    if (only.exists(_.findFirstIn("organic").isDefined)) {
       val orgDir = sys.env.getOrElse("SPARK_GRAFT_ORGANIC_DIR", "/tmp/graft_sforganic")
       val factor = sys.env.getOrElse("SPARK_GRAFT_ORGANIC_FACTOR", "10").toInt
       synthesizeOrganic(spark, src, orgDir, factor)
@@ -366,13 +382,67 @@ object ScalePointBench {
         .foreach { name =>
         val (s1, b1, e1) = measure(name, src)
         val (sN, bN, eN) = measure(name, orgDir)
-        val wallExp = math.log(sN / s1) / math.log(factor.toDouble)
+        // a crashed run's time-to-crash must not masquerade as a
+        // healthy exponent (ADVICE r14): null both exponents so any
+        // consumer aggregating the columns chokes loudly instead of
+        // ingesting a bogus figure; the errors field carries the count
+        val failed = e1 + eN > 0
+        val wallExp =
+          if (failed) "null"
+          else j(math.log(sN / s1) / math.log(factor.toDouble))
         val byteExp =
-          if (b1 > 0 && bN > 0) math.log(bN.toDouble / b1) / math.log(factor.toDouble)
-          else 0.0
-        val errField = if (e1 + eN > 0) s""","errors":${e1 + eN}""" else ""
-        println(s"""{"query":"$name","sec_1x":${j(s1)},"sec_${factor}x":${j(sN)},"wall_exp":${j(wallExp)},"bytes_1x":$b1,"bytes_${factor}x":$bN,"byte_exp":${j(byteExp)},"organic_factor":$factor$errField}""")
+          if (failed) "null"
+          else if (b1 > 0 && bN > 0)
+            j(math.log(bN.toDouble / b1) / math.log(factor.toDouble))
+          else j(0.0)
+        val errField = if (failed) s""","errors":${e1 + eN}""" else ""
+        println(s"""{"query":"$name","sec_1x":${j(s1)},"sec_${factor}x":${j(sN)},"wall_exp":$wallExp,"bytes_1x":$b1,"bytes_${factor}x":$bN,"byte_exp":$byteExp,"organic_factor":$factor$errField}""")
       }
+    }
+
+    // ANSWER-quality cost of the caps at the ORGANIC point (r15,
+    // VERDICT r14 items 1+2): the capped operators' COST exponents are
+    // measured above — this measures what the caps do to the ANSWER
+    // at the same scale point. Opt-in like the organic sweep (it runs
+    // the UNCAPPED fusion and components at 10×, minutes each).
+    if (only.exists(_.findFirstIn("recall").isDefined)) {
+      val orgDir = sys.env.getOrElse("SPARK_GRAFT_ORGANIC_DIR", "/tmp/graft_sforganic")
+      val factor = sys.env.getOrElse("SPARK_GRAFT_ORGANIC_FACTOR", "10").toInt
+      synthesizeOrganic(spark, src, orgDir, factor)
+      // fusion recall@5: uncapped top-5 as ground truth
+      def fusionRecall(dir: String): (Long, Long) = {
+        val unc = SparkEntry.queries("ann_rrf_fusion")(spark, dir)
+          .select(col("q_id"), col("neighbor_id")).localCheckpoint()
+        val cap = SparkEntry.queries("ann_rrf_fusion_capped")(spark, dir)
+          .select(col("q_id"), col("neighbor_id"))
+        (cap.join(unc, Seq("q_id", "neighbor_id"), "left_semi").count(),
+          unc.count())
+      }
+      val (fh1, ft1) = fusionRecall(src)
+      val (fhN, ftN) = fusionRecall(orgDir)
+      println(s"""{"query":"recall_fusion_capped","recall_1x":${j(fh1.toDouble / ft1)},"n_1x":$ft1,"recall_${factor}x":${j(fhN.toDouble / ftN)},"n_${factor}x":$ftN,"organic_factor":$factor}""")
+      // merge recall: uncapped same-component doc pairs preserved by
+      // the capped labelling
+      def mergeRecall(dir: String): (Long, Long) = {
+        val unc = graft.operators.Dedup
+          .dedupComponents(spark, dir).select(col("doc_id"), col("component"))
+          .localCheckpoint()
+        val cap = graft.operators.Dedup
+          .dedupComponentsCapped(spark, dir)
+          .select(col("doc_id"), col("component").as("ccomp"))
+          .localCheckpoint()
+        val truth = unc.select(col("doc_id").as("da"), col("component"))
+          .join(unc.select(col("doc_id").as("db"), col("component")), "component")
+          .filter(col("da") < col("db")).select("da", "db")
+        val preserved = truth
+          .join(cap.withColumnRenamed("doc_id", "da"), "da")
+          .join(cap.select(col("doc_id").as("db"), col("ccomp").as("ccomp_b")), "db")
+          .filter(col("ccomp") === col("ccomp_b")).count()
+        (preserved, truth.count())
+      }
+      val (mh1, mt1) = mergeRecall(src)
+      val (mhN, mtN) = mergeRecall(orgDir)
+      println(s"""{"query":"recall_merge_capped","recall_1x":${j(mh1.toDouble / mt1)},"n_1x":$mt1,"recall_${factor}x":${j(mhN.toDouble / mtN)},"n_${factor}x":$mtN,"organic_factor":$factor}""")
     }
 
     // kNN list MAINTENANCE at scale (not a SparkEntry query — the
