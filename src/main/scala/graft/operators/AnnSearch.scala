@@ -1458,7 +1458,27 @@ object AnnSearch {
     * highest for that term).
     */
   private[graft] val RrfBucketCap = 128
-  private[graft] val RrfPostCap = 64
+  private[graft] val RrfPostCap = 128
+
+  /** Size of the document-centric CHAMPION list (Carmel et al.,
+    * static index pruning; also the "champion lists" of standard IR
+    * texts): the global top-`RrfChampCap` documents by TOTAL impact
+    * mass Σ w6, kept as a fixed-size artifact and rescored for every
+    * query. Why the lexical leg needs it HERE: term-at-a-time
+    * truncation (wpost) assumes Zipfian idf spread — a few rare terms
+    * carry each doc's score. This corpus's vocabulary is ~31 types
+    * with median df ≈ 0.8·n (measured, templated text), so per-term
+    * impact order barely discriminates and a doc that is moderately
+    * good on EVERY term (the actual BM25 winners) appears in no
+    * per-term top list: truncation-only recall@5 measured 0.20-0.30
+    * at sf0.1 at ANY feasible depth. The champion list is the
+    * document-centric complement — on a flat-idf corpus total impact
+    * mass ≈ the query-independent part of every score — and restores
+    * recall@5 to 0.92 (DedupCappedSpec states the numbers). Both caps
+    * are corpus-independent constants, so per-query cost stays
+    * bounded.
+    */
+  private[graft] val RrfChampCap = 1024
 
   /** The scan-depth-capped LSH bucket table: within each (t, b)
     * bucket only the first [[RrfBucketCap]] vectors by vec_id remain
@@ -1487,22 +1507,81 @@ object AnnSearch {
         .filter(col("pos") <= RrfPostCap).drop("pos")
     }
 
+  /** The champion-list artifact (see [[RrfChampCap]]): a fixed-size
+    * doc-id list, derived from the weight artifact via a distributed
+    * top-K (TakeOrderedAndProject — never a global window over the
+    * per-doc totals).
+    */
+  private def servedBm25Champions(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ArtifactStore.ensure(spark, dir, "bm25_champ", "doc_id", 1)(
+      servedBm25W(spark, dir)
+        .groupBy(col("doc_id")).agg(sum(col("w6")).as("tw6"))
+        .orderBy(col("tw6").desc, col("doc_id"))
+        .limit(RrfChampCap)
+        .select("doc_id"))
+
+  /** The CAPPED lexical leg: candidate GENERATION from the
+    * impact-truncated postings plus the champion list, then EXACT
+    * BM25 rescoring of every proposed (query, doc) pair against the
+    * full weight artifact — the `ann_ivfadc_rerank` two-phase pattern
+    * applied to text. Truncation-only scoring sums PARTIAL weights
+    * (only the terms where a doc survived its top list), which
+    * reorders the dense low-idf rankings this corpus produces; the
+    * rescore keeps the cost bound (work ∝ candidates × query terms,
+    * corpus-independent) while every surviving candidate carries its
+    * EXACT score — the answer differs from uncapped only where the
+    * true winner was proposed by neither the truncated lists nor the
+    * champions, and DedupCappedSpec states that measured rate.
+    */
+  private def bm25LexRankedCapped(wFull: DataFrame, wCapped: DataFrame,
+      champions: DataFrame, qTerms: DataFrame): DataFrame = {
+    val proposedPost = wCapped.join(broadcast(qTerms), "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .select("q_id", "doc_id")
+    // champions propose through the terms they share with each query
+    // (two broadcast hash joins — never a cross join): a champion
+    // sharing NO term with a query scores zero and could not enter
+    // the positive-score top-10 anyway, so this is output-identical
+    // to crossing the full list per query
+    val proposedChamp = wFull.join(broadcast(champions), "doc_id")
+      .join(broadcast(qTerms), "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .select("q_id", "doc_id")
+    val proposed = proposedPost.union(proposedChamp).distinct()
+    val wLex = Window.partitionBy(col("q_id"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    proposed
+      .join(wFull, "doc_id")
+      .join(broadcast(qTerms), Seq("q_id", "term"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("w6")).as("s6"))
+      .withColumn("bm25", round(col("s6") / 1000000.0, 6))
+      .withColumn("lex_rank", row_number().over(wLex))
+      .filter(col("lex_rank") <= RrfCand)
+      .select(col("q_id"), col("doc_id").as("id"), col("lex_rank"))
+  }
+
   /** [[annRrfFusionServed]] with BOUNDED per-query cost — the form a
-    * 100 TB deployment actually serves: candidates come from the
-    * scan-depth-capped bucket table (queries still PROBE with their
-    * uncapped keys — a vector past the cap depth can search, it just
-    * can't be found deeper than the cap) and the lexical leg reads
-    * the impact-truncated postings. Per query the work is ≤ #tables ×
-    * RrfBucketCap cosine evaluations + ≤ #query-terms × RrfPostCap
-    * integer adds, INDEPENDENT of corpus size — the organic ×10 point
-    * measures the exponent drop (PLANS.md). Own oracle: DuckDB
-    * replays both caps (same bucket order, same impact order).
+    * 100 TB deployment actually serves: vector candidates come from
+    * the scan-depth-capped bucket table (queries still PROBE with
+    * their uncapped keys — a vector past the cap depth can search, it
+    * just can't be found deeper than the cap); lexical candidates
+    * come from the impact-truncated postings PLUS the champion list,
+    * exact-rescored ([[bm25LexRankedCapped]]). Per query the work is
+    * ≤ #tables × RrfBucketCap cosine evaluations + an exact rescore
+    * of ≤ (#query-terms × RrfPostCap + RrfChampCap) candidates,
+    * INDEPENDENT of corpus size — the organic ×10 point measures the
+    * exponent drop, DedupCappedSpec the answer drift (PLANS.md holds
+    * both). Own oracle: DuckDB replays all three levers (same bucket
+    * order, same impact order, same champion choice, same rescore).
     */
   def annRrfFusionCapped(spark: SparkSession, dir: String): DataFrame = {
     val vecRanked = rrfVecRankedSplit(vecs(spark, dir),
       servedLshKeysCapped(spark, dir), servedLshKeys(spark, dir))
     val (tf, _, _) = servedBm25(spark, dir)
-    val lexRanked = bm25LexRankedFromW(servedBm25WCapped(spark, dir), bm25QTerms(tf))
+    val lexRanked = bm25LexRankedCapped(servedBm25W(spark, dir),
+      servedBm25WCapped(spark, dir), servedBm25Champions(spark, dir),
+      bm25QTerms(tf))
     rrfFuse(vecRanked, lexRanked)
   }
 
@@ -1897,10 +1976,12 @@ object AnnSearch {
          |  JOIN dl ON dl.doc_id = tf.doc_id, stats s
          |  WHERE tf.doc_id <> qt.q_id
          |  GROUP BY 1, 2)""".stripMargin),
-    // the capped form's own oracle: DuckDB replays BOTH caps — the
-    // per-(t, b) scan-depth cut (tcap, inside lshRankedCappedCtes)
-    // and the impact-ordered posting truncation (wpost) — with the
-    // same deterministic orders; everything else comes from the SAME
+    // the capped form's own oracle: DuckDB replays ALL the levers —
+    // the per-(t, b) scan-depth cut (tcap, inside lshRankedCappedCtes),
+    // the impact-ordered posting truncation (wpost), the champion
+    // list (champ — same Σw6 total, same tiebreak), and the exact
+    // rescore of the proposed candidates — with the same
+    // deterministic orders; everything else comes from the SAME
     // generators as the uncapped oracle
     "ann_rrf_fusion_capped" -> rrfFusionOracleOver(lshRankedCappedCtes,
       s"""wraw AS (
@@ -1919,11 +2000,24 @@ object AnnSearch {
          |      PARTITION BY term ORDER BY w6 DESC, doc_id) AS pos
          |    FROM wraw) w
          |  WHERE pos <= $RrfPostCap),
+         |champ AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      ORDER BY sum(w6) DESC, doc_id) AS pos
+         |    FROM wraw GROUP BY doc_id) c
+         |  WHERE pos <= $RrfChampCap),
+         |lexcand AS (
+         |  SELECT DISTINCT q_id, doc_id FROM (
+         |    SELECT qt.q_id, w.doc_id FROM wpost w JOIN qt USING (term)
+         |    UNION ALL
+         |    SELECT qt.q_id, w.doc_id
+         |    FROM wraw w JOIN champ USING (doc_id) JOIN qt USING (term)) u
+         |  WHERE doc_id <> q_id),
          |lexscored AS (
-         |  SELECT qt.q_id, w.doc_id AS id, CAST(sum(w.w6) AS BIGINT) AS s6
-         |  FROM wpost w
-         |  JOIN qt USING (term)
-         |  WHERE w.doc_id <> qt.q_id
+         |  SELECT c.q_id, c.doc_id AS id, CAST(sum(w.w6) AS BIGINT) AS s6
+         |  FROM lexcand c
+         |  JOIN qt ON qt.q_id = c.q_id
+         |  JOIN wraw w ON w.doc_id = c.doc_id AND w.term = qt.term
          |  GROUP BY 1, 2)""".stripMargin),
     "ann_pq_topk" -> pqSql,
     "ann_ivfadc_topk" -> ivfadcSql,

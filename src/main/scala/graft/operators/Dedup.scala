@@ -21,7 +21,7 @@ object Dedup {
   private val NumHashes = 16
   private val BandSize = 2 // 8 bands of 2 → ~0.9 recall at jaccard 0.5
   private val NumBands = NumHashes / BandSize
-  private val JaccardThreshold = 0.5
+  private[operators] val JaccardThreshold = 0.5
 
   /** 32-bit integer hash of a string expression, stable across engines. */
   private def h32(c: Column): Column =
@@ -889,10 +889,18 @@ object Dedup {
     * trivially kept. Ties break on doc_id so the verdict is
     * deterministic in both engines.
     */
-  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    val labels = connectedComponents(
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    keepBestOver(spark, dir, connectedComponents(
       dedupNgramJaccard(spark, dir).select("doc_a", "doc_b"))
-      .select("doc_id", "component")
+      .select("doc_id", "component"))
+
+  /** The keep-best policy tail over any (doc_id, component) labelling
+    * — one body shared by the self-contained, served, and capped
+    * forms, so the quality scoring, the winner window, and the
+    * unclustered-doc defaults can never drift between them.
+    */
+  private def keepBestOver(spark: SparkSession, dir: String,
+      labels: DataFrame): DataFrame = {
     val scored = Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality_score"))
     val w = Window.partitionBy(col("component"))
@@ -963,21 +971,137 @@ object Dedup {
     * scan over the corpus is the query's own (per-document, map-side)
     * work — the policy choice being iterated on, not index rebuild.
     */
-  def dedupKeepBestServed(spark: SparkSession, dir: String): DataFrame = {
-    val labels = servedLabels(spark, dir)
-    val scored = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality_score"))
-    val w = Window.partitionBy(col("component"))
-      .orderBy(col("quality_score").desc, col("doc_id"))
-    val verdicts = labels.join(scored, "doc_id")
-      .withColumn("is_kept", row_number().over(w) === 1)
-      .select(col("doc_id"), col("component"), col("is_kept"))
-    scored.join(verdicts, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"),
-        col("quality_score"), coalesce(col("is_kept"), lit(true)).as("is_kept"))
-      .orderBy(col("doc_id"))
+  def dedupKeepBestServed(spark: SparkSession, dir: String): DataFrame =
+    keepBestOver(spark, dir, servedLabels(spark, dir))
+
+  /** Per-document verified-degree cap of the CAPPED pair tier: after
+    * verification each document keeps its [[PairDegreeCap]]
+    * best-Jaccard incident edges (Jaccard DESC, neighbor id ASC —
+    * deterministic on both engines); an edge survives when EITHER
+    * endpoint ranks it (union semantics, so no verified doc ever loses
+    * its best match). Output ≤ 2·K·n edges by construction.
+    */
+  private[graft] val PairDegreeCap = 8
+
+  /** Bucket-occupancy threshold of the candidate lever: band buckets
+    * with at most this many members emit their full clique (lossless
+    * there — candidate mass per small bucket ≤ cap·occupancy/2, so Σ
+    * stays ∝ n·cap); larger buckets fall back to star edges around
+    * the bucket minimum (mass ∝ occupancy). Sized from the measured
+    * organic occupancy profile: at the ×3 point 100% of multi-member
+    * buckets are ≤ 16 (so the capped build is pair-identical there),
+    * and the dense >16 buckets only appear in the duplicate-heavy
+    * regime the star fallback exists for.
+    */
+  private[graft] val BucketCliqueCap = 16
+
+  /** The CAPPED verified near-dup pair build — the production
+    * operating point of the pair tier for DUPLICATE-HEAVY corpora
+    * (VERDICT r14: the uncapped `dedup_keep_best`/`dedup_components`
+    * read ~n^1.9 shuffle bytes at the organic ×10 point because TRUE
+    * pair mass grows that fast — every verified pair is enumerated).
+    * This is the `ann_rrf_fusion_capped` treatment applied to pairs,
+    * with the same two index-side levers:
+    *
+    *  1. OCCUPANCY-GATED candidates ([[BucketCliqueCap]]): a band
+    *     bucket with ≤ 16 members emits its full clique (lossless at
+    *     that occupancy, mass ≤ 16·occupancy/2); a DENSER bucket falls
+    *     back to star edges around its minimum member — mass ∝
+    *     occupancy, never occupancy². For EXACT-duplicate buckets the
+    *     star spans the same component as the clique, so exact-dup
+    *     clustering is unchanged; near-dup merge recall is measured,
+    *     not assumed — DedupCappedSpec states the number;
+    *  2. per-doc verified-degree cap [[PairDegreeCap]] (union
+    *     semantics) on the surviving edges, bounding OUTPUT ∝ n·K for
+    *     the components fixpoint and the keep-best window downstream.
+    *
+    * The uncapped `dedup_ngram_jaccard` remains the oracle-definition/
+    * audit tier (exactly like the uncapped fusion and
+    * `q_price_band_join` vs its `_topk` twin); its own oracle replays
+    * both caps — same hub choice, same rank order.
+    */
+  private[graft] def cappedPairsOf(docs: DataFrame): DataFrame = {
+    // one corpus explode feeding signatures AND verification, the
+    // ngramJaccardOf sharing discipline
+    val sh = shinglesOf(docs).localCheckpoint()
+    val sigLong = minhashFromShingles(sh)
+      .select(col("doc_id"), posexplode(
+        array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
+      .localCheckpoint() // read twice: hub aggregation + member join
+    // lever 1 — occupancy-gated candidates: small buckets emit the
+    // full clique (lossless ≤ BucketCliqueCap); dense buckets emit
+    // star edges around the bucket MINIMUM (min + occupancy via ONE
+    // keyed aggregation, the large-star discipline) — a dense
+    // near-dup cluster contributes O(occupancy) candidates, not
+    // O(occupancy²)
+    val occ = sigLong.groupBy(col("band_idx"), col("bk"))
+      .agg(count(lit(1)).as("occ"), min(col("doc_id")).as("hub"))
+    val marked = sigLong.join(occ, Seq("band_idx", "bk"))
+      .localCheckpoint(false) // both clique self-join sides + star read it
+    val small = marked.filter(col("occ") <= BucketCliqueCap)
+    val clique = small
+      .select(col("doc_id").as("doc_a"), col("band_idx"), col("bk"))
+      .join(small.select(col("doc_id").as("doc_b"), col("band_idx"), col("bk")),
+        Seq("band_idx", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val star = marked
+      .filter(col("occ") > BucketCliqueCap && col("doc_id") > col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+    val pairs = clique.union(star).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    val vpairs = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+      .localCheckpoint() // read three times: both cap directions + the final join
+    // lever 2 — per-doc degree cap, union semantics
+    val dirs = vpairs.select(col("doc_a").as("d"), col("doc_b").as("o"), col("jaccard"))
+      .union(vpairs.select(col("doc_b").as("d"), col("doc_a").as("o"), col("jaccard")))
+    val wDeg = Window.partitionBy(col("d"))
+      .orderBy(col("jaccard").desc, col("o"))
+    val keep = dirs.withColumn("rk", row_number().over(wDeg))
+      .filter(col("rk") <= PairDegreeCap)
+      .select(least(col("d"), col("o")).as("doc_a"),
+        greatest(col("d"), col("o")).as("doc_b"))
+      .distinct()
+    vpairs.join(keep, Seq("doc_a", "doc_b"))
   }
+
+  /** The capped pair relation over the corpus — `dedup_ngram_jaccard`'s
+    * bounded production twin (see [[cappedPairsOf]]).
+    */
+  def dedupPairsCapped(spark: SparkSession, dir: String): DataFrame =
+    cappedPairsOf(Tables.documents(spark, dir).select("doc_id", "text"))
+      .orderBy("doc_a", "doc_b")
+
+  /** Near-dup clusters over the CAPPED pair graph — the components
+    * fixpoint whose input (and therefore whose per-round shuffle) is
+    * bounded ∝ n·K instead of true pair mass. The labelling is the
+    * capped graph's own fixpoint: merge recall vs the uncapped
+    * components is a measured trade (DedupCappedSpec), not an
+    * equivalence claim.
+    */
+  def dedupComponentsCapped(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(cappedPairsOf(
+      Tables.documents(spark, dir).select("doc_id", "text"))
+      .select("doc_a", "doc_b"))
+
+  /** Keep-best curation over the capped clusters — the policy verdict
+    * a duplicate-heavy 100 TB corpus can actually afford.
+    */
+  def dedupKeepBestCapped(spark: SparkSession, dir: String): DataFrame =
+    keepBestOver(spark, dir, connectedComponents(cappedPairsOf(
+      Tables.documents(spark, dir).select("doc_id", "text"))
+      .select("doc_a", "doc_b"))
+      .select("doc_id", "component"))
 
   /** The banded signature index SERVED from its artifact table
     * (doc_id, band_idx, bk — 8 band keys per doc): what
@@ -987,6 +1111,18 @@ object Dedup {
   private[graft] def servedSigs(spark: SparkSession, dir: String): DataFrame =
     graft.sources.ArtifactStore.ensure(spark, dir, "dedup_sigs", "doc_id", 8)(
       bandKeysOf(Tables.documents(spark, dir)))
+
+  /** The distinct bigram-shingle relation SERVED from its write-once
+    * gram-bucketed artifact — the "postings" side of the pair search:
+    * with `dedup_sigs` (candidates) and this table (verification), the
+    * full verified-Jaccard pair query becomes one statement over two
+    * hot tables, which is what [[SqlSurface.dedupPairsSql]] runs; the
+    * gram bucketing makes the intersection join exchange-free on the
+    * artifact side.
+    */
+  private[operators] def servedShingles(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ArtifactStore.ensure(spark, dir, "dedup_sh", "gram", 8)(
+      shinglesOf(Tables.documents(spark, dir)))
 
   /** [[dedupIncremental]] served: band keys come from the signature
     * artifact, and shingles are exploded ONLY for documents touched by
@@ -1147,6 +1283,9 @@ object Dedup {
     "dedup_simhash_sensitivity" -> (dedupSimhashSensitivity _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "dedup_semantic"      -> (dedupSemantic _),
+    "dedup_pairs_capped"  -> (dedupPairsCapped _),
+    "dedup_components_capped" -> (dedupComponentsCapped _),
+    "dedup_keep_best_capped" -> (dedupKeepBestCapped _),
     "dedup_components_served" -> (dedupComponentsServed _),
     "dedup_cluster_stats_served" -> (dedupClusterStatsServed _),
     "dedup_keep_best_served" -> (dedupKeepBestServed _),
@@ -1192,6 +1331,74 @@ object Dedup {
   private val cpairsCtes: String = {
     cpairsCtesOver("documents")
   }
+
+  /** The CAPPED pair build as CTEs ending in `kpairs` — the oracle
+    * replays BOTH levers of [[cappedPairsOf]] exactly: the same
+    * bucket-minimum hub choice and the same (jaccard DESC, neighbor
+    * ASC) degree-cap ranking, so the driver compare pins the caps
+    * themselves, not just the surviving values.
+    */
+  private def cappedPairsCtesOver(rel: String): String = {
+    val bandUnion = (0 until NumBands)
+      .map(b => s"SELECT doc_id, $b AS bi, band$b AS bk FROM sig")
+      .mkString(" UNION ALL ")
+    s"""${minhashCteOver(rel)},
+       |bands AS ($bandUnion),
+       |bocc AS (
+       |  SELECT bi, bk, count(*) AS c, min(doc_id) AS hub
+       |  FROM bands GROUP BY bi, bk),
+       |marked AS (
+       |  SELECT b.doc_id, b.bi, b.bk, o.c, o.hub
+       |  FROM bands b JOIN bocc o ON b.bi = o.bi AND b.bk = o.bk),
+       |spairs AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM marked a JOIN marked b
+       |      ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |    WHERE a.c <= $BucketCliqueCap
+       |    UNION ALL
+       |    SELECT hub AS doc_a, doc_id AS doc_b FROM marked
+       |    WHERE c > $BucketCliqueCap AND doc_id > hub) u),
+       |sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+       |  FROM spairs p
+       |  JOIN sh sa ON sa.doc_id = p.doc_a
+       |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.gram = sa.gram
+       |  GROUP BY p.doc_a, p.doc_b),
+       |vpairs AS (
+       |  SELECT doc_a, doc_b, n_inter,
+       |    round(n_inter * 1.0 / (za.n_grams + zb.n_grams - n_inter), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sizes za ON za.doc_id = doc_a
+       |  JOIN sizes zb ON zb.doc_id = doc_b
+       |  WHERE round(n_inter * 1.0 / (za.n_grams + zb.n_grams - n_inter), 6) >= $JaccardThreshold),
+       |keep AS (
+       |  SELECT DISTINCT least(d, o) AS doc_a, greatest(d, o) AS doc_b
+       |  FROM (
+       |    SELECT d, o,
+       |      row_number() OVER (PARTITION BY d ORDER BY jaccard DESC, o) AS rk
+       |    FROM (SELECT doc_a AS d, doc_b AS o, jaccard FROM vpairs
+       |          UNION ALL SELECT doc_b, doc_a, jaccard FROM vpairs))
+       |  WHERE rk <= $PairDegreeCap),
+       |kpairs AS (
+       |  SELECT v.doc_a, v.doc_b, v.n_inter, v.jaccard
+       |  FROM vpairs v JOIN keep USING (doc_a, doc_b))""".stripMargin
+  }
+
+  /** Recursive-CTE components over the CAPPED pair graph, ending in
+    * `comp` — the capped twin of [[componentsCtes]].
+    */
+  private lazy val cappedComponentsCtes: String =
+    s"""${cappedPairsCtesOver("documents")},
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM kpairs
+       |  UNION ALL SELECT doc_b, doc_a FROM kpairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)""".stripMargin
 
   /** The jaccard pair relation as reusable CTEs ending in `jpairs`
     * over an arbitrary (doc_id, text) relation — shared (via
@@ -1440,6 +1647,31 @@ object Dedup {
          |SELECT doc_id, component,
          |  count(*) OVER (PARTITION BY component) AS component_size
          |FROM comp ORDER BY doc_id""".stripMargin,
+    "dedup_pairs_capped" ->
+      s"""WITH ${cappedPairsCtesOver("documents")}
+         |SELECT doc_a, doc_b, n_inter, jaccard FROM kpairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_components_capped" ->
+      s"""WITH RECURSIVE $cappedComponentsCtes
+         |SELECT doc_id, component,
+         |  count(*) OVER (PARTITION BY component) AS component_size
+         |FROM comp ORDER BY doc_id""".stripMargin,
+    "dedup_keep_best_capped" ->
+      s"""WITH RECURSIVE $cappedComponentsCtes,
+         |scored AS (
+         |  SELECT doc_id, ${graft.operators.TextAnalysis.qualityScoreSql("text")} AS quality_score
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT c.doc_id, c.component, s.quality_score,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY s.quality_score DESC, c.doc_id) AS rk
+         |  FROM comp c JOIN scored s USING (doc_id))
+         |SELECT s.doc_id,
+         |  coalesce(r.component, s.doc_id) AS component,
+         |  s.quality_score,
+         |  coalesce(r.rk = 1, TRUE) AS is_kept
+         |FROM scored s LEFT JOIN ranked r USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" ->
       s"""WITH $simhashCtes,

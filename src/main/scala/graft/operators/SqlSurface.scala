@@ -455,6 +455,42 @@ object SqlSurface {
          |WHERE rank <= $rtop ORDER BY q_id, rank""".stripMargin)
   }
 
+  /** The verified-Jaccard near-dup pair search, pure SQL text over the
+    * SERVED dedup artifacts — the analyst form of the tier the capped
+    * operators bound: banded candidates from the `dedup_sigs`
+    * signature index (one self-equi-join on the (band_idx, bk) bucket
+    * key — never all-pairs) and exact bigram verification against the
+    * `dedup_sh` shingle table (gram-bucketed, so the intersection join
+    * is exchange-free on the artifact side). Same candidate semantics,
+    * intersection counting, rounding, and threshold as
+    * [[Dedup.dedupNgramJaccard]], whose oracle it shares.
+    */
+  def dedupPairsSql(spark: SparkSession, dir: String): DataFrame = {
+    Dedup.servedSigs(spark, dir).createOrReplaceTempView("dedup_sigs")
+    Dedup.servedShingles(spark, dir).createOrReplaceTempView("dedup_sh")
+    spark.sql(
+      s"""WITH cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM dedup_sigs a JOIN dedup_sigs b
+         |    ON a.band_idx = b.band_idx AND a.bk = b.bk
+         |    AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM dedup_sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN dedup_sh sa ON sa.doc_id = c.doc_a
+         |  JOIN dedup_sh sb ON sb.doc_id = c.doc_b AND sb.gram = sa.gram
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b, i.n_inter,
+         |  round(i.n_inter / (za.n_grams + zb.n_grams - i.n_inter), 6) AS jaccard
+         |FROM inter i
+         |JOIN sizes za ON za.doc_id = i.doc_a
+         |JOIN sizes zb ON zb.doc_id = i.doc_b
+         |WHERE round(i.n_inter / (za.n_grams + zb.n_grams - i.n_inter), 6)
+         |  >= ${Dedup.JaccardThreshold}D
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_revenue_by_nation" -> (revenueByNation _),
     "sql_upc_valid_share"   -> (upcValidShare _),
@@ -470,7 +506,8 @@ object SqlSurface {
     "sql_asof"              -> (asofSql _),
     "sql_temporal_join"     -> (temporalJoinSql _),
     "sql_scd2_history"      -> (scd2HistorySql _),
-    "sql_rrf_fusion"        -> (rrfFusionSql _))
+    "sql_rrf_fusion"        -> (rrfFusionSql _),
+    "sql_dedup_pairs"       -> (dedupPairsSql _))
 
   /** SQL twin → the DataFrame query whose oracle (and therefore exact
     * output contract) it shares. SqlSurfaceSpec asserts schema parity
@@ -494,7 +531,8 @@ object SqlSurface {
     "sql_asof"          -> "events_asof_join",
     "sql_temporal_join" -> "etl_temporal_join",
     "sql_scd2_history"  -> "etl_scd2_history",
-    "sql_rrf_fusion"    -> "ann_rrf_fusion_served")
+    "sql_rrf_fusion"    -> "ann_rrf_fusion_served",
+    "sql_dedup_pairs"   -> "dedup_ngram_jaccard")
 
   val oracles: Map[String, String] = Map(
     "sql_revenue_by_nation" ->
@@ -535,5 +573,6 @@ object SqlSurface {
     "sql_asof"          -> Events.oracles("events_asof_join"),
     "sql_temporal_join" -> EtlEnrichment.oracles("etl_temporal_join"),
     "sql_scd2_history"  -> EtlEnrichment.oracles("etl_scd2_history"),
-    "sql_rrf_fusion"    -> AnnSearch.oracles("ann_rrf_fusion"))
+    "sql_rrf_fusion"    -> AnnSearch.oracles("ann_rrf_fusion"),
+    "sql_dedup_pairs"   -> Dedup.oracles("dedup_ngram_jaccard"))
 }

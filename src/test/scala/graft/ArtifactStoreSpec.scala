@@ -125,6 +125,19 @@ class ArtifactStoreSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(actual == expected,
       "lsh_keys_capped diverges from the recomputed per-bucket truncation")
+    // champion list (r15): 500 docs < RrfChampCap, so binding can't be
+    // asserted here either — pin the LOGIC: the artifact must equal
+    // the independently recomputed global top-K by total impact mass
+    val champ = built("bm25_champ", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val expectedChamp = wFull
+      .groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.functions.sum(col("w6")).as("tw6"))
+      .orderBy(col("tw6").desc, col("doc_id"))
+      .limit(AnnSearch.RrfChampCap)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(champ == expectedChamp,
+      "bm25_champ diverges from the recomputed total-impact top-K")
   }
 
   test("served ivfadc reads its artifacts as bucketed scans") {

@@ -343,9 +343,17 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // r13: the hybrid-retrieval capstone — plans to exactly the served
     // DataFrame twin's shape (6 exchanges + 4 broadcasts)
     "sql_rrf_fusion"        -> 6,
-    // r14: the capped fusion reads two extra pre-capped artifacts; its
-    // probe plan keeps the served twin's exact shape (6, = sql_rrf)
-    "ann_rrf_fusion_capped" -> 6,
+    // r14: the capped fusion reads pre-capped artifacts; r15 added the
+    // champion-list + exact-rescore lexical leg (truncation-only
+    // scoring reordered the dense low-idf rankings — recall@5 0.20),
+    // whose candidate-distinct + rescore aggregation costs one
+    // exchange over the served twin's 6
+    "ann_rrf_fusion_capped" -> 7,
+    // r15: the analyst pair search over the served dedup_sigs/dedup_sh
+    // artifacts — candidate self-join on the band key, gram
+    // intersection riding the artifact bucketing, sizes aggregation,
+    // jaccard joins + output sort
+    "sql_dedup_pairs"       -> 7,
     // r14: the SQL temporal twins plan to exactly their DataFrame
     // forms — asof: union + one user_id window sort + output sort
     // share 2 exchanges; temporal join: the scd2 windows share the
