@@ -161,6 +161,12 @@ object IndexMaintenance {
   private def dfRoot(root: String) = s"$root/df"
   private def dlRoot(root: String) = s"$root/dl"
 
+  /** The df sub-table's sink root — exposed so the vacuum/time-travel
+    * contract query ([[MaintQueries.maintBm25VacuumTravel]]) can
+    * compact and vacuum the ADDITIVE chain it then reads back.
+    */
+  private[operators] def bm25DfRoot(root: String): String = dfRoot(root)
+
   /** Build the three posting tables from the base corpus. */
   def bootstrapBm25(spark: SparkSession, root: String, baseDocs: DataFrame,
       batchId: String = "bootstrap"): Boolean = {
