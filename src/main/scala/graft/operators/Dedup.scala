@@ -986,14 +986,30 @@ object Dedup {
   /** Bucket-occupancy threshold of the candidate lever: band buckets
     * with at most this many members emit their full clique (lossless
     * there — candidate mass per small bucket ≤ cap·occupancy/2, so Σ
-    * stays ∝ n·cap); larger buckets fall back to star edges around
-    * the bucket minimum (mass ∝ occupancy). Sized from the measured
-    * organic occupancy profile: at the ×3 point 100% of multi-member
-    * buckets are ≤ 16 (so the capped build is pair-identical there),
-    * and the dense >16 buckets only appear in the duplicate-heavy
-    * regime the star fallback exists for.
+    * stays ∝ n·cap); larger buckets fall back to the SORTED WINDOW
+    * below. Sized from the measured organic occupancy profile: at the
+    * ×3 point 100% of multi-member buckets are ≤ 16 (so the capped
+    * build is pair-identical there), and the dense >16 buckets only
+    * appear in the duplicate-heavy regime the window fallback exists
+    * for.
     */
   private[graft] val BucketCliqueCap = 16
+
+  /** Sorted-window width for DENSE buckets (> [[BucketCliqueCap]]
+    * members): members are ranked by doc_id within the bucket and each
+    * pairs with its next `BucketWindow` successors — the
+    * sorted-neighborhood method (Hernández & Stolfo, SIGMOD 1995)
+    * bounding candidate mass ∝ occupancy·w, never occupancy². Chosen
+    * over a bucket-minimum STAR by measurement on the organic ×10
+    * corpus (DuckDB lever sweep, PLANS.md r15): near the 0.5 Jaccard
+    * threshold many hub-member pairs fail verification and the star
+    * fragments clusters (merge recall 0.355); a window survives
+    * individual edge failures through its redundancy — w=1 already
+    * beats the star at IDENTICAL candidate count (0.375), w=8 reaches
+    * 0.695, w=16 0.847, full cliques 1.0. The width is the documented
+    * recall/cost dial; 8 is the default operating point.
+    */
+  private[graft] val BucketWindow = 8
 
   /** The CAPPED verified near-dup pair build — the production
     * operating point of the pair tier for DUPLICATE-HEAVY corpora
@@ -1005,12 +1021,14 @@ object Dedup {
     *
     *  1. OCCUPANCY-GATED candidates ([[BucketCliqueCap]]): a band
     *     bucket with ≤ 16 members emits its full clique (lossless at
-    *     that occupancy, mass ≤ 16·occupancy/2); a DENSER bucket falls
-    *     back to star edges around its minimum member — mass ∝
-    *     occupancy, never occupancy². For EXACT-duplicate buckets the
-    *     star spans the same component as the clique, so exact-dup
-    *     clustering is unchanged; near-dup merge recall is measured,
-    *     not assumed — DedupCappedSpec states the number;
+    *     that occupancy, mass ≤ 16·occupancy/2); a DENSER bucket emits
+    *     sorted-window edges ([[BucketWindow]] — each member pairs
+    *     with its w successors in doc_id order) — mass ∝ occupancy·w,
+    *     never occupancy². For EXACT-duplicate buckets every window
+    *     edge verifies at Jaccard 1.0, so the window path spans the
+    *     same component as the clique and exact-dup clustering is
+    *     unchanged; near-dup merge recall is measured, not assumed —
+    *     DedupCappedSpec states the number;
     *  2. per-doc verified-degree cap [[PairDegreeCap]] (union
     *     semantics) on the surviving edges, bounding OUTPUT ∝ n·K for
     *     the components fixpoint and the keep-best window downstream.
@@ -1030,14 +1048,13 @@ object Dedup {
       .localCheckpoint() // read twice: hub aggregation + member join
     // lever 1 — occupancy-gated candidates: small buckets emit the
     // full clique (lossless ≤ BucketCliqueCap); dense buckets emit
-    // star edges around the bucket MINIMUM (min + occupancy via ONE
-    // keyed aggregation, the large-star discipline) — a dense
-    // near-dup cluster contributes O(occupancy) candidates, not
-    // O(occupancy²)
+    // sorted-window edges (each member × its next BucketWindow
+    // successors in doc_id order) — a dense near-dup cluster
+    // contributes O(occupancy · w) candidates, not O(occupancy²)
     val occ = sigLong.groupBy(col("band_idx"), col("bk"))
-      .agg(count(lit(1)).as("occ"), min(col("doc_id")).as("hub"))
+      .agg(count(lit(1)).as("occ"))
     val marked = sigLong.join(occ, Seq("band_idx", "bk"))
-      .localCheckpoint(false) // both clique self-join sides + star read it
+      .localCheckpoint(false) // clique + both window sides read it
     val small = marked.filter(col("occ") <= BucketCliqueCap)
     val clique = small
       .select(col("doc_id").as("doc_a"), col("band_idx"), col("bk"))
@@ -1045,10 +1062,19 @@ object Dedup {
         Seq("band_idx", "bk"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-    val star = marked
-      .filter(col("occ") > BucketCliqueCap && col("doc_id") > col("hub"))
-      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
-    val pairs = clique.union(star).distinct()
+    val wRank = Window.partitionBy(col("band_idx"), col("bk"))
+      .orderBy(col("doc_id"))
+    val denseRanked = marked.filter(col("occ") > BucketCliqueCap)
+      .withColumn("r", row_number().over(wRank))
+      .select(col("doc_id"), col("band_idx"), col("bk"), col("r"))
+      .localCheckpoint(false) // both window self-join sides
+    val windowed = denseRanked
+      .select(col("doc_id").as("doc_a"), col("band_idx"), col("bk"), col("r").as("ra"))
+      .join(denseRanked.select(col("doc_id").as("doc_b"), col("band_idx"),
+        col("bk"), col("r").as("rb")), Seq("band_idx", "bk"))
+      .filter(col("rb") > col("ra") && col("rb") <= col("ra") + BucketWindow)
+      .select(col("doc_a"), col("doc_b"))
+    val pairs = clique.union(windowed).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
@@ -1084,21 +1110,27 @@ object Dedup {
 
   /** Near-dup clusters over the CAPPED pair graph — the components
     * fixpoint whose input (and therefore whose per-round shuffle) is
-    * bounded ∝ n·K instead of true pair mass. The labelling is the
-    * capped graph's own fixpoint: merge recall vs the uncapped
-    * components is a measured trade (DedupCappedSpec), not an
-    * equivalence claim.
+    * bounded ∝ n·K instead of true pair mass. Runs through the
+    * STAR-CONTRACTION engine path, not min-label propagation: the
+    * window candidates form long paths through dense buckets
+    * (diameter ∝ occupancy/w), and min-label needs O(diameter) rounds
+    * — past its 32-round cap a huge cluster would silently mislabel,
+    * while star-contraction converges in O(log n) rounds regardless
+    * of diameter. The labelling is the capped graph's own fixpoint:
+    * merge recall vs the uncapped components is a measured trade
+    * (DedupCappedSpec), not an equivalence claim.
     */
   def dedupComponentsCapped(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(cappedPairsOf(
+    connectedComponentsStar(cappedPairsOf(
       Tables.documents(spark, dir).select("doc_id", "text"))
       .select("doc_a", "doc_b"))
 
   /** Keep-best curation over the capped clusters — the policy verdict
-    * a duplicate-heavy 100 TB corpus can actually afford.
+    * a duplicate-heavy 100 TB corpus can actually afford. Same
+    * star-contraction labelling as [[dedupComponentsCapped]].
     */
   def dedupKeepBestCapped(spark: SparkSession, dir: String): DataFrame =
-    keepBestOver(spark, dir, connectedComponents(cappedPairsOf(
+    keepBestOver(spark, dir, connectedComponentsStar(cappedPairsOf(
       Tables.documents(spark, dir).select("doc_id", "text"))
       .select("doc_a", "doc_b"))
       .select("doc_id", "component"))
@@ -1345,11 +1377,15 @@ object Dedup {
     s"""${minhashCteOver(rel)},
        |bands AS ($bandUnion),
        |bocc AS (
-       |  SELECT bi, bk, count(*) AS c, min(doc_id) AS hub
+       |  SELECT bi, bk, count(*) AS c
        |  FROM bands GROUP BY bi, bk),
        |marked AS (
-       |  SELECT b.doc_id, b.bi, b.bk, o.c, o.hub
+       |  SELECT b.doc_id, b.bi, b.bk, o.c
        |  FROM bands b JOIN bocc o ON b.bi = o.bi AND b.bk = o.bk),
+       |dense AS (
+       |  SELECT doc_id, bi, bk,
+       |    row_number() OVER (PARTITION BY bi, bk ORDER BY doc_id) AS r
+       |  FROM marked WHERE c > $BucketCliqueCap),
        |spairs AS (
        |  SELECT DISTINCT doc_a, doc_b FROM (
        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1357,8 +1393,10 @@ object Dedup {
        |      ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
        |    WHERE a.c <= $BucketCliqueCap
        |    UNION ALL
-       |    SELECT hub AS doc_a, doc_id AS doc_b FROM marked
-       |    WHERE c > $BucketCliqueCap AND doc_id > hub) u),
+       |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |    FROM dense x JOIN dense y
+       |      ON x.bi = y.bi AND x.bk = y.bk
+       |      AND y.r > x.r AND y.r <= x.r + $BucketWindow) u),
        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter

@@ -39,11 +39,11 @@ class DedupCappedSpec extends SparkTestBase {
       "capped pairs contain rows absent from the uncapped verified relation")
   }
 
-  test("dense buckets fall back to star edges and exact-dup clusters stay whole") {
+  test("dense buckets fall back to window edges and exact-dup clusters stay whole") {
     import spark.implicits._
     // 40 identical docs land in one band bucket per band (occupancy 40
-    // > BucketCliqueCap) — the star lever MUST fire; distinct fillers
-    // stay out of the cluster
+    // > BucketCliqueCap) — the sorted-window lever MUST fire; distinct
+    // fillers stay out of the cluster
     val dense = (1L to 40L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
     val fillers = (101L to 120L).map(i =>
       (i, s"filler$i uniq$i token$i other$i more$i"))
@@ -53,13 +53,20 @@ class DedupCappedSpec extends SparkTestBase {
       "the uncapped build must enumerate the full 40-clique")
     val capped = Dedup.cappedPairsOf(docs).localCheckpoint()
     val denseCapped = capped.filter(col("doc_a") <= 40 && col("doc_b") <= 40)
-    assert(denseCapped.count() == 39,
-      s"star fallback should emit exactly 39 hub edges, got ${denseCapped.count()}")
-    // the star spans the same component as the clique: one cluster of
-    // 40 labelled by the minimum member
-    val comps = Dedup.connectedComponents(capped.select("doc_a", "doc_b"))
+    // exact-dup bucket: every window edge verifies at Jaccard 1.0, and
+    // every (a, b) edge is ranked ≤ K by b (its predecessors are its
+    // smallest-id neighbors), so the capped relation is exactly the
+    // window graph: Σ min(n − i, w) edges — far below the 780-clique
+    val w = Dedup.BucketWindow
+    val expected = (1 to 39).map(i => math.min(40 - i, w)).sum
+    assert(denseCapped.count() == expected,
+      s"window fallback should emit $expected edges, got ${denseCapped.count()}")
+    // the window path spans the same component as the clique: one
+    // cluster of 40 labelled by the minimum member (star-contraction,
+    // the engine path the capped queries run)
+    val comps = Dedup.connectedComponentsStar(capped.select("doc_a", "doc_b"))
     assert(comps.filter(col("component") === 1).count() == 40,
-      "the exact-dup cluster fragmented under the star fallback")
+      "the exact-dup cluster fragmented under the window fallback")
   }
 
   test("the degree cap bounds the capped pair output to <= 2*K*n") {

@@ -16,6 +16,16 @@ class MaintQueriesSpec extends SparkTestBase {
   private def dfSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
     df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
 
+  /** The document-keyed queries' fixed working slice (r15): the
+    * DocSliceN md5-rank-smallest doc ids — the spec mirrors the
+    * operator's definition exactly.
+    */
+  private def docSlice() = Tables.documents(spark, sfDir)
+    .select("doc_id", "text")
+    .orderBy(md5(col("doc_id").cast("string")))
+    .limit(MaintQueries.DocSliceN)
+    .localCheckpoint()
+
   test("bm25 df time travel reads v2: batches 1-2 counted, batch 3 invisible") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val got = dfSet(MaintQueries.maintBm25DfTimeTravel(spark, sfDir)
@@ -31,8 +41,7 @@ class MaintQueriesSpec extends SparkTestBase {
   }
 
   test("refreshed pair table equals the from-scratch build over the working set") {
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-      .filter(hmod(col("doc_id"), 2) === 0)
+    val docs = docSlice()
     val got = MaintQueries.maintPairsRefresh(spark, sfDir)
       .collect().map(_.toSeq).toSet
     val scratch = Dedup.ngramJaccardOf(docs).collect().map(_.toSeq).toSet
@@ -63,21 +72,42 @@ class MaintQueriesSpec extends SparkTestBase {
   }
 
   test("refreshed span extraction equals from-scratch over the working corpus") {
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-      .filter(hmod(col("doc_id"), 2) === 0)
+    // mirror the query's slice AND its deterministic cap-phrase
+    // augmentation (SpanDfCap base docs + the crossing batch doc)
+    val docs = docSlice()
+    val baseRaw = docs.filter(hmod(col("doc_id"), 4) =!= 0)
+    val batchRaw = docs.filter(hmod(col("doc_id"), 4) === 0)
+    val marks = baseRaw
+      .orderBy(md5(col("doc_id").cast("string")))
+      .limit(graft.operators.TextAnalysis.SpanDfCap)
+      .select(col("doc_id").as("mark_id"))
+      .union(batchRaw.orderBy(md5(col("doc_id").cast("string"))).limit(1)
+        .select(col("doc_id").as("mark_id")))
+    val augmented = docs
+      .join(marks, col("doc_id") === col("mark_id"), "left")
+      .select(col("doc_id"),
+        when(col("mark_id").isNotNull,
+          concat(lit(MaintQueries.CapPhrase + " "), col("text")))
+          .otherwise(col("text")).as("text"))
     val got = MaintQueries.maintSpansRefresh(spark, sfDir)
       .collect().map(_.toSeq).toSet
-    val scratch = graft.operators.TextAnalysis.exactSpansOver(docs)
+    val scratch = graft.operators.TextAnalysis.exactSpansOver(augmented)
       .collect().map(_.toSeq).toSet
     assert(got.nonEmpty && got == scratch)
+    // the from-scratch build over the UN-augmented slice must differ:
+    // the phrase docs' boundary grams add spans, proving the
+    // augmentation (and therefore the cap-crossing retraction the
+    // operator requires in-query) is not a no-op
+    val plain = graft.operators.TextAnalysis.exactSpansOver(docs)
+      .collect().map(_.toSeq).toSet
+    assert(got != plain, "the cap-phrase augmentation changed nothing")
   }
 
   test("pairs time travel reads v2: batches 1-2's pairs, batch 3 invisible") {
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-      .filter(hmod(col("doc_id"), 2) === 0)
+    val docs = docSlice()
     val got = MaintQueries.maintPairsTimeTravel(spark, sfDir)
       .collect().map(_.toSeq).toSet
-    val v2Docs = docs.filter(hmod(col("doc_id"), 8) =!= 0)
+    val v2Docs = docs.filter(hmod(col("doc_id"), 4) =!= 0)
     val expectV2 = Dedup.ngramJaccardOf(v2Docs).collect().map(_.toSeq).toSet
     assert(got.nonEmpty && got == expectV2,
       "time-travel state diverges from the from-scratch build over batches 1-2")
@@ -143,15 +173,28 @@ class MaintQueriesSpec extends SparkTestBase {
     // the operator); here pin the LOGICAL claim — reading the oldest
     // retained version after vacuum equals the from-scratch build over
     // batches 1-2, i.e. retention never changes answers
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-      .filter(hmod(col("doc_id"), 2) === 0)
+    val docs = docSlice()
     val got = MaintQueries.maintPairsVacuumTravel(spark, sfDir)
       .collect().map(_.toSeq).toSet
-    val v2Docs = docs.filter(hmod(col("doc_id"), 8) =!= 0)
+    val v2Docs = docs.filter(hmod(col("doc_id"), 4) =!= 0)
     val expectV2 = Dedup.ngramJaccardOf(v2Docs).collect().map(_.toSeq).toSet
     assert(got.nonEmpty && got == expectV2,
       "post-vacuum read of the retained version diverges from the " +
         "from-scratch build over batches 1-2")
+  }
+
+  test("bm25 vacuum travel: retained additive version readable, earlier gone") {
+    // the operator requires v1/v2 really deleted; pin the LOGICAL
+    // claim here — the post-vacuum read of the oldest retained version
+    // equals batches 1-2's df, exactly like the live time-travel read
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val got = dfSet(MaintQueries.maintBm25VacuumTravel(spark, sfDir)
+      .select("term", "df"))
+    val expectV2 = dfSet(AnnSearch.bm25Tf(docs.filter(hmod(col("doc_id"), 4) =!= 0))
+      .groupBy("term").agg(count(lit(1)).as("df")))
+    assert(got == expectV2,
+      "post-vacuum read of the retained additive version diverges from " +
+        "batches 1-2's df")
   }
 
   test("each maintenance query deletes its temp root") {
