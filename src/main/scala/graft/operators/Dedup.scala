@@ -1045,7 +1045,7 @@ object Dedup {
     val sigLong = minhashFromShingles(sh)
       .select(col("doc_id"), posexplode(
         array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
-      .localCheckpoint() // read twice: hub aggregation + member join
+      .localCheckpoint() // read twice: occupancy aggregation + member join
     // lever 1 — occupancy-gated candidates: small buckets emit the
     // full clique (lossless ≤ BucketCliqueCap); dense buckets emit
     // sorted-window edges (each member × its next BucketWindow
@@ -1170,6 +1170,16 @@ object Dedup {
     * so the curves separate as corpus/batch grows — the regime the
     * operator exists for (the residual-PQ precedent: keep the
     * published shape, measure both, state which regime each wins).
+    *
+    * MEASURED LIMIT (r15 organic ×10, PLANS.md): with the pinned
+    * batch = 25% of corpus, the probe's candidates grow ∝ batch ×
+    * bucket occupancy — byte exp 1.57 (3 MB → 114 MB) on the
+    * duplicate-heavy corpus, the same occupancy disease
+    * [[cappedPairsOf]] gates. A real ingest holds the batch FIXED
+    * while the corpus grows (CrossoverBench's regime), so the
+    * production exponent is occupancy's alone; a bounded admission
+    * twin (the occupancy-gated candidate lever applied to the probe)
+    * is the named follow-up.
     */
   def dedupIncrementalServed(spark: SparkSession, dir: String): DataFrame =
     dedupIncrementalServedOver(servedSigs(spark, dir),

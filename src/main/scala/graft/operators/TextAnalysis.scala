@@ -868,6 +868,18 @@ object TextAnalysis {
 
   /** The span extraction served from the gram artifact — identical
     * result by construction (shares the base form's oracle SQL).
+    *
+    * MEASURED LIMIT (r15 organic ×10, PLANS.md): byte exp 2.84
+    * (820 KB → 566 MB) — true cross-document span mass is ~quadratic
+    * on a crossover corpus (every crossover shares a half-document
+    * span with its parent and its siblings through that parent), and
+    * the bytes are the hits feeding the gaps-and-islands window:
+    * output-proportional, exactly like the uncapped pair tier before
+    * [[Dedup.cappedPairsOf]]. The df cap bounds REPEATED boilerplate
+    * (df > cap), but crossover spans sit at df 2-50 — genuine signal
+    * under the cap. A capped span operating point (per-doc span-pair
+    * degree cap, the PairDegreeCap recipe) is the named follow-up for
+    * corpus-wide extraction over duplicate-heavy crawls.
     */
   def dedupExactSpansServed(spark: SparkSession, dir: String): DataFrame =
     spansFromGrams(servedSpanGrams(spark, dir))
