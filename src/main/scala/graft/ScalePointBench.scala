@@ -269,7 +269,10 @@ object ScalePointBench {
     "dedup_keep_best_served", "dedup_cluster_stats_served",
     "dedup_incremental_served", "dedup_simhash_pairs_served",
     "dedup_exact_spans_served", "multimodal_phash_dct_pairs_served",
-    "ann_rrf_fusion_served")
+    "ann_rrf_fusion_served",
+    // r15 second half: the two bounded twins the served-tier exponents
+    // demanded — the occupancy-gated admission probe and span search
+    "dedup_incremental_capped", "dedup_exact_spans_capped")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -443,6 +446,33 @@ object ScalePointBench {
       val (mh1, mt1) = mergeRecall(src)
       val (mhN, mtN) = mergeRecall(orgDir)
       println(s"""{"query":"recall_merge_capped","recall_1x":${j(mh1.toDouble / mt1)},"n_1x":$mt1,"recall_${factor}x":${j(mhN.toDouble / mtN)},"n_${factor}x":$mtN,"organic_factor":$factor}""")
+      // admission drop-recall: of the docs the UNCAPPED probe drops,
+      // the fraction the capped probe still drops (r15 second half)
+      def admissionRecall(dir: String): (Long, Long) = {
+        val unc = SparkEntry.queries("dedup_incremental")(spark, dir)
+          .select(col("doc_id"), col("action").as("ua")).localCheckpoint()
+        val cap = SparkEntry.queries("dedup_incremental_capped")(spark, dir)
+          .select(col("doc_id"), col("action").as("ca"))
+        val joined = unc.join(cap, "doc_id").filter(col("ua") === "drop")
+          .localCheckpoint()
+        (joined.filter(col("ca") === "drop").count(), joined.count())
+      }
+      val (ah1, at1) = admissionRecall(src)
+      val (ahN, atN) = admissionRecall(orgDir)
+      println(s"""{"query":"recall_admission_capped","recall_1x":${j(ah1.toDouble / at1)},"n_1x":$at1,"recall_${factor}x":${j(ahN.toDouble / atN)},"n_${factor}x":$atN,"organic_factor":$factor}""")
+      // span pair-recall: uncapped span pairs still reported by the
+      // capped search (position coverage is identical by construction
+      // — DedupCappedSpec pins it — so the pair set is the trade)
+      def spanRecall(dir: String): (Long, Long) = {
+        val unc = SparkEntry.queries("dedup_exact_spans")(spark, dir)
+          .select(col("doc_a"), col("doc_b")).distinct().localCheckpoint()
+        val cap = SparkEntry.queries("dedup_exact_spans_capped")(spark, dir)
+          .select(col("doc_a"), col("doc_b")).distinct()
+        (unc.join(cap, Seq("doc_a", "doc_b"), "left_semi").count(), unc.count())
+      }
+      val (sh1, st1) = spanRecall(src)
+      val (shN, stN) = spanRecall(orgDir)
+      println(s"""{"query":"recall_spans_capped","recall_1x":${j(sh1.toDouble / st1)},"n_1x":$st1,"recall_${factor}x":${j(shN.toDouble / stN)},"n_${factor}x":$stN,"organic_factor":$factor}""")
     }
 
     // kNN list MAINTENANCE at scale (not a SparkEntry query — the

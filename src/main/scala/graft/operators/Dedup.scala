@@ -1205,6 +1205,17 @@ object Dedup {
       // cheap to plan, and the eager variant serializes the whole
       // query behind one blocking materialization job
       .localCheckpoint(false)
+    admissionVerdictOver(candidates, docs, isNew)
+  }
+
+  /** The shared admission tail — exact-Jaccard verification of a
+    * (new_id, cand_id) candidate relation over ONLY the touched
+    * documents' shingles, then one best-match verdict per batch doc.
+    * Shared by the served and capped probes; work ∝ candidates, never
+    * ∝ corpus.
+    */
+  private def admissionVerdictOver(candidates: DataFrame, docs: DataFrame,
+      isNew: Column): DataFrame = {
     val touched = candidates.select(col("new_id").as("doc_id"))
       .union(candidates.select(col("cand_id").as("doc_id"))).distinct()
     val sh = shinglesOf(docs.join(touched, Seq("doc_id"), "left_semi"))
@@ -1232,6 +1243,72 @@ object Dedup {
         when(col("match_id").isNotNull, lit("drop")).otherwise(lit("admit"))
           .as("action"))
       .orderBy(col("doc_id"))
+  }
+
+  /** [[dedupIncrementalServed]]'s BOUNDED production twin — the
+    * occupancy-gated candidate lever of [[cappedPairsOf]] applied to
+    * the admission probe (the r15 finding: with batch ∝ corpus the
+    * served probe's candidates grow ∝ batch × bucket occupancy, byte
+    * exp 1.57 at the organic ×10 point — the same occupancy disease
+    * the capped pair tier gates). A band bucket with ≤
+    * [[BucketCliqueCap]] members keeps the full probe (lossless
+    * there); a DENSER bucket is ranked by doc_id and each new doc only
+    * probes members within [[BucketWindow]] ranks of its own position
+    * (via a rank-target explode + equi-join — ≤ 2·w candidate rows per
+    * new member per band by construction, no occupancy² enumeration
+    * anywhere in the plan). Verification and the verdict are the
+    * shared exact tail, so a capped verdict carries true Jaccard
+    * values; what the cap trades is WHICH matches are visible — a new
+    * doc in a dense bucket whose only duplicates sit outside its rank
+    * window is admitted where the uncapped probe drops it. Admission
+    * recall is measured (DedupCappedSpec), and the oracle replays the
+    * gate, the window, and the validity rule exactly.
+    */
+  def dedupIncrementalCapped(spark: SparkSession, dir: String): DataFrame =
+    dedupIncrementalCappedOver(servedSigs(spark, dir),
+      Tables.documents(spark, dir), col("doc_id") % NewMod === 0)
+
+  /** The capped admission math over an arbitrary signature table —
+    * exposed for [[graft.CrossoverBench]]'s fixed-batch regime.
+    */
+  private[graft] def dedupIncrementalCappedOver(sigTable: DataFrame,
+      docs: DataFrame, isNew: Column): DataFrame = {
+    val sig = sigTable.withColumn("is_new", isNew)
+    val occ = sig.groupBy(col("band_idx"), col("bk"))
+      .agg(count(lit(1)).as("occ"))
+    val marked = sig.join(occ, Seq("band_idx", "bk"))
+      .localCheckpoint(false) // clique probe + dense ranking read it
+    val small = marked.filter(col("occ") <= BucketCliqueCap)
+    val smallCand = small.filter(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("band_idx"), col("bk"))
+      .join(small.select(col("doc_id").as("cand_id"), col("band_idx"),
+        col("bk"), col("is_new").as("cand_new")), Seq("band_idx", "bk"))
+      .filter(!col("cand_new") || col("cand_id") < col("new_id"))
+      .select("new_id", "cand_id")
+    val wRank = Window.partitionBy(col("band_idx"), col("bk"))
+      .orderBy(col("doc_id"))
+    val denseRanked = marked.filter(col("occ") > BucketCliqueCap)
+      .withColumn("r", row_number().over(wRank))
+      .select(col("doc_id"), col("band_idx"), col("bk"), col("r"),
+        col("is_new"))
+      .localCheckpoint(false) // probe-target explode + member side
+    // rank-target explode: each new member lists the 2w ranks it may
+    // probe, then an EQUI-join on (bucket, rank) — candidate rows are
+    // bounded ∝ new members · 2w, never occupancy²
+    val targets = denseRanked.filter(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("band_idx"), col("bk"),
+        explode(expr(
+          s"filter(sequence(r - $BucketWindow, r + $BucketWindow), t -> t != r)"))
+          .as("r"))
+    val denseCand = targets
+      .join(denseRanked.select(col("doc_id").as("cand_id"), col("band_idx"),
+        col("bk"), col("r"), col("is_new").as("cand_new")),
+        Seq("band_idx", "bk", "r"))
+      .filter(!col("cand_new") || col("cand_id") < col("new_id"))
+      .select("new_id", "cand_id")
+    val candidates = smallCand.union(denseCand).distinct()
+      .localCheckpoint(false)
+    admissionVerdictOver(candidates, docs, isNew)
   }
 
   /** Fraction of documents treated as the incoming batch: doc_id % 4
@@ -1332,6 +1409,7 @@ object Dedup {
     "dedup_cluster_stats_served" -> (dedupClusterStatsServed _),
     "dedup_keep_best_served" -> (dedupKeepBestServed _),
     "dedup_incremental_served" -> (dedupIncrementalServed _),
+    "dedup_incremental_capped" -> (dedupIncrementalCapped _),
     "dedup_simhash_pairs_served" -> (dedupSimhashPairsServed _))
 
   /** Signatures + LSH candidate pairs as CTEs ending in `cpairs` —
@@ -1807,5 +1885,67 @@ object Dedup {
     "dedup_cluster_stats_served" -> oraclesBase("dedup_cluster_stats"),
     "dedup_keep_best_served" -> oraclesBase("dedup_keep_best"),
     "dedup_incremental_served" -> oraclesBase("dedup_incremental"),
+    "dedup_incremental_capped" -> cappedIncrementalOracle,
     "dedup_simhash_pairs_served" -> oraclesBase("dedup_simhash_pairs"))
+
+  /** The capped admission probe's own oracle — replays the occupancy
+    * gate, the rank window, and the old-or-earlier validity rule of
+    * [[dedupIncrementalCappedOver]] exactly, so the driver compare
+    * pins the cap itself, not just the surviving verdicts.
+    */
+  private lazy val cappedIncrementalOracle: String = {
+    val bandUnion = (0 until NumBands)
+      .map(b => s"SELECT doc_id, $b AS bi, band$b AS bk FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH $minhashCte,
+       |bands AS ($bandUnion),
+       |bocc AS (SELECT bi, bk, count(*) AS c FROM bands GROUP BY bi, bk),
+       |marked AS (
+       |  SELECT b.doc_id, b.bi, b.bk, o.c
+       |  FROM bands b JOIN bocc o ON b.bi = o.bi AND b.bk = o.bk),
+       |dense AS (
+       |  SELECT doc_id, bi, bk,
+       |    row_number() OVER (PARTITION BY bi, bk ORDER BY doc_id) AS r
+       |  FROM marked WHERE c > $BucketCliqueCap),
+       |cand AS (
+       |  SELECT DISTINCT new_id, cand_id FROM (
+       |    SELECT n.doc_id AS new_id, c.doc_id AS cand_id
+       |    FROM marked n JOIN marked c ON n.bi = c.bi AND n.bk = c.bk
+       |    WHERE n.c <= $BucketCliqueCap AND n.doc_id % $NewMod = 0
+       |      AND (c.doc_id % $NewMod <> 0 OR c.doc_id < n.doc_id)
+       |    UNION ALL
+       |    SELECT x.doc_id AS new_id, y.doc_id AS cand_id
+       |    FROM dense x JOIN dense y ON x.bi = y.bi AND x.bk = y.bk
+       |    WHERE x.doc_id % $NewMod = 0
+       |      AND y.r <> x.r AND abs(y.r - x.r) <= $BucketWindow
+       |      AND (y.doc_id % $NewMod <> 0 OR y.doc_id < x.doc_id)) u),
+       |sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.new_id, p.cand_id, count(*) AS n_inter
+       |  FROM cand p
+       |  JOIN sh sa ON sa.doc_id = p.new_id
+       |  JOIN sh sb ON sb.doc_id = p.cand_id AND sb.gram = sa.gram
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT i.new_id, i.cand_id,
+       |    round(n_inter * 1.0 / (za.n_grams + zb.n_grams - n_inter), 6)
+       |      AS jaccard
+       |  FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.new_id
+       |  JOIN sizes zb ON zb.doc_id = i.cand_id
+       |  WHERE round(n_inter * 1.0 / (za.n_grams + zb.n_grams - n_inter), 6)
+       |    >= $JaccardThreshold),
+       |best AS (
+       |  SELECT new_id, cand_id AS match_id, jaccard AS match_jaccard,
+       |    row_number() OVER (PARTITION BY new_id
+       |      ORDER BY jaccard DESC, cand_id) AS rk
+       |  FROM jac)
+       |SELECT d.doc_id, b.match_id, b.match_jaccard,
+       |  CASE WHEN b.match_id IS NOT NULL THEN 'drop' ELSE 'admit' END
+       |    AS action
+       |FROM documents d
+       |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.new_id = d.doc_id
+       |WHERE d.doc_id % $NewMod = 0
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

@@ -756,7 +756,7 @@ object TextAnalysis {
   }
 
   /** Cross-doc span width (tokens) for the repeated-gram audit. */
-  private val SpanGram = 5
+  private[graft] val SpanGram = 5
 
   /** Cross-document REPEATED-SPAN audit (the Lee et al. "Deduplicating
     * Training Data Makes Language Models Better" exact-substring view):
@@ -877,9 +877,10 @@ object TextAnalysis {
     * output-proportional, exactly like the uncapped pair tier before
     * [[Dedup.cappedPairsOf]]. The df cap bounds REPEATED boilerplate
     * (df > cap), but crossover spans sit at df 2-50 — genuine signal
-    * under the cap. A capped span operating point (per-doc span-pair
-    * degree cap, the PairDegreeCap recipe) is the named follow-up for
-    * corpus-wide extraction over duplicate-heavy crawls.
+    * under the cap. The bounded operating point for corpus-wide
+    * extraction over duplicate-heavy crawls is
+    * [[dedupExactSpansCapped]] (hit mass ≤ w · occurrences by
+    * construction); this form stays the exact/oracle tier.
     */
   def dedupExactSpansServed(spark: SparkSession, dir: String): DataFrame =
     spansFromGrams(servedSpanGrams(spark, dir))
@@ -909,6 +910,14 @@ object TextAnalysis {
         .select(col("g"), col("doc_id").as("doc_b"), col("pos").as("pos_b")), "g")
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("diag", col("pos_a") - col("pos_b"))
+    spansFromHits(hits)
+  }
+
+  /** Diagonal gaps-and-islands over a (doc_a, doc_b, pos_a, pos_b,
+    * diag) hit relation — the merge step shared by the uncapped and
+    * capped span searches.
+    */
+  private def spansFromHits(hits: DataFrame): DataFrame = {
     val wDiag = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pos_a"))
     hits
@@ -921,6 +930,109 @@ object TextAnalysis {
         col("sb").cast("long").as("start_b"),
         (col("ma") - col("sa") + lit(SpanGram)).cast("long").as("span_len"))
       .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+  }
+
+  /** Sorted-window width of the CAPPED span search: within every
+    * eligible gram's occurrence list (docs ranked by doc_id) each
+    * member pairs with its next `SpanWindow` successors — hit mass ≤
+    * w · eligible occurrences BY CONSTRUCTION, a provable linear
+    * bound at any corpus. Chosen by a DuckDB lever sweep at the
+    * organic ×10 point (PLANS.md r15 second half): an
+    * occupancy-GATED first cut (cliques ≤ 16 docs, window only above
+    * — the pair tier's recipe) was measured and REJECTED: crossover
+    * span mass lives at gram df 2-16, squarely UNDER the gate, so the
+    * gate admitted 9.5 M of the 11.8 M clique pairs and the "capped"
+    * build moved MORE bytes than the uncapped one (1.76 GB vs
+    * 566 MB at ×10). The windowed sweep: w=1 → 2.1 M hits / 0.20 pair
+    * recall, w=2 → 4.0 M / 0.34, w=4 → 7.1 M / 0.59, w=8 → 10.7 M /
+    * 0.88, uncapped 11.8 M / 1.0 — cost ∝ recall almost exactly
+    * (the pair-tier theorem again: true pair mass is the output, so
+    * recalling share r costs ~r of it). w = 2 is the default
+    * operating point; at the NON-adversarial ×3 point it already
+    * recalls 0.92 of pairs, and position COVERAGE is 1.0 at any w.
+    */
+  private[graft] val SpanWindow = 2
+
+  /** [[dedupExactSpansServed]]'s BOUNDED production twin — a sorted
+    * window ([[SpanWindow]] successors in doc_id order) over EVERY
+    * eligible gram's occurrence list, replacing the positional
+    * self-join's per-gram cliques (the r15 finding: true
+    * cross-document span mass is ~quadratic on a crossover corpus,
+    * byte exp 2.84 at the organic ×10 point — the df cap bounds
+    * boilerplate df > 50, but crossover spans sit at df 2-50). The
+    * window is pure WINDOW arithmetic (`lead` over the g-clustering —
+    * no self-join at all), so NOTHING in the plan enumerates
+    * occupancy² — candidate mass ≤ w · occurrences at any corpus, and
+    * over the g-bucketed artifact the whole candidate build plus both
+    * positional joins are exchange-free. Admission is per (gram, pair): a
+    * pair admitted at one gram and windowed out at another reports a
+    * shorter or split span there — the measured trade (pair recall
+    * 0.92 at organic ×3, 0.34 at the adversarial ×10; the dial table
+    * lives at [[SpanWindow]]). Two invariants survive structurally
+    * (pinned by DedupCappedSpec): every capped span lies inside an
+    * uncapped span of the same pair/diagonal, and the COVERED
+    * POSITION set (which token positions sit in a cross-doc span) is
+    * IDENTICAL to the uncapped one — every eligible occurrence still
+    * pairs with an adjacent occurrence, so no duplicated position
+    * escapes; only pair ATTRIBUTION is capped. That makes the capped
+    * form a drop-in for the strip/dedup ACTION (which cuts positions,
+    * not pairs) at bounded cost.
+    */
+  def dedupExactSpansCapped(spark: SparkSession, dir: String): DataFrame =
+    cappedSpansFromGrams(servedSpanGrams(spark, dir))
+
+  /** The capped span search over any (doc_id, pos, g) relation —
+    * exposed for specs and the scale bench.
+    */
+  private[graft] def cappedSpansFromGrams(grams: DataFrame): DataFrame =
+    spansFromHits(cappedSpanHitsOf(grams))
+
+  /** The capped hit relation itself — exposed so DedupCappedSpec can
+    * pin the linear bound (hits ≤ [[SpanWindow]] · eligible
+    * occurrences) as a counted invariant, not just a comment.
+    */
+  private[graft] def cappedSpanHitsOf(grams: DataFrame): DataFrame = {
+    // The whole candidate build is WINDOW arithmetic over one
+    // g-clustering: occupancy (count), eligibility (filter), and the
+    // w successors (lead) share the partitioning, and when `grams` is
+    // the g-bucketed artifact the distinct, both windows, AND both
+    // positional joins below are exchange-free on the artifact side —
+    // the only data that ever moves is the admitted hit relation
+    // (≤ w · eligible occurrences, g projected away) into the island
+    // merge. The v1 design (rank self-joins keyed by the gram STRING)
+    // moved 1.23 GB at the organic ×10 point — MORE than the uncapped
+    // 566 MB — because the ~50-byte gram key rode six exchanges;
+    // this build moves ~60 MB there for the same answer.
+    val wCnt = Window.partitionBy(col("g"))
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("doc_id"))
+    val ranked = grams.select(col("g"), col("doc_id")).distinct()
+      .withColumn("gdf", count(lit(1)).over(wCnt))
+      .filter(col("gdf") >= 2 && col("gdf") <= SpanDfCap)
+    val admitted = ranked
+      .withColumn("nbrs", array((1 to SpanWindow).map(i =>
+        lead(col("doc_id"), i).over(wOrd)): _*))
+      .select(col("g"), col("doc_id").as("doc_a"),
+        explode(col("nbrs")).as("doc_b"))
+      .filter(col("doc_b").isNotNull)
+    // positional joins on the GRAM KEY ALONE, with the doc match left
+    // as a merge condition Catalyst cannot lift into the join keys
+    // (doc_a - doc_id = 0): with keys (g, doc) Spark ≥ 3.3 requires
+    // all cluster keys for co-partition reuse and would re-shuffle
+    // BOTH sides — four exchanges carrying the ~50-byte gram string
+    // (measured: 816 MB at the organic ×10 point). On g alone both
+    // sides ride the artifact's bucketing exchange-free; the in-bucket
+    // enumeration is bounded by the df cap (≤ 50 docs per gram).
+    val hits = admitted
+      .join(grams.select(col("g"), col("doc_id").as("da"),
+        col("pos").as("pos_a")), Seq("g"))
+      .where(expr("doc_a - da = 0"))
+      .select(col("g"), col("doc_a"), col("doc_b"), col("pos_a"))
+      .join(grams.select(col("g"), col("doc_id").as("db"),
+        col("pos").as("pos_b")), Seq("g"))
+      .where(expr("doc_b - db = 0"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    hits
   }
 
   /** The exact-substring DEDUP ACTION (the step Lee et al.'s
@@ -1144,6 +1256,7 @@ object TextAnalysis {
     "text_repeated_spans" -> (textRepeatedSpans _),
     "dedup_exact_spans"   -> (dedupExactSpans _),
     "dedup_exact_spans_served" -> (dedupExactSpansServed _),
+    "dedup_exact_spans_capped" -> (dedupExactSpansCapped _),
     "dedup_span_strip"    -> (dedupSpanStrip _),
     "dedup_span_strip_served" -> (dedupSpanStripServed _),
     "dedup_span_admit"    -> (dedupSpanAdmit _),
@@ -1379,6 +1492,49 @@ object TextAnalysis {
        |SELECT doc_a, doc_b, start_a, start_b, span_len
        |FROM spans ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
 
+  /** The CAPPED span search's own oracle — replays the sorted window
+    * of [[cappedSpansFromGrams]] exactly (same eligibility, same rank
+    * order, same per-(gram, pair) admission), so the driver compare
+    * pins the cap, not just the surviving spans.
+    */
+  private lazy val cappedSpansOracle: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, i.i AS pos,
+       |    array_to_string(toks[i.i : i.i + ${SpanGram - 1}], ' ') AS g
+       |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents) d,
+       |       unnest(generate_series(1, len(toks) - ${SpanGram - 1})) i(i)
+       |  WHERE len(toks) >= $SpanGram),
+       |docg AS (SELECT DISTINCT g, doc_id FROM grams),
+       |gdfs AS (SELECT g, count(*) AS gdf FROM docg GROUP BY g),
+       |ranked AS (
+       |  SELECT d.g, d.doc_id,
+       |    row_number() OVER (PARTITION BY d.g ORDER BY d.doc_id) AS r
+       |  FROM docg d JOIN gdfs f ON d.g = f.g
+       |  WHERE f.gdf BETWEEN 2 AND $SpanDfCap),
+       |adm AS (
+       |  SELECT x.g, x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM ranked x JOIN ranked y
+       |    ON x.g = y.g AND y.r > x.r AND y.r <= x.r + $SpanWindow),
+       |hits AS (
+       |  SELECT m.doc_a, m.doc_b, a.pos AS pos_a, b.pos AS pos_b,
+       |         a.pos - b.pos AS diag
+       |  FROM adm m
+       |  JOIN grams a ON a.g = m.g AND a.doc_id = m.doc_a
+       |  JOIN grams b ON b.g = m.g AND b.doc_id = m.doc_b),
+       |isl AS (
+       |  SELECT doc_a, doc_b, diag, pos_a, pos_b,
+       |    pos_a - row_number() OVER (
+       |      PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS isl
+       |  FROM hits),
+       |spans AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(min(pos_a) AS BIGINT) AS start_a,
+       |    CAST(min(pos_b) AS BIGINT) AS start_b,
+       |    CAST(max(pos_a) - min(pos_a) + $SpanGram AS BIGINT) AS span_len
+       |  FROM isl GROUP BY doc_a, doc_b, diag, isl)
+       |SELECT doc_a, doc_b, start_a, start_b, span_len
+       |FROM spans ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+
   /** The strip replay: expand every doc_b span occurrence into a
     * (doc, pos) removal set, left-join the token stream, reassemble.
     */
@@ -1443,6 +1599,7 @@ object TextAnalysis {
     // the served twin is result-identical by construction and replays
     // the same oracle
     "dedup_exact_spans_served" -> exactSpansOracle,
+    "dedup_exact_spans_capped" -> cappedSpansOracle,
     "dedup_span_strip" -> spanStripOracle,
     // served twin: identical spans from the artifact, same oracle
     "dedup_span_strip_served" -> spanStripOracle,

@@ -106,6 +106,110 @@ class DedupCappedSpec extends SparkTestBase {
     assert(recall >= 0.95, f"merge recall $recall%.4f fell below the 0.95 floor")
   }
 
+  test("capped admission probes dense buckets through the window and still drops exact dups") {
+    import spark.implicits._
+    // 40 identical docs → every band bucket has occupancy 40 >
+    // BucketCliqueCap, so the ADMISSION window lever must fire. Every
+    // new doc (doc_id % 4 == 0) has an old doc within 8 ranks (3 of
+    // every 4 neighbors are old), so all 10 must still be dropped at
+    // Jaccard 1.0 — the cap bounds probe width, not exact-dup recall.
+    val dense = (1L to 40L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val fillers = (101L to 120L).map(i =>
+      (i, s"filler$i uniq$i token$i other$i more$i"))
+    val docs = (dense ++ fillers).toDF("doc_id", "text")
+    val verdicts = Dedup.dedupIncrementalCappedOver(
+      Dedup.bandKeysOf(docs), docs, col("doc_id") % 4 === 0)
+      .localCheckpoint()
+    val denseNew = verdicts.filter(col("doc_id") <= 40)
+    assert(denseNew.count() == 10)
+    assert(denseNew.filter(col("action") === "drop" &&
+      col("match_jaccard") === 1.0).count() == 10,
+      "a new exact-dup in a dense bucket escaped the capped admission window")
+    // distinct fillers (small buckets, clique probe) must all be admitted
+    assert(verdicts.filter(col("doc_id") > 100)
+      .filter(col("action") =!= "admit").count() == 0)
+  }
+
+  test("capped admission drop-recall vs the uncapped probe on the organic corpus") {
+    // of the docs the UNCAPPED probe drops, how many does the capped
+    // probe still drop? (admits can only grow under the cap — a capped
+    // probe sees a subset of candidates)
+    val unc = qs("dedup_incremental")(spark, organicDir)
+      .select(col("doc_id"), col("action").as("unc_action")).localCheckpoint()
+    val cap = qs("dedup_incremental_capped")(spark, organicDir)
+      .select(col("doc_id"), col("action").as("cap_action")).localCheckpoint()
+    val joined = unc.join(cap, "doc_id").localCheckpoint()
+    val dropped = joined.filter(col("unc_action") === "drop").count()
+    assert(dropped > 0, "no uncapped drops — vacuous recall")
+    val kept = joined.filter(col("unc_action") === "drop" &&
+      col("cap_action") === "drop").count()
+    // a capped probe can never drop what the uncapped probe admits
+    assert(joined.filter(col("unc_action") === "admit" &&
+      col("cap_action") === "drop").count() == 0,
+      "capped probe dropped a doc the uncapped probe admits — candidates not a subset")
+    val recall = kept.toDouble / dropped
+    info(f"capped-admission drop recall (organic x3): $recall%.4f ($kept/$dropped)")
+    println(f"[capped-dedup] admission drop recall organic x3: $recall%.4f ($kept/$dropped)")
+    assert(recall >= 0.95, f"admission drop recall $recall%.4f below the 0.95 floor")
+  }
+
+  test("capped spans: containment, covered positions, and pair recall vs uncapped") {
+    import graft.operators.TextAnalysis
+    val docs = graft.Tables.documents(spark, organicDir)
+      .select("doc_id", "text")
+    val grams = TextAnalysis.spanGramsOver(docs).localCheckpoint()
+    val unc = TextAnalysis.exactSpansOver(docs).localCheckpoint()
+    val cap = TextAnalysis.cappedSpansFromGrams(grams).localCheckpoint()
+    assert(cap.count() > 0, "capped span relation is empty — vacuous")
+    // the LINEAR BOUND the capped twin exists for: hit mass ≤ w ·
+    // eligible occurrences, counted, not asserted in prose
+    val eligOcc = grams.select("g", "doc_id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") >= 2 && col("gdf") <= 50)
+      .agg(sum(col("gdf"))).head().getLong(0)
+    val nHits = TextAnalysis.cappedSpanHitsOf(grams).count()
+    assert(nHits <= TextAnalysis.SpanWindow.toLong * eligOcc,
+      s"capped hit mass $nHits exceeds w*occurrences = ${TextAnalysis.SpanWindow.toLong * eligOcc}")
+    // (a) CONTAINMENT: every capped span lies inside an uncapped span
+    // of the same pair and diagonal (the cap can split or shorten
+    // spans, never invent or extend them)
+    val escaped = cap.alias("c").join(unc.alias("u"),
+      col("c.doc_a") === col("u.doc_a") && col("c.doc_b") === col("u.doc_b") &&
+        (col("c.start_a") - col("c.start_b")) === (col("u.start_a") - col("u.start_b")) &&
+        col("c.start_a") >= col("u.start_a") &&
+        col("c.start_a") + col("c.span_len") <= col("u.start_a") + col("u.span_len"),
+      "left_anti").count()
+    assert(escaped == 0, s"$escaped capped spans not contained in any uncapped span")
+    // (b) COVERED POSITIONS: the set of (doc, pos) gram positions
+    // inside a cross-doc span is IDENTICAL — in every gram's
+    // occurrence list each member still pairs with an adjacent member,
+    // so the cap changes pair attribution, never position coverage
+    def covered(spans: org.apache.spark.sql.DataFrame) = spans
+      .select(col("doc_a").as("doc_id"), explode(sequence(col("start_a"),
+        col("start_a") + col("span_len") - TextAnalysis.SpanGram)).as("pos"))
+      .union(spans.select(col("doc_b").as("doc_id"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("span_len") - TextAnalysis.SpanGram)).as("pos")))
+      .distinct()
+    val uncCov = covered(unc).localCheckpoint()
+    val capCov = covered(cap).localCheckpoint()
+    assert(uncCov.exceptAll(capCov).count() == 0 &&
+      capCov.exceptAll(uncCov).count() == 0,
+      "covered-position sets differ between capped and uncapped span search")
+    // (c) PAIR RECALL: fraction of uncapped span pairs still reported
+    val uncPairs = unc.select("doc_a", "doc_b").distinct().localCheckpoint()
+    val total = uncPairs.count()
+    val kept = uncPairs.join(cap.select("doc_a", "doc_b").distinct(),
+      Seq("doc_a", "doc_b"), "left_semi").count()
+    val recall = kept.toDouble / total
+    info(f"capped-span pair recall (organic x3): $recall%.4f ($kept/$total)")
+    println(f"[capped-dedup] span pair recall organic x3: $recall%.4f ($kept/$total)")
+    // measured 0.92 at this point with w = 2 (DuckDB sweep, PLANS.md);
+    // the floor sits under the measured value to catch a window
+    // regression, not noise
+    assert(recall >= 0.85, f"span pair recall $recall%.4f below the 0.85 floor")
+  }
+
   test("capped fusion recall@5 vs uncapped, sf0.1 and organic") {
     // VERDICT r14 item 2: the caps' COST is measured (PLANS.md
     // exponents) — this measures what they do to the ANSWER. Uncapped

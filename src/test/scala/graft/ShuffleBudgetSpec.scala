@@ -364,7 +364,15 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "sql_temporal_join"     -> 3,
     // the named-WINDOW text shares all three windows on one partkey
     // sort, = etl_scd2_history (pinned above at 3)
-    "sql_scd2_history"      -> 3)
+    "sql_scd2_history"      -> 3,
+    // r15 second half: the bounded admission probe — occupancy agg +
+    // gate joins feed checkpointed candidates; the verdict tail is the
+    // served form's
+    "dedup_incremental_capped" -> 3,
+    // r15 second half: the whole candidate build + both positional
+    // joins ride the g-bucketed artifact exchange-free; only the
+    // island merge and the output sort move data
+    "dedup_exact_spans_capped" -> 2)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
