@@ -621,6 +621,95 @@ object Multimodal {
       nBands = 4, bandBits = 16, radius = DctRadiusCoarse)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Bucket-occupancy threshold and sorted-window width of the CAPPED
+    * fine pair search — the perceptual instance of the pair tier's
+    * candidate levers ([[Dedup.BucketCliqueCap]] precedent, same
+    * operating values): a fine-band bucket with ≤ `DctCliqueCap`
+    * members emits its full clique (lossless there); a denser bucket
+    * emits sorted-window edges, each member pairing with its next
+    * `DctWindow` successors in (phash64, doc_id) order. The sort key
+    * is the FINGERPRINT first, not the doc id: identical fingerprints
+    * (the dominant mass in a re-encode-heavy corpus) become CONTIGUOUS
+    * runs, so every exact-dup pair within w of each other in its run
+    * is kept and near-identical fingerprints sort adjacent more often
+    * than random ids would — the sorted-neighborhood method with a
+    * similarity-correlated key (Hernández & Stolfo, SIGMOD 1995).
+    */
+  private[graft] val DctCliqueCap = 16
+  private[graft] val DctWindow = 8
+
+  /** The FINE (radius ≤ [[DctRadius]]) pair search's BOUNDED
+    * production twin — the last of the named organic super-linear
+    * movers to get one (fusion → `ann_rrf_fusion_capped`, pairs →
+    * `dedup_pairs_capped`, admission → `dedup_incremental_capped`,
+    * spans → `dedup_exact_spans_capped`): the fine search's expected
+    * candidate mass is ∝ n²/2^width (width 5-6 per [[FineBands]] band),
+    * and the r15 organic point measured the occupancy crossing — byte
+    * exp 2.96 at ×10. The coarse `_r3` form is the per-segment
+    * production tool at 2^16-wide buckets; THIS form keeps the full
+    * ≤ 10 radius corpus-wide at bounded cost: candidate mass ∝
+    * n·(cap + w) per band at ANY corpus, never occupancy². Every
+    * emitted pair carries its EXACT Hamming distance (verification is
+    * the same bit_count filter — only candidate attribution is
+    * capped); pair recall vs the uncapped fine search is measured, not
+    * assumed (DedupCappedSpec states the number, floors pinned). Own
+    * DuckDB oracle replaying the engine's exact uneven banding, gate,
+    * and window — the lossless "any banding" aliasing of the uncapped
+    * oracles does NOT hold for a capped build, so the oracle carries
+    * the [[FineBands]] layout literally.
+    */
+  def multimodalPhashDctPairsCapped(spark: SparkSession, dir: String): DataFrame =
+    cappedDctPairsOver(servedDctFingerprints(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The capped fine pair search over any (doc_id, modality, phash64)
+    * relation — exposed for specs (planted dense buckets) and the
+    * scale bench.
+    */
+  private[graft] def cappedDctPairsOver(fp: DataFrame): DataFrame = {
+    val bucketKeys = Seq("modality", "band_idx", "band_bits")
+    val occ = dctFineBandsOf(fp).groupBy(bucketKeys.map(col): _*)
+      .agg(count(lit(1)).as("occ"))
+    val marked = dctFineBandsOf(fp).join(occ, bucketKeys)
+      .localCheckpoint(false) // clique + both window sides read it
+    val small = marked.filter(col("occ") <= DctCliqueCap)
+    val clique = small
+      .select(col("modality"), col("band_idx"), col("band_bits"),
+        col("doc_id").as("doc_a"), col("phash64").as("fa"))
+      .join(small.select(col("modality"), col("band_idx"), col("band_bits"),
+        col("doc_id").as("doc_b"), col("phash64").as("fb")), bucketKeys)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("modality"), col("doc_a"), col("doc_b"), col("fa"), col("fb"))
+    // dense buckets: rank by (phash64, doc_id) — identical fingerprints
+    // contiguous — and pair each member with its next w successors;
+    // successor pairs need doc-id normalization because rank order is
+    // NOT doc_id order
+    val wRank = Window.partitionBy(bucketKeys.map(col): _*)
+      .orderBy(col("phash64"), col("doc_id"))
+    val dense = marked.filter(col("occ") > DctCliqueCap)
+      .withColumn("r", row_number().over(wRank))
+      .select(col("modality"), col("band_idx"), col("band_bits"),
+        col("doc_id"), col("phash64"), col("r"))
+      .localCheckpoint(false) // both window self-join sides
+    val windowed = dense
+      .select(col("modality"), col("band_idx"), col("band_bits"),
+        col("doc_id").as("da"), col("phash64").as("fra"), col("r").as("ra"))
+      .join(dense.select(col("modality"), col("band_idx"), col("band_bits"),
+        col("doc_id").as("db"), col("phash64").as("frb"), col("r").as("rb")),
+        bucketKeys)
+      .filter(col("rb") > col("ra") && col("rb") <= col("ra") + DctWindow)
+      .select(col("modality"),
+        least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        when(col("da") < col("db"), col("fra")).otherwise(col("frb")).as("fa"),
+        when(col("da") < col("db"), col("frb")).otherwise(col("fra")).as("fb"))
+    clique.union(windowed)
+      .distinct()
+      .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
+      .filter(col("hamming") <= DctRadius)
+      .select("modality", "doc_a", "doc_b", "hamming")
+  }
+
   /** New perceptual pairs introduced by a fingerprint batch: batch
     * band keys against base ∪ batch — old-vs-old is never re-examined,
     * and because fingerprints are per-row immutable the pair relation
@@ -733,6 +822,7 @@ object Multimodal {
     "multimodal_phash_dct_pairs" -> (multimodalPhashDctPairs _),
     "multimodal_phash_dct_pairs_served" -> (multimodalPhashDctPairsServed _),
     "multimodal_phash_dct_pairs_r3" -> (multimodalPhashDctPairsR3 _),
+    "multimodal_phash_dct_pairs_capped" -> (multimodalPhashDctPairsCapped _),
     "multimodal_phash_sensitivity" -> (multimodalPhashSensitivity _),
     "multimodal_shard_pack" -> (multimodalShardPack _))
 
@@ -877,6 +967,59 @@ object Multimodal {
        |FROM cand WHERE bit_count(xor(fa, fb)) <= $DctRadius
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The capped fine search's own oracle — unlike the uncapped
+    * oracles (where any lossless banding yields the same pairs, so one
+    * uniform replay covers every engine banding), a CAPPED build's
+    * answer depends on the exact banding, so this replays the engine's
+    * [[FineBands]] layout literally (the VALUES rows are generated
+    * from the same Scala sequence — zero drift surface), plus the
+    * occupancy gate and the (phash64, doc_id)-sorted window.
+    */
+  private lazy val cappedDctPairsOracle: String = {
+    val bandRows = FineBands
+      .map { case (i, lo, w) => s"($i, $lo, $w)" }.mkString(", ")
+    s"""WITH $dctCtes,
+       |fb(band_idx, lo, w) AS (VALUES $bandRows),
+       |bands AS (
+       |  SELECT p.doc_id, p.modality, p.phash64, fb.band_idx,
+       |    (p.phash64 >> fb.lo) & ((CAST(1 AS BIGINT) << fb.w) - 1) AS band_bits
+       |  FROM ph64 p, fb),
+       |bocc AS (
+       |  SELECT modality, band_idx, band_bits, count(*) AS c
+       |  FROM bands GROUP BY 1, 2, 3),
+       |marked AS (
+       |  SELECT b.doc_id, b.modality, b.phash64, b.band_idx, b.band_bits, o.c
+       |  FROM bands b JOIN bocc o ON b.modality = o.modality
+       |    AND b.band_idx = o.band_idx AND b.band_bits = o.band_bits),
+       |dense AS (
+       |  SELECT modality, band_idx, band_bits, doc_id, phash64,
+       |    row_number() OVER (PARTITION BY modality, band_idx, band_bits
+       |      ORDER BY phash64, doc_id) AS r
+       |  FROM marked WHERE c > $DctCliqueCap),
+       |cand AS (
+       |  SELECT DISTINCT modality, doc_a, doc_b, fa, fb FROM (
+       |    SELECT a.modality, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      a.phash64 AS fa, b.phash64 AS fb
+       |    FROM marked a JOIN marked b
+       |      ON a.modality = b.modality AND a.band_idx = b.band_idx
+       |      AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+       |    WHERE a.c <= $DctCliqueCap
+       |    UNION ALL
+       |    SELECT x.modality,
+       |      least(x.doc_id, y.doc_id) AS doc_a,
+       |      greatest(x.doc_id, y.doc_id) AS doc_b,
+       |      CASE WHEN x.doc_id < y.doc_id THEN x.phash64 ELSE y.phash64 END AS fa,
+       |      CASE WHEN x.doc_id < y.doc_id THEN y.phash64 ELSE x.phash64 END AS fb
+       |    FROM dense x JOIN dense y
+       |      ON x.modality = y.modality AND x.band_idx = y.band_idx
+       |      AND x.band_bits = y.band_bits
+       |      AND y.r > x.r AND y.r <= x.r + $DctWindow) u)
+       |SELECT modality, doc_a, doc_b,
+       |  CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= $DctRadius
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // the served twin computes the identical relation from the
     // persisted fingerprint table — same oracle (the established
@@ -903,6 +1046,7 @@ object Multimodal {
          |SELECT doc_id, modality, phash64 FROM ph64
          |ORDER BY doc_id""".stripMargin,
     "multimodal_phash_dct_pairs" -> dctPairsOracleWhere("TRUE"),
+    "multimodal_phash_dct_pairs_capped" -> cappedDctPairsOracle,
     "multimodal_phash" ->
       s"""WITH $phashCtes
          |SELECT doc_id, modality, payload_md5, phash FROM ph

@@ -210,6 +210,50 @@ class DedupCappedSpec extends SparkTestBase {
     assert(recall >= 0.85, f"span pair recall $recall%.4f below the 0.85 floor")
   }
 
+  test("capped phash pairs: dense identical-fingerprint runs stay windowed, subset holds") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    // 40 identical fingerprints → every fine band's bucket has
+    // occupancy ≥ 40 > DctCliqueCap, so the sorted-window lever MUST
+    // fire; sorted by (phash64, doc_id) the run is contiguous, so the
+    // within-run pairs are exactly each member × its next w run
+    // successors. Fillers are spread 64-bit values (pairwise hamming
+    // ~32) — they collide into some buckets but never pass radius 10.
+    val run = (1L to 40L).map(i => (i, "image", 0L))
+    val fillers = (101L to 120L).map(i =>
+      (i, "image", i * 2862933555777941757L + 3037000493L))
+    val fp = (run ++ fillers).toDF("doc_id", "modality", "phash64")
+    val capped = Multimodal.cappedDctPairsOver(fp).localCheckpoint()
+    val uncapped = Multimodal.dctPairsOver(fp).localCheckpoint()
+    assert(capped.exceptAll(uncapped).count() == 0,
+      "capped phash pairs contain rows absent from the uncapped fine search")
+    val w = Multimodal.DctWindow
+    val runCapped = capped.filter(col("doc_a") <= 40 && col("doc_b") <= 40)
+    val expected = (1 to 39).map(i => math.min(40 - i, w)).sum
+    assert(runCapped.count() == expected,
+      s"window fallback should emit $expected run pairs, got ${runCapped.count()}")
+    assert(uncapped.filter(col("doc_a") <= 40 && col("doc_b") <= 40).count() == 40L * 39 / 2,
+      "the uncapped fine search must enumerate the full 40-clique")
+    // every emitted pair carries its exact hamming (0 within the run)
+    assert(runCapped.filter(col("hamming") =!= 0).count() == 0)
+  }
+
+  test("capped phash pair recall vs uncapped on the organic corpus") {
+    val unc = qs("multimodal_phash_dct_pairs")(spark, organicDir)
+      .select("modality", "doc_a", "doc_b").localCheckpoint()
+    val cap = qs("multimodal_phash_dct_pairs_capped")(spark, organicDir)
+      .select("modality", "doc_a", "doc_b")
+    val total = unc.count()
+    assert(total > 0, "no uncapped phash pairs — vacuous recall")
+    val kept = unc.join(cap, Seq("modality", "doc_a", "doc_b"), "left_semi").count()
+    val recall = kept.toDouble / total
+    info(f"capped-phash pair recall (organic x3): $recall%.4f ($kept/$total)")
+    println(f"[capped-dedup] phash pair recall organic x3: $recall%.4f ($kept/$total)")
+    // at ×3 fine-band occupancy is still mostly under the gate, so the
+    // clique path dominates; the floor catches a gate/window regression
+    assert(recall >= 0.85, f"phash pair recall $recall%.4f below the 0.85 floor")
+  }
+
   test("capped fusion recall@5 vs uncapped, sf0.1 and organic") {
     // VERDICT r14 item 2: the caps' COST is measured (PLANS.md
     // exponents) — this measures what they do to the ANSWER. Uncapped

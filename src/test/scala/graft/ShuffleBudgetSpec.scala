@@ -372,7 +372,12 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // r15 second half: the whole candidate build + both positional
     // joins ride the g-bucketed artifact exchange-free; only the
     // island merge and the output sort move data
-    "dedup_exact_spans_capped" -> 2)
+    "dedup_exact_spans_capped" -> 2,
+    // r15 second half: the capped fine perceptual search — the gate/
+    // window phases sit behind the checkpointed candidate relation
+    // (broadcast occupancy joins); the final distinct + output sort
+    // are the two exchanges
+    "multimodal_phash_dct_pairs_capped" -> 2)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
