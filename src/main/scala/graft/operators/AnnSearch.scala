@@ -1477,6 +1477,18 @@ object AnnSearch {
     * recall@5 to 0.92 (DedupCappedSpec states the numbers). Both caps
     * are corpus-independent constants, so per-query cost stays
     * bounded.
+    *
+    * The flat-idf sensitivity is MEASURED, not just asserted (r15
+    * `SPARK_GRAFT_SCALE_ONLY=zipf`, PLANS.md): with the same corpus
+    * regenerated over a 20,000-type Zipfian vocabulary (12,765
+    * realized types at ×10, median df/n < 0.001 — real idf spread;
+    * same crossover duplicates, same embeddings), capped-vs-uncapped
+    * recall@5 is 0.984 at 1× and 0.816 at the ×10 point where the
+    * flat corpus collapsed to 0.130 — rare query terms keep their
+    * postings whole under the cap and propose the true winners. The
+    * residual ×10 loss is fixed-budget arithmetic (this champion list
+    * is 2% of that corpus); a deployment scales the two constants
+    * with its corpus segment.
     */
   private[graft] val RrfChampCap = 1024
 

@@ -491,6 +491,37 @@ object SqlSurface {
          |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
+  /** The coarse perceptual near-dup pair search, pure SQL text over
+    * the SERVED `phash_dct` fingerprint artifact — the analyst form of
+    * the production `_r3` operating point: each 64-bit DCT fingerprint
+    * unpivots to its 4 × 16-bit band keys (lossless to radius 3 by
+    * pigeonhole), candidates come from one self-equi-join on the band
+    * key — never payloads² — and every surviving pair carries its
+    * exact Hamming distance. Same banding, radius, and output contract
+    * as [[Multimodal.multimodalPhashDctPairsR3]], whose oracle it
+    * shares.
+    */
+  def phashPairsSql(spark: SparkSession, dir: String): DataFrame = {
+    Multimodal.servedDctFingerprints(spark, dir)
+      .createOrReplaceTempView("phash_dct")
+    spark.sql(
+      s"""WITH bands AS (
+         |  SELECT doc_id, modality, phash64, band_idx,
+         |    shiftright(phash64, 16 * band_idx) & 65535 AS band_bits
+         |  FROM phash_dct
+         |  LATERAL VIEW explode(array(0, 1, 2, 3)) b AS band_idx),
+         |cand AS (
+         |  SELECT DISTINCT a.modality, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.phash64 AS fa, b.phash64 AS fb
+         |  FROM bands a JOIN bands b
+         |    ON a.modality = b.modality AND a.band_idx = b.band_idx
+         |    AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id)
+         |SELECT modality, doc_a, doc_b,
+         |  CAST(bit_count(fa ^ fb) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(fa ^ fb) <= ${Multimodal.DctRadiusCoarse}
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_revenue_by_nation" -> (revenueByNation _),
     "sql_upc_valid_share"   -> (upcValidShare _),
@@ -507,7 +538,8 @@ object SqlSurface {
     "sql_temporal_join"     -> (temporalJoinSql _),
     "sql_scd2_history"      -> (scd2HistorySql _),
     "sql_rrf_fusion"        -> (rrfFusionSql _),
-    "sql_dedup_pairs"       -> (dedupPairsSql _))
+    "sql_dedup_pairs"       -> (dedupPairsSql _),
+    "sql_phash_pairs"       -> (phashPairsSql _))
 
   /** SQL twin → the DataFrame query whose oracle (and therefore exact
     * output contract) it shares. SqlSurfaceSpec asserts schema parity
@@ -532,7 +564,8 @@ object SqlSurface {
     "sql_temporal_join" -> "etl_temporal_join",
     "sql_scd2_history"  -> "etl_scd2_history",
     "sql_rrf_fusion"    -> "ann_rrf_fusion_served",
-    "sql_dedup_pairs"   -> "dedup_ngram_jaccard")
+    "sql_dedup_pairs"   -> "dedup_ngram_jaccard",
+    "sql_phash_pairs"   -> "multimodal_phash_dct_pairs_r3")
 
   val oracles: Map[String, String] = Map(
     "sql_revenue_by_nation" ->
@@ -574,5 +607,6 @@ object SqlSurface {
     "sql_temporal_join" -> EtlEnrichment.oracles("etl_temporal_join"),
     "sql_scd2_history"  -> EtlEnrichment.oracles("etl_scd2_history"),
     "sql_rrf_fusion"    -> AnnSearch.oracles("ann_rrf_fusion"),
-    "sql_dedup_pairs"   -> Dedup.oracles("dedup_ngram_jaccard"))
+    "sql_dedup_pairs"   -> Dedup.oracles("dedup_ngram_jaccard"),
+    "sql_phash_pairs"   -> Multimodal.oracles("multimodal_phash_dct_pairs_r3"))
 }

@@ -377,7 +377,12 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // window phases sit behind the checkpointed candidate relation
     // (broadcast occupancy joins); the final distinct + output sort
     // are the two exchanges
-    "multimodal_phash_dct_pairs_capped" -> 2)
+    "multimodal_phash_dct_pairs_capped" -> 2,
+    // r15 second half: the analyst form of the coarse perceptual pair
+    // search over the served fingerprint artifact — the band self-join
+    // broadcasts, distinct rides it, output sort is the exchange
+    // (= the r3 DataFrame twin's count)
+    "sql_phash_pairs" -> 2)
 
   test("window top-N runs under WindowGroupLimit (partial group limit before the shuffle)") {
     // Spark's own InferWindowGroupLimit plans rank-filter windows as a
