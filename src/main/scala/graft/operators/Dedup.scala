@@ -1144,6 +1144,43 @@ object Dedup {
     graft.sources.ArtifactStore.ensure(spark, dir, "dedup_sigs", "doc_id", 8)(
       bandKeysOf(Tables.documents(spark, dir)))
 
+  /** Scan depth of the CAPPED signature index ([[servedSigsCapped]]):
+    * per band bucket the first `SigScanCap` members by doc_id remain.
+    * Sized as [[BucketCliqueCap]] + [[BucketWindow]] so a bucket the
+    * batch capped probe treats as a full clique (occupancy ≤ 16) is
+    * retained WHOLE — the capped index is lossless exactly where the
+    * batch gate is — and a denser bucket exposes a bounded scan
+    * prefix, the `lsh_keys_capped` rule applied to the text signature
+    * index.
+    */
+  private[graft] val SigScanCap = BucketCliqueCap + BucketWindow
+
+  /** The banded signature index with the scan-depth cap BAKED INTO the
+    * artifact — the index a CONTINUOUS ingest probes on a
+    * duplicate-heavy corpus ([[graft.streaming.StreamOps
+    * .nearDupAdmissionStream]] takes the index as a parameter; passing
+    * this one bounds per-probe candidates ∝ bands × [[SigScanCap]],
+    * corpus-independent, where the uncapped index costs ∝ bucket
+    * occupancy ∝ corpus). A streaming arrival has no rank position in
+    * the index (unlike the batch probe's rank window in
+    * [[dedupIncrementalCappedOver]]), so the right lever is the scan
+    * depth: new docs probe with their full band keys, they just
+    * cannot SEE past the cap depth — the `ann_rrf_fusion_capped`
+    * bucket rule. The trade is visibility of duplicates whose only
+    * index partners sit past the prefix; exact-dup arrivals still hit
+    * (every prefix member is an exact partner in an identical-doc
+    * bucket), which StreamingSpec pins together with the bound
+    * itself.
+    */
+  private[graft] def servedSigsCapped(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ArtifactStore.ensure(spark, dir, "dedup_sigs_capped", "doc_id", 8) {
+      val w = Window.partitionBy(col("band_idx"), col("bk"))
+        .orderBy(col("doc_id"))
+      bandKeysOf(Tables.documents(spark, dir))
+        .withColumn("pos", row_number().over(w))
+        .filter(col("pos") <= SigScanCap).drop("pos")
+    }
+
   /** The distinct bigram-shingle relation SERVED from its write-once
     * gram-bucketed artifact — the "postings" side of the pair search:
     * with `dedup_sigs` (candidates) and this table (verification), the

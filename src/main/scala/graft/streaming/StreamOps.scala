@@ -151,6 +151,16 @@ object StreamOps {
     * keeps the signature aggregation off the streaming state store
     * (it is a per-batch batch job, checkpoint-recoverable and
     * idempotent: re-running a batch reproduces identical verdicts).
+    *
+    * MEASURED LIMIT (r15): "touched buckets" is the fine print — on a
+    * duplicate-heavy corpus bucket occupancy grows ∝ corpus, and the
+    * batch twin measured byte exp 1.57 from exactly this probe shape
+    * (PLANS.md). The index is a PARAMETER: a deployment in that
+    * regime passes [[graft.operators.Dedup.servedSigsCapped]] (scan
+    * depth baked into the artifact — per-probe candidates ≤ bands ×
+    * SigScanCap at any corpus) and keeps this operator unchanged;
+    * StreamingSpec pins both the bound and that exact-dup arrivals
+    * still land in review through the capped prefix.
     */
   def nearDupAdmissionStream(docs: DataFrame, index: DataFrame,
       checkpoint: String)(onBatch: DataFrame => Unit): StreamingQuery =

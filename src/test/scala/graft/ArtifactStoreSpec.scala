@@ -140,6 +140,25 @@ class ArtifactStoreSpec extends SparkTestBase {
       "bm25_champ diverges from the recomputed total-impact top-K")
   }
 
+  test("the capped signature index equals the recomputed per-bucket prefix") {
+    import graft.operators.Dedup
+    // build (or reuse) the capped artifact, then pin the LOGIC against
+    // an independent recomputation from the FULL signature index — the
+    // lsh_keys_capped discipline applied to the text side (500 docs
+    // rarely exceed SigScanCap per band bucket, so binding is pinned
+    // by StreamingSpec's planted dense corpus, the logic here)
+    val capped = Dedup.servedSigsCapped(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val expected = Dedup.servedSigs(spark, sfDir)
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("bk")).orderBy(col("doc_id"))))
+      .filter(col("pos") <= Dedup.SigScanCap).drop("pos")
+      .collect().map(_.toSeq).toSet
+    assert(capped.nonEmpty && capped == expected,
+      "dedup_sigs_capped diverges from the recomputed per-bucket prefix")
+  }
+
   test("served ivfadc reads its artifacts as bucketed scans") {
     // the lists ⋈ codes join rides two tables bucketed on vec_id —
     // the storage-level claim: the shuffle was paid at write time

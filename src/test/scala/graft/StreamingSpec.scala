@@ -416,6 +416,54 @@ class StreamingSpec extends SparkTestBase {
       s"stream candidates $streamCands != batch banding $batchCands")
   }
 
+  test("near-dup admission over the CAPPED signature index bounds the probe and still flags exact dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a DENSE corpus: 40 identical docs share every band bucket
+    // (occupancy 40), plus two novel docs. The capped index keeps only
+    // the first SigScanCap members per bucket — the operator itself is
+    // unchanged, the lever is index-side (the production story for
+    // duplicate-heavy continuous ingest).
+    val cap = graft.operators.Dedup.SigScanCap
+    val dense = (100L until 140L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val corpus = (dense :+
+      (300L, "completely different content about databases and query planning"))
+      .toDF("doc_id", "text")
+    val full = graft.operators.Dedup.bandKeysOf(corpus)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("bk")).orderBy(col("doc_id"))
+    val capped = full.withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= cap).drop("pos")
+      .withColumnRenamed("doc_id", "cand_id")
+      .localCheckpoint()
+    // the cap BINDS on this corpus: some bucket held > cap members
+    val fullOcc = full.groupBy("band_idx", "bk").count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(fullOcc > cap, s"max occupancy $fullOcc does not exceed the cap — vacuous")
+    val stream = MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup_cap_ckpt").toString
+    val q = StreamOps.nearDupAdmissionStream(
+      stream.toDF().toDF("doc_id", "text"), capped, ckpt) { verdicts =>
+      results ++= verdicts.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    }
+    try {
+      // doc 1: exact dup of the dense run; doc 2: novel
+      stream.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "entirely unrelated text mentioning spark catalyst and tungsten"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byId = results.map(t => t._1 -> ((t._2, t._3))).toMap
+    // the exact-dup arrival is still flagged (every prefix member is a
+    // partner), but its candidate count is the CAP, not the occupancy
+    assert(byId(1L)._2 == "review", s"exact dup not flagged: ${byId(1L)}")
+    assert(byId(1L)._1 == cap.toLong,
+      s"probe saw ${byId(1L)._1} candidates; capped index should bound it to $cap (occupancy 40)")
+    assert(byId(2L) == ((0L, "admit")), s"novel doc ${byId(2L)}")
+  }
+
   test("streaming span admission flags a verbatim run against the gram index; boilerplate excluded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
