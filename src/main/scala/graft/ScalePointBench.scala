@@ -303,7 +303,11 @@ object ScalePointBench {
     "dedup_incremental_capped", "dedup_exact_spans_capped",
     // r15 second half: the fine perceptual pair search's bounded twin
     // (the last named super-linear mover — byte exp 2.96 uncapped)
-    "multimodal_phash_dct_pairs_capped")
+    "multimodal_phash_dct_pairs_capped",
+    // r15 second half: the capped tier's serving story — policy
+    // queries over the PRE-capped pair/label artifacts
+    "dedup_pairs_capped_served", "dedup_components_capped_served",
+    "dedup_keep_best_capped_served")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

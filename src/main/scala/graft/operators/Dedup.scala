@@ -1135,6 +1135,55 @@ object Dedup {
       .select("doc_a", "doc_b"))
       .select("doc_id", "component"))
 
+  /** The CAPPED verified pair relation SERVED from its write-once
+    * bucketed artifact — the train/serve split for the tier a
+    * duplicate-heavy 100 TB corpus actually runs ([[servedPairs]]
+    * serves the uncapped/audit tier; at scale the pair artifact a
+    * pipeline PUBLISHES is the bounded one, since the uncapped build
+    * is the ~n^1.9 job the caps exist to avoid). Both levers
+    * ([[BucketCliqueCap]] gate + window, [[PairDegreeCap]]) are baked
+    * in at build time; policy queries read the table.
+    */
+  private def servedPairsCapped(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ArtifactStore.ensure(spark, dir, "dedup_pairs_capped", "doc_a", 8)(
+      cappedPairsOf(Tables.documents(spark, dir).select("doc_id", "text")))
+
+  /** Capped component labels SERVED from their artifact — the
+    * star-contraction fixpoint runs once per JVM over the capped pair
+    * ARTIFACT (see [[dedupComponentsCapped]] for why the capped graph
+    * must use the O(log n) path), downstream queries read
+    * (doc_id, component).
+    */
+  private[graft] def servedLabelsCapped(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = servedPairsCapped(spark, dir)
+    graft.sources.ArtifactStore.ensure(spark, dir, "dedup_labels_capped", "doc_id", 8)(
+      connectedComponentsStar(pairs.select("doc_a", "doc_b"))
+        .select("doc_id", "component"))
+  }
+
+  /** [[dedupPairsCapped]] served: a bucketed scan of the capped pair
+    * artifact — shares the self-contained form's oracle (identical
+    * relation by construction; ArtifactStoreSpec pins it).
+    */
+  def dedupPairsCappedServed(spark: SparkSession, dir: String): DataFrame =
+    servedPairsCapped(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** [[dedupComponentsCapped]] served: label artifact + the size
+    * window — no pair search, no fixpoint in the query.
+    */
+  def dedupComponentsCappedServed(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("component"))
+    servedLabelsCapped(spark, dir)
+      .withColumn("component_size", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[dedupKeepBestCapped]] served: capped labels from the artifact;
+    * the quality scan is the query's own map-side work.
+    */
+  def dedupKeepBestCappedServed(spark: SparkSession, dir: String): DataFrame =
+    keepBestOver(spark, dir, servedLabelsCapped(spark, dir))
+
   /** The banded signature index SERVED from its artifact table
     * (doc_id, band_idx, bk — 8 band keys per doc): what
     * [[dedupIncremental]]'s scaladoc describes as "the corpus
@@ -1442,6 +1491,9 @@ object Dedup {
     "dedup_pairs_capped"  -> (dedupPairsCapped _),
     "dedup_components_capped" -> (dedupComponentsCapped _),
     "dedup_keep_best_capped" -> (dedupKeepBestCapped _),
+    "dedup_pairs_capped_served" -> (dedupPairsCappedServed _),
+    "dedup_components_capped_served" -> (dedupComponentsCappedServed _),
+    "dedup_keep_best_capped_served" -> (dedupKeepBestCappedServed _),
     "dedup_components_served" -> (dedupComponentsServed _),
     "dedup_cluster_stats_served" -> (dedupClusterStatsServed _),
     "dedup_keep_best_served" -> (dedupKeepBestServed _),
@@ -1921,6 +1973,12 @@ object Dedup {
     "dedup_components_served" -> oraclesBase("dedup_components"),
     "dedup_cluster_stats_served" -> oraclesBase("dedup_cluster_stats"),
     "dedup_keep_best_served" -> oraclesBase("dedup_keep_best"),
+    // the capped serving tier computes the identical relations from
+    // the pre-capped artifacts — same oracles (the established
+    // served/self-contained aliasing convention)
+    "dedup_pairs_capped_served" -> oraclesBase("dedup_pairs_capped"),
+    "dedup_components_capped_served" -> oraclesBase("dedup_components_capped"),
+    "dedup_keep_best_capped_served" -> oraclesBase("dedup_keep_best_capped"),
     "dedup_incremental_served" -> oraclesBase("dedup_incremental"),
     "dedup_incremental_capped" -> cappedIncrementalOracle,
     "dedup_simhash_pairs_served" -> oraclesBase("dedup_simhash_pairs"))

@@ -85,6 +85,15 @@ class ArtifactStoreSpec extends SparkTestBase {
       == rows(Dedup.dedupKeepBest(spark, sfDir)))
     assert(rows(Dedup.dedupIncrementalServed(spark, sfDir))
       == rows(Dedup.dedupIncremental(spark, sfDir)))
+    // the CAPPED serving tier (r15 second half): pre-capped pair/label
+    // artifacts must reproduce the self-contained capped forms
+    // row-for-row — both levers are baked in at build time
+    assert(rows(Dedup.dedupPairsCappedServed(spark, sfDir))
+      == rows(Dedup.dedupPairsCapped(spark, sfDir)))
+    assert(rows(Dedup.dedupComponentsCappedServed(spark, sfDir))
+      == rows(Dedup.dedupComponentsCapped(spark, sfDir)))
+    assert(rows(Dedup.dedupKeepBestCappedServed(spark, sfDir))
+      == rows(Dedup.dedupKeepBestCapped(spark, sfDir)))
   }
 
   test("capped fusion artifacts respect their scan-depth and posting caps") {
