@@ -43,4 +43,23 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Scale-adaptive parallelism floor for the heavy derivation chains
+    * (minhash/verify, PQ/k-means training, fingerprinting): when the
+    * input relation carries FEWER partitions than the session's
+    * default parallelism — a small corpus read as one single-row-group
+    * parquet split — every fused per-row stage downstream (shingle
+    * explode, codebook scoring, DCT) and every consumer of a
+    * subsequent `localCheckpoint` runs on ONE core while the rest
+    * idle. Repartition to the default parallelism, HASHED ON THE CHAIN
+    * KEY (never round-robin): a downstream groupBy/window/join keyed
+    * on the same column then reuses the partitioning instead of adding
+    * its own exchange, so the plan's exchange count does not grow.
+    * At production scale the input already carries ≥ cores splits and
+    * this is a structural no-op — no plan gains a shuffle at 100 TB.
+    */
+  def widened(df: DataFrame, key: String): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores, col(key)) else df
+  }
 }

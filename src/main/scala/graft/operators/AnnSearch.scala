@@ -453,7 +453,12 @@ object AnnSearch {
     * IVFADC coarse quantizer (which must live in the same metric space
     * as the PQ codes it prunes for).
     */
-  private def kmeansAssignmentsOver(e: DataFrame): DataFrame = {
+  private def kmeansAssignmentsOver(e0: DataFrame): DataFrame = {
+    // widened: each Lloyd pass fans e out ×K and argmins through a
+    // vec_id window — vec_id-hashed so the window reuses the
+    // partitioning (one exchange, shared by both passes via
+    // ReuseExchange, instead of one per assignment)
+    val e = Tables.widened(e0, "vec_id")
     var cent = e.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cl"), col("v").as("cv"))
     var assigned = kmAssign(e, cent)
@@ -571,7 +576,11 @@ object AnnSearch {
     // codeword) PAIR — the two self-dots don't belong under the ×Ks
     // candidate fan-out (2/3 of the scoring flops there). Same
     // association and rounding, so the trained model is bit-identical.
-    val subN = sub.withColumn("svn", dot(col("sv"), col("sv"))).localCheckpoint()
+    // widened: every assignment pass scores |sub| × Ks candidate rows
+    // through this checkpoint — vec_id-hashed so the rank-1 argmin
+    // window (clustered on (vec_id, m)) reuses the partitioning
+    val subN = Tables.widened(sub, "vec_id")
+      .withColumn("svn", dot(col("sv"), col("sv"))).localCheckpoint()
     // argmin stays a rank-1 window on purpose: WindowGroupLimit's
     // PARTIAL mode already truncates to one row per (vector, subspace)
     // per task BEFORE the exchange, so the ×Ks scored fan-out never
@@ -1314,7 +1323,11 @@ object AnnSearch {
     * refresh, so the three can never tokenize differently.
     */
   private[graft] def bm25Tf(docs: DataFrame): DataFrame =
-    docs
+    // widened: the tokenize+explode is the corpus-scan-fused work; the
+    // doc_id hash ALSO satisfies the (doc_id, term) aggregation's
+    // clustering (subset rule), so the agg needs no exchange of the
+    // exploded tokens — strictly fewer shuffled bytes when it fires
+    Tables.widened(docs, "doc_id")
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))

@@ -789,7 +789,12 @@ object CorpusOps {
     * final 1-row weight vector.
     */
   private def qualityTrain(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val feats0 = qualityFeats0(spark, dir)
+    // materialized once, widened: the p25 threshold, the z-stats, and
+    // the z-scored projection each read this relation — without the
+    // checkpoint the per-doc quality features (regex-heavy text work)
+    // are recomputed three times, fused into a single scan task
+    val feats0 = Tables.widened(qualityFeats0(spark, dir), "doc_id")
+      .localCheckpoint()
     val thr = feats0.agg(round(expr("percentile(qs, 0.25D)"), 6).as("p25"))
     // per-feature standardization model (1 row, broadcast): without it
     // GD stalls at the majority floor — the log-token-count scale

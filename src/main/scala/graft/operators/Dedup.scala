@@ -151,9 +151,17 @@ object Dedup {
     // across a long-lived session running many operators. On a real
     // cluster prefer reliable checkpoint(): localCheckpoint blocks die
     // with their executor.
-    val sh = shinglesOf(docs).localCheckpoint()
+    // widened: the explode + minhash + both verify-join map sides all
+    // read this checkpoint — doc_id-hashed, so the signature groupBy
+    // and the doc_a verify join reuse the partitioning (Tables.widened)
+    val sh = shinglesOf(Tables.widened(docs, "doc_id")).localCheckpoint()
     // unpivot band keys to (doc_id, band_idx, bk): ONE self-equi-join on
-    // the composite bucket key (one shuffle) instead of a join per band
+    // the composite bucket key (one shuffle) instead of a join per band.
+    // NOT clustered on (band_idx, bk): on a duplicate-heavy corpus the
+    // bucket key is exactly the skewed one — measured 4.16 s vs 3.10 s
+    // at 32 cores when the self-join was pinned to bucket-hash
+    // partitions (hot buckets serialize); the doc-hashed checkpoint +
+    // AQE's broadcast of the tiny other side spreads the fan-out evenly
     val sigLong = minhashFromShingles(sh)
       .select(col("doc_id"), posexplode(
         array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
@@ -194,7 +202,7 @@ object Dedup {
       batchDocs: DataFrame): DataFrame = {
     val all = baseDocs.select("doc_id", "text")
       .union(batchDocs.select("doc_id", "text"))
-    val sh = shinglesOf(all).localCheckpoint()
+    val sh = shinglesOf(Tables.widened(all, "doc_id")).localCheckpoint()
     val sig = minhashFromShingles(sh)
       .select(col("doc_id"), posexplode(
         array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
@@ -664,7 +672,8 @@ object Dedup {
     * recalls are flagged `is_asymmetric`.
     */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shinglesOf(augmentedDocs(spark, dir)).localCheckpoint()
+    val sh = shinglesOf(Tables.widened(augmentedDocs(spark, dir), "doc_id"))
+      .localCheckpoint()
     // banded signatures checkpointed like the Jaccard twin: the self-
     // join reads this relation twice
     val sigLong = minhashFromShingles(sh)
@@ -708,8 +717,17 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val jp = pairs.toDF("doc_a", "doc_b")
+    val sp = pairs.sparkSession
+    // the edge relation is checkpointed CLUSTERED on dst — the join key
+    // of every iteration's neighbor-min probe — so the loop's join
+    // reads the edge side exchange-free EVERY round: one exchange of
+    // the edges at seed time replaces one per iteration (the labels
+    // side is already doc_id-partitioned by the previous round's join)
     val edges = jp.union(jp.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").localCheckpoint()
+      .toDF("src", "dst")
+      .repartition(math.max(sp.sparkContext.defaultParallelism,
+        sp.sessionState.conf.numShufflePartitions), col("dst"))
+      .localCheckpoint()
     // the initial sum/emptiness probes ride the seed checkpoint's
     // materialization job (same observe() trick as the loop body) —
     // without this the loop setup costs 3 Spark jobs instead of 1.
@@ -901,8 +919,13 @@ object Dedup {
     */
   private def keepBestOver(spark: SparkSession, dir: String,
       labels: DataFrame): DataFrame = {
-    val scored = Tables.documents(spark, dir)
+    // materialized once, widened: the regex-heavy quality score is read
+    // by BOTH the winner window's input and the final left-join side —
+    // without the checkpoint it is recomputed twice, fused into a
+    // single corpus-scan task
+    val scored = Tables.widened(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality_score"))
+      .localCheckpoint()
     val w = Window.partitionBy(col("component"))
       .orderBy(col("quality_score").desc, col("doc_id"))
     // rank ONLY the labelled relation (tiny): windowing the whole corpus
@@ -1040,8 +1063,8 @@ object Dedup {
     */
   private[graft] def cappedPairsOf(docs: DataFrame): DataFrame = {
     // one corpus explode feeding signatures AND verification, the
-    // ngramJaccardOf sharing discipline
-    val sh = shinglesOf(docs).localCheckpoint()
+    // ngramJaccardOf sharing discipline (widened: see there)
+    val sh = shinglesOf(Tables.widened(docs, "doc_id")).localCheckpoint()
     val sigLong = minhashFromShingles(sh)
       .select(col("doc_id"), posexplode(
         array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))

@@ -244,6 +244,11 @@ object IdempotentMergeSink {
     if (committed(root).exists(_._2.contains(batchId))) return false
     // within-batch latest-op-wins (mirror of the etl_cdc_apply window)
     val cols = updates.columns
+    // the delta-vs-base row-count gate rides the checkpoint's
+    // materialization job as a CollectMetrics observation — one Spark
+    // job for materialize + count instead of two (the
+    // connectedComponents convergence-probe discipline)
+    val obs = new org.apache.spark.sql.Observation()
     val ranked = (
       if (cols.contains("seq")) {
         val w = org.apache.spark.sql.expressions.Window
@@ -256,14 +261,13 @@ object IdempotentMergeSink {
     // non-deterministic input cannot commit an inconsistent combination
     // of removals and upserts within one version — and a lost-race
     // retry re-merges the very same rows
-    ).localCheckpoint()
+    ).observe(obs, count(lit(1)).as("n")).localCheckpoint()
     val (upserts, deletes) =
       if (ranked.columns.contains("op"))
         (ranked.filter(col("op") =!= "D").drop("op"),
           ranked.filter(col("op") === "D").select(col(key)))
       else (ranked, ranked.limit(0).select(col(key)))
-    // checkpointed above, so the gate's count is a cached-partition scan
-    val batchRows = ranked.count()
+    val batchRows = obs.get("n").asInstanceOf[Long]
     commitLoop(root, batchId, maxAttempts, "merge") { (cur, tmp) =>
       cur match {
         case None => // first commit: the filtered batch IS the base
@@ -348,9 +352,11 @@ object IdempotentMergeSink {
       deltaMaxRows: Long = DeltaMaxRows): Boolean = {
     new File(root).mkdirs()
     if (committed(root).exists(_._2.contains(batchId))) return false
-    // one evaluation: a lost-race retry re-adds the very same deltas
-    val inc = increments.localCheckpoint()
-    val batchRows = inc.count() // checkpointed: a cached-partition scan
+    // one evaluation: a lost-race retry re-adds the very same deltas;
+    // the row-count gate rides the materialization job (see merge)
+    val obs = new org.apache.spark.sql.Observation()
+    val inc = increments.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+    val batchRows = obs.get("n").asInstanceOf[Long]
     commitLoop(root, batchId, maxAttempts, "mergeAdditive") { (cur, tmp) =>
       cur match {
         case None => // first commit: the batch's sums ARE the base
