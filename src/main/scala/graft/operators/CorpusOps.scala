@@ -823,6 +823,11 @@ object CorpusOps {
       val scored = feats.crossJoin(broadcast(w))
         .withColumn("p", qualityP(round(zLin, 6)))
       val xs = Seq(lit(1.0), col("x1"), col("x2"), col("x3"), col("x4"))
+      // per-round checkpoint KEPT deliberately: de-checkpointing (one
+      // nested-broadcast plan under a single action) was measured
+      // SLOWER (logreg 2.6 → 3.5 s, calibration 2.5 → 3.1 s at 32
+      // cores) — ten rounds of nested subquery planning cost more than
+      // ten 1-row materialization jobs.
       w = scored.agg(
         round(min(col("w0")) + lit(LrEta) * sum(t6(xs(0))) / 1000000.0 / count(lit(1)), 6).as("w0"),
         round(min(col("w1")) + lit(LrEta) * sum(t6(xs(1))) / 1000000.0 / count(lit(1)), 6).as("w1"),

@@ -141,7 +141,13 @@ object Dedup {
     * from-scratch reference the incremental index refresh
     * ([[IndexMaintenance]]) is spec-checked against.
     */
-  private[graft] def ngramJaccardOf(docs: DataFrame): DataFrame = {
+  /** `widen = false` skips the parallelism floor and the candidate-set
+    * materialization: the index-maintenance contract queries run this
+    * over FIXED small slices (hundreds of docs), where both are pure
+    * per-job overhead (measured: maint_pairs_refresh 2.1 → 3.9 s with
+    * them on). Corpus-scale callers keep the default.
+    */
+  private[graft] def ngramJaccardOf(docs: DataFrame, widen: Boolean = true): DataFrame = {
     // ONE corpus explode: the same materialized shingle relation feeds
     // signature generation AND Jaccard verification (read 4× below).
     // localCheckpoint (not cache) so the subtree isn't evaluated once
@@ -154,7 +160,8 @@ object Dedup {
     // widened: the explode + minhash + both verify-join map sides all
     // read this checkpoint — doc_id-hashed, so the signature groupBy
     // and the doc_a verify join reuse the partitioning (Tables.widened)
-    val sh = shinglesOf(Tables.widened(docs, "doc_id")).localCheckpoint()
+    val sh = shinglesOf(
+      if (widen) Tables.widened(docs, "doc_id") else docs).localCheckpoint()
     // unpivot band keys to (doc_id, band_idx, bk): ONE self-equi-join on
     // the composite bucket key (one shuffle) instead of a join per band.
     // NOT clustered on (band_idx, bk): on a duplicate-heavy corpus the
@@ -166,11 +173,21 @@ object Dedup {
       .select(col("doc_id"), posexplode(
         array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
       .localCheckpoint()
-    val pairs = sigLong.select(col("doc_id").as("doc_a"), col("band_idx"), col("bk"))
+    // the candidate set is materialized so the verify join's build side
+    // is chosen from its EXACT size, not from the band-join fan-out
+    // estimate: with the estimate the planner broadcast the (larger)
+    // gram relation and probed the pairs side — a single coalesced
+    // partition carrying the whole ×grams fan-out (measured 2 × ~1.2 s
+    // single-task jobs per pair query). With the exact size the pairs
+    // relation is the build side and the probe runs over the gram
+    // checkpoint's partitions; at scale the exact size correctly
+    // forbids the broadcast and the join degrades to the shuffled form.
+    val pairs0 = sigLong.select(col("doc_id").as("doc_a"), col("band_idx"), col("bk"))
       .join(sigLong.select(col("doc_id").as("doc_b"), col("band_idx"), col("bk")),
         Seq("band_idx", "bk"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+    val pairs = if (widen) pairs0.localCheckpoint() else pairs0
 
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val inter = pairs
@@ -199,10 +216,11 @@ object Dedup {
     * candidate touches it.
     */
   private[graft] def ngramJaccardNewPairs(baseDocs: DataFrame,
-      batchDocs: DataFrame): DataFrame = {
+      batchDocs: DataFrame, widen: Boolean = true): DataFrame = {
     val all = baseDocs.select("doc_id", "text")
       .union(batchDocs.select("doc_id", "text"))
-    val sh = shinglesOf(Tables.widened(all, "doc_id")).localCheckpoint()
+    val sh = shinglesOf(
+      if (widen) Tables.widened(all, "doc_id") else all).localCheckpoint()
     val sig = minhashFromShingles(sh)
       .select(col("doc_id"), posexplode(
         array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
@@ -221,8 +239,9 @@ object Dedup {
       .select(least(col("new_id"), col("cand_id")).as("doc_a"),
         greatest(col("new_id"), col("cand_id")).as("doc_b"))
       .distinct()
+    val pairs1 = if (widen) pairs.localCheckpoint() else pairs
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val inter = pairs
+    val inter = pairs1
       .join(sh.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
@@ -685,6 +704,7 @@ object Dedup {
         Seq("band_idx", "bk"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+      .localCheckpoint() // exact-size build side for the verify join (see ngramJaccardOf)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
@@ -1098,6 +1118,10 @@ object Dedup {
       .filter(col("rb") > col("ra") && col("rb") <= col("ra") + BucketWindow)
       .select(col("doc_a"), col("doc_b"))
     val pairs = clique.union(windowed).distinct()
+    // (no pairs checkpoint here: measured SLOWER for the capped chain —
+    // 3.2 → 5.4 s at 32 cores — its candidate build already sits behind
+    // three checkpoints and the extra serial materialization costs more
+    // than the verify join's build-side switch buys)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")

@@ -35,8 +35,10 @@ object IndexMaintenance {
   /** Build the pair table from the base corpus (first commit). */
   def bootstrap(spark: SparkSession, root: String, baseDocs: DataFrame,
       batchId: String = "bootstrap"): Boolean =
+    // widen = false: the contract queries bootstrap fixed small slices,
+    // where the parallelism floor is per-job overhead (see ngramJaccardOf)
     IdempotentMergeSink.merge(spark, root,
-      keyed(Dedup.ngramJaccardOf(baseDocs)), "pair_key", batchId)
+      keyed(Dedup.ngramJaccardOf(baseDocs, widen = false)), "pair_key", batchId)
 
   /** Merge one ingest batch's new pairs into the table under
     * `batchId`; false = already applied (the retry no-op).
@@ -44,7 +46,7 @@ object IndexMaintenance {
   def refresh(spark: SparkSession, root: String, baseDocs: DataFrame,
       batchDocs: DataFrame, batchId: String): Boolean =
     IdempotentMergeSink.merge(spark, root,
-      keyed(Dedup.ngramJaccardNewPairs(baseDocs, batchDocs)),
+      keyed(Dedup.ngramJaccardNewPairs(baseDocs, batchDocs, widen = false)),
       "pair_key", batchId)
 
   /** The maintained pair relation (doc_a, doc_b, n_inter, jaccard). */
