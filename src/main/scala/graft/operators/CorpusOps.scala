@@ -697,9 +697,11 @@ object CorpusOps {
     * features are the gate's four cheap signals
     * ([[TextAnalysis.qualityFeatures]]); training is `LrIters` rounds
     * of full-batch gradient descent, unrolled exactly like the k-means
-    * Lloyd loop: the weight vector is a ONE-ROW DataFrame crossJoined
-    * back per round (never a driver-side collect), checkpointed so
-    * each round's lineage is flat.
+    * Lloyd loop: each round is ONE aggregation job whose 5-double
+    * result folds through the driver into the next round's literals
+    * (the MLlib treeAggregate shape — O(1) driver bytes at any corpus
+    * size), so every round's plan stays flat with no per-round
+    * checkpoint or broadcast build.
     *
     * Float discipline: per-row gradient terms are 10⁶-scaled to
     * bigint BEFORE the sum (order-free), the mean gradient and the
@@ -816,26 +818,36 @@ object CorpusOps {
     // t6 for feature j: the 1e6-scaled integer per-row gradient term
     def t6(x: Column): Column =
       round((col("y") - col("p")) * x * 1000000, 0).cast("bigint")
-    var w = spark.range(1).select(
-      lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"),
-      lit(0.0).as("w3"), lit(0.0).as("w4"))
+    // The round state is 5 doubles. Each round's new weights are
+    // computed by the SAME Spark aggregate expressions as before
+    // (identical arithmetic, identical 6-dp rounding — the DuckDB
+    // oracle replays them bit-for-bit), but the 1-row result is
+    // carried to the next round through the driver (`head()`, the
+    // MLlib treeAggregate shape) and re-enters the plan as LITERALS:
+    // one Spark job per round instead of a 1-row checkpoint job plus a
+    // broadcast-build job (the measured r15 alternative — one fully
+    // nested plan under a single action — was SLOWER; this keeps the
+    // flat per-round plans and halves the job count instead). O(1)
+    // driver bytes at any corpus size.
+    var wv = Array(0.0, 0.0, 0.0, 0.0, 0.0)
     for (_ <- 1 to LrIters) {
-      val scored = feats.crossJoin(broadcast(w))
-        .withColumn("p", qualityP(round(zLin, 6)))
+      val scored = feats
+        .withColumn("p", qualityP(round(
+          lit(wv(0)) + lit(wv(1)) * col("x1") + lit(wv(2)) * col("x2") +
+            lit(wv(3)) * col("x3") + lit(wv(4)) * col("x4"), 6)))
       val xs = Seq(lit(1.0), col("x1"), col("x2"), col("x3"), col("x4"))
-      // per-round checkpoint KEPT deliberately: de-checkpointing (one
-      // nested-broadcast plan under a single action) was measured
-      // SLOWER (logreg 2.6 → 3.5 s, calibration 2.5 → 3.1 s at 32
-      // cores) — ten rounds of nested subquery planning cost more than
-      // ten 1-row materialization jobs.
-      w = scored.agg(
-        round(min(col("w0")) + lit(LrEta) * sum(t6(xs(0))) / 1000000.0 / count(lit(1)), 6).as("w0"),
-        round(min(col("w1")) + lit(LrEta) * sum(t6(xs(1))) / 1000000.0 / count(lit(1)), 6).as("w1"),
-        round(min(col("w2")) + lit(LrEta) * sum(t6(xs(2))) / 1000000.0 / count(lit(1)), 6).as("w2"),
-        round(min(col("w3")) + lit(LrEta) * sum(t6(xs(3))) / 1000000.0 / count(lit(1)), 6).as("w3"),
-        round(min(col("w4")) + lit(LrEta) * sum(t6(xs(4))) / 1000000.0 / count(lit(1)), 6).as("w4"))
-        .localCheckpoint()
+      val row = scored.agg(
+        round(lit(wv(0)) + lit(LrEta) * sum(t6(xs(0))) / 1000000.0 / count(lit(1)), 6).as("w0"),
+        round(lit(wv(1)) + lit(LrEta) * sum(t6(xs(1))) / 1000000.0 / count(lit(1)), 6).as("w1"),
+        round(lit(wv(2)) + lit(LrEta) * sum(t6(xs(2))) / 1000000.0 / count(lit(1)), 6).as("w2"),
+        round(lit(wv(3)) + lit(LrEta) * sum(t6(xs(3))) / 1000000.0 / count(lit(1)), 6).as("w3"),
+        round(lit(wv(4)) + lit(LrEta) * sum(t6(xs(4))) / 1000000.0 / count(lit(1)), 6).as("w4"))
+        .head()
+      wv = Array.tabulate(5)(row.getDouble)
     }
+    val w = spark.range(1).select(
+      lit(wv(0)).as("w0"), lit(wv(1)).as("w1"), lit(wv(2)).as("w2"),
+      lit(wv(3)).as("w3"), lit(wv(4)).as("w4"))
     (feats, w)
   }
 

@@ -121,14 +121,18 @@ object GraphOps {
     */
   private[graft] def knnListsSymmetricAt(nodes: DataFrame,
       broadcastGroups: Long): DataFrame = {
+    // the broadcast gate's group count rides the checkpoint's own
+    // materialization job as a CollectMetrics observation — one Spark
+    // job instead of materialize + count (the connectedComponents
+    // convergence-probe discipline; saves a job per kNN build)
+    val gobs = new org.apache.spark.sql.Observation()
     val groups = nodes.groupBy(col("price").as("gprice"))
       .agg(call_function("bottom_k_by_key",
         lpad(col("key").cast("string"), 20, "0"), col("key"), lit(KnnK + 1))
         .as("low_keys"))
+      .observe(gobs, count(lit(1)).as("n"))
       .localCheckpoint()
-    // the checkpoint just materialized the groups, so the gate's count
-    // is a cheap scan of cached partitions, not a recompute
-    val nGroups = groups.count()
+    val nGroups = gobs.get("n").asInstanceOf[Long]
     val src = groups.select(col("gprice").as("ps"))
       .withColumn("band", explode(array((-1 to 1).map(d =>
         floor(col("ps") / KnnTol).cast("long") + d): _*)))

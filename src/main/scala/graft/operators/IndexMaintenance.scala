@@ -169,18 +169,25 @@ object IndexMaintenance {
     */
   private[operators] def bm25DfRoot(root: String): String = dfRoot(root)
 
-  /** Build the three posting tables from the base corpus. */
+  /** Build the three posting tables from the base corpus. The three
+    * sub-table merges all read the one checkpointed tf relation and
+    * commit to DISJOINT roots — they run as concurrent jobs
+    * ([[IdempotentMergeSink.inParallel]], the §2.6 overlap), so one
+    * merge's driver-side planning rides another's execution instead of
+    * serializing 3 plan+job rounds per maintenance call.
+    */
   def bootstrapBm25(spark: SparkSession, root: String, baseDocs: DataFrame,
       batchId: String = "bootstrap"): Boolean = {
     val tf = AnnSearch.bm25Tf(baseDocs).localCheckpoint() // feeds 3 merges
-    val a = IdempotentMergeSink.merge(spark, tfRoot(root),
-      tf.withColumn("tf_key", concat_ws(":", col("doc_id"), col("term"))),
-      "tf_key", batchId)
-    val b = IdempotentMergeSink.merge(spark, dfRoot(root),
-      tf.groupBy(col("term")).agg(count(lit(1)).as("df")), "term", batchId)
-    val c = IdempotentMergeSink.merge(spark, dlRoot(root),
-      tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")), "doc_id", batchId)
-    a | b | c
+    IdempotentMergeSink.inParallel(Seq(
+      () => IdempotentMergeSink.merge(spark, tfRoot(root),
+        tf.withColumn("tf_key", concat_ws(":", col("doc_id"), col("term"))),
+        "tf_key", batchId),
+      () => IdempotentMergeSink.merge(spark, dfRoot(root),
+        tf.groupBy(col("term")).agg(count(lit(1)).as("df")), "term", batchId),
+      () => IdempotentMergeSink.merge(spark, dlRoot(root),
+        tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")), "doc_id", batchId)))
+      .reduce(_ | _)
   }
 
   /** Merge one ingest batch of NEW docs into the posting tables:
@@ -190,20 +197,22 @@ object IndexMaintenance {
   def refreshBm25(spark: SparkSession, root: String, batchDocs: DataFrame,
       batchId: String): Boolean = {
     val btf = AnnSearch.bm25Tf(batchDocs).localCheckpoint()
-    val a = IdempotentMergeSink.merge(spark, tfRoot(root),
-      btf.withColumn("tf_key", concat_ws(":", col("doc_id"), col("term"))),
-      "tf_key", batchId)
     // additive term counts as INCREMENTS: mergeAdditive rebases the
     // deltas inside its commit loop, so a concurrent maintainer's
     // df commit between our read and our rename cannot be overwritten
     // with stale absolutes — no maintainer lease needed
     if (IdempotentMergeSink.version(dfRoot(root)) == 0)
       throw new IllegalStateException(s"refreshBm25 before bootstrap at $root")
-    val b = IdempotentMergeSink.mergeAdditive(spark, dfRoot(root),
-      btf.groupBy(col("term")).agg(count(lit(1)).as("df")), "term", batchId)
-    val c = IdempotentMergeSink.merge(spark, dlRoot(root),
-      btf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")), "doc_id", batchId)
-    a | b | c
+    // disjoint sub-table roots → concurrent jobs (see bootstrapBm25)
+    IdempotentMergeSink.inParallel(Seq(
+      () => IdempotentMergeSink.merge(spark, tfRoot(root),
+        btf.withColumn("tf_key", concat_ws(":", col("doc_id"), col("term"))),
+        "tf_key", batchId),
+      () => IdempotentMergeSink.mergeAdditive(spark, dfRoot(root),
+        btf.groupBy(col("term")).agg(count(lit(1)).as("df")), "term", batchId),
+      () => IdempotentMergeSink.merge(spark, dlRoot(root),
+        btf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")), "doc_id", batchId)))
+      .reduce(_ | _)
   }
 
   /** Time-travel read of the maintained per-term document-frequency
@@ -240,10 +249,12 @@ object IndexMaintenance {
       baseMedia: org.apache.spark.sql.Dataset[Multimodal.MediaRow],
       batchId: String = "bootstrap"): Boolean = {
     val fp = Multimodal.dctFingerprintsOf(baseMedia).localCheckpoint()
-    val a = IdempotentMergeSink.merge(spark, fpRoot(root), fp, "doc_id", batchId)
-    val b = IdempotentMergeSink.merge(spark, dctPairsRoot(root),
-      keyed(Multimodal.dctPairsOver(fp)), "pair_key", batchId)
-    a | b
+    // disjoint sub-table roots → concurrent jobs (see bootstrapBm25)
+    IdempotentMergeSink.inParallel(Seq(
+      () => IdempotentMergeSink.merge(spark, fpRoot(root), fp, "doc_id", batchId),
+      () => IdempotentMergeSink.merge(spark, dctPairsRoot(root),
+        keyed(Multimodal.dctPairsOver(fp)), "pair_key", batchId)))
+      .reduce(_ | _)
   }
 
   /** Merge one media batch: insert its fingerprints, add the pairs it
@@ -253,13 +264,17 @@ object IndexMaintenance {
       batchMedia: org.apache.spark.sql.Dataset[Multimodal.MediaRow],
       batchId: String): Boolean = {
     val bfp = Multimodal.dctFingerprintsOf(batchMedia).localCheckpoint()
+    // baseFp resolves its version set NOW (committed() is eager), so
+    // the fp merge landing first cannot change what the pair merge
+    // reads — the two commits are safely concurrent (see bootstrapBm25)
     val baseFp = IdempotentMergeSink.read(spark, fpRoot(root))
       .map(_.select("doc_id", "modality", "phash64"))
       .getOrElse(throw new IllegalStateException(s"refreshPhash before bootstrap at $root"))
-    val a = IdempotentMergeSink.merge(spark, fpRoot(root), bfp, "doc_id", batchId)
-    val b = IdempotentMergeSink.merge(spark, dctPairsRoot(root),
-      keyed(Multimodal.dctNewPairs(bfp, baseFp)), "pair_key", batchId)
-    a | b
+    IdempotentMergeSink.inParallel(Seq(
+      () => IdempotentMergeSink.merge(spark, fpRoot(root), bfp, "doc_id", batchId),
+      () => IdempotentMergeSink.merge(spark, dctPairsRoot(root),
+        keyed(Multimodal.dctNewPairs(bfp, baseFp)), "pair_key", batchId)))
+      .reduce(_ | _)
   }
 
   /** The maintained perceptual pair relation. */
@@ -295,11 +310,13 @@ object IndexMaintenance {
   def bootstrapSpans(spark: SparkSession, root: String, baseDocs: DataFrame,
       batchId: String = "bootstrap"): Boolean = {
     val g = TextAnalysis.spanGramsOver(baseDocs).localCheckpoint() // feeds 2 merges
-    val a = IdempotentMergeSink.merge(spark, spanGramsRoot(root),
-      gramKeyed(g), "gram_key", batchId)
-    val b = IdempotentMergeSink.merge(spark, spanDfRoot(root),
-      gramDfOf(g), "g", batchId)
-    a | b
+    // disjoint sub-table roots → concurrent jobs (see bootstrapBm25)
+    IdempotentMergeSink.inParallel(Seq(
+      () => IdempotentMergeSink.merge(spark, spanGramsRoot(root),
+        gramKeyed(g), "gram_key", batchId),
+      () => IdempotentMergeSink.merge(spark, spanDfRoot(root),
+        gramDfOf(g), "g", batchId)))
+      .reduce(_ | _)
   }
 
   /** Merge one ingest batch of NEW docs: insert its positional grams,
@@ -309,15 +326,17 @@ object IndexMaintenance {
   def refreshSpans(spark: SparkSession, root: String, batchDocs: DataFrame,
       batchId: String): Boolean = {
     val bg = TextAnalysis.spanGramsOver(batchDocs).localCheckpoint()
-    val a = IdempotentMergeSink.merge(spark, spanGramsRoot(root),
-      gramKeyed(bg), "gram_key", batchId)
     if (IdempotentMergeSink.version(spanDfRoot(root)) == 0)
       throw new IllegalStateException(s"refreshSpans before bootstrap at $root")
     // increments rebased inside the commit loop — same concurrent-
-    // maintainer convergence contract as the BM25 df
-    val b = IdempotentMergeSink.mergeAdditive(spark, spanDfRoot(root),
-      gramDfOf(bg), "g", batchId)
-    a | b
+    // maintainer convergence contract as the BM25 df; disjoint
+    // sub-table roots → concurrent jobs (see bootstrapBm25)
+    IdempotentMergeSink.inParallel(Seq(
+      () => IdempotentMergeSink.merge(spark, spanGramsRoot(root),
+        gramKeyed(bg), "gram_key", batchId),
+      () => IdempotentMergeSink.mergeAdditive(spark, spanDfRoot(root),
+        gramDfOf(bg), "g", batchId)))
+      .reduce(_ | _)
   }
 
   /** The maintained positional-gram relation (doc_id, pos, g). */

@@ -81,6 +81,57 @@ object IdempotentMergeSink {
     */
   val DeltaMaxRows = 500000L
 
+  /** Target rows per output parquet file for commit writes whose row
+    * count is known (the batch observation): ~2M keyed rows ≈ the
+    * 100 MB–1 GB file-size band the read path wants. A contract-scale
+    * batch (hundreds of rows) commits ONE file instead of one per
+    * upstream partition — at 32 local cores that was 32 near-empty
+    * files per commit, re-listed and footer-read by every subsequent
+    * chain fold; at production scale ceil(rows / this) grows the file
+    * count with the batch, so the write never serializes a genuinely
+    * large commit through one task.
+    */
+  val FileTargetRows = 2000000L
+
+  private def filesFor(rows: Long): Int =
+    math.max(1L, (rows + FileTargetRows - 1) / FileTargetRows)
+      .min(100000L).toInt
+
+  /** Pool for overlapping the INDEPENDENT jobs inside one logical
+    * commit (a delta's removes + upserts writes) and across independent
+    * sub-table merges ([[graft.operators.IndexMaintenance]]): Spark's
+    * scheduler runs concurrent jobs fine (FIFO back-fill), and the
+    * driver-side planning of one job overlaps the execution of the
+    * other — the §2.6 overlap-independent-jobs discipline. CACHED (not
+    * fixed-size): inParallel NESTS — a sub-table merge running on a
+    * pool thread submits its own delta writes back to the pool, and a
+    * bounded pool whose every thread blocks in get() on inner tasks
+    * deadlocks (measured: a 3-thread pool hung the maintenance suite).
+    * Actual concurrency is bounded by the call structure (≤ 3 merges ×
+    * ≤ 2 writes). Daemon threads so the pool never blocks JVM exit.
+    */
+  private lazy val jobPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-merge-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
+  /** Run the thunks as concurrent Spark jobs; propagate the first
+    * failure after all complete (matching sequential error surfacing).
+    */
+  private[graft] def inParallel[A](tasks: Seq[() => A]): Seq[A] = {
+    val futs = tasks.map(t => jobPool.submit(
+      new java.util.concurrent.Callable[A] { def call(): A = t() }))
+    futs.map(f =>
+      try f.get()
+      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+  }
+
   /** How a committed version stores its content. */
   private sealed trait Kind
   private case object Base extends Kind
@@ -271,7 +322,11 @@ object IdempotentMergeSink {
     commitLoop(root, batchId, maxAttempts, "merge") { (cur, tmp) =>
       cur match {
         case None => // first commit: the filtered batch IS the base
+          // file count sized from the OBSERVED batch rows (§6 output
+          // sizing): a contract-scale base is one file, a production
+          // one grows files with rows — never one per upstream split
           upserts.join(deletes, Seq(key), "left_anti")
+            .coalesce(filesFor(batchRows))
             .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         case Some((v, _)) if deltaChainLen(root, v) + 1 >= CompactEvery
             || batchRows > deltaMaxRows =>
@@ -282,10 +337,18 @@ object IdempotentMergeSink {
             .unionByName(upserts)
             .join(deletes, Seq(key), "left_anti")
             .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        case Some(_) => // delta commit: just this batch's change set
-          ranked.select(col(key))
-            .write.mode(SaveMode.Overwrite).parquet(tmp.resolve("removes").toString)
-          upserts.write.mode(SaveMode.Overwrite).parquet(tmp.resolve("upserts").toString)
+        case Some(_) => // delta commit: just this batch's change set.
+          // The two writes read the same checkpointed batch and target
+          // disjoint dirs — run them as concurrent jobs (§2.6) so one
+          // write's tail overlaps the other's planning; ≤ filesFor
+          // files each keeps every later fold's broadcast read to a
+          // handful of footers instead of one per upstream partition
+          val k = filesFor(batchRows)
+          inParallel(Seq(
+            () => ranked.select(col(key)).coalesce(k)
+              .write.mode(SaveMode.Overwrite).parquet(tmp.resolve("removes").toString),
+            () => upserts.coalesce(k)
+              .write.mode(SaveMode.Overwrite).parquet(tmp.resolve("upserts").toString)))
           Files.write(tmp.resolve(DeltaTag),
             s"upsert\n$key".getBytes(StandardCharsets.UTF_8))
       }
@@ -360,13 +423,16 @@ object IdempotentMergeSink {
     commitLoop(root, batchId, maxAttempts, "mergeAdditive") { (cur, tmp) =>
       cur match {
         case None => // first commit: the batch's sums ARE the base
-          sumByKey(inc, key).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          // post-agg rows ≤ batch rows: the observed count bounds the
+          // file sizing from above (same §6 discipline as merge)
+          sumByKey(inc, key).coalesce(filesFor(batchRows))
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         case Some((v, _)) if deltaChainLen(root, v) + 1 >= CompactEvery
             || batchRows > deltaMaxRows =>
           sumByKey(stateAt(spark, root, v).unionByName(inc), key)
             .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         case Some(_) => // delta commit: just this batch's per-key sums
-          sumByKey(inc, key)
+          sumByKey(inc, key).coalesce(filesFor(batchRows))
             .write.mode(SaveMode.Overwrite).parquet(tmp.resolve("increments").toString)
           Files.write(tmp.resolve(DeltaTag),
             s"additive\n$key".getBytes(StandardCharsets.UTF_8))
