@@ -1016,12 +1016,21 @@ object CoreAnalytics {
   def qBasketLift(spark: SparkSession, dir: String): DataFrame = {
     // no broadcast hint: part scales with SF (same no-hint-on-scaling-dims
     // discipline as q3/q5 — CBO/AQE picks broadcast while it fits)
+    // read 3x: pair self-join (both sides) + brand counts. The
+    // checkpoint is CLUSTERED ON okey — hash(okey) satisfies the
+    // (okey, brand) distinct (subset rule) AND the okey self-join AND
+    // the order-count distinct, so one exchange replaces the three the
+    // planner otherwise adds (the distinct's own (okey, brand) exchange
+    // plus a re-exchange of EACH self-join side back to okey). Profiled
+    // at 32 cores: the join's 11.5 MB re-shuffle of the checkpoint
+    // disappears; shuffled bytes strictly drop at any scale.
     val items = Tables.lineitem(spark, dir)
       .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .repartition(col("okey"))
       .distinct()
-      .localCheckpoint() // read 3x: pair join (twice) + brand counts
+      .localCheckpoint()
     val nOrders = items.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
     val brandCnt = items.groupBy("brand").agg(count(lit(1)).as("n_brand"))
     val pairs = items.select(col("okey"), col("brand").as("brand_a"))

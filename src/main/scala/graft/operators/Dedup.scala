@@ -735,9 +735,48 @@ object Dedup {
     * by the context cleaner. On a multi-executor cluster use reliable
     * `checkpoint()` to survive executor loss.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsAt(pairs, HubDegreeCap)
+
+  /** Degree above which a node counts as a HUB for the min-label
+    * loop's edge partitioning: the dst-clustered edge checkpoint lands
+    * ALL of a node's incident edges in one hash(dst) partition every
+    * round, and AQE cannot split a pre-partitioned checkpoint side —
+    * so a duplicate-heavy corpus with a million-near-dup hub would
+    * serialize that hub through one task per iteration (§2.5: a single
+    * enormous key is the skew AQE can't fix). Edges pointing AT a hub
+    * are split out at seed time and partitioned by src instead (the
+    * neighbor ids — distinct by construction, so the hub's edge list
+    * spreads evenly), and each round probes them against a BROADCAST
+    * of just the hub labels (≤ #hubs rows — hot keys are few by
+    * definition). 1M keeps any single partition's per-key edge count
+    * bounded at ~40 MB of (src, dst) rows.
+    */
+  private[graft] val HubDegreeCap = 1000000L
+
+  /** The seed-time hub split — factored out so the planted-hub spec
+    * can pin the bound directly: `cold` keeps the dst clustering
+    * (hash(dst) partitioning preserved through the broadcast anti
+    * join), `hot` re-clusters the hub-directed edges on src.
+    */
+  private[graft] def hubSplit(edges: DataFrame, hubs: DataFrame,
+      parallelism: Int): (DataFrame, DataFrame) = {
+    val cold = edges
+      .join(broadcast(hubs), edges("dst") === hubs("hub_id"), "left_anti")
+      .localCheckpoint()
+    val hot = edges
+      .join(broadcast(hubs), edges("dst") === hubs("hub_id"), "left_semi")
+      .repartition(parallelism, col("src"))
+      .localCheckpoint()
+    (cold, hot)
+  }
+
+  private[graft] def connectedComponentsAt(pairs: DataFrame,
+      hubCap: Long): DataFrame = {
     val jp = pairs.toDF("doc_a", "doc_b")
     val sp = pairs.sparkSession
+    val parallelism = math.max(sp.sparkContext.defaultParallelism,
+      sp.sessionState.conf.numShufflePartitions)
     // the edge relation is checkpointed CLUSTERED on dst — the join key
     // of every iteration's neighbor-min probe — so the loop's join
     // reads the edge side exchange-free EVERY round: one exchange of
@@ -745,24 +784,57 @@ object Dedup {
     // side is already doc_id-partitioned by the previous round's join)
     val edges = jp.union(jp.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
-      .repartition(math.max(sp.sparkContext.defaultParallelism,
-        sp.sessionState.conf.numShufflePartitions), col("dst"))
+      .repartition(parallelism, col("dst"))
       .localCheckpoint()
     // the initial sum/emptiness probes ride the seed checkpoint's
     // materialization job (same observe() trick as the loop body) —
     // without this the loop setup costs 3 Spark jobs instead of 1.
     // sum over zero rows is null — Option-guard so an edge-free graph
-    // returns an empty labelling instead of an NPE
+    // returns an empty labelling instead of an NPE. The node seed is a
+    // per-src COUNT (same exchange as the previous distinct, map-side
+    // partials either way), so the hub detector — max degree — rides
+    // the same observation at zero extra jobs; edges are symmetric, so
+    // src-degree ≡ dst-degree.
     val obs0 = new org.apache.spark.sql.Observation("cc_init")
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    var labels = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("doc_id"), col("deg"))
       .withColumn("component", col("doc_id"))
-      .observe(obs0, sum(col("component")).as("label_sum"), count(lit(1)).as("n_nodes"))
+      .observe(obs0, sum(col("component")).as("label_sum"),
+        count(lit(1)).as("n_nodes"), max(col("deg")).as("max_deg"))
       .localCheckpoint()
     var prevSum = Option(obs0.get("label_sum")).fold(0L)(_.asInstanceOf[Long])
     var converged = obs0.get("n_nodes").asInstanceOf[Long] == 0L
+    val maxDeg = Option(obs0.get("max_deg")).fold(0L)(_.asInstanceOf[Long])
+    // hub regime ONLY when a degree exceeds the cap: the common-case
+    // loop below stays byte-identical to the pre-guard plan (no split
+    // checkpoints, no per-round broadcast, no extra jobs)
+    val hubs = if (maxDeg > hubCap)
+      labels.filter(col("deg") > hubCap)
+        .select(col("doc_id").as("hub_id")).localCheckpoint()
+    else null
+    val (cold, hot) = if (hubs == null) (edges, null)
+      else hubSplit(edges, hubs, parallelism)
+    var first = true
     var iter = 0
     while (!converged && iter < 32) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+      // drop the seed's deg column once the loop rewrites labels; on
+      // round 1 it is pruned by the optimizer, not materialized
+      val nbrJoined = if (hubs == null)
+        edges.join(labels, edges("dst") === labels("doc_id"))
+      else {
+        // labels of the hubs only: a ≤ #hubs-row broadcast per round,
+        // probed map-side over the src-spread hot edges — the hub's
+        // incident edges never collapse into one partition
+        val hubLabels = labels
+          .join(broadcast(hubs), labels("doc_id") === hubs("hub_id"), "left_semi")
+          .select(col("doc_id"), col("component"))
+        cold.join(labels, cold("dst") === labels("doc_id"))
+          .select(cold("src").as("src"), col("component"))
+          .unionByName(
+            hot.join(broadcast(hubLabels), hot("dst") === hubLabels("doc_id"))
+              .select(hot("src").as("src"), col("component")))
+      }
+      val nbrMin = nbrJoined
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
       // observe() rides the convergence probe ON the checkpoint's
       // materialization job (CollectMetrics in the same pass) — one
@@ -778,8 +850,12 @@ object Dedup {
       labels = next
       converged = s == prevSum
       prevSum = s
+      first = false
       iter += 1
     }
+    // an edge-free graph never enters the loop: strip the seed-only
+    // deg column so the output schema is loop-count-independent
+    if (first) labels = labels.drop("deg")
     val w = Window.partitionBy(col("component"))
     labels
       .withColumn("component_size", count(lit(1)).over(w))
