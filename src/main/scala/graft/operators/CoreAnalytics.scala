@@ -1017,13 +1017,17 @@ object CoreAnalytics {
     // no broadcast hint: part scales with SF (same no-hint-on-scaling-dims
     // discipline as q3/q5 — CBO/AQE picks broadcast while it fits)
     // read 3x: pair self-join (both sides) + brand counts. The
-    // checkpoint is CLUSTERED ON okey — hash(okey) satisfies the
-    // (okey, brand) distinct (subset rule) AND the okey self-join AND
-    // the order-count distinct, so one exchange replaces the three the
-    // planner otherwise adds (the distinct's own (okey, brand) exchange
-    // plus a re-exchange of EACH self-join side back to okey). Profiled
-    // at 32 cores: the join's 11.5 MB re-shuffle of the checkpoint
-    // disappears; shuffled bytes strictly drop at any scale.
+    // checkpoint is CLUSTERED ON okey: hash(okey) satisfies the
+    // (okey, brand) distinct (subset rule), so the distinct itself adds
+    // no second exchange, and both self-join sides leave the checkpoint
+    // identically partitioned. Measured at 32 cores: total shuffle
+    // bytes 19.8 → 18.7 MB read / 13.9 → 12.9 MB write (deterministic),
+    // wall within noise. NOTE the self-join's visible exchanges remain:
+    // localCheckpoint under AQE publishes UnknownPartitioning to the
+    // logical plan (plans/r16/q_basket_lift_*.txt), so the clustering
+    // is physical, not planner-visible — full exchange elimination here
+    // needs a partitioning-preserving checkpoint, left for a future
+    // round.
     val items = Tables.lineitem(spark, dir)
       .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
         col("l_partkey") === col("p_partkey"))
